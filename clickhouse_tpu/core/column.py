@@ -1,0 +1,195 @@
+"""Device-resident columns.
+
+The TPU analog of the reference's ``IColumn`` hierarchy
+(src/Columns/IColumn.h:80).  Differences, by design (SURVEY.md §7):
+
+* Arrays are immutable JAX buffers — COW is free.
+* Shapes are static: a column owns a padded device array of ``capacity``
+  elements; the number of *valid* rows is tracked by the enclosing Block.
+* Strings are dictionary codes (int32) on device + a host-side numpy array of
+  the unique values (the reference's ColumnLowCardinality made mandatory).
+* Nullability is a separate uint8 validity mask (1 = valid), mirroring
+  ColumnNullable's null-map (src/Columns/ColumnNullable.h) but kept as its own
+  device array.
+
+The vectorized primitives of IColumn (filter/permute/index/replicate,
+src/Columns/IColumn.h:314,327,331,440) live in ``clickhouse_tpu.ops`` as
+whole-column JAX/Pallas transforms; a Column is pure data.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes as dt
+
+__all__ = ["Column", "Dictionary", "column_from_numpy", "PAD_MULTIPLE", "pad_to"]
+
+# Pad every column to a multiple of one VPU-friendly tile row (8 sublanes x
+# 128 lanes).  Keeps lax ops tiled and lets Pallas kernels assume alignment.
+PAD_MULTIPLE = 1024
+
+
+def pad_to(n: int, multiple: int = PAD_MULTIPLE) -> int:
+    if n <= 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class Dictionary:
+    """Host-side dictionary for String columns: unique byte strings.
+
+    values[code] -> python str.  Code -1 is reserved for NULL at the storage
+    boundary (device-side NULLs use the validity mask).
+    """
+
+    __slots__ = ("values", "_index")
+
+    def __init__(self, values: np.ndarray):
+        self.values = np.asarray(values, dtype=object)
+        self._index: Optional[dict] = None
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    def index(self) -> dict:
+        if self._index is None:
+            self._index = {v: i for i, v in enumerate(self.values)}
+        return self._index
+
+    def lookup(self, value: str) -> int:
+        """Code for value, or -1 if absent."""
+        return self.index().get(value, -1)
+
+    @staticmethod
+    def unify(a: "Dictionary", b: "Dictionary"):
+        """Merged dictionary + recode tables (host-side, numpy).
+
+        Returns (merged, recode_a, recode_b) where recode_x maps old codes to
+        merged codes.  Mirrors ColumnLowCardinality dictionary merging on
+        insertRangeFrom (src/Columns/ColumnLowCardinality.cpp).
+        """
+        if a is b:
+            n = len(a)
+            ident = np.arange(n, dtype=np.int32)
+            return a, ident, ident
+        merged_vals = list(a.values)
+        idx = dict(a.index())
+        recode_b = np.empty(len(b), dtype=np.int32)
+        for i, v in enumerate(b.values):
+            j = idx.get(v)
+            if j is None:
+                j = len(merged_vals)
+                merged_vals.append(v)
+                idx[v] = j
+            recode_b[i] = j
+        merged = Dictionary(np.asarray(merged_vals, dtype=object))
+        merged._index = idx
+        recode_a = np.arange(len(a), dtype=np.int32)
+        return merged, recode_a, recode_b
+
+
+@dataclasses.dataclass
+class Column:
+    """A typed, padded device array (+ optional validity, dictionary)."""
+
+    dtype: dt.DType
+    data: jax.Array                      # shape (capacity,), dtype = storage
+    validity: Optional[jax.Array] = None  # shape (capacity,), uint8, 1=valid
+    dictionary: Optional[Dictionary] = None
+
+    @property
+    def capacity(self) -> int:
+        return int(self.data.shape[0])
+
+    def with_data(self, data, validity="__keep__") -> "Column":
+        v = self.validity if validity == "__keep__" else validity
+        return Column(self.dtype, data, v, self.dictionary)
+
+    # -- host transfer -------------------------------------------------------
+    def to_numpy(self, num_rows: Optional[int] = None) -> np.ndarray:
+        """Materialize valid rows on host as a numpy array (decoded)."""
+        raw = np.asarray(jax.device_get(self.data))
+        if num_rows is not None:
+            raw = raw[:num_rows]
+        if self.dtype.is_dictionary:
+            assert self.dictionary is not None
+            codes = raw.astype(np.int64)
+            out = np.empty(len(codes), dtype=object)
+            valid_codes = codes >= 0
+            out[valid_codes] = self.dictionary.values[codes[valid_codes]]
+            out[~valid_codes] = None
+            raw = out
+        if self.dtype.nullable and self.validity is not None:
+            mask = np.asarray(jax.device_get(self.validity))
+            if num_rows is not None:
+                mask = mask[:num_rows]
+            out = raw.astype(object) if raw.dtype != object else raw.copy()
+            out[mask == 0] = None
+            return out
+        return raw
+
+
+def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
+                      capacity: Optional[int] = None) -> Column:
+    """Build a Column from host data, dictionary-encoding strings.
+
+    Host-side ingest path — the analog of reference format parsers producing
+    IColumn (src/Processors/Formats/IInputFormat.h:20) but targeting device
+    arrays with padded static shapes.
+    """
+    values = np.asarray(values)
+    n = len(values)
+    cap = capacity or pad_to(n)
+
+    validity_np = None
+    if values.dtype == object:
+        none_mask = np.array([v is None for v in values], dtype=bool)
+        if none_mask.any():
+            validity_np = (~none_mask).astype(np.uint8)
+            # Replace Nones with a placeholder for encoding below.
+            values = values.copy()
+            sample = next((v for v in values if v is not None), "")
+            values[none_mask] = sample if isinstance(sample, str) else 0
+        # All-string object arrays -> String; else numeric object -> float64
+        if all(isinstance(v, str) for v in values):
+            values = values.astype(object)
+        else:
+            values = values.astype(np.float64)
+
+    if values.dtype.kind in ("U", "S", "O"):
+        if dtype is None:
+            dtype = dt.String
+        uniq, codes = np.unique(values.astype(str), return_inverse=True)
+        codes = codes.astype(np.int32)
+        data_np = np.full(cap, -1, dtype=np.int32)
+        data_np[:n] = codes
+        col = Column(dtype if validity_np is None else dt.make_nullable(dtype),
+                     jnp.asarray(data_np),
+                     dictionary=Dictionary(uniq.astype(object)))
+    else:
+        if dtype is None:
+            if values.dtype.kind == "b":
+                dtype = dt.Boolean
+                values = values.astype(np.uint8)
+            else:
+                dtype = dt.from_numpy_dtype(values.dtype)
+        storage = dtype.np_dtype
+        data_np = np.zeros(cap, dtype=storage)
+        data_np[:n] = values.astype(storage)
+        col = Column(dtype if validity_np is None else dt.make_nullable(dtype),
+                     jnp.asarray(data_np))
+
+    if validity_np is not None:
+        v = np.zeros(cap, dtype=np.uint8)
+        v[:n] = validity_np
+        col.validity = jnp.asarray(v)
+    elif col.dtype.nullable:
+        v = np.zeros(cap, dtype=np.uint8)
+        v[:n] = 1
+        col.validity = jnp.asarray(v)
+    return col

@@ -1,0 +1,49 @@
+"""Engine exception hierarchy (reference: src/Common/Exception.h + ErrorCodes)."""
+from __future__ import annotations
+
+__all__ = [
+    "EngineError", "ParseError", "AnalysisError", "UnknownIdentifier",
+    "UnknownFunction", "UnknownTable", "TypeError_", "ExecutionError",
+    "CapacityError", "NotImplementedError_",
+]
+
+
+class EngineError(Exception):
+    code = 1000
+
+
+class ParseError(EngineError):
+    code = 62        # SYNTAX_ERROR
+
+
+class AnalysisError(EngineError):
+    code = 47
+
+
+class UnknownIdentifier(AnalysisError):
+    code = 47        # UNKNOWN_IDENTIFIER
+
+
+class UnknownFunction(AnalysisError):
+    code = 46        # UNKNOWN_FUNCTION
+
+
+class UnknownTable(AnalysisError):
+    code = 60        # UNKNOWN_TABLE
+
+
+class TypeError_(AnalysisError):
+    code = 43        # ILLEGAL_TYPE_OF_ARGUMENT
+
+
+class ExecutionError(EngineError):
+    code = 1001
+
+
+class CapacityError(ExecutionError):
+    """Static capacity exceeded (groups/join matches beyond planned bound)."""
+    code = 241       # MEMORY_LIMIT_EXCEEDED analog
+
+
+class NotImplementedError_(EngineError):
+    code = 48        # NOT_IMPLEMENTED

@@ -1,0 +1,126 @@
+"""Typed query-settings registry.
+
+Analog of the reference's single settings registry (src/Core/Settings.cpp,
+917 ``DECLARE(...)`` entries) with per-session/per-query overrides via the SQL
+``SETTINGS`` clause and simple min/max constraints
+(src/Access/SettingsConstraints.cpp).  We keep one dataclass; every field is a
+setting, overridable per query, discoverable through ``system.settings``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+__all__ = ["Settings", "SettingsConstraintError", "SETTING_DOCS"]
+
+
+class SettingsConstraintError(ValueError):
+    pass
+
+
+SETTING_DOCS: Dict[str, str] = {}
+
+
+def _doc(name: str, text: str) -> None:
+    SETTING_DOCS[name] = text
+
+
+@dataclasses.dataclass
+class Settings:
+    # -- execution shape -----------------------------------------------------
+    max_block_size: int = 1 << 20
+    max_threads: int = 0               # 0 = auto (XLA owns intra-chip parallelism)
+    max_rows_to_read: int = 0          # 0 = unlimited
+    max_result_rows: int = 0
+
+    # -- aggregation ---------------------------------------------------------
+    max_groups: int = 1 << 22          # capacity of group-by output
+    group_by_two_level_threshold: int = 1 << 17
+    group_by_algorithm: str = "auto"   # auto | sort | hash
+    max_bytes_before_external_group_by: int = 0  # spill threshold (0 = off)
+    totals_mode: str = "after_having_exclusive"
+
+    # -- joins ---------------------------------------------------------------
+    join_algorithm: str = "hash"       # hash | broadcast | shuffle | sort_merge
+    max_join_build_rows: int = 1 << 26
+    join_use_nulls: bool = False
+    max_probe_iterations: int = 64     # linear-probe bound in hash kernels
+
+    # -- sorting -------------------------------------------------------------
+    max_bytes_before_external_sort: int = 0
+    limit_pushdown_threshold: int = 1 << 16  # use top-k kernel for LIMIT <= this
+
+    # -- distributed ---------------------------------------------------------
+    num_exchange_buckets: int = 256    # two-level bucket fan-out (reference: 256)
+    distributed_group_by_no_merge: bool = False
+    prefer_global_in_and_join: bool = False
+    skew_salt_factor: int = 8          # salted-key splitting for heavy hitters
+
+    # -- precision / determinism --------------------------------------------
+    deterministic_float_aggregation: bool = True
+    cast_to_float32_for_speed: bool = False
+
+    # -- storage / scan ------------------------------------------------------
+    index_granularity: int = 8192
+    use_minmax_pruning: bool = True
+    use_partition_pruning: bool = True
+    optimize_move_to_prewhere: bool = True
+
+    # -- observability -------------------------------------------------------
+    log_queries: bool = True
+    collect_profile_events: bool = True
+
+    # -- misc ----------------------------------------------------------------
+    readonly: int = 0
+    empty_result_for_aggregation_by_empty_set: bool = False
+
+    # -- API -----------------------------------------------------------------
+    def copy_with(self, overrides: Optional[Dict[str, Any]] = None) -> "Settings":
+        if not overrides:
+            return dataclasses.replace(self)
+        fields = {f.name: f for f in dataclasses.fields(self)}
+        kwargs = {}
+        for key, value in overrides.items():
+            if key not in fields:
+                raise SettingsConstraintError(f"Unknown setting '{key}'")
+            ftype = fields[key].type
+            current = getattr(self, key)
+            kwargs[key] = _coerce(key, value, type(current))
+        return dataclasses.replace(self, **kwargs)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _coerce(name: str, value: Any, target: type) -> Any:
+    if target is bool:
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, (int, float)):
+            return bool(value)
+        if isinstance(value, str):
+            v = value.strip().lower()
+            if v in ("1", "true", "yes", "on"):
+                return True
+            if v in ("0", "false", "no", "off"):
+                return False
+        raise SettingsConstraintError(f"Setting '{name}' expects bool, got {value!r}")
+    if target is int:
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            raise SettingsConstraintError(f"Setting '{name}' expects int, got {value!r}")
+    if target is float:
+        return float(value)
+    if target is str:
+        return str(value)
+    return value
+
+
+_doc("max_block_size", "Padded capacity of streaming blocks moved through operators.")
+_doc("max_groups", "Static capacity of GROUP BY output; queries exceeding it error.")
+_doc("group_by_algorithm", "auto: hash for few expected groups, sort otherwise.")
+_doc("num_exchange_buckets", "Bucket fan-out for two-level aggregation state exchange "
+     "(matches the reference's 256-bucket convention, TwoLevelHashTable.h:32).")
+_doc("skew_salt_factor", "Heavy-hitter keys are split across this many salted "
+     "sub-keys before repartitioning shuffles.")

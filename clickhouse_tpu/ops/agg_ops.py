@@ -1,0 +1,122 @@
+"""Grouping machinery: sort-based and (later) hash-based GROUP BY cores.
+
+TPU-native replacement for the reference Aggregator's 143 hash-table variants
+(src/Interpreters/Aggregator.h:71, AggregatedDataVariants.h:20-137).  Per
+SURVEY.md §7 the robust core is *sort-based grouping*: sort rows by key,
+derive segment ids, and run segment reductions — every step is a large
+bandwidth-bound vector op that XLA tiles well, with no atomics and no dynamic
+memory.  The output has a static capacity (`num_groups_cap`) and a device
+scalar group count, mirroring the fixed-capacity block discipline.
+
+The mergeable-state algebra (partial states that can be re-grouped and merged,
+reference: IAggregateFunction::merge + QueryProcessingStage::WithMergeableState)
+is preserved: states are ordinary columns, so the distributed two-stage
+aggregation reuses this exact machinery after an all-to-all by bucket.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Grouping", "group_by_sort", "segment_reduce", "SEGMENT_OPS"]
+
+
+@dataclasses.dataclass
+class Grouping:
+    """Result of assigning each (valid) row to a dense group id.
+
+    sorted rows [0, capacity): rows reordered so equal keys are adjacent;
+    group_ids[i] = dense id of sorted row i, or num_groups_cap for padding
+    rows (so scatters/segment ops drop them).
+    """
+    perm: jax.Array              # int32 row permutation applied to inputs
+    group_ids: jax.Array         # int32, padding rows -> num_groups_cap
+    num_groups: jax.Array        # int64 device scalar
+    unique_keys: List[jax.Array]  # each (num_groups_cap,), padding = 0
+    num_groups_cap: int
+
+    def take(self, array: jax.Array) -> jax.Array:
+        """Reorder a payload column into sorted-by-key order."""
+        return array[self.perm]
+
+
+def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
+                  num_groups_cap: int) -> Grouping:
+    """Dense group ids via multi-operand sort.
+
+    keys      -- storage arrays of the GROUP BY columns (any fixed-width dtype;
+                 strings arrive as dictionary codes)
+    row_valid -- bool mask of valid rows (False rows are excluded)
+    """
+    cap = keys[0].shape[0]
+    rowid = jnp.arange(cap, dtype=jnp.int32)
+    invalid = jnp.logical_not(row_valid)
+    # Sort with validity first so padding rows sink to the end, then the key
+    # columns lexicographically; rowid payload carries the permutation.
+    operands = [invalid] + list(keys) + [rowid]
+    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys))
+    inv_s = sorted_ops[0]
+    keys_s = sorted_ops[1:-1]
+    perm = sorted_ops[-1]
+
+    boundary = jnp.zeros(cap, dtype=jnp.bool_).at[0].set(True)
+    for ks in keys_s:
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+    boundary = boundary | jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), inv_s[1:] != inv_s[:-1]])
+
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    valid_s = jnp.logical_not(inv_s)
+    num_groups = jnp.max(jnp.where(valid_s, gid, -1)).astype(jnp.int64) + 1
+    # Padding rows get an out-of-range id so downstream scatters drop them.
+    gid = jnp.where(valid_s, gid, num_groups_cap)
+
+    unique_keys = []
+    for ks in keys_s:
+        uk = jnp.zeros((num_groups_cap,), ks.dtype).at[gid].set(ks, mode="drop")
+        unique_keys.append(uk)
+    return Grouping(perm=perm, group_ids=gid, num_groups=num_groups,
+                    unique_keys=unique_keys, num_groups_cap=num_groups_cap)
+
+
+# -- segment reductions ------------------------------------------------------
+
+def _segment_sum(data, ids, n):
+    return jax.ops.segment_sum(data, ids, num_segments=n, indices_are_sorted=True)
+
+
+def _segment_min(data, ids, n):
+    return jax.ops.segment_min(data, ids, num_segments=n, indices_are_sorted=True)
+
+
+def _segment_max(data, ids, n):
+    return jax.ops.segment_max(data, ids, num_segments=n, indices_are_sorted=True)
+
+
+def _segment_any(data, ids, n):
+    # 'any value of the segment' — last write wins is fine (reference `any`
+    # is explicitly non-deterministic; we are at least deterministic).
+    return jnp.zeros((n,), data.dtype).at[ids].set(data, mode="drop")
+
+
+SEGMENT_OPS = {
+    "sum": _segment_sum,
+    "min": _segment_min,
+    "max": _segment_max,
+    "any": _segment_any,
+}
+
+
+def segment_reduce(op: str, data: jax.Array, group_ids: jax.Array,
+                   num_segments: int) -> jax.Array:
+    """Reduce `data` per group.  Padding rows must carry out-of-range ids.
+
+    For min/max the caller must have substituted the op's identity into
+    padding rows OR rely on out-of-range drop (segment_min/max drop them and
+    fill empty segments with the dtype's identity).
+    """
+    return SEGMENT_OPS[op](data, group_ids, num_segments)

@@ -1,0 +1,88 @@
+"""ORDER BY / LIMIT kernels.
+
+Replaces the reference's three-stage sort (PartialSortingTransform ->
+MergeSortingTransform -> MergingSortedTransform, SortingStep.cpp:208-463) with
+single large device sorts: XLA's TPU sort is already a tiled multi-pass
+bitonic/merge network, so the reference's block/merge staging collapses into
+one `lax.sort` over the whole (padded) column set.  Top-N uses `lax.top_k`
+on an order-encoded key when the key fits 64 bits (the reference's special
+top-N row-filter path, SortingStep.cpp:339).
+
+Order encoding: every sort key column is mapped to a u64 *token* whose
+unsigned order equals the desired row order (direction + NULL placement
+folded in) — the TPU analog of comparator dispatch in sortBlock
+(src/Interpreters/sortBlock.cpp:336).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["order_token", "sort_permutation", "topk_permutation"]
+
+
+def order_token(x: jax.Array, *, descending: bool = False,
+                validity: Optional[jax.Array] = None,
+                nulls_last: bool = True,
+                rank: Optional[jax.Array] = None) -> jax.Array:
+    """Monotone map of a column into u64 so unsigned-ascending == desired order.
+
+    rank -- optional precomputed i32/i64 ordering rank (used for dictionary
+            strings, where codes are not ordered after merges: host computes
+            dictionary ranks, device gathers them here).
+    """
+    if rank is not None:
+        x = rank
+    dt = x.dtype
+    if dt in (jnp.float64, jnp.float32):
+        if dt == jnp.float32:
+            x = x.astype(jnp.float64)
+        from .hash_ops import bitcast_f64_to_u64
+        bits = bitcast_f64_to_u64(x)
+        sign = bits >> jnp.uint64(63)
+        # IEEE754 total order: negative -> flip all bits, positive -> set sign.
+        tok = jnp.where(sign == 1, ~bits, bits | jnp.uint64(1 << 63))
+    elif dt == jnp.uint64:
+        tok = x
+    elif dt == jnp.bool_:
+        tok = x.astype(jnp.uint64)
+    elif jnp.issubdtype(dt, jnp.unsignedinteger):
+        tok = x.astype(jnp.uint64)
+    else:  # signed ints: wrapping cast keeps the bit pattern; flip sign bit
+        tok = x.astype(jnp.int64).astype(jnp.uint64) ^ jnp.uint64(1 << 63)
+    if descending:
+        tok = ~tok
+    if validity is not None:
+        null_tok = jnp.uint64(2**64 - 1) if nulls_last else jnp.uint64(0)
+        # Reserve the extreme value; shift real tokens inward by one to avoid
+        # collision with the sentinel.
+        tok = jnp.where(nulls_last, jnp.minimum(tok, jnp.uint64(2**64 - 2)),
+                        jnp.maximum(tok, jnp.uint64(1)))
+        tok = jnp.where(validity.astype(jnp.bool_), tok, null_tok)
+    return tok
+
+
+def sort_permutation(tokens: Sequence[jax.Array], row_valid: jax.Array
+                     ) -> jax.Array:
+    """Permutation sorting rows by the token columns; padding rows sink last."""
+    cap = tokens[0].shape[0]
+    rowid = jnp.arange(cap, dtype=jnp.int32)
+    invalid = jnp.logical_not(row_valid)
+    sorted_ops = jax.lax.sort([invalid] + list(tokens) + [rowid],
+                              num_keys=1 + len(tokens), is_stable=True)
+    return sorted_ops[-1]
+
+
+def topk_permutation(token: jax.Array, row_valid: jax.Array, k: int
+                     ) -> jax.Array:
+    """Indices of the k smallest tokens among valid rows (ascending order).
+
+    Single-token fast path for `ORDER BY ... LIMIT k` (k << n).
+    """
+    # top_k selects largest, so invert; invalid rows get the minimum (never
+    # selected unless fewer than k valid rows exist — caller masks by count).
+    inv = jnp.where(row_valid, ~token, jnp.uint64(0))
+    _, idx = jax.lax.top_k(inv, k)
+    return idx.astype(jnp.int32)
