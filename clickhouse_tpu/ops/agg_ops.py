@@ -44,22 +44,27 @@ class Grouping:
 
 
 def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
-                  num_groups_cap: int) -> Grouping:
+                  num_groups_cap: int,
+                  secondary: Sequence[jax.Array] = ()) -> Grouping:
     """Dense group ids via multi-operand sort.
 
     keys      -- storage arrays of the GROUP BY columns (any fixed-width dtype;
                  strings arrive as dictionary codes)
     row_valid -- bool mask of valid rows (False rows are excluded)
+    secondary -- extra sort operands ordering rows *within* each group without
+                 affecting group boundaries (used by holistic aggregates:
+                 quantileExact needs group-local value order).  Group ids are
+                 identical to a call without `secondary`.
     """
     cap = keys[0].shape[0]
     rowid = jnp.arange(cap, dtype=jnp.int32)
     invalid = jnp.logical_not(row_valid)
     # Sort with validity first so padding rows sink to the end, then the key
     # columns lexicographically; rowid payload carries the permutation.
-    operands = [invalid] + list(keys) + [rowid]
-    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys))
+    operands = [invalid] + list(keys) + list(secondary) + [rowid]
+    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys) + len(secondary))
     inv_s = sorted_ops[0]
-    keys_s = sorted_ops[1:-1]
+    keys_s = sorted_ops[1:1 + len(keys)]
     perm = sorted_ops[-1]
 
     boundary = jnp.zeros(cap, dtype=jnp.bool_).at[0].set(True)

@@ -1,0 +1,243 @@
+"""Abstract syntax tree for the SQL dialect.
+
+Analog of the reference's IAST hierarchy (src/Parsers/IAST.h:32), reduced to
+plain dataclasses.  Binary/unary operators are desugared by the parser into
+FuncCall nodes with ClickHouse function names (plus/less/and/...), exactly as
+the reference's ExpressionListParsers does.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+__all__ = [
+    "Expr", "Identifier", "Literal", "Star", "FuncCall", "Tuple_", "Subquery",
+    "SelectItem", "TableRef", "TableFunctionRef", "SubqueryRef", "Join",
+    "OrderItem", "Select", "Union", "Insert", "ColumnDef", "CreateTable",
+    "CreateDatabase", "DropTable", "ShowTables", "Describe", "Explain",
+    "SetStatement", "Use", "TruncateTable", "CTE", "format_expr",
+]
+
+
+class Expr:
+    pass
+
+
+@dataclasses.dataclass
+class Identifier(Expr):
+    name: str                      # possibly qualified: "t.x" keeps parts
+    parts: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if not self.parts:
+            self.parts = tuple(self.name.split("."))
+
+
+@dataclasses.dataclass
+class Literal(Expr):
+    value: Any                     # int | float | str | None | bool | tuple
+
+
+@dataclasses.dataclass
+class Star(Expr):
+    table: Optional[str] = None    # t.* qualifier
+
+
+@dataclasses.dataclass
+class FuncCall(Expr):
+    name: str
+    args: List[Expr]
+    params: Optional[List[Expr]] = None    # quantile(0.5)(x)
+    distinct: bool = False                 # count(DISTINCT x)
+
+
+@dataclasses.dataclass
+class Tuple_(Expr):
+    items: List[Expr]
+
+
+@dataclasses.dataclass
+class Subquery(Expr):
+    query: "Select"
+
+
+# -- SELECT ------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class TableRef:
+    database: Optional[str]
+    table: str
+    alias: Optional[str] = None
+    final: bool = False
+
+
+@dataclasses.dataclass
+class TableFunctionRef:
+    func: FuncCall
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class SubqueryRef:
+    query: Union["Select", "Union"]
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Join:
+    kind: str                      # inner|left|right|full|cross
+    strictness: str                # all|any|semi|anti|asof
+    table: Union[TableRef, TableFunctionRef, SubqueryRef]
+    on: Optional[Expr] = None
+    using: Optional[List[str]] = None
+    is_global: bool = False
+
+
+@dataclasses.dataclass
+class OrderItem:
+    expr: Expr
+    descending: bool = False
+    nulls_last: Optional[bool] = None   # None = dialect default
+
+
+@dataclasses.dataclass
+class CTE:
+    name: str
+    query: Optional[Union["Select", "Union"]] = None
+    expr: Optional[Expr] = None         # WITH <expr> AS name scalar form
+
+
+@dataclasses.dataclass
+class Select:
+    items: List[SelectItem]
+    from_: Optional[Union[TableRef, TableFunctionRef, SubqueryRef]] = None
+    joins: List[Join] = dataclasses.field(default_factory=list)
+    where: Optional[Expr] = None
+    prewhere: Optional[Expr] = None
+    group_by: Optional[List[Expr]] = None
+    group_by_with_totals: bool = False
+    having: Optional[Expr] = None
+    order_by: Optional[List[OrderItem]] = None
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
+    limit_by: Optional[Tuple[Expr, List[Expr]]] = None   # (n, exprs)
+    distinct: bool = False
+    ctes: List[CTE] = dataclasses.field(default_factory=list)
+    settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Union:
+    selects: List[Union["Select", "Union"]]
+    mode: str = "all"              # all|distinct
+
+
+# -- DDL / DML ---------------------------------------------------------------
+
+@dataclasses.dataclass
+class ColumnDef:
+    name: str
+    type_name: str
+    default: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class CreateTable:
+    database: Optional[str]
+    table: str
+    columns: List[ColumnDef]
+    engine: str = "Memory"
+    order_by: Optional[List[Expr]] = None
+    partition_by: Optional[Expr] = None
+    primary_key: Optional[List[Expr]] = None
+    settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    if_not_exists: bool = False
+    as_select: Optional[Union[Select, "Union"]] = None
+
+
+@dataclasses.dataclass
+class CreateDatabase:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class Insert:
+    database: Optional[str]
+    table: str
+    columns: Optional[List[str]] = None
+    values: Optional[List[List[Expr]]] = None
+    select: Optional[Union[Select, "Union"]] = None
+
+
+@dataclasses.dataclass
+class DropTable:
+    database: Optional[str]
+    table: str
+    if_exists: bool = False
+    is_database: bool = False
+
+
+@dataclasses.dataclass
+class TruncateTable:
+    database: Optional[str]
+    table: str
+
+
+@dataclasses.dataclass
+class ShowTables:
+    databases: bool = False
+    like: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Describe:
+    database: Optional[str]
+    table: str
+
+
+@dataclasses.dataclass
+class Explain:
+    kind: str                      # ast|plan|pipeline|estimate
+    query: Union[Select, "Union"]
+
+
+@dataclasses.dataclass
+class SetStatement:
+    changes: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class Use:
+    database: str
+
+
+def format_expr(e: Expr) -> str:
+    """Debug/EXPLAIN rendering of an expression."""
+    if isinstance(e, Identifier):
+        return e.name
+    if isinstance(e, Literal):
+        if isinstance(e.value, str):
+            return "'" + e.value.replace("'", "\\'") + "'"
+        if e.value is None:
+            return "NULL"
+        return str(e.value)
+    if isinstance(e, Star):
+        return f"{e.table}.*" if e.table else "*"
+    if isinstance(e, FuncCall):
+        params = ""
+        if e.params:
+            params = "(" + ", ".join(format_expr(p) for p in e.params) + ")"
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}{params}({d}{', '.join(format_expr(a) for a in e.args)})"
+    if isinstance(e, Tuple_):
+        return "(" + ", ".join(format_expr(i) for i in e.items) + ")"
+    if isinstance(e, Subquery):
+        return "(<subquery>)"
+    return repr(e)

@@ -1,0 +1,809 @@
+"""Hand-written recursive-descent SQL parser.
+
+Analog of the reference's parser combinators (src/Parsers/ParserSelectQuery.cpp,
+ExpressionListParsers.cpp).  Operators are desugared to ClickHouse function
+names; clause order follows the reference's SELECT grammar.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..core.errors import ParseError
+from . import ast
+from .lexer import Token, tokenize
+
+__all__ = ["parse", "parse_expression"]
+
+RESERVED = {
+    "FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "BY", "AS", "ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+    "CROSS", "GLOBAL", "ANY", "ALL", "SEMI", "ANTI", "ASOF", "UNION",
+    "SETTINGS", "WITH", "SELECT", "DISTINCT", "AND", "OR", "NOT", "IN",
+    "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
+    "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "ROLLUP", "CUBE",
+    "INTERVAL", "EXISTS", "ARRAY",
+}
+
+
+def parse(sql: str):
+    """Parse one statement (trailing semicolon tolerated)."""
+    p = Parser(tokenize(sql))
+    stmt = p.parse_statement()
+    p.accept_op(";")
+    p.expect_end()
+    return stmt
+
+
+def parse_expression(sql: str) -> ast.Expr:
+    p = Parser(tokenize(sql))
+    e = p.parse_expr()
+    p.expect_end()
+    return e
+
+
+class Parser:
+    def __init__(self, tokens: List[Token]):
+        self.tokens = tokens
+        self.i = 0
+
+    # -- token plumbing ------------------------------------------------------
+    @property
+    def tok(self) -> Token:
+        return self.tokens[self.i]
+
+    def advance(self) -> Token:
+        t = self.tok
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> Optional[Token]:
+        if self.tok.is_kw(*kws):
+            return self.advance()
+        return None
+
+    def expect_kw(self, *kws: str) -> Token:
+        if not self.tok.is_kw(*kws):
+            raise ParseError(f"Expected {'/'.join(kws)}, got {self.tok.text!r} "
+                             f"at {self.tok.pos}")
+        return self.advance()
+
+    def accept_op(self, op: str) -> bool:
+        if self.tok.kind == "op" and self.tok.text == op:
+            self.advance()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.accept_op(op):
+            raise ParseError(f"Expected {op!r}, got {self.tok.text!r} at "
+                             f"{self.tok.pos}")
+
+    def expect_word(self) -> str:
+        if self.tok.kind != "word":
+            raise ParseError(f"Expected identifier, got {self.tok.text!r} at "
+                             f"{self.tok.pos}")
+        return self.advance().text
+
+    def expect_end(self):
+        if self.tok.kind != "end":
+            raise ParseError(f"Unexpected trailing input {self.tok.text!r} at "
+                             f"{self.tok.pos}")
+
+    # -- statements ----------------------------------------------------------
+    def parse_statement(self):
+        t = self.tok
+        if t.is_kw("SELECT", "WITH"):
+            return self.parse_select_union()
+        if t.is_kw("EXPLAIN"):
+            return self.parse_explain()
+        if t.is_kw("CREATE", "ATTACH"):
+            return self.parse_create()
+        if t.is_kw("INSERT"):
+            return self.parse_insert()
+        if t.is_kw("DROP"):
+            return self.parse_drop()
+        if t.is_kw("TRUNCATE"):
+            return self.parse_truncate()
+        if t.is_kw("SHOW"):
+            return self.parse_show()
+        if t.is_kw("DESCRIBE", "DESC"):
+            self.advance()
+            self.accept_kw("TABLE")
+            db, tbl = self.parse_table_name()
+            return ast.Describe(db, tbl)
+        if t.is_kw("SET"):
+            return self.parse_set()
+        if t.is_kw("USE"):
+            self.advance()
+            return ast.Use(self.expect_word())
+        raise ParseError(f"Unknown statement start {t.text!r} at {t.pos}")
+
+    def parse_select_union(self):
+        first = self.parse_select()
+        selects = [first]
+        mode = "all"
+        while self.accept_kw("UNION"):
+            if self.accept_kw("DISTINCT"):
+                mode = "distinct"
+            else:
+                self.accept_kw("ALL")
+            selects.append(self.parse_select())
+        if len(selects) == 1:
+            return first
+        return ast.Union(selects, mode)
+
+    def parse_select(self) -> ast.Select:
+        ctes: List[ast.CTE] = []
+        if self.accept_kw("WITH"):
+            while True:
+                ctes.append(self.parse_cte())
+                if not self.accept_op(","):
+                    break
+        self.expect_kw("SELECT")
+        distinct = bool(self.accept_kw("DISTINCT"))
+        items = [self.parse_select_item()]
+        while self.accept_op(","):
+            items.append(self.parse_select_item())
+
+        sel = ast.Select(items=items, distinct=distinct, ctes=ctes)
+
+        if self.accept_kw("FROM"):
+            sel.from_ = self.parse_table_expression()
+            while True:
+                join = self.try_parse_join()
+                if join is None:
+                    break
+                sel.joins.append(join)
+        if self.accept_kw("PREWHERE"):
+            sel.prewhere = self.parse_expr()
+        if self.accept_kw("WHERE"):
+            sel.where = self.parse_expr()
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            if self.accept_kw("ROLLUP", "CUBE"):
+                raise ParseError("ROLLUP/CUBE are not supported yet")
+            sel.group_by = [self.parse_expr()]
+            while self.accept_op(","):
+                sel.group_by.append(self.parse_expr())
+            if self.accept_kw("WITH"):
+                kw = self.expect_kw("TOTALS", "ROLLUP", "CUBE")
+                if kw.text.upper() == "TOTALS":
+                    sel.group_by_with_totals = True
+                else:
+                    raise ParseError("ROLLUP/CUBE are not supported yet")
+        if self.accept_kw("HAVING"):
+            sel.having = self.parse_expr()
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            sel.order_by = [self.parse_order_item()]
+            while self.accept_op(","):
+                sel.order_by.append(self.parse_order_item())
+        if self.accept_kw("LIMIT"):
+            first = self.parse_expr()
+            if self.accept_op(","):
+                sel.offset = first
+                sel.limit = self.parse_expr()
+            elif self.accept_kw("BY"):
+                by = [self.parse_expr()]
+                while self.accept_op(","):
+                    by.append(self.parse_expr())
+                sel.limit_by = (first, by)
+                if self.accept_kw("LIMIT"):
+                    sel.limit = self.parse_expr()
+                    if self.accept_kw("OFFSET"):
+                        sel.offset = self.parse_expr()
+            else:
+                sel.limit = first
+                if self.accept_kw("OFFSET"):
+                    sel.offset = self.parse_expr()
+        if self.accept_kw("SETTINGS"):
+            sel.settings = self.parse_settings_list()
+        return sel
+
+    def parse_cte(self) -> ast.CTE:
+        # Two forms: `name AS (SELECT ...)` and `expr AS name`
+        save = self.i
+        if self.tok.kind == "word" and not self.tok.is_kw(*RESERVED):
+            name = self.advance().text
+            if self.accept_kw("AS"):
+                if self.tok.kind == "op" and self.tok.text == "(":
+                    self.expect_op("(")
+                    q = self.parse_select_union()
+                    self.expect_op(")")
+                    return ast.CTE(name=name, query=q)
+            self.i = save
+        expr = self.parse_expr()
+        self.expect_kw("AS")
+        name = self.expect_word()
+        return ast.CTE(name=name, expr=expr)
+
+    def parse_select_item(self) -> ast.SelectItem:
+        expr = self.parse_expr()
+        alias = self.try_parse_alias()
+        return ast.SelectItem(expr, alias)
+
+    def try_parse_alias(self) -> Optional[str]:
+        if self.accept_kw("AS"):
+            return self.expect_word()
+        t = self.tok
+        if t.kind == "word" and not t.is_kw(*RESERVED):
+            return self.advance().text
+        return None
+
+    def parse_order_item(self) -> ast.OrderItem:
+        e = self.parse_expr()
+        desc = False
+        if self.accept_kw("DESC", "DESCENDING"):
+            desc = True
+        elif self.accept_kw("ASC", "ASCENDING"):
+            desc = False
+        nulls_last = None
+        if self.accept_kw("NULLS"):
+            kw = self.expect_kw("FIRST", "LAST")
+            nulls_last = kw.text.upper() == "LAST"
+        return ast.OrderItem(e, desc, nulls_last)
+
+    def parse_table_name(self) -> Tuple[Optional[str], str]:
+        a = self.expect_word()
+        if self.accept_op("."):
+            return a, self.expect_word()
+        return None, a
+
+    def parse_table_expression(self):
+        if self.tok.kind == "op" and self.tok.text == "(":
+            self.expect_op("(")
+            q = self.parse_select_union()
+            self.expect_op(")")
+            alias = self.try_parse_alias()
+            return ast.SubqueryRef(q, alias)
+        db, name = self.parse_table_name()
+        if self.tok.kind == "op" and self.tok.text == "(" and db is None:
+            # table function: numbers(10), file('x.parquet')
+            self.expect_op("(")
+            args = []
+            if not (self.tok.kind == "op" and self.tok.text == ")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            alias = self.try_parse_alias()
+            return ast.TableFunctionRef(ast.FuncCall(name, args), alias)
+        alias = None
+        final = False
+        if self.accept_kw("FINAL"):
+            final = True
+        else:
+            alias = self.try_parse_alias()
+            if self.accept_kw("FINAL"):
+                final = True
+        return ast.TableRef(db, name, alias, final)
+
+    def try_parse_join(self) -> Optional[ast.Join]:
+        save = self.i
+        is_global = bool(self.accept_kw("GLOBAL"))
+        strictness = "all"
+        if self.accept_kw("ANY"):
+            strictness = "any"
+        elif self.accept_kw("SEMI"):
+            strictness = "semi"
+        elif self.accept_kw("ANTI"):
+            strictness = "anti"
+        elif self.accept_kw("ASOF"):
+            strictness = "asof"
+        elif self.accept_kw("ALL"):
+            strictness = "all"
+        kind = None
+        if self.accept_kw("INNER"):
+            kind = "inner"
+        elif self.accept_kw("LEFT"):
+            kind = "left"
+            self.accept_kw("OUTER")
+        elif self.accept_kw("RIGHT"):
+            kind = "right"
+            self.accept_kw("OUTER")
+        elif self.accept_kw("FULL"):
+            kind = "full"
+            self.accept_kw("OUTER")
+        elif self.accept_kw("CROSS"):
+            kind = "cross"
+        if not self.accept_kw("JOIN"):
+            if kind is None and strictness == "all" and not is_global:
+                self.i = save
+                return None
+            if self.tok.is_kw("JOIN"):
+                self.advance()
+            else:
+                self.i = save
+                return None
+        if kind is None:
+            kind = "inner"
+        table = self.parse_table_expression()
+        on = None
+        using = None
+        if self.accept_kw("ON"):
+            on = self.parse_expr()
+        elif self.accept_kw("USING"):
+            paren = self.accept_op("(")
+            using = [self.expect_word()]
+            while self.accept_op(","):
+                using.append(self.expect_word())
+            if paren:
+                self.expect_op(")")
+        return ast.Join(kind, strictness, table, on, using, is_global)
+
+    def parse_settings_list(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        while True:
+            name = self.expect_word()
+            self.expect_op("=")
+            out[name] = self.parse_setting_value()
+            if not self.accept_op(","):
+                break
+        return out
+
+    def parse_setting_value(self):
+        t = self.tok
+        if t.kind == "number":
+            self.advance()
+            return _parse_number(t.text)
+        if t.kind == "string":
+            self.advance()
+            return t.text
+        if t.kind == "word":
+            self.advance()
+            return t.text
+        raise ParseError(f"Bad setting value at {t.pos}")
+
+    # -- DDL/DML -------------------------------------------------------------
+    def parse_create(self):
+        self.advance()  # CREATE/ATTACH
+        if self.accept_kw("DATABASE"):
+            ine = self._if_not_exists()
+            return ast.CreateDatabase(self.expect_word(), ine)
+        self.accept_kw("OR")  # CREATE OR REPLACE
+        self.accept_kw("REPLACE")
+        self.expect_kw("TABLE")
+        ine = self._if_not_exists()
+        db, tbl = self.parse_table_name()
+        cols: List[ast.ColumnDef] = []
+        if self.accept_op("("):
+            while True:
+                cname = self.expect_word()
+                ctype = self.parse_type_name()
+                default = None
+                if self.accept_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                    default = self.parse_expr()
+                self.accept_kw("CODEC")  # ignore codec specs
+                if self.tok.kind == "op" and self.tok.text == "(":
+                    depth = 0
+                    while True:
+                        if self.accept_op("("):
+                            depth += 1
+                        elif self.accept_op(")"):
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        else:
+                            self.advance()
+                cols.append(ast.ColumnDef(cname, ctype, default))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        ct = ast.CreateTable(db, tbl, cols, if_not_exists=ine)
+        if self.accept_kw("ENGINE"):
+            self.expect_op("=")
+            ct.engine = self.expect_word()
+            if self.accept_op("("):  # engine args: skim over
+                depth = 1
+                while depth:
+                    if self.accept_op("("):
+                        depth += 1
+                    elif self.accept_op(")"):
+                        depth -= 1
+                    else:
+                        self.advance()
+        while True:
+            if self.accept_kw("ORDER"):
+                self.expect_kw("BY")
+                ct.order_by = self._parse_key_list()
+            elif self.accept_kw("PARTITION"):
+                self.expect_kw("BY")
+                ct.partition_by = self.parse_expr()
+            elif self.accept_kw("PRIMARY"):
+                self.expect_kw("KEY")
+                ct.primary_key = self._parse_key_list()
+            elif self.accept_kw("SETTINGS"):
+                ct.settings = self.parse_settings_list()
+            else:
+                break
+        if self.accept_kw("AS"):
+            ct.as_select = self.parse_select_union()
+        return ct
+
+    def _parse_key_list(self) -> List[ast.Expr]:
+        if self.accept_op("("):
+            if self.accept_op(")"):
+                return []
+            out = [self.parse_expr()]
+            while self.accept_op(","):
+                out.append(self.parse_expr())
+            self.expect_op(")")
+            return out
+        out = [self.parse_expr()]
+        while self.accept_op(","):
+            out.append(self.parse_expr())
+        return out
+
+    def _if_not_exists(self) -> bool:
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def parse_type_name(self) -> str:
+        name = self.expect_word()
+        if self.tok.kind == "op" and self.tok.text == "(":
+            depth = 0
+            parts = [name]
+            while True:
+                t = self.advance()
+                parts.append(t.text)
+                if t.kind == "op" and t.text == "(":
+                    depth += 1
+                elif t.kind == "op" and t.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            return "".join(parts)
+        return name
+
+    def parse_insert(self):
+        self.advance()
+        self.expect_kw("INTO")
+        self.accept_kw("TABLE")
+        db, tbl = self.parse_table_name()
+        columns = None
+        if self.tok.kind == "op" and self.tok.text == "(":
+            save = self.i
+            self.expect_op("(")
+            try:
+                columns = [self.expect_word()]
+                while self.accept_op(","):
+                    columns.append(self.expect_word())
+                self.expect_op(")")
+            except ParseError:
+                self.i = save
+                columns = None
+        if self.accept_kw("VALUES"):
+            rows = []
+            while self.accept_op("("):
+                row = [self.parse_expr()]
+                while self.accept_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            return ast.Insert(db, tbl, columns, values=rows)
+        if self.tok.is_kw("SELECT", "WITH"):
+            return ast.Insert(db, tbl, columns, select=self.parse_select_union())
+        raise ParseError(f"Expected VALUES or SELECT at {self.tok.pos}")
+
+    def parse_drop(self):
+        self.advance()
+        if self.accept_kw("DATABASE"):
+            ie = self._if_exists()
+            return ast.DropTable(None, self.expect_word(), ie, is_database=True)
+        self.expect_kw("TABLE")
+        ie = self._if_exists()
+        db, tbl = self.parse_table_name()
+        return ast.DropTable(db, tbl, ie)
+
+    def parse_truncate(self):
+        self.advance()
+        self.expect_kw("TABLE")
+        db, tbl = self.parse_table_name()
+        return ast.TruncateTable(db, tbl)
+
+    def _if_exists(self) -> bool:
+        if self.accept_kw("IF"):
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def parse_show(self):
+        self.advance()
+        if self.accept_kw("DATABASES"):
+            return ast.ShowTables(databases=True)
+        self.expect_kw("TABLES")
+        like = None
+        if self.accept_kw("LIKE"):
+            t = self.tok
+            if t.kind != "string":
+                raise ParseError("SHOW TABLES LIKE expects a string")
+            like = self.advance().text
+        return ast.ShowTables(like=like)
+
+    def parse_set(self):
+        self.advance()
+        return ast.SetStatement(self.parse_settings_list())
+
+    def parse_explain(self):
+        self.advance()
+        kind = "plan"
+        if self.tok.is_kw("AST", "PLAN", "PIPELINE", "ESTIMATE", "SYNTAX"):
+            kind = self.advance().text.lower()
+        q = self.parse_select_union()
+        return ast.Explain(kind, q)
+
+    # -- expressions ---------------------------------------------------------
+    def parse_expr(self) -> ast.Expr:
+        return self.parse_ternary()
+
+    def parse_ternary(self) -> ast.Expr:
+        cond = self.parse_or()
+        if self.accept_op("?"):
+            a = self.parse_or()
+            self.expect_op(":")
+            b = self.parse_ternary()
+            return ast.FuncCall("if", [cond, a, b])
+        return cond
+
+    def parse_or(self) -> ast.Expr:
+        left = self.parse_and()
+        args = [left]
+        while self.accept_kw("OR"):
+            args.append(self.parse_and())
+        return args[0] if len(args) == 1 else ast.FuncCall("or", args)
+
+    def parse_and(self) -> ast.Expr:
+        left = self.parse_not()
+        args = [left]
+        while self.accept_kw("AND"):
+            args.append(self.parse_not())
+        return args[0] if len(args) == 1 else ast.FuncCall("and", args)
+
+    def parse_not(self) -> ast.Expr:
+        if self.accept_kw("NOT"):
+            return ast.FuncCall("not", [self.parse_not()])
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> ast.Expr:
+        left = self.parse_additive()
+        t = self.tok
+        if t.kind == "op" and t.text in ("=", "==", "!=", "<>", "<", "<=",
+                                         ">", ">="):
+            self.advance()
+            right = self.parse_additive()
+            name = {"=": "equals", "==": "equals", "!=": "notEquals",
+                    "<>": "notEquals", "<": "less", "<=": "lessOrEquals",
+                    ">": "greater", ">=": "greaterOrEquals"}[t.text]
+            return ast.FuncCall(name, [left, right])
+        negate = False
+        save = self.i
+        if self.accept_kw("NOT"):
+            if self.tok.is_kw("LIKE", "ILIKE", "IN", "BETWEEN"):
+                negate = True
+            else:
+                self.i = save
+                return left
+        if self.accept_kw("LIKE"):
+            right = self.parse_additive()
+            return ast.FuncCall("notLike" if negate else "like", [left, right])
+        if self.accept_kw("ILIKE"):
+            right = self.parse_additive()
+            return ast.FuncCall("notILike" if negate else "ilike", [left, right])
+        if self.accept_kw("IN"):
+            right = self.parse_in_rhs()
+            return ast.FuncCall("notIn" if negate else "in", [left, right])
+        if self.accept_kw("BETWEEN"):
+            lo = self.parse_additive()
+            self.expect_kw("AND")
+            hi = self.parse_additive()
+            rng = ast.FuncCall("and", [
+                ast.FuncCall("greaterOrEquals", [left, lo]),
+                ast.FuncCall("lessOrEquals", [left, hi])])
+            return ast.FuncCall("not", [rng]) if negate else rng
+        if self.accept_kw("IS"):
+            if self.accept_kw("NOT"):
+                self.expect_kw("NULL")
+                return ast.FuncCall("isNotNull", [left])
+            self.expect_kw("NULL")
+            return ast.FuncCall("isNull", [left])
+        return left
+
+    def parse_in_rhs(self) -> ast.Expr:
+        if self.tok.kind == "op" and self.tok.text == "(":
+            self.expect_op("(")
+            if self.tok.is_kw("SELECT", "WITH"):
+                q = self.parse_select_union()
+                self.expect_op(")")
+                if isinstance(q, ast.Union):
+                    raise ParseError("UNION inside IN is not supported yet")
+                return ast.Subquery(q)
+            items = [self.parse_expr()]
+            while self.accept_op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return ast.Tuple_(items)
+        return self.parse_additive()
+
+    def parse_additive(self) -> ast.Expr:
+        left = self.parse_multiplicative()
+        while True:
+            if self.accept_op("+"):
+                left = ast.FuncCall("plus", [left, self.parse_multiplicative()])
+            elif self.accept_op("-"):
+                left = ast.FuncCall("minus", [left, self.parse_multiplicative()])
+            elif self.accept_op("||"):
+                left = ast.FuncCall("concat", [left, self.parse_multiplicative()])
+            else:
+                return left
+
+    def parse_multiplicative(self) -> ast.Expr:
+        left = self.parse_unary()
+        while True:
+            if self.accept_op("*"):
+                left = ast.FuncCall("multiply", [left, self.parse_unary()])
+            elif self.accept_op("/"):
+                left = ast.FuncCall("divide", [left, self.parse_unary()])
+            elif self.accept_op("%"):
+                left = ast.FuncCall("modulo", [left, self.parse_unary()])
+            else:
+                return left
+
+    def parse_unary(self) -> ast.Expr:
+        if self.accept_op("-"):
+            inner = self.parse_unary()
+            if isinstance(inner, ast.Literal) and isinstance(inner.value,
+                                                             (int, float)):
+                return ast.Literal(-inner.value)
+            return ast.FuncCall("negate", [inner])
+        if self.accept_op("+"):
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.Expr:
+        e = self.parse_primary()
+        while True:
+            if self.accept_op("::"):
+                tname = self.parse_type_name()
+                e = ast.FuncCall("CAST", [e, ast.Literal(tname)])
+            elif self.tok.kind == "op" and self.tok.text == "(" \
+                    and isinstance(e, ast.FuncCall) and e.params is None:
+                # parameterized aggregate: quantile(0.5)(x) — the first
+                # argument list becomes the parameter list.
+                self.expect_op("(")
+                args = []
+                if not (self.tok.kind == "op" and self.tok.text == ")"):
+                    args.append(self.parse_expr())
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
+                e = ast.FuncCall(e.name, args, params=list(e.args))
+            else:
+                return e
+
+    def parse_primary(self) -> ast.Expr:
+        t = self.tok
+        if t.kind == "number":
+            self.advance()
+            return ast.Literal(_parse_number(t.text))
+        if t.kind == "string":
+            self.advance()
+            return ast.Literal(t.text)
+        if t.kind == "op" and t.text == "*":
+            self.advance()
+            return ast.Star()
+        if t.kind == "op" and t.text == "(":
+            self.advance()
+            if self.tok.is_kw("SELECT", "WITH"):
+                q = self.parse_select_union()
+                self.expect_op(")")
+                if isinstance(q, ast.Union):
+                    raise ParseError("UNION subquery expression not supported")
+                return ast.Subquery(q)
+            first = self.parse_expr()
+            if self.accept_op(","):
+                items = [first, self.parse_expr()]
+                while self.accept_op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.Tuple_(items)
+            self.expect_op(")")
+            return first
+        if t.kind == "word":
+            up = t.text.upper()
+            if up == "NULL":
+                self.advance()
+                return ast.Literal(None)
+            if up == "TRUE":
+                self.advance()
+                return ast.Literal(1)
+            if up == "FALSE":
+                self.advance()
+                return ast.Literal(0)
+            if up == "CASE":
+                return self.parse_case()
+            if up == "CAST":
+                self.advance()
+                self.expect_op("(")
+                e = self.parse_expr()
+                if self.accept_kw("AS"):
+                    tname = self.parse_type_name()
+                    self.expect_op(")")
+                    return ast.FuncCall("CAST", [e, ast.Literal(tname)])
+                self.expect_op(",")
+                tlit = self.parse_expr()
+                self.expect_op(")")
+                return ast.FuncCall("CAST", [e, tlit])
+            if up == "INTERVAL":
+                self.advance()
+                n = self.parse_additive()
+                unit = self.expect_word().upper()
+                return ast.FuncCall(f"toInterval{unit.capitalize()}", [n])
+            if up == "EXISTS" and self.tokens[self.i + 1].text == "(":
+                self.advance()
+                self.expect_op("(")
+                q = self.parse_select_union()
+                self.expect_op(")")
+                if isinstance(q, ast.Union):
+                    raise ParseError("UNION in EXISTS not supported")
+                return ast.FuncCall("exists", [ast.Subquery(q)])
+            # identifier or function call
+            self.advance()
+            name = t.text
+            if self.accept_op("."):
+                nxt = self.tok
+                if nxt.kind == "op" and nxt.text == "*":
+                    self.advance()
+                    return ast.Star(table=name)
+                part = self.expect_word()
+                full = f"{name}.{part}"
+                return ast.Identifier(full, (name, part))
+            if self.tok.kind == "op" and self.tok.text == "(":
+                self.expect_op("(")
+                distinct = bool(self.accept_kw("DISTINCT"))
+                args: List[ast.Expr] = []
+                if not (self.tok.kind == "op" and self.tok.text == ")"):
+                    args.append(self.parse_expr())
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.FuncCall(name, args, distinct=distinct)
+            return ast.Identifier(name)
+        raise ParseError(f"Unexpected token {t.text!r} at {t.pos}")
+
+    def parse_case(self) -> ast.Expr:
+        self.expect_kw("CASE")
+        operand = None
+        if not self.tok.is_kw("WHEN"):
+            operand = self.parse_expr()
+        branches = []
+        while self.accept_kw("WHEN"):
+            cond = self.parse_expr()
+            self.expect_kw("THEN")
+            val = self.parse_expr()
+            if operand is not None:
+                cond = ast.FuncCall("equals", [operand, cond])
+            branches.append((cond, val))
+        default = None
+        if self.accept_kw("ELSE"):
+            default = self.parse_expr()
+        self.expect_kw("END")
+        args: List[ast.Expr] = []
+        for c, v in branches:
+            args.extend([c, v])
+        if default is not None:
+            args.append(default)
+        return ast.FuncCall("multiIf", args)
+
+
+def _parse_number(text: str):
+    if text.startswith(("0x", "0X")):
+        return int(text, 16)
+    if any(c in text for c in ".eE") and not text.startswith("0x"):
+        return float(text)
+    return int(text)
