@@ -66,6 +66,10 @@ class Settings:
     use_partition_pruning: bool = True
     optimize_move_to_prewhere: bool = True
 
+    # -- compilation ---------------------------------------------------------
+    compile_queries: bool = True       # jit the whole plan into one XLA program
+    query_compile_cache_size: int = 256
+
     # -- observability -------------------------------------------------------
     log_queries: bool = True
     collect_profile_events: bool = True

@@ -25,7 +25,7 @@ from ..core.column import Column, Dictionary
 from ..core.errors import TypeError_, UnknownIdentifier
 
 __all__ = ["ColVal", "BoundExpr", "BoundColumn", "BoundLiteral", "BoundCall",
-           "evaluate", "colval_from_column", "colval_to_column"]
+           "BoundInList", "evaluate", "colval_from_column", "colval_to_column"]
 
 
 @dataclasses.dataclass
@@ -45,12 +45,14 @@ class ColVal:
         return getattr(self.data, "ndim", 0) == 0
 
     def broadcast(self, capacity: int) -> "ColVal":
-        if not self.is_const:
-            return self
-        data = jnp.broadcast_to(self.data, (capacity,))
+        data = self.data
+        if self.is_const:
+            data = jnp.broadcast_to(data, (capacity,))
         v = self.validity
         if v is not None and getattr(v, "ndim", 0) == 0:
             v = jnp.broadcast_to(v, (capacity,))
+        if data is self.data and v is self.validity:
+            return self
         return ColVal(self.dtype, data, v, self.dictionary)
 
 
@@ -100,6 +102,23 @@ class BoundCall(BoundExpr):
         return self.args
 
 
+@dataclasses.dataclass
+class BoundInList(BoundExpr):
+    """expr IN (v1, v2, ...) with a materialized host-side value set.
+
+    The reference builds IN-sets eagerly as Set objects
+    (src/Interpreters/Set.cpp); here the set becomes a device constant and
+    membership is a vectorized isin.
+    """
+    arg: BoundExpr
+    values: "np.ndarray"           # host values (numeric or object strings)
+    negated: bool
+    dtype: dt.DType
+
+    def children(self):
+        return (self.arg,)
+
+
 def evaluate(expr: BoundExpr, env: Dict[str, ColVal]) -> ColVal:
     """Evaluate a bound expression against a block environment.
 
@@ -118,7 +137,35 @@ def evaluate(expr: BoundExpr, env: Dict[str, ColVal]) -> ColVal:
         fn = functions.get(expr.name)
         args = [evaluate(a, env) for a in expr.args]
         return fn.execute(args, expr.dtype)
+    if isinstance(expr, BoundInList):
+        return _evaluate_in_list(expr, env)
     raise TypeError_(f"Cannot evaluate expression node {expr!r}")
+
+
+def _evaluate_in_list(expr: "BoundInList", env: Dict[str, ColVal]) -> ColVal:
+    arg = evaluate(expr.arg, env)
+    vals = expr.values
+    if arg.dtype.is_dictionary:
+        d = arg.dictionary
+        codes = [d.lookup(str(v)) for v in vals] if d is not None else []
+        codes = [c for c in codes if c >= 0]
+        set_arr = jnp.asarray(np.asarray(codes, np.int32)) if codes else None
+        data = arg.data
+    else:
+        st = dt.remove_nullable(arg.dtype).np_dtype
+        clean = [v for v in vals if v is not None]
+        set_arr = jnp.asarray(np.asarray(clean).astype(st)) if clean else None
+        data = arg.data
+    if set_arr is None:
+        member = jnp.zeros(getattr(data, "shape", (1,)), jnp.bool_)
+    else:
+        member = jnp.isin(data, set_arr)
+    if expr.negated:
+        member = jnp.logical_not(member)
+        if arg.validity is not None:
+            # NULL NOT IN (...) stays NULL-ish: mask as invalid below
+            pass
+    return ColVal(expr.dtype, member.astype(jnp.uint8), arg.validity)
 
 
 def _literal_colval(expr: BoundLiteral) -> ColVal:

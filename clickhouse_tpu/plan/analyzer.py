@@ -1,0 +1,704 @@
+"""Analyzer: AST -> bound logical plan.
+
+The analog of the reference's QueryAnalyzer + Planner
+(src/Analyzer/Resolve/QueryAnalyzer.cpp, src/Planner/Planner.cpp:1355):
+resolves identifiers through scopes (FROM/joins/CTEs/aliases), types every
+expression, splits aggregation into keys + mergeable aggregate items, and
+emits the logical plan tree.
+
+Uncorrelated subqueries (scalar, IN, EXISTS) are executed eagerly through a
+session-provided callback and folded into literals/sets — the reference
+builds IN-sets as a pre-pass the same way (GlobalSubqueriesVisitor.h).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core import dtypes as dt
+from ..core.errors import (AnalysisError, NotImplementedError_, TypeError_,
+                           UnknownFunction, UnknownIdentifier, UnknownTable)
+from ..core.settings import Settings
+from ..exprs import aggregates as agg_reg
+from ..exprs import functions as fn_reg
+from ..exprs.expr import (BoundCall, BoundColumn, BoundExpr, BoundInList,
+                          BoundLiteral)
+from ..sql import ast
+from . import logical as L
+
+__all__ = ["Analyzer", "Scope"]
+
+
+class Scope:
+    """Resolves identifiers to plan fields."""
+
+    def __init__(self, fields: Sequence[L.Field]):
+        self.fields = list(fields)
+
+    def resolve(self, parts: Tuple[str, ...]) -> Optional[L.Field]:
+        if len(parts) == 1:
+            name = parts[0]
+            matches = [f for f in self.fields if f.display == name]
+            if len(matches) > 1:
+                raise AnalysisError(f"Ambiguous column '{name}'")
+            return matches[0] if matches else None
+        if len(parts) == 2:
+            qual, name = parts
+            matches = [f for f in self.fields
+                       if f.display == name and qual in f.qualifiers]
+            if len(matches) > 1:
+                raise AnalysisError(f"Ambiguous column '{qual}.{name}'")
+            return matches[0] if matches else None
+        return None
+
+    def __add__(self, other: "Scope") -> "Scope":
+        return Scope(self.fields + other.fields)
+
+
+class Analyzer:
+    def __init__(self, catalog, settings: Settings,
+                 subquery_executor: Optional[Callable] = None):
+        self.catalog = catalog
+        self.settings = settings
+        self.subquery_executor = subquery_executor
+        self._next_id = 0
+
+    # -- id/plumbing ---------------------------------------------------------
+    def fresh_id(self) -> str:
+        self._next_id += 1
+        return f"#{self._next_id}"
+
+    def field(self, display: str, dtype: dt.DType,
+              qualifiers: Tuple[str, ...] = ()) -> L.Field:
+        return L.Field(self.fresh_id(), display, dtype, qualifiers)
+
+    # -- entry ---------------------------------------------------------------
+    def analyze(self, stmt) -> L.PlanNode:
+        if isinstance(stmt, ast.Select):
+            return self.analyze_select(stmt, {})
+        if isinstance(stmt, ast.Union):
+            return self.analyze_union(stmt, {})
+        raise NotImplementedError_(f"Cannot plan statement {type(stmt).__name__}")
+
+    def analyze_union(self, u: ast.Union, ctes) -> L.PlanNode:
+        plans = [self.analyze_select(s, dict(ctes)) if isinstance(s, ast.Select)
+                 else self.analyze_union(s, dict(ctes)) for s in u.selects]
+        base = plans[0].schema
+        for p in plans[1:]:
+            if len(p.schema) != len(base):
+                raise AnalysisError("UNION inputs have different column counts")
+        out_fields = [self.field(f.display,
+                                 _union_type([p.schema[i].dtype for p in plans]))
+                      for i, f in enumerate(base)]
+        node: L.PlanNode = L.UnionNode(plans, out_fields)
+        if u.mode == "distinct":
+            node = L.DistinctNode(node, out_fields)
+        return node
+
+    # -- SELECT --------------------------------------------------------------
+    def analyze_select(self, sel: ast.Select, outer_ctes: Dict) -> L.PlanNode:
+        ctes = dict(outer_ctes)
+        scalar_aliases: Dict[str, ast.Expr] = {}
+        for cte in sel.ctes:
+            if cte.query is not None:
+                ctes[cte.name] = cte.query
+            else:
+                scalar_aliases[cte.name] = cte.expr
+
+        # FROM clause
+        if sel.from_ is None:
+            dummy = self.field("dummy", dt.UInt8)
+            plan: L.PlanNode = L.OneRowNode([dummy])
+            scope = Scope([])
+        else:
+            plan, scope = self.analyze_table_expr(sel.from_, ctes)
+
+        # JOINs
+        for join in sel.joins:
+            plan, scope = self.analyze_join(plan, scope, join, ctes,
+                                            scalar_aliases)
+
+        # select-item aliases usable in WHERE/GROUP BY/HAVING/ORDER BY
+        aliases: Dict[str, ast.Expr] = dict(scalar_aliases)
+        for item in sel.items:
+            if item.alias and not isinstance(item.expr, ast.Star):
+                aliases[item.alias] = item.expr
+
+        def expand(e: ast.Expr) -> ast.Expr:
+            return _expand_aliases(e, aliases, scope)
+
+        # PREWHERE/WHERE
+        for pred_ast in (sel.prewhere, sel.where):
+            if pred_ast is not None:
+                pred = self.bind(expand(pred_ast), scope, allow_agg=False)
+                plan = L.FilterNode(plan, pred, plan.schema)
+
+        # Expand stars & name items
+        items: List[Tuple[ast.Expr, str]] = []
+        for item in sel.items:
+            if isinstance(item.expr, ast.Star):
+                for f in scope.fields:
+                    if item.expr.table and item.expr.table not in f.qualifiers:
+                        continue
+                    items.append((ast.Identifier(f.display, (f.display,))
+                                  if not item.expr.table else
+                                  ast.Identifier(f"{item.expr.table}.{f.display}",
+                                                 (item.expr.table, f.display)),
+                                  f.display))
+            else:
+                name = item.alias or ast.format_expr(item.expr)
+                items.append((item.expr, name))
+
+        has_agg = (sel.group_by is not None
+                   or any(_contains_aggregate(expand(e)) for e, _ in items)
+                   or (sel.having is not None
+                       and _contains_aggregate(expand(sel.having))))
+
+        order_items = sel.order_by or []
+
+        if has_agg:
+            plan, scope_after, rewrite = self.plan_aggregation(
+                plan, scope, sel, items, aliases)
+            bind_post = lambda e: self.bind_post_agg(expand(e), rewrite,
+                                                     scope_after)
+            if sel.having is not None:
+                having = bind_post(sel.having)
+                plan = L.FilterNode(plan, having, plan.schema)
+            bound_items = [(bind_post(e), name) for e, name in items]
+        else:
+            bind_post = lambda e: self.bind(expand(e), scope, allow_agg=False)
+            bound_items = [(bind_post(e), name) for e, name in items]
+            scope_after = scope
+
+        # Projection (+ hidden sort columns)
+        out_fields = [self.field(name, be.dtype) for be, name in bound_items]
+        proj_exprs = [be for be, _ in bound_items]
+        proj_scope_fields = list(out_fields)
+
+        bound_order: List[L.SortItem] = []
+        for oi in order_items:
+            # ORDER BY may reference select aliases/outputs or source columns
+            e = expand(oi.expr)
+            be = None
+            # 1) matches a projected item syntactically?
+            key = ast.format_expr(e)
+            for (bexpr, name), f in zip(bound_items, out_fields):
+                if name == key or ast.format_expr(oi.expr) == name:
+                    be = BoundColumn(f.id, f.dtype)
+                    break
+            if be is None:
+                inner = bind_post(e)
+                # add as hidden projection column
+                hf = self.field(f"__sort_{len(proj_exprs)}", inner.dtype)
+                proj_exprs.append(inner)
+                proj_scope_fields.append(hf)
+                be = BoundColumn(hf.id, hf.dtype)
+            nl = oi.nulls_last if oi.nulls_last is not None else True
+            bound_order.append(L.SortItem(be, oi.descending, nl))
+
+        plan = L.ProjectNode(plan, proj_exprs, proj_scope_fields)
+
+        if sel.distinct:
+            # DISTINCT applies to the visible columns only
+            plan = L.DistinctNode(plan, plan.schema)
+
+        limit_val = _const_int(sel.limit) if sel.limit is not None else None
+        offset_val = _const_int(sel.offset) if sel.offset is not None else 0
+
+        if bound_order:
+            hint = None
+            if limit_val is not None and sel.limit_by is None:
+                hint = limit_val + offset_val
+            plan = L.SortNode(plan, bound_order, plan.schema, limit_hint=hint)
+
+        if sel.limit_by is not None:
+            n = _const_int(sel.limit_by[0])
+            by = [bind_post(expand(e)) for e in sel.limit_by[1]]
+            # LIMIT BY keys must reference projected columns
+            by2 = []
+            for e, raw in zip(by, sel.limit_by[1]):
+                key = ast.format_expr(raw)
+                matched = None
+                for (bexpr, name), f in zip(bound_items, out_fields):
+                    if name == key:
+                        matched = BoundColumn(f.id, f.dtype)
+                        break
+                by2.append(matched or e)
+            plan = L.LimitByNode(plan, n, 0, by2, plan.schema)
+
+        if limit_val is not None or offset_val:
+            plan = L.LimitNode(plan, limit_val if limit_val is not None else -1,
+                               offset_val, plan.schema)
+
+        # Final projection: visible columns only
+        if len(proj_scope_fields) != len(out_fields):
+            plan = L.ProjectNode(
+                plan,
+                [BoundColumn(f.id, f.dtype) for f in out_fields],
+                out_fields)
+        return plan
+
+    # -- FROM / JOIN ---------------------------------------------------------
+    def analyze_table_expr(self, ref, ctes) -> Tuple[L.PlanNode, Scope]:
+        if isinstance(ref, ast.SubqueryRef):
+            sub = (self.analyze_select(ref.query, ctes)
+                   if isinstance(ref.query, ast.Select)
+                   else self.analyze_union(ref.query, ctes))
+            quals = (ref.alias,) if ref.alias else ()
+            fields = [L.Field(f.id, f.display, f.dtype, quals)
+                      for f in sub.schema]
+            sub.schema = fields
+            return sub, Scope(fields)
+        if isinstance(ref, ast.TableFunctionRef):
+            return self.analyze_table_function(ref)
+        assert isinstance(ref, ast.TableRef)
+        if ref.table in ctes:
+            q = ctes[ref.table]
+            sub = (self.analyze_select(q, {k: v for k, v in ctes.items()
+                                           if k != ref.table})
+                   if isinstance(q, ast.Select) else self.analyze_union(q, {}))
+            quals = (ref.alias or ref.table,)
+            fields = [L.Field(f.id, f.display, f.dtype, quals)
+                      for f in sub.schema]
+            sub.schema = fields
+            return sub, Scope(fields)
+        db = ref.database or self.catalog.current_database
+        table = self.catalog.get_table(db, ref.table)
+        quals = (ref.alias,) if ref.alias else (ref.table,)
+        fields = []
+        names = []
+        for name, ctype in table.schema_items():
+            fields.append(self.field(name, ctype, quals))
+            names.append(name)
+        node = L.ScanNode(db, ref.table, fields, names, final=ref.final)
+        return node, Scope(fields)
+
+    def analyze_table_function(self, ref: ast.TableFunctionRef
+                               ) -> Tuple[L.PlanNode, Scope]:
+        fc = ref.func
+        name = fc.name.lower()
+        quals = (ref.alias,) if ref.alias else (fc.name,)
+        if name in ("numbers", "numbers_mt"):
+            args = [_const_int(a) for a in fc.args]
+            if len(args) == 1:
+                start, count = 0, args[0]
+            elif len(args) == 2:
+                start, count = args
+            else:
+                raise AnalysisError("numbers() takes 1 or 2 arguments")
+            f = L.Field(self.fresh_id(), "number", dt.UInt64, quals)
+            return L.NumbersNode([f], start, count), Scope([f])
+        if name == "one":
+            f = L.Field(self.fresh_id(), "dummy", dt.UInt8, quals)
+            return L.OneRowNode([f]), Scope([f])
+        raise UnknownTable(f"Unknown table function '{fc.name}'")
+
+    def analyze_join(self, left: L.PlanNode, lscope: Scope, join: ast.Join,
+                     ctes, scalar_aliases) -> Tuple[L.PlanNode, Scope]:
+        right, rscope = self.analyze_table_expr(join.table, ctes)
+        if join.kind in ("right", "full"):
+            raise NotImplementedError_("RIGHT/FULL JOIN not supported yet")
+        if join.strictness == "asof":
+            raise NotImplementedError_("ASOF JOIN not supported yet")
+
+        left_keys: List[BoundExpr] = []
+        right_keys: List[BoundExpr] = []
+        residual: Optional[BoundExpr] = None
+        out_fields = list(left.schema)
+
+        if join.kind == "cross":
+            out_fields += list(right.schema)
+            node = L.JoinNode(left, right, "cross", "all", [], [], None,
+                              out_fields, join.is_global)
+            return node, Scope(out_fields)
+
+        if join.using:
+            for name in join.using:
+                lf = lscope.resolve((name,))
+                rf = rscope.resolve((name,))
+                if lf is None or rf is None:
+                    raise UnknownIdentifier(f"USING column '{name}' missing")
+                left_keys.append(BoundColumn(lf.id, lf.dtype))
+                right_keys.append(BoundColumn(rf.id, rf.dtype))
+            using = set(join.using)
+            out_fields += [f for f in right.schema if f.display not in using]
+        elif join.on is not None:
+            both = lscope + rscope
+            conjuncts = _split_conjuncts(join.on)
+            extra = []
+            for c in conjuncts:
+                pair = self._try_equi_pair(c, lscope, rscope, scalar_aliases)
+                if pair is not None:
+                    left_keys.append(pair[0])
+                    right_keys.append(pair[1])
+                else:
+                    extra.append(c)
+            if not left_keys:
+                raise AnalysisError("JOIN ON requires at least one equality "
+                                    "between left and right columns")
+            if extra:
+                combined = extra[0]
+                for c in extra[1:]:
+                    combined = ast.FuncCall("and", [combined, c])
+                residual = self.bind(combined, both, allow_agg=False)
+            out_fields += list(right.schema)
+        else:
+            raise AnalysisError("JOIN requires ON or USING")
+
+        kind = join.kind
+        strict = join.strictness
+        if strict in ("semi", "anti"):
+            out_fields = list(left.schema)
+        node = L.JoinNode(left, right, kind, strict, left_keys, right_keys,
+                          residual, out_fields, join.is_global)
+        return node, Scope(out_fields)
+
+    def _try_equi_pair(self, c: ast.Expr, lscope: Scope, rscope: Scope,
+                       scalar_aliases):
+        if not (isinstance(c, ast.FuncCall) and c.name == "equals"
+                and len(c.args) == 2):
+            return None
+        a, b = c.args
+        for first, second, swap in ((a, b, False), (b, a, True)):
+            try:
+                le = self.bind(_expand_aliases(first, scalar_aliases, lscope),
+                               lscope, allow_agg=False)
+            except (UnknownIdentifier, AnalysisError):
+                continue
+            try:
+                re_ = self.bind(_expand_aliases(second, scalar_aliases, rscope),
+                                rscope, allow_agg=False)
+            except (UnknownIdentifier, AnalysisError):
+                continue
+            return (le, re_)
+        return None
+
+    # -- aggregation ---------------------------------------------------------
+    def plan_aggregation(self, plan: L.PlanNode, scope: Scope, sel: ast.Select,
+                         items, aliases):
+        expand = lambda e: _expand_aliases(e, aliases, scope)
+        key_fields: List[Tuple[L.Field, BoundExpr]] = []
+        key_by_text: Dict[str, L.Field] = {}
+        key_by_bound: Dict[str, L.Field] = {}
+        group_exprs = sel.group_by or []
+        for ge in group_exprs:
+            ge2 = expand(ge)
+            be = self.bind(ge2, scope, allow_agg=False)
+            text = ast.format_expr(ge2)
+            f = self.field(ast.format_expr(ge), be.dtype)
+            key_fields.append((f, be))
+            key_by_text[text] = f
+            key_by_bound[_bound_repr(be)] = f
+
+        # collect aggregate calls from select items / having / order by
+        agg_items: List[L.AggregateItem] = []
+        agg_by_text: Dict[str, L.Field] = {}
+
+        def collect(e: ast.Expr):
+            if isinstance(e, ast.FuncCall) and self._is_aggregate_call(e):
+                text = ast.format_expr(e)
+                if text in agg_by_text:
+                    return
+                item = self._bind_aggregate(e, scope)
+                agg_by_text[text] = item.field
+                agg_items.append(item)
+                return
+            for ch in _ast_children(e):
+                collect(ch)
+
+        for e, _ in items:
+            collect(expand(e))
+        if sel.having is not None:
+            collect(expand(sel.having))
+        for oi in (sel.order_by or []):
+            collect(expand(oi.expr))
+
+        schema = [f for f, _ in key_fields] + [a.field for a in agg_items]
+        node = L.AggregateNode(plan, key_fields, agg_items, schema,
+                               with_totals=sel.group_by_with_totals)
+        rewrite = {"keys": key_by_text, "aggs": agg_by_text,
+                   "keys_bound": key_by_bound, "pre_scope": scope}
+        return node, Scope(schema), rewrite
+
+    def _is_aggregate_call(self, e: ast.FuncCall) -> bool:
+        # Aggregate and scalar namespaces are disjoint in our registry (the
+        # reference resolves aggregates first too, executeQuery.cpp path).
+        return agg_reg.is_aggregate_name(e.name)
+
+    def _bind_aggregate(self, e: ast.FuncCall, scope: Scope) -> L.AggregateItem:
+        name = e.name
+        args_ast = list(e.args)
+        if name.lower() == "count" and e.distinct:
+            name = "uniqExact"
+        elif name.lower() == "count" and args_ast \
+                and isinstance(args_ast[0], ast.Star):
+            args_ast = []
+        elif e.distinct:
+            if name.lower() not in ("uniq", "uniqexact"):
+                raise NotImplementedError_(
+                    f"DISTINCT inside {name} is not supported yet")
+            name = "uniqExact"
+        bound_args = [self.bind(a, scope, allow_agg=False) for a in args_ast]
+        params = None
+        if e.params:
+            params = []
+            for p in e.params:
+                if not isinstance(p, ast.Literal):
+                    raise AnalysisError("Aggregate parameters must be literals")
+                params.append(p.value)
+        arg_types = [a.dtype for a in bound_args]
+        fn, has_if = agg_reg.get_aggregate(name, arg_types, params)
+        cond = None
+        if has_if:
+            cond = bound_args[-1]
+            bound_args = bound_args[:-1]
+        field = self.field(ast.format_expr(e), fn.result_type())
+        return L.AggregateItem(field, fn, bound_args, cond)
+
+    def bind_post_agg(self, e: ast.Expr, rewrite, scope_after: Scope
+                      ) -> BoundExpr:
+        text = ast.format_expr(e)
+        if text in rewrite["aggs"]:
+            f = rewrite["aggs"][text]
+            return BoundColumn(f.id, f.dtype)
+        if text in rewrite["keys"]:
+            f = rewrite["keys"][text]
+            return BoundColumn(f.id, f.dtype)
+        # semantic key match: the expression binds (pre-aggregation) to the
+        # same bound tree as a GROUP BY key, under any spelling/qualification
+        if not _contains_aggregate(e):
+            try:
+                cand = self.bind(e, rewrite["pre_scope"], allow_agg=False)
+                key = _bound_repr(cand)
+                if key in rewrite["keys_bound"]:
+                    f = rewrite["keys_bound"][key]
+                    return BoundColumn(f.id, f.dtype)
+            except (AnalysisError, UnknownIdentifier, UnknownFunction,
+                    NotImplementedError_):
+                pass
+        if isinstance(e, ast.FuncCall):
+            if self._is_aggregate_call(e):
+                raise AnalysisError(f"Aggregate {text} was not collected")
+            args = [self.bind_post_agg(a, rewrite, scope_after) for a in e.args]
+            return self._bind_call(e, args)
+        if isinstance(e, ast.Identifier):
+            f = scope_after.resolve(e.parts)
+            if f is not None:
+                return BoundColumn(f.id, f.dtype)
+            raise UnknownIdentifier(
+                f"Column '{e.name}' must appear in GROUP BY or inside an "
+                f"aggregate function")
+        if isinstance(e, ast.Literal):
+            return _bind_literal(e)
+        raise AnalysisError(f"Cannot bind post-aggregation expression {text}")
+
+    # -- expression binding --------------------------------------------------
+    def bind(self, e: ast.Expr, scope: Scope, allow_agg: bool) -> BoundExpr:
+        if isinstance(e, ast.Identifier):
+            f = scope.resolve(e.parts)
+            if f is None:
+                raise UnknownIdentifier(f"Unknown column '{e.name}'")
+            return BoundColumn(f.id, f.dtype)
+        if isinstance(e, ast.Literal):
+            return _bind_literal(e)
+        if isinstance(e, ast.Subquery):
+            return self._execute_scalar_subquery(e)
+        if isinstance(e, ast.FuncCall):
+            if self._is_aggregate_call(e) and not fn_reg.exists(e.name):
+                raise AnalysisError(
+                    f"Aggregate function {e.name} is not allowed here")
+            if e.name.lower() in ("in", "notin", "globalin", "globalnotin"):
+                return self._bind_in(e, scope)
+            if e.name == "CAST":
+                return self._bind_cast(e, scope)
+            if e.name.lower() == "exists":
+                return self._execute_exists(e)
+            args = [self.bind(a, scope, allow_agg) for a in e.args]
+            return self._bind_call(e, args)
+        if isinstance(e, ast.Tuple_):
+            raise NotImplementedError_("Tuple expressions are not supported "
+                                       "outside IN")
+        raise AnalysisError(f"Cannot bind expression {e!r}")
+
+    def _bind_call(self, e: ast.FuncCall, args: List[BoundExpr]) -> BoundExpr:
+        name = fn_reg.canonical_name(e.name)
+        fn = fn_reg.get(name)
+        out = fn.resolve([a.dtype for a in args])
+        return BoundCall(name, args, out)
+
+    def _bind_cast(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
+        arg = self.bind(e.args[0], scope, allow_agg=False)
+        tname_lit = e.args[1]
+        if not isinstance(tname_lit, ast.Literal):
+            raise AnalysisError("CAST target type must be a literal")
+        target = dt.parse_type_name(str(tname_lit.value))
+        base = dt.remove_nullable(target)
+        conv_name = f"to{base.name}"
+        if base.name == "String":
+            conv_name = "toString"
+        if not fn_reg.exists(conv_name):
+            raise NotImplementedError_(f"CAST to {target} not supported")
+        out = fn_reg.get(conv_name).resolve([arg.dtype])
+        bc = BoundCall(fn_reg.canonical_name(conv_name), [arg], out)
+        if target.nullable and not out.nullable:
+            return BoundCall("toNullable", [bc], dt.make_nullable(out))
+        return bc
+
+    def _bind_in(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
+        negated = "not" in e.name.lower()
+        lhs_ast, rhs = e.args
+        lhs = self.bind(lhs_ast, scope, allow_agg=False)
+        if isinstance(rhs, ast.Tuple_):
+            vals = []
+            for item in rhs.items:
+                if not isinstance(item, ast.Literal):
+                    raise NotImplementedError_(
+                        "IN list elements must be literals")
+                vals.append(item.value)
+            values = np.asarray(vals, dtype=object)
+        elif isinstance(rhs, ast.Subquery):
+            values = self._materialize_subquery_column(rhs)
+        elif isinstance(rhs, ast.Literal):
+            values = np.asarray([rhs.value], dtype=object)
+        else:
+            raise NotImplementedError_("Unsupported IN right-hand side")
+        return BoundInList(lhs, values, negated, dt.UInt8)
+
+    # -- subquery execution (uncorrelated, eager) ----------------------------
+    def _run_subquery(self, sq: ast.Subquery):
+        if self.subquery_executor is None:
+            raise NotImplementedError_(
+                "Subqueries are not available in this context")
+        return self.subquery_executor(sq.query)
+
+    def _materialize_subquery_column(self, sq: ast.Subquery) -> np.ndarray:
+        data = self._run_subquery(sq)       # dict name -> numpy
+        cols = list(data.values())
+        if len(cols) != 1:
+            raise AnalysisError("IN subquery must return exactly one column")
+        return np.asarray(cols[0], dtype=object)
+
+    def _execute_scalar_subquery(self, sq: ast.Subquery) -> BoundExpr:
+        data = self._run_subquery(sq)
+        cols = list(data.values())
+        if len(cols) != 1 or len(cols[0]) != 1:
+            raise AnalysisError("Scalar subquery must return one row, one column")
+        v = cols[0][0]
+        if isinstance(v, (np.integer,)):
+            v = int(v)
+        elif isinstance(v, np.floating):
+            v = float(v)
+        return _bind_literal(ast.Literal(v))
+
+    def _execute_exists(self, e: ast.FuncCall) -> BoundExpr:
+        sq = e.args[0]
+        assert isinstance(sq, ast.Subquery)
+        data = self._run_subquery(sq)
+        cols = list(data.values())
+        nonempty = bool(len(cols) and len(cols[0]))
+        return _bind_literal(ast.Literal(1 if nonempty else 0))
+
+
+# -- helpers -----------------------------------------------------------------
+
+def _bound_repr(be: BoundExpr) -> str:
+    """Canonical string of a bound expression tree (for key matching)."""
+    if isinstance(be, BoundColumn):
+        return f"C({be.name})"
+    if isinstance(be, BoundLiteral):
+        return f"L({be.value!r}:{be.dtype})"
+    if isinstance(be, BoundCall):
+        return f"F({be.name};{','.join(_bound_repr(a) for a in be.args)})"
+    if isinstance(be, BoundInList):
+        return f"IN({_bound_repr(be.arg)};{be.negated};{id(be.values)})"
+    return repr(be)
+
+
+def _bind_literal(e: ast.Literal) -> BoundLiteral:
+    v = e.value
+    if v is None:
+        return BoundLiteral(None, dt.make_nullable(dt.Nothing))
+    if isinstance(v, bool):
+        return BoundLiteral(int(v), dt.UInt8)
+    if isinstance(v, int):
+        if v > 2**63 - 1:
+            return BoundLiteral(v, dt.UInt64)
+        return BoundLiteral(v, dt.Int64)
+    if isinstance(v, float):
+        return BoundLiteral(v, dt.Float64)
+    if isinstance(v, str):
+        return BoundLiteral(v, dt.String)
+    raise AnalysisError(f"Unsupported literal {v!r}")
+
+
+def _const_int(e) -> int:
+    if isinstance(e, ast.Literal) and isinstance(e.value, int):
+        return e.value
+    if isinstance(e, ast.FuncCall) and e.name == "negate" \
+            and isinstance(e.args[0], ast.Literal):
+        return -e.args[0].value
+    raise AnalysisError("Expected a constant integer")
+
+
+def _ast_children(e: ast.Expr):
+    if isinstance(e, ast.FuncCall):
+        out = list(e.args)
+        return out
+    if isinstance(e, ast.Tuple_):
+        return list(e.items)
+    return ()
+
+
+def _contains_aggregate(e: ast.Expr) -> bool:
+    if isinstance(e, ast.FuncCall):
+        if agg_reg.is_aggregate_name(e.name):
+            return True
+        return any(_contains_aggregate(a) for a in e.args)
+    if isinstance(e, ast.Tuple_):
+        return any(_contains_aggregate(i) for i in e.items)
+    return False
+
+
+def _split_conjuncts(e: ast.Expr) -> List[ast.Expr]:
+    if isinstance(e, ast.FuncCall) and e.name == "and":
+        out = []
+        for a in e.args:
+            out.extend(_split_conjuncts(a))
+        return out
+    return [e]
+
+
+def _expand_aliases(e: ast.Expr, aliases: Dict[str, ast.Expr], scope: Scope,
+                    depth: int = 0) -> ast.Expr:
+    """Substitute select-item aliases into an expression (reference allows
+    alias references everywhere; real columns shadow aliases)."""
+    if depth > 16:
+        raise AnalysisError("Alias expansion too deep (cyclic aliases?)")
+    if isinstance(e, ast.Identifier) and len(e.parts) == 1:
+        name = e.parts[0]
+        if name in aliases:
+            try:
+                direct = scope.resolve((name,))
+            except AnalysisError:
+                direct = None      # ambiguous bare column: alias wins
+            if direct is None:
+                return _expand_aliases(aliases[name], aliases, scope, depth + 1)
+        return e
+    if isinstance(e, ast.FuncCall):
+        return ast.FuncCall(e.name,
+                            [_expand_aliases(a, aliases, scope, depth)
+                             for a in e.args],
+                            e.params, e.distinct)
+    if isinstance(e, ast.Tuple_):
+        return ast.Tuple_([_expand_aliases(i, aliases, scope, depth)
+                           for i in e.items])
+    return e
+
+
+def _union_type(types: List[dt.DType]) -> dt.DType:
+    out = types[0]
+    for t in types[1:]:
+        out = dt.common_supertype(out, t)
+    return out

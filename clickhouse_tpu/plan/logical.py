@@ -1,0 +1,211 @@
+"""Logical query plan.
+
+Analog of the reference's QueryPlan of IQueryPlanStep nodes
+(src/Processors/QueryPlan/): a tree the executor lowers onto device kernels.
+Columns are identified by unique internal ids (`#n`) with separate display
+names — the role the reference's Analyzer plays by qualifying identifiers
+into unique QueryTree column nodes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from ..core import dtypes as dt
+from ..exprs.expr import BoundExpr
+from ..exprs.aggregates import AggregateFunction
+
+__all__ = [
+    "Field", "PlanNode", "ScanNode", "OneRowNode", "NumbersNode",
+    "FilterNode", "ProjectNode", "AggregateItem", "AggregateNode",
+    "SortItem", "SortNode", "LimitNode", "LimitByNode", "JoinNode",
+    "DistinctNode", "UnionNode", "explain_plan",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Field:
+    id: str                      # unique internal id, e.g. "#3"
+    display: str                 # user-visible result name
+    dtype: dt.DType
+    qualifiers: Tuple[str, ...] = ()   # table aliases this field answers to
+
+
+class PlanNode:
+    schema: List[Field]
+
+    def children(self) -> Sequence["PlanNode"]:
+        return ()
+
+    def label(self) -> str:
+        return type(self).__name__.replace("Node", "")
+
+
+@dataclasses.dataclass
+class ScanNode(PlanNode):
+    database: str
+    table: str
+    schema: List[Field]
+    # storage column name per schema field (ids are fresh per query)
+    column_names: List[str]
+    final: bool = False
+    # set by the optimizer: predicate usable for part/granule pruning
+    pruning_predicate: Optional[BoundExpr] = None
+
+    def label(self):
+        return f"Scan {self.database}.{self.table}"
+
+
+@dataclasses.dataclass
+class OneRowNode(PlanNode):
+    """SELECT without FROM: one synthetic row (system.one analog)."""
+    schema: List[Field]
+
+
+@dataclasses.dataclass
+class NumbersNode(PlanNode):
+    """numbers(N) table function: virtual sequence source."""
+    schema: List[Field]
+    start: int
+    count: int
+
+    def label(self):
+        return f"Numbers [{self.start}, {self.start + self.count})"
+
+
+@dataclasses.dataclass
+class FilterNode(PlanNode):
+    child: PlanNode
+    predicate: BoundExpr
+    schema: List[Field]
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclasses.dataclass
+class ProjectNode(PlanNode):
+    child: PlanNode
+    exprs: List[BoundExpr]       # one per output field
+    schema: List[Field]
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclasses.dataclass
+class AggregateItem:
+    field: Field                 # output field for this aggregate
+    fn: AggregateFunction
+    args: List[BoundExpr]
+    cond: Optional[BoundExpr] = None
+
+
+@dataclasses.dataclass
+class AggregateNode(PlanNode):
+    child: PlanNode
+    keys: List[Tuple[Field, BoundExpr]]
+    aggregates: List[AggregateItem]
+    schema: List[Field]          # key fields + aggregate fields
+    with_totals: bool = False
+    # distributed execution mode, set by the parallel planner:
+    #   single | partial (update only -> states) | merge (states -> final)
+    mode: str = "single"
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        kk = ", ".join(f.display for f, _ in self.keys)
+        aa = ", ".join(a.field.display for a in self.aggregates)
+        return f"Aggregate keys=[{kk}] aggs=[{aa}]"
+
+
+@dataclasses.dataclass
+class SortItem:
+    expr: BoundExpr
+    descending: bool = False
+    nulls_last: bool = True
+
+
+@dataclasses.dataclass
+class SortNode(PlanNode):
+    child: PlanNode
+    items: List[SortItem]
+    schema: List[Field]
+    limit_hint: Optional[int] = None    # enables top-k path
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclasses.dataclass
+class LimitNode(PlanNode):
+    child: PlanNode
+    limit: int
+    offset: int
+    schema: List[Field]
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"Limit {self.limit} offset {self.offset}"
+
+
+@dataclasses.dataclass
+class LimitByNode(PlanNode):
+    child: PlanNode
+    n: int
+    offset: int
+    keys: List[BoundExpr]
+    schema: List[Field]
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclasses.dataclass
+class JoinNode(PlanNode):
+    left: PlanNode
+    right: PlanNode
+    kind: str                    # inner|left|semi|anti|cross
+    strictness: str              # all|any|semi|anti
+    left_keys: List[BoundExpr]
+    right_keys: List[BoundExpr]
+    residual: Optional[BoundExpr]
+    schema: List[Field]          # left fields then right fields (as exposed)
+    is_global: bool = False
+
+    def children(self):
+        return (self.left, self.right)
+
+    def label(self):
+        return f"Join {self.strictness} {self.kind}"
+
+
+@dataclasses.dataclass
+class DistinctNode(PlanNode):
+    child: PlanNode
+    schema: List[Field]
+    limit_hint: Optional[int] = None
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclasses.dataclass
+class UnionNode(PlanNode):
+    inputs: List[PlanNode]
+    schema: List[Field]
+
+    def children(self):
+        return tuple(self.inputs)
+
+
+def explain_plan(node: PlanNode, indent: int = 0) -> str:
+    """EXPLAIN PLAN rendering (QueryPlan::explainPlan analog)."""
+    lines = ["  " * indent + node.label()]
+    for c in node.children():
+        lines.append(explain_plan(c, indent + 1))
+    return "\n".join(lines)

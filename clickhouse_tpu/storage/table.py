@@ -1,0 +1,236 @@
+"""In-memory columnar tables built from immutable parts.
+
+The TPU-native MergeTree skeleton (reference: src/Storages/MergeTree/):
+INSERT creates an immutable *part*; parts carry per-column min/max statistics
+used for pruning (the reference's minmax index + KeyCondition,
+src/Storages/MergeTree/KeyCondition.cpp).  Device residency: part columns are
+host numpy until first scan, then cached on device as one concatenated padded
+block (granule streaming comes with the out-of-core path).
+"""
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes as dt
+from ..core.block import Block, block_from_pydict
+from ..core.column import Column, Dictionary, column_from_numpy, pad_to
+from ..core.errors import AnalysisError, UnknownTable
+
+__all__ = ["Part", "Table", "Database", "Catalog"]
+
+
+@dataclasses.dataclass
+class Part:
+    """Immutable sorted-insert unit (IMergeTreeDataPart analog)."""
+    columns: Dict[str, np.ndarray]       # host values (object for strings)
+    num_rows: int
+    minmax: Dict[str, Tuple[float, float]] = dataclasses.field(
+        default_factory=dict)
+
+    @staticmethod
+    def from_pydict(data: Dict[str, np.ndarray], schema) -> "Part":
+        n = len(next(iter(data.values()))) if data else 0
+        minmax = {}
+        for name, vals in data.items():
+            v = np.asarray(vals)
+            if v.dtype != object and v.dtype.kind in "iuf" and len(v):
+                minmax[name] = (float(v.min()), float(v.max()))
+        return Part({k: np.asarray(v) for k, v in data.items()}, n, minmax)
+
+
+class Table:
+    """A named table: schema + list of parts + device cache."""
+
+    def __init__(self, name: str, schema: List[Tuple[str, dt.DType]],
+                 engine: str = "Memory",
+                 order_by: Optional[List[str]] = None,
+                 partition_by: Optional[str] = None):
+        self.name = name
+        self.schema: Dict[str, dt.DType] = dict(schema)
+        self.engine = engine
+        self.order_by = order_by or []
+        self.partition_by = partition_by
+        self.parts: List[Part] = []
+        self.version = 0
+        self._device_cache: Optional[Block] = None
+        self._lock = threading.Lock()
+
+    # -- metadata ------------------------------------------------------------
+    def schema_items(self) -> List[Tuple[str, dt.DType]]:
+        return list(self.schema.items())
+
+    @property
+    def num_rows(self) -> int:
+        return sum(p.num_rows for p in self.parts)
+
+    # -- writes --------------------------------------------------------------
+    def insert_pydict(self, data: Dict[str, np.ndarray]):
+        cols = {}
+        n = None
+        for name, ctype in self.schema.items():
+            if name in data:
+                v = np.asarray(data[name])
+            else:
+                v = None
+            if n is None and v is not None:
+                n = len(v)
+        if n is None:
+            n = 0
+        for name, ctype in self.schema.items():
+            if name in data:
+                v = np.asarray(data[name])
+                if len(v) != n:
+                    raise AnalysisError("INSERT column length mismatch")
+            else:  # missing column -> default value
+                if ctype.is_dictionary:
+                    v = np.asarray([""] * n, dtype=object)
+                else:
+                    v = np.zeros(n, ctype.np_dtype)
+            cols[name] = v
+        with self._lock:
+            self.parts.append(Part.from_pydict(cols, self.schema))
+            self.version += 1
+            self._device_cache = None
+
+    def truncate(self):
+        with self._lock:
+            self.parts = []
+            self.version += 1
+            self._device_cache = None
+
+    # -- reads ---------------------------------------------------------------
+    def read_block(self, columns: Optional[Sequence[str]] = None) -> Block:
+        """Whole-table device block (concatenated parts, padded)."""
+        with self._lock:
+            if self._device_cache is None:
+                self._device_cache = self._build_device_block()
+            blk = self._device_cache
+        if columns is not None:
+            return blk.select(list(columns))
+        return blk
+
+    def _build_device_block(self) -> Block:
+        total = self.num_rows
+        cap = pad_to(total)
+        cols: Dict[str, Column] = {}
+        for name, ctype in self.schema.items():
+            pieces = [p.columns[name] for p in self.parts] or \
+                [np.zeros(0, ctype.np_dtype if not ctype.is_dictionary
+                          else object)]
+            if ctype.is_dictionary:
+                merged = np.concatenate([np.asarray(p, dtype=object)
+                                         for p in pieces])
+            else:
+                merged = np.concatenate(pieces)
+            cols[name] = column_from_numpy(merged, ctype, capacity=cap)
+        return Block(cols, total)
+
+    def part_stats(self):
+        """Per-part minmax for scan pruning."""
+        return [(p.num_rows, p.minmax) for p in self.parts]
+
+
+class Database:
+    def __init__(self, name: str):
+        self.name = name
+        self.tables: Dict[str, Table] = {}
+
+
+class Catalog:
+    """Databases/tables registry (DatabaseCatalog analog)."""
+
+    def __init__(self):
+        self.databases: Dict[str, Database] = {"default": Database("default"),
+                                               "system": Database("system")}
+        self.current_database = "default"
+
+    def get_table(self, database: str, name: str) -> Table:
+        db = self.databases.get(database)
+        if db is None:
+            raise UnknownTable(f"Unknown database '{database}'")
+        t = db.tables.get(name)
+        if t is None:
+            # system tables are generated on demand
+            if database == "system":
+                t = self._system_table(name)
+                if t is not None:
+                    return t
+            raise UnknownTable(f"Unknown table '{database}.{name}'")
+        return t
+
+    def has_table(self, database: str, name: str) -> bool:
+        try:
+            self.get_table(database, name)
+            return True
+        except UnknownTable:
+            return False
+
+    def create_table(self, database: str, table: Table,
+                     if_not_exists: bool = False):
+        db = self.databases.get(database)
+        if db is None:
+            raise UnknownTable(f"Unknown database '{database}'")
+        if table.name in db.tables:
+            if if_not_exists:
+                return
+            raise AnalysisError(f"Table '{database}.{table.name}' already exists")
+        db.tables[table.name] = table
+
+    def drop_table(self, database: str, name: str, if_exists: bool = False):
+        db = self.databases.get(database)
+        if db is None or name not in db.tables:
+            if if_exists:
+                return
+            raise UnknownTable(f"Unknown table '{database}.{name}'")
+        del db.tables[name]
+
+    def create_database(self, name: str, if_not_exists: bool = False):
+        if name in self.databases:
+            if if_not_exists:
+                return
+            raise AnalysisError(f"Database '{name}' already exists")
+        self.databases[name] = Database(name)
+
+    def drop_database(self, name: str, if_exists: bool = False):
+        if name not in self.databases:
+            if if_exists:
+                return
+            raise UnknownTable(f"Unknown database '{name}'")
+        del self.databases[name]
+
+    # -- system tables (self-observation, reference: src/Storages/System/) --
+    def _system_table(self, name: str) -> Optional[Table]:
+        if name == "one":
+            t = Table("one", [("dummy", dt.UInt8)])
+            t.insert_pydict({"dummy": np.zeros(1, np.uint8)})
+            return t
+        if name == "tables":
+            rows_db, rows_name, rows_engine, rows_rows = [], [], [], []
+            for dbn, db in self.databases.items():
+                for tn, tbl in db.tables.items():
+                    rows_db.append(dbn)
+                    rows_name.append(tn)
+                    rows_engine.append(tbl.engine)
+                    rows_rows.append(tbl.num_rows)
+            t = Table("tables", [("database", dt.String), ("name", dt.String),
+                                 ("engine", dt.String),
+                                 ("total_rows", dt.UInt64)])
+            t.insert_pydict({
+                "database": np.asarray(rows_db, object),
+                "name": np.asarray(rows_name, object),
+                "engine": np.asarray(rows_engine, object),
+                "total_rows": np.asarray(rows_rows, np.uint64),
+            })
+            return t
+        if name == "databases":
+            t = Table("databases", [("name", dt.String)])
+            t.insert_pydict({"name": np.asarray(list(self.databases), object)})
+            return t
+        if name == "numbers":
+            return None   # handled as a virtual source by the planner
+        return None

@@ -1,0 +1,495 @@
+"""End-to-end SQL tests — the analog of the reference's stateless golden
+tests (tests/queries/0_stateless/, SURVEY.md §4): run a query, compare
+against a pandas/numpy-computed golden result."""
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import clickhouse_tpu as ch
+from clickhouse_tpu.core.errors import (AnalysisError, EngineError,
+                                        UnknownIdentifier, UnknownTable)
+
+
+@pytest.fixture(scope="module")
+def session():
+    s = ch.connect()
+    rng = np.random.default_rng(1234)
+    n = 5000
+    s.execute("""
+        CREATE TABLE events (
+            id UInt64,
+            user_id UInt32,
+            value Float64,
+            amount Int64,
+            category String,
+            flag UInt8,
+            score Nullable(Float64)
+        ) ENGINE = MergeTree ORDER BY id
+    """)
+    cats = np.asarray(["alpha", "beta", "gamma", "delta"], object)
+    score = rng.normal(size=n).astype(object)
+    score[rng.random(n) < 0.1] = None
+    data = {
+        "id": np.arange(n, dtype=np.uint64),
+        "user_id": rng.integers(0, 100, n).astype(np.uint32),
+        "value": rng.normal(10, 5, n),
+        "amount": rng.integers(-1000, 1000, n),
+        "category": cats[rng.integers(0, 4, n)],
+        "flag": rng.integers(0, 2, n).astype(np.uint8),
+        "score": score,
+    }
+    s.insert_pydict("events", data)
+    s._golden = pd.DataFrame({k: (v if v.dtype != object or k == "category"
+                                  else v) for k, v in data.items()})
+    s._golden["score"] = [x if x is not None else np.nan for x in data["score"]]
+    s.execute("""
+        CREATE TABLE users (uid UInt32, name String, plan String)
+    """)
+    s.insert_pydict("users", {
+        "uid": np.arange(0, 80, dtype=np.uint32),   # 20 users missing
+        "name": np.asarray([f"user_{i}" for i in range(80)], object),
+        "plan": np.asarray(["free" if i % 3 else "pro" for i in range(80)],
+                           object),
+    })
+    return s
+
+
+def q(session, sql):
+    return session.execute(sql)
+
+
+class TestBasics:
+    def test_scalar_arith(self, session):
+        assert q(session, "SELECT 2 + 3 * 4").scalar() == 14
+
+    def test_count_rows(self, session):
+        assert q(session, "SELECT count() FROM events").scalar() == 5000
+
+    def test_filter_count_parity(self, session):
+        got = q(session, "SELECT count() FROM events WHERE value > 12").scalar()
+        assert got == int((session._golden["value"] > 12).sum())
+
+    def test_complex_predicate(self, session):
+        sql = ("SELECT count() FROM events WHERE value > 8 AND amount < 500 "
+               "AND (flag = 1 OR category = 'alpha')")
+        g = session._golden
+        exp = ((g.value > 8) & (g.amount < 500)
+               & ((g.flag == 1) | (g.category == "alpha"))).sum()
+        assert q(session, sql).scalar() == int(exp)
+
+    def test_select_expression_columns(self, session):
+        r = q(session, "SELECT id, value * 2 AS dv FROM events "
+                       "WHERE id < 5 ORDER BY id")
+        g = session._golden.head(5)
+        np.testing.assert_allclose([row[1] for row in r.rows()],
+                                   (g.value * 2).values)
+
+    def test_in_list(self, session):
+        got = q(session, "SELECT count() FROM events "
+                         "WHERE category IN ('alpha', 'beta')").scalar()
+        exp = session._golden.category.isin(["alpha", "beta"]).sum()
+        assert got == int(exp)
+
+    def test_between(self, session):
+        got = q(session, "SELECT count() FROM events "
+                         "WHERE amount BETWEEN -10 AND 10").scalar()
+        g = session._golden
+        assert got == int(((g.amount >= -10) & (g.amount <= 10)).sum())
+
+    def test_case(self, session):
+        got = q(session, "SELECT sum(CASE WHEN flag = 1 THEN 1 ELSE 0 END) "
+                         "FROM events").scalar()
+        assert got == int(session._golden.flag.sum())
+
+    def test_like(self, session):
+        got = q(session, "SELECT count() FROM events "
+                         "WHERE category LIKE '%eta'").scalar()
+        assert got == int(session._golden.category.str.endswith("eta").sum())
+
+
+class TestAggregation:
+    def test_global_aggregates(self, session):
+        r = q(session, "SELECT sum(amount), min(amount), max(amount), "
+                       "avg(value), count(score) FROM events")
+        g = session._golden
+        row = r.rows()[0]
+        assert row[0] == int(g.amount.sum())
+        assert row[1] == int(g.amount.min())
+        assert row[2] == int(g.amount.max())
+        assert abs(row[3] - g.value.mean()) < 1e-9
+        assert row[4] == int(g.score.notna().sum())
+
+    def test_group_by_parity(self, session):
+        r = q(session, "SELECT category, count() c, sum(amount) s, "
+                       "avg(value) a, min(amount) mn, max(amount) mx "
+                       "FROM events GROUP BY category ORDER BY category")
+        g = session._golden.groupby("category").agg(
+            c=("amount", "size"), s=("amount", "sum"), a=("value", "mean"),
+            mn=("amount", "min"), mx=("amount", "max")).reset_index()
+        for got, (_, exp) in zip(r.rows(), g.iterrows()):
+            assert got[0] == exp.category
+            assert got[1] == exp.c and got[2] == exp.s
+            assert abs(got[3] - exp.a) < 1e-9
+            assert got[4] == exp.mn and got[5] == exp.mx
+
+    def test_group_by_expression_key(self, session):
+        r = q(session, "SELECT user_id % 10 AS b, count() FROM events "
+                       "GROUP BY b ORDER BY b")
+        g = (session._golden.user_id % 10).value_counts().sort_index()
+        assert [row[1] for row in r.rows()] == g.tolist()
+
+    def test_having(self, session):
+        r = q(session, "SELECT user_id, count() c FROM events GROUP BY user_id "
+                       "HAVING c > 60 ORDER BY user_id")
+        g = session._golden.groupby("user_id").size()
+        exp = g[g > 60]
+        assert [row[0] for row in r.rows()] == exp.index.tolist()
+        assert [row[1] for row in r.rows()] == exp.tolist()
+
+    def test_uniq_exact(self, session):
+        got = q(session, "SELECT uniqExact(user_id) FROM events").scalar()
+        assert got == session._golden.user_id.nunique()
+
+    def test_count_distinct_grouped(self, session):
+        r = q(session, "SELECT category, uniqExact(user_id) FROM events "
+                       "GROUP BY category ORDER BY category")
+        g = session._golden.groupby("category").user_id.nunique()
+        assert [row[1] for row in r.rows()] == g.tolist()
+
+    def test_count_if_sum_if(self, session):
+        r = q(session, "SELECT countIf(flag = 1), sumIf(amount, amount > 0) "
+                       "FROM events")
+        g = session._golden
+        row = r.rows()[0]
+        assert row[0] == int((g.flag == 1).sum())
+        assert row[1] == int(g.amount[g.amount > 0].sum())
+
+    def test_arg_min_max(self, session):
+        r = q(session, "SELECT argMax(id, value), argMin(id, value) FROM events")
+        g = session._golden
+        row = r.rows()[0]
+        assert row[0] == int(g.value.idxmax())
+        assert row[1] == int(g.value.idxmin())
+
+    def test_median(self, session):
+        got = q(session, "SELECT median(amount) FROM events").scalar()
+        vals = np.sort(session._golden.amount.values)
+        exp = vals[math.floor(0.5 * (len(vals) - 1))]
+        assert got == exp
+
+    def test_quantile_param(self, session):
+        got = q(session, "SELECT quantile(0.9)(amount) FROM events").scalar()
+        vals = np.sort(session._golden.amount.values)
+        assert got == vals[math.floor(0.9 * (len(vals) - 1))]
+
+    def test_stddev(self, session):
+        got = q(session, "SELECT stddevPop(value) FROM events").scalar()
+        assert abs(got - session._golden.value.std(ddof=0)) < 1e-6
+
+    def test_null_skipping(self, session):
+        r = q(session, "SELECT count(score), avg(score) FROM events")
+        g = session._golden.score
+        row = r.rows()[0]
+        assert row[0] == int(g.notna().sum())
+        assert abs(row[1] - g.dropna().mean()) < 1e-9
+
+    def test_empty_group_result(self, session):
+        r = q(session, "SELECT count(), sum(amount) FROM events WHERE id > 1e18")
+        assert r.rows()[0] == (0, 0)
+
+    def test_aggregate_of_expression(self, session):
+        got = q(session, "SELECT sum(amount * 2 + 1) FROM events").scalar()
+        assert got == int((session._golden.amount * 2 + 1).sum())
+
+    def test_expression_of_aggregate(self, session):
+        got = q(session, "SELECT sum(amount) * 2 + count() FROM events").scalar()
+        g = session._golden
+        assert got == int(g.amount.sum() * 2 + len(g))
+
+
+class TestOrderLimit:
+    def test_order_by_limit(self, session):
+        r = q(session, "SELECT id, amount FROM events "
+                       "ORDER BY amount DESC, id LIMIT 10")
+        g = session._golden.sort_values(["amount", "id"],
+                                        ascending=[False, True]).head(10)
+        assert [row[0] for row in r.rows()] == g.id.tolist()
+
+    def test_order_by_string(self, session):
+        r = q(session, "SELECT DISTINCT category FROM events ORDER BY category")
+        assert [row[0] for row in r.rows()] == ["alpha", "beta", "delta",
+                                                "gamma"]
+
+    def test_limit_offset(self, session):
+        r = q(session, "SELECT id FROM events ORDER BY id LIMIT 5 OFFSET 10")
+        assert [row[0] for row in r.rows()] == list(range(10, 15))
+
+    def test_order_by_unselected_column(self, session):
+        r = q(session, "SELECT id FROM events ORDER BY value LIMIT 3")
+        g = session._golden.sort_values("value").head(3)
+        assert [row[0] for row in r.rows()] == g.id.tolist()
+
+    def test_limit_by(self, session):
+        r = q(session, "SELECT category, id FROM events "
+                       "ORDER BY category, id LIMIT 2 BY category")
+        g = (session._golden.sort_values(["category", "id"])
+             .groupby("category").head(2))
+        assert sorted(row[1] for row in r.rows()) == sorted(g.id.tolist())
+
+    def test_nulls_last(self, session):
+        r = q(session, "SELECT score FROM events ORDER BY score LIMIT 3")
+        vals = [row[0] for row in r.rows()]
+        assert all(v is not None for v in vals)
+        g = session._golden.score.dropna().sort_values().head(3)
+        np.testing.assert_allclose(vals, g.values)
+
+
+class TestJoins:
+    def test_inner_join(self, session):
+        r = q(session, """
+            SELECT count(), sum(e.amount)
+            FROM events e INNER JOIN users u ON e.user_id = u.uid
+        """)
+        g = session._golden.merge(
+            pd.DataFrame({"uid": np.arange(0, 80)}), left_on="user_id",
+            right_on="uid")
+        row = r.rows()[0]
+        assert row[0] == len(g)
+        assert row[1] == int(g.amount.sum())
+
+    def test_left_join_defaults(self, session):
+        r = q(session, """
+            SELECT count(), countIf(name = '')
+            FROM events e LEFT JOIN users u ON e.user_id = u.uid
+        """)
+        g = session._golden
+        row = r.rows()[0]
+        assert row[0] == 5000
+        assert row[1] == int((g.user_id >= 80).sum())
+
+    def test_join_using(self, session):
+        session.execute("CREATE TABLE IF NOT EXISTS dim (user_id UInt32, "
+                        "label String)")
+        session.execute("TRUNCATE TABLE dim")
+        session.insert_pydict("dim", {
+            "user_id": np.arange(0, 100, 2, dtype=np.uint32),
+            "label": np.asarray([f"L{i}" for i in range(0, 100, 2)], object)})
+        r = q(session, "SELECT count() FROM events INNER JOIN dim USING user_id")
+        exp = int((session._golden.user_id % 2 == 0).sum())
+        assert r.scalar() == exp
+
+    def test_join_group_by(self, session):
+        r = q(session, """
+            SELECT u.plan AS plan, count() AS c
+            FROM events e INNER JOIN users u ON e.user_id = u.uid
+            GROUP BY plan ORDER BY plan
+        """)
+        users = pd.DataFrame({
+            "uid": np.arange(0, 80),
+            "plan": ["free" if i % 3 else "pro" for i in range(80)]})
+        g = session._golden.merge(users, left_on="user_id", right_on="uid") \
+            .groupby("plan").size()
+        assert [(row[0], row[1]) for row in r.rows()] == list(g.items())
+
+    def test_semi_anti_join(self, session):
+        semi = q(session, "SELECT count() FROM events SEMI LEFT JOIN users u "
+                          "ON user_id = u.uid").scalar()
+        anti = q(session, "SELECT count() FROM events ANTI LEFT JOIN users u "
+                          "ON user_id = u.uid").scalar()
+        exp_semi = int((session._golden.user_id < 80).sum())
+        assert semi == exp_semi
+        assert anti == 5000 - exp_semi
+
+    def test_cross_join(self, session):
+        r = q(session, "SELECT count() FROM (SELECT number FROM numbers(7)) a "
+                       "CROSS JOIN (SELECT number FROM numbers(13)) b")
+        assert r.scalar() == 7 * 13
+
+    def test_any_join(self, session):
+        # duplicate build side: ANY join takes one match per probe row
+        session.execute("DROP TABLE IF EXISTS dup")
+        session.execute("CREATE TABLE dup (k UInt32, v UInt32)")
+        session.insert_pydict("dup", {
+            "k": np.asarray([1, 1, 2], np.uint32),
+            "v": np.asarray([10, 11, 20], np.uint32)})
+        got = q(session, "SELECT count() FROM (SELECT number AS k FROM "
+                         "numbers(3)) n ANY LEFT JOIN dup ON n.k = dup.k")
+        assert got.scalar() == 3
+
+
+class TestSetOps:
+    def test_union_all(self, session):
+        r = q(session, "SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3")
+        assert sorted(row[0] for row in r.rows()) == [1, 2, 3]
+
+    def test_distinct(self, session):
+        r = q(session, "SELECT DISTINCT flag FROM events ORDER BY flag")
+        assert [row[0] for row in r.rows()] == [0, 1]
+
+    def test_union_distinct(self, session):
+        r = q(session, "SELECT 1 AS x UNION DISTINCT SELECT 1 UNION DISTINCT "
+                       "SELECT 2")
+        assert sorted(row[0] for row in r.rows()) == [1, 2]
+
+
+class TestSubqueries:
+    def test_from_subquery(self, session):
+        got = q(session, """
+            SELECT avg(c) FROM (
+                SELECT user_id, count() AS c FROM events GROUP BY user_id
+            )
+        """).scalar()
+        g = session._golden.groupby("user_id").size()
+        assert abs(got - g.mean()) < 1e-9
+
+    def test_scalar_subquery(self, session):
+        got = q(session, "SELECT count() FROM events "
+                         "WHERE amount > (SELECT avg(amount) FROM events)")
+        g = session._golden
+        assert got.scalar() == int((g.amount > g.amount.mean()).sum())
+
+    def test_in_subquery(self, session):
+        got = q(session, """
+            SELECT count() FROM events
+            WHERE user_id IN (SELECT uid FROM users WHERE plan = 'pro')
+        """).scalar()
+        pro = {i for i in range(80) if not i % 3}
+        assert got == int(session._golden.user_id.isin(pro).sum())
+
+    def test_cte(self, session):
+        got = q(session, """
+            WITH big AS (SELECT * FROM events WHERE amount > 500)
+            SELECT count() FROM big
+        """).scalar()
+        assert got == int((session._golden.amount > 500).sum())
+
+    def test_scalar_cte(self, session):
+        got = q(session, "WITH 10 AS n SELECT n * 2").scalar()
+        assert got == 20
+
+
+class TestNulls:
+    def test_is_null_counts(self, session):
+        r = q(session, "SELECT countIf(score IS NULL), "
+                       "countIf(score IS NOT NULL) FROM events")
+        g = session._golden.score
+        assert r.rows()[0] == (int(g.isna().sum()), int(g.notna().sum()))
+
+    def test_coalesce(self, session):
+        got = q(session, "SELECT sum(coalesce(score, 0.0)) FROM events").scalar()
+        assert abs(got - session._golden.score.fillna(0).sum()) < 1e-6
+
+    def test_null_literal(self, session):
+        r = q(session, "SELECT NULL")
+        assert r.rows()[0][0] is None
+
+    def test_if_null(self, session):
+        got = q(session, "SELECT ifNull(NULL, 42)").scalar()
+        assert got == 42
+
+
+class TestDDL:
+    def test_create_insert_select_roundtrip(self, session):
+        session.execute("DROP TABLE IF EXISTS t_round")
+        session.execute("CREATE TABLE t_round (a Int64, b String)")
+        session.execute("INSERT INTO t_round VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+        r = q(session, "SELECT a, b FROM t_round ORDER BY a")
+        assert r.rows() == [(1, "x"), (2, "y"), (3, "z")]
+
+    def test_insert_select(self, session):
+        session.execute("DROP TABLE IF EXISTS t_ins")
+        session.execute("CREATE TABLE t_ins (n UInt64)")
+        session.execute("INSERT INTO t_ins SELECT number FROM numbers(10)")
+        assert q(session, "SELECT count() FROM t_ins").scalar() == 10
+
+    def test_create_as_select(self, session):
+        session.execute("DROP TABLE IF EXISTS t_cas")
+        session.execute("CREATE TABLE t_cas ENGINE = Memory AS "
+                        "SELECT number AS n FROM numbers(5)")
+        assert q(session, "SELECT sum(n) FROM t_cas").scalar() == 10
+
+    def test_describe(self, session):
+        r = q(session, "DESCRIBE TABLE events")
+        names = [row[0] for row in r.rows()]
+        assert "id" in names and "score" in names
+
+    def test_show_tables(self, session):
+        r = q(session, "SHOW TABLES")
+        assert "events" in [row[0] for row in r.rows()]
+
+    def test_truncate(self, session):
+        session.execute("DROP TABLE IF EXISTS t_tr")
+        session.execute("CREATE TABLE t_tr (x Int64)")
+        session.execute("INSERT INTO t_tr VALUES (1)")
+        session.execute("TRUNCATE TABLE t_tr")
+        assert q(session, "SELECT count() FROM t_tr").scalar() == 0
+
+    def test_errors(self, session):
+        with pytest.raises(UnknownTable):
+            session.execute("SELECT * FROM no_such_table")
+        with pytest.raises(UnknownIdentifier):
+            session.execute("SELECT no_such_col FROM events")
+
+
+class TestSystem:
+    def test_system_one(self, session):
+        assert q(session, "SELECT * FROM system.one").rows() == [(0,)]
+
+    def test_system_tables(self, session):
+        r = q(session, "SELECT name FROM system.tables "
+                       "WHERE database = 'default' ORDER BY name")
+        assert "events" in [row[0] for row in r.rows()]
+
+    def test_explain(self, session):
+        r = q(session, "EXPLAIN SELECT count() FROM events WHERE value > 0")
+        text = "\n".join(row[0] for row in r.rows())
+        assert "Aggregate" in text and "Scan" in text
+
+    def test_settings_clause(self, session):
+        # max_groups too small -> capacity error surfaces
+        from clickhouse_tpu.core.errors import CapacityError
+        with pytest.raises(CapacityError):
+            session.execute("SELECT id FROM events GROUP BY id LIMIT 1 "
+                            "SETTINGS max_groups = 1024")
+
+
+class TestStringFunctions:
+    def test_string_funcs(self, session):
+        r = q(session, "SELECT upper(category) AS u, length(category) AS l "
+                       "FROM events WHERE category = 'alpha' LIMIT 1")
+        assert r.rows()[0] == ("ALPHA", 5)
+
+    def test_concat(self, session):
+        got = q(session, "SELECT concat('a', 'b', 'c')").scalar()
+        assert got == "abc"
+
+    def test_concat_column_const(self, session):
+        r = q(session, "SELECT DISTINCT concat(category, '!') AS x "
+                       "FROM events ORDER BY x")
+        assert [row[0] for row in r.rows()] == ["alpha!", "beta!", "delta!",
+                                                "gamma!"]
+
+
+class TestDateTime:
+    def test_civil_calendar(self, session):
+        session.execute("DROP TABLE IF EXISTS t_dates")
+        session.execute("CREATE TABLE t_dates (d Date, ts DateTime)")
+        dates = pd.to_datetime(["1970-01-01", "2000-02-29", "2024-07-15",
+                                "1999-12-31"])
+        days = (dates - pd.Timestamp("1970-01-01")).days.astype(np.int32)
+        secs = days.astype(np.int64) * 86400 + 3661   # 01:01:01
+        session.insert_pydict("t_dates", {"d": days.values, "ts": secs.values})
+        r = q(session, "SELECT toYear(d), toMonth(d), toDayOfMonth(d), "
+                       "toHour(ts), toMinute(ts) FROM t_dates ORDER BY d")
+        rows = r.rows()
+        assert rows[0][:3] == (1970, 1, 1)
+        assert rows[2][:3] == (2000, 2, 29)
+        assert rows[3][:3] == (2024, 7, 15)
+        assert rows[1][:3] == (1999, 12, 31)
+        assert rows[0][3:] == (1, 1)
+
+    def test_yyyymm(self, session):
+        r = q(session, "SELECT toYYYYMM(d) FROM t_dates ORDER BY d LIMIT 1")
+        assert r.scalar() == 197001
