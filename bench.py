@@ -1,0 +1,87 @@
+"""Benchmark harness — run on one real TPU chip.
+
+Headline metric (BASELINE.md Q1): `SELECT count() WHERE pred` over 100M-row
+Int64 columns, reported as rows/s against the per-chip HBM-bandwidth
+roofline (the reference publishes no absolute numbers — BASELINE.json — so
+vs_baseline is measured-throughput / speed-of-light).
+
+Prints ONE JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Per-operator detail goes to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+# TPU v5e (lite): ~819 GB/s HBM per chip.  Overridable for other parts.
+HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
+N_ROWS = int(os.environ.get("BENCH_ROWS", str(100_000_000)))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_query(session, sql, reps=REPS):
+    """Median wall time of a cached compiled query (first run compiles)."""
+    session.execute(sql)                       # compile + warm cache
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        session.execute(sql)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import clickhouse_tpu as ch
+
+    devs = jax.devices()
+    log(f"devices: {devs}")
+
+    s = ch.connect()
+    rng = np.random.default_rng(42)
+    log(f"building {N_ROWS:,} row table ...")
+    t0 = time.time()
+    s.execute("CREATE TABLE hits (x Int64)")
+    # deterministic pseudo-random Int64 column without 800MB of RNG state
+    x = (np.arange(N_ROWS, dtype=np.int64) * 2654435761) % 1_000_003
+    s.insert_pydict("hits", {"x": x})
+    log(f"ingest (host) {time.time() - t0:.1f}s")
+
+    # Q1: filter + count (HBM-bandwidth bound: one Int64 column read)
+    sql = "SELECT count() FROM hits WHERE x > 500000"
+    t_med = bench_query(s, sql)
+    rows_s = N_ROWS / t_med
+    bytes_per_row = 8
+    roofline_rows_s = HBM_GBPS * 1e9 / bytes_per_row
+    frac = rows_s / roofline_rows_s
+    log(f"Q1 filter+count: median {t_med*1e3:.2f} ms, "
+        f"{rows_s/1e9:.2f} G rows/s, roofline {roofline_rows_s/1e9:.1f} "
+        f"G rows/s, fraction {frac:.3f}")
+
+    # extra operator detail (stderr only)
+    try:
+        t_agg = bench_query(s, "SELECT x % 1024 AS k, count() AS c, sum(x) "
+                                "FROM hits GROUP BY k ORDER BY c DESC LIMIT 10",
+                            reps=3)
+        log(f"Q2 group-by(1k keys)+top10: {t_agg*1e3:.1f} ms "
+            f"({N_ROWS/t_agg/1e9:.2f} G rows/s)")
+    except Exception as e:  # keep headline alive
+        log(f"Q2 failed: {e}")
+
+    print(json.dumps({
+        "metric": "filter_count_rows_per_s",
+        "value": rows_s,
+        "unit": "rows/s",
+        "vs_baseline": frac,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

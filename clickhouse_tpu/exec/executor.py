@@ -37,10 +37,16 @@ __all__ = ["ExecBlock", "ExecContext", "execute_plan", "materialize"]
 
 @dataclasses.dataclass
 class ExecBlock:
-    """A masked block: full-capacity columns + row validity mask."""
+    """A masked block: full-capacity columns + row validity mask.
+
+    sharded=True means the block's rows are partitioned across the mesh axis
+    (each shard holds a disjoint subset) — the executor's operators insert
+    collectives where global semantics require them (SURVEY.md §2.6).
+    """
     cols: Dict[str, ColVal]        # field id -> ColVal
     valid: jax.Array               # bool (capacity,)
     capacity: int
+    sharded: bool = False
 
     def env(self) -> Dict[str, ColVal]:
         return self.cols
@@ -58,12 +64,22 @@ class Check:
 
 class ExecContext:
     def __init__(self, table_blocks: Dict[Tuple[str, str], Block],
-                 settings: Settings):
+                 settings: Settings,
+                 axis_name: Optional[str] = None, n_shards: int = 1,
+                 sharded_tables: Optional[set] = None):
         self.table_blocks = table_blocks
         self.settings = settings
         self.checks: List[Check] = []
         self.profile: Dict[str, int] = {}
         self.totals: Optional[Dict[str, ColVal]] = None
+        # distributed execution (inside shard_map over `axis_name`)
+        self.axis_name = axis_name
+        self.n_shards = n_shards
+        self.sharded_tables = sharded_tables or set()
+
+    @property
+    def distributed(self) -> bool:
+        return self.axis_name is not None and self.n_shards > 1
 
     def count(self, name: str, value: int = 1):
         self.profile[name] = self.profile.get(name, 0) + value
@@ -122,10 +138,17 @@ def _exec_scan(node: L.ScanNode, ctx: ExecContext) -> ExecBlock:
     for f, storage_name in zip(node.schema, node.column_names):
         cols[f.id] = colval_from_column(blk[storage_name])
     cap = blk.capacity
-    n = blk.num_rows
-    valid = jnp.arange(cap) < jnp.asarray(n)
-    ctx.count("rows_scanned", int(n) if isinstance(n, (int, np.integer)) else 0)
-    return ExecBlock(cols, valid, cap)
+    sharded = (node.database, node.table) in ctx.sharded_tables
+    if "__row_valid" in blk.columns:
+        # distributed tables carry an explicit per-row validity column
+        # (per-shard row counts differ; a single scalar cannot express them)
+        valid = blk["__row_valid"].data.astype(jnp.bool_)
+    else:
+        n = blk.num_rows
+        valid = jnp.arange(cap) < jnp.asarray(n)
+        ctx.count("rows_scanned",
+                  int(n) if isinstance(n, (int, np.integer)) else 0)
+    return ExecBlock(cols, valid, cap, sharded=sharded)
 
 
 def _exec_onerow(node: L.OneRowNode, ctx: ExecContext) -> ExecBlock:
@@ -148,7 +171,8 @@ def _exec_filter(node: L.FilterNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
     pred = evaluate(node.predicate, child.env())
     mask = _bool_mask(pred, child.capacity)
-    return ExecBlock(child.cols, child.valid & mask, child.capacity)
+    return ExecBlock(child.cols, child.valid & mask, child.capacity,
+                     sharded=child.sharded)
 
 
 def _exec_project(node: L.ProjectNode, ctx: ExecContext) -> ExecBlock:
@@ -157,64 +181,137 @@ def _exec_project(node: L.ProjectNode, ctx: ExecContext) -> ExecBlock:
     for f, e in zip(node.schema, node.exprs):
         cv = evaluate(e, child.env())
         cols[f.id] = cv.broadcast(child.capacity)
-    return ExecBlock(cols, child.valid, child.capacity)
+    return ExecBlock(cols, child.valid, child.capacity,
+                     sharded=child.sharded)
+
+
+def _gather_block(eb: ExecBlock, ctx: ExecContext) -> ExecBlock:
+    """Replicate a sharded block on every shard (all_gather over the mesh)."""
+    if not eb.sharded or not ctx.distributed:
+        return eb
+    ax = ctx.axis_name
+    cols = {}
+    for fid, cv in eb.cols.items():
+        cv = cv.broadcast(eb.capacity)
+        data = jax.lax.all_gather(cv.data, ax, axis=0, tiled=True)
+        validity = (jax.lax.all_gather(cv.validity, ax, axis=0, tiled=True)
+                    if cv.validity is not None else None)
+        cols[fid] = ColVal(cv.dtype, data, validity, cv.dictionary)
+    valid = jax.lax.all_gather(eb.valid, ax, axis=0, tiled=True)
+    return ExecBlock(cols, valid, eb.capacity * ctx.n_shards, sharded=False)
+
+
+def _repartition_block(eb: ExecBlock, key_arrays: List[jax.Array],
+                       ctx: ExecContext) -> ExecBlock:
+    """Exchange raw rows across shards by key hash (each key ends up wholly
+    on one shard — the reference's partition-parallel aggregation route,
+    useDataParallelAggregation.cpp, used for holistic aggregates)."""
+    from ..parallel import exchange as ex
+    cap = eb.capacity
+    fids = list(eb.cols.keys())
+    payloads = []
+    layout = []            # (fid, has_validity)
+    for fid in fids:
+        cv = eb.cols[fid].broadcast(cap)
+        payloads.append(cv.data)
+        if cv.validity is not None:
+            payloads.append(cv.validity)
+            layout.append((fid, True))
+        else:
+            layout.append((fid, False))
+    keys_rx, payloads_rx, valid_rx, overflow = ex.exchange_by_key(
+        key_arrays, payloads, eb.valid, ctx.axis_name, ctx.n_shards, cap)
+    ctx.checks.append(Check(overflow, cap,
+                            "repartition shuffle overflowed per-shard "
+                            "capacity (skewed keys); raise capacity"))
+    cols = {}
+    i = 0
+    for fid, has_v in layout:
+        cv = eb.cols[fid]
+        data = payloads_rx[i]
+        i += 1
+        validity = None
+        if has_v:
+            validity = payloads_rx[i]
+            i += 1
+        cols[fid] = ColVal(cv.dtype, data, validity, cv.dictionary)
+    return ExecBlock(cols, valid_rx, valid_rx.shape[0], sharded=True)
+
+
+def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock):
+    cap = child.capacity
+    key_cvs = [evaluate(e, child.env()) for _, e in node.keys]
+    if not key_cvs:
+        return key_cvs, [jnp.zeros((cap,), jnp.int32)], 1024, True
+    key_arrays, _ = _key_arrays(key_cvs, cap)
+    return key_cvs, key_arrays, None, False
 
 
 def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
-    cap = child.capacity
-    s = ctx.settings
+    key_cvs, key_arrays, _, global_agg = _agg_key_arrays(node, child)
 
+    if child.sharded and ctx.distributed:
+        holistic = any(a.fn.holistic for a in node.aggregates)
+        if holistic:
+            if node.keys:
+                child = _repartition_block(child, _rekey(node, child), ctx)
+            else:
+                child = _gather_block(child, ctx)
+            key_cvs, key_arrays, _, global_agg = _agg_key_arrays(node, child)
+            return _aggregate_local(node, child, key_cvs, key_arrays,
+                                    global_agg, ctx,
+                                    sharded_out=bool(node.keys))
+        return _aggregate_two_stage(node, child, key_cvs, key_arrays,
+                                    global_agg, ctx)
+    return _aggregate_local(node, child, key_cvs, key_arrays, global_agg,
+                            ctx, sharded_out=child.sharded)
+
+
+def _rekey(node: L.AggregateNode, child: ExecBlock) -> List[jax.Array]:
     key_cvs = [evaluate(e, child.env()) for _, e in node.keys]
-    global_agg = not key_cvs
-    if global_agg:
-        # keys=[]: single group; aggregate over everything
-        key_arrays = [jnp.zeros((cap,), jnp.int32)]
-        key_metas: List[Optional[ColVal]] = [None]
-        cap_g = 1024
-    else:
-        key_arrays, key_metas = _key_arrays(key_cvs, cap)
-        cap_g = pad_to(min(cap, s.max_groups))
+    arrays, _ = _key_arrays(key_cvs, child.capacity)
+    return arrays
 
+
+def _stage1(node: L.AggregateNode, child: ExecBlock,
+            key_arrays: List[jax.Array], cap_g: int, ctx: ExecContext):
+    """Local grouping + per-aggregate partial states (WithMergeableState)."""
+    cap = child.capacity
     grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
-    ctx.checks.append(Check(grouping.num_groups, cap_g,
-                            "GROUP BY cardinality exceeded max_groups; "
-                            "raise the max_groups setting"))
-
     gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
                                 grouping=grouping, num_groups_cap=cap_g)
-
-    # Per-group row counts (for empty-group defaults & finalize fixups)
     mask_s = grouping.take(child.valid)
     ids = jnp.where(mask_s, grouping.group_ids, cap_g)
     group_counts = agg_ops.segment_reduce(
         "sum", jnp.ones((cap,), jnp.int64), ids, cap_g)
-
-    cols: Dict[str, ColVal] = {}
-    # key outputs: unique key values (skip the validity helper columns)
-    ki = 0
-    for (f, _), cv in zip(node.keys, key_cvs):
-        cv_b = cv.broadcast(cap)
-        if cv_b.validity is not None:
-            uk_validity = grouping.unique_keys[ki].astype(jnp.uint8)
-            ki += 1
-            uk = grouping.unique_keys[ki]
-            cols[f.id] = ColVal(f.dtype, uk, uk_validity, cv_b.dictionary)
-        else:
-            uk = grouping.unique_keys[ki]
-            cols[f.id] = ColVal(f.dtype, uk, None, cv_b.dictionary)
-        ki += 1
-
+    states_per_agg = []
     for item in node.aggregates:
         arg_cvs = [evaluate(a, child.env()).broadcast(cap) for a in item.args]
         cond = None
         if item.cond is not None:
             cond = _bool_mask(evaluate(item.cond, child.env()), cap)
-        states = item.fn.update(gctx, arg_cvs, cond)
+        states_per_agg.append((item, arg_cvs,
+                               item.fn.update(gctx, arg_cvs, cond)))
+    return grouping, group_counts, states_per_agg
+
+
+def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
+              group_counts, states_per_agg, cap_g, global_agg,
+              sharded_out: bool, ctx: ExecContext) -> ExecBlock:
+    cols: Dict[str, ColVal] = {}
+    ki = 0
+    for (f, _), cv in zip(node.keys, key_cvs):
+        if cv.validity is not None:
+            uk_validity = unique_keys[ki].astype(jnp.uint8)
+            ki += 1
+            cols[f.id] = ColVal(f.dtype, unique_keys[ki], uk_validity,
+                                cv.dictionary)
+        else:
+            cols[f.id] = ColVal(f.dtype, unique_keys[ki], None, cv.dictionary)
+        ki += 1
+    for item, arg_cvs, states in states_per_agg:
         data, validity = item.fn.finalize(states)
-        # Empty groups (only possible for the global aggregate or after
-        # -If/NULL masking) return the dtype's identity from segment ops;
-        # normalize to the reference's defaults (0 / empty).
         if not isinstance(item.fn, agg_reg.CountAgg):
             zero = jnp.zeros((), data.dtype)
             data = jnp.where(group_counts > 0, data, zero)
@@ -222,13 +319,86 @@ def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
                                           and item.field.dtype.is_dictionary) \
             else None
         cols[item.field.id] = ColVal(item.field.dtype, data, validity, dict_)
+    if global_agg:
+        num_groups = jnp.maximum(num_groups, 1)
+    valid = jnp.arange(cap_g, dtype=jnp.int64) < num_groups
+    return ExecBlock(cols, valid, cap_g, sharded=sharded_out)
+
+
+def _aggregate_local(node: L.AggregateNode, child: ExecBlock, key_cvs,
+                     key_arrays, global_agg: bool, ctx: ExecContext,
+                     sharded_out: bool) -> ExecBlock:
+    s = ctx.settings
+    cap_g = 1024 if global_agg else pad_to(min(child.capacity, s.max_groups))
+    grouping, group_counts, states_per_agg = _stage1(
+        node, child, key_arrays, cap_g, ctx)
+    if not global_agg:
+        ctx.checks.append(Check(grouping.num_groups, cap_g,
+                                "GROUP BY cardinality exceeded max_groups; "
+                                "raise the max_groups setting"))
+    return _finalize(node, key_cvs, grouping.unique_keys,
+                     grouping.num_groups, group_counts, states_per_agg,
+                     cap_g, global_agg, sharded_out, ctx)
+
+
+def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
+                         key_arrays, global_agg: bool, ctx: ExecContext
+                         ) -> ExecBlock:
+    """Distributed mergeable aggregation: local partial states -> exchange
+    (all_to_all by key hash; all_gather for the single global group) ->
+    regroup -> merge -> finalize.  The TPU translation of the reference's
+    two-stage WithMergeableState flow (SURVEY.md §2.6)."""
+    from ..parallel import exchange as ex
+    s = ctx.settings
+    cap_g = 1024 if global_agg else pad_to(min(child.capacity, s.max_groups))
+    grouping, group_counts, states_per_agg = _stage1(
+        node, child, key_arrays, cap_g, ctx)
+
+    group_valid = jnp.arange(cap_g, dtype=jnp.int64) < grouping.num_groups
+    flat_states: List[jax.Array] = [group_counts]
+    arity = [1]
+    for item, _, states in states_per_agg:
+        flat_states.extend(states)
+        arity.append(len(states))
 
     if global_agg:
-        num_groups = jnp.maximum(grouping.num_groups, 1)
+        keys_rx, v = ex.all_gather_rows(grouping.unique_keys, group_valid,
+                                        ctx.axis_name)
+        states_rx, _ = ex.all_gather_rows(flat_states, group_valid,
+                                          ctx.axis_name)
+        valid_rx = v
+        sharded_out = False
     else:
-        num_groups = grouping.num_groups
-    valid = jnp.arange(cap_g, dtype=jnp.int64) < num_groups
-    return ExecBlock(cols, valid, cap_g)
+        keys_rx, states_rx, valid_rx, overflow = ex.exchange_by_key(
+            grouping.unique_keys, flat_states, group_valid,
+            ctx.axis_name, ctx.n_shards, cap_g)
+        ctx.checks.append(Check(overflow, cap_g,
+                                "aggregation state exchange overflowed "
+                                "per-shard capacity; raise max_groups"))
+        sharded_out = True
+
+    # Regroup received partial states by key and merge.
+    g2 = agg_ops.group_by_sort(keys_rx, valid_rx, cap_g)
+    ctx.checks.append(Check(g2.num_groups, cap_g,
+                            "GROUP BY cardinality exceeded max_groups; "
+                            "raise the max_groups setting"))
+    mask2 = g2.take(valid_rx)
+    ids2 = jnp.where(mask2, g2.group_ids, cap_g)
+    i = 0
+    counts_sorted = g2.take(states_rx[0])
+    counts_sorted = jnp.where(mask2, counts_sorted, 0)
+    merged_counts = agg_ops.segment_reduce("sum", counts_sorted, ids2, cap_g)
+    i = 1
+    merged_per_agg = []
+    for item, arg_cvs, states in states_per_agg:
+        ss = [g2.take(x) for x in states_rx[i:i + len(states)]]
+        i += len(states)
+        merged = item.fn.merge(ss, ids2, cap_g)
+        merged_per_agg.append((item, arg_cvs, merged))
+
+    return _finalize(node, key_cvs, g2.unique_keys, g2.num_groups,
+                     merged_counts, merged_per_agg, cap_g, global_agg,
+                     sharded_out, ctx)
 
 
 def _token_for_sort(cv: ColVal, item: L.SortItem, capacity: int) -> jax.Array:
@@ -254,6 +424,20 @@ def _token_for_sort(cv: ColVal, item: L.SortItem, capacity: int) -> jax.Array:
 
 def _exec_sort(node: L.SortNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
+    if child.sharded and ctx.distributed:
+        # Distributed sort/top-N (reference: shard-local sort + initiator
+        # k-way merge, SortingStep.cpp:339): shrink locally via top-k when a
+        # LIMIT hint exists, then gather and finish globally.
+        if (node.limit_hint is not None and len(node.items) == 1
+                and node.limit_hint <= ctx.settings.limit_pushdown_threshold
+                and node.limit_hint < child.capacity):
+            child = _sort_block(node, child, ctx)     # local top-k shrink
+        child = _gather_block(child, ctx)
+    return _sort_block(node, child, ctx)
+
+
+def _sort_block(node: L.SortNode, child: ExecBlock, ctx: ExecContext
+                ) -> ExecBlock:
     cap = child.capacity
     tokens = [_token_for_sort(evaluate(i.expr, child.env()), i, cap)
               for i in node.items]
@@ -271,17 +455,19 @@ def _exec_sort(node: L.SortNode, ctx: ExecContext) -> ExecBlock:
         cols = {fid: _gather_colval(cv, idx_full, cap)
                 for fid, cv in child.cols.items()}
         valid = jnp.arange(out_cap, dtype=jnp.int64) < jnp.minimum(n_valid, k)
-        return ExecBlock(cols, valid, out_cap)
+        return ExecBlock(cols, valid, out_cap, sharded=child.sharded)
 
     perm = sort_ops.sort_permutation(tokens, child.valid)
     cols = {fid: _gather_colval(cv, perm, cap)
             for fid, cv in child.cols.items()}
     valid = jnp.arange(cap, dtype=jnp.int64) < n_valid
-    return ExecBlock(cols, valid, cap)
+    return ExecBlock(cols, valid, cap, sharded=child.sharded)
 
 
 def _exec_limit(node: L.LimitNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
+    if child.sharded and ctx.distributed:
+        child = _gather_block(child, ctx)   # LIMIT needs a global row order
     rank = jnp.cumsum(child.valid.astype(jnp.int64)) - 1
     keep = child.valid & (rank >= node.offset)
     if node.limit >= 0:
@@ -291,6 +477,8 @@ def _exec_limit(node: L.LimitNode, ctx: ExecContext) -> ExecBlock:
 
 def _exec_limit_by(node: L.LimitByNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
+    if child.sharded and ctx.distributed:
+        child = _gather_block(child, ctx)
     cap = child.capacity
     key_cvs = [evaluate(e, child.env()) for e in node.keys]
     key_arrays, _ = _key_arrays(key_cvs, cap)
@@ -311,6 +499,15 @@ def _exec_limit_by(node: L.LimitByNode, ctx: ExecContext) -> ExecBlock:
 
 def _exec_distinct(node: L.DistinctNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
+    sharded_out = False
+    if child.sharded and ctx.distributed:
+        # distribute DISTINCT like a keyed aggregation: repartition by row
+        # hash so equal rows co-locate, then local dedup (output stays
+        # sharded and globally distinct)
+        cvs0 = [child.cols[f.id] for f in node.schema]
+        keys0, _ = _key_arrays(cvs0, child.capacity)
+        child = _repartition_block(child, keys0, ctx)
+        sharded_out = True
     cap = child.capacity
     cvs = [child.cols[f.id] for f in node.schema]
     key_arrays, _ = _key_arrays(cvs, cap)
@@ -332,7 +529,7 @@ def _exec_distinct(node: L.DistinctNode, ctx: ExecContext) -> ExecBlock:
                                 cv_b.dictionary)
         ki += 1
     valid = jnp.arange(cap_g, dtype=jnp.int64) < g.num_groups
-    return ExecBlock(cols, valid, cap_g)
+    return ExecBlock(cols, valid, cap_g, sharded=sharded_out)
 
 
 def _unify_join_keys(lk: ColVal, rk: ColVal, lcap: int, rcap: int):
@@ -350,6 +547,27 @@ def _unify_join_keys(lk: ColVal, rk: ColVal, lcap: int, rcap: int):
 def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
     left = execute_plan(node.left, ctx)
     right = execute_plan(node.right, ctx)
+    if right.sharded and ctx.distributed:
+        # Broadcast join: replicate the (dim) build side on every shard —
+        # the reference's GLOBAL JOIN / all-gather path (SURVEY.md §2.6).
+        # Shuffle join (repartition both sides by unified key hash) when
+        # requested via join_algorithm='shuffle'.
+        use_shuffle = (not node.is_global and left.sharded
+                       and node.kind != "cross"
+                       and ctx.settings.join_algorithm == "shuffle")
+        if not use_shuffle:
+            right = _gather_block(right, ctx)
+        else:
+            lkey_cvs = [evaluate(e, left.env()) for e in node.left_keys]
+            rkey_cvs = [evaluate(e, right.env()) for e in node.right_keys]
+            lroute, rroute = [], []
+            for lk_cv, rk_cv in zip(lkey_cvs, rkey_cvs):
+                la, ra, _, _ = _unify_join_keys(lk_cv, rk_cv,
+                                                left.capacity, right.capacity)
+                lroute.append(la)
+                rroute.append(ra)
+            left = _repartition_block(left, lroute, ctx)
+            right = _repartition_block(right, rroute, ctx)
     lcap, rcap = left.capacity, right.capacity
     s = ctx.settings
 
@@ -380,7 +598,8 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
     if node.strictness in ("semi", "anti"):
         matched = matched_gid >= 0
         keep = matched if node.strictness == "semi" else ~matched
-        return ExecBlock(left.cols, left.valid & keep, lcap)
+        return ExecBlock(left.cols, left.valid & keep, lcap,
+                         sharded=left.sharded)
 
     left_outer = node.kind == "left"
     any_join = node.strictness == "any"
@@ -420,12 +639,12 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
     valid = j < out_count
     if node.kind != "left":
         valid = valid & mmask
-    out = ExecBlock(cols, valid, out_cap)
+    out = ExecBlock(cols, valid, out_cap, sharded=left.sharded)
 
     if node.residual is not None:
         pred = evaluate(node.residual, out.env())
         out = ExecBlock(out.cols, out.valid & _bool_mask(pred, out_cap),
-                        out_cap)
+                        out_cap, sharded=left.sharded)
     return out
 
 
@@ -446,6 +665,11 @@ def _default_scalar(cv: ColVal):
 
 def _exec_union(node: L.UnionNode, ctx: ExecContext) -> ExecBlock:
     blocks = [execute_plan(c, ctx) for c in node.inputs]
+    if ctx.distributed and any(b.sharded for b in blocks) \
+            and not all(b.sharded for b in blocks):
+        # mixed shardedness: replicate everything (sharded ∪ sharded keeps
+        # the concatenation sharded — disjoint by construction)
+        blocks = [_gather_block(b, ctx) for b in blocks]
     out_cap = sum(b.capacity for b in blocks)
     cols: Dict[str, ColVal] = {}
     for i, f in enumerate(node.schema):
@@ -486,7 +710,8 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext) -> ExecBlock:
             validity = None
         cols[f.id] = ColVal(f.dtype, data, validity, dict_)
     valid = jnp.concatenate([b.valid for b in blocks])
-    return ExecBlock(cols, valid, out_cap)
+    return ExecBlock(cols, valid, out_cap,
+                     sharded=any(b.sharded for b in blocks))
 
 
 _DISPATCH: Dict[type, Callable] = {

@@ -1,0 +1,93 @@
+"""Repartitioning exchange over the device mesh.
+
+The TPU-native replacement for the reference's TCP scatter/gather data plane
+(RemoteQueryExecutor + DistributedSink, SURVEY.md §2.7): rows move between
+shards as an XLA `all_to_all` over ICI, routed by key hash — the same role
+the 256-bucket two-level aggregation convention plays in the reference's
+memory-efficient distributed merge (MergingAggregatedMemoryEfficientTransform).
+
+All shapes are static: each shard packs its outgoing rows into a fixed
+(n_shards, capacity) send buffer; overflow is detected via a returned count.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import hash_ops
+
+__all__ = ["exchange_by_key", "all_gather_rows", "psum_scalar"]
+
+
+def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
+                    valid: jax.Array, axis_name: str, n_shards: int,
+                    send_capacity: int
+                    ) -> Tuple[List[jax.Array], List[jax.Array], jax.Array,
+                               jax.Array]:
+    """Route rows to shards by key hash; returns received rows.
+
+    keys/payloads -- per-row arrays (local capacity,)
+    valid         -- bool mask of live local rows
+    send_capacity -- max rows this shard may send to ONE destination
+
+    Returns (keys_rx, payloads_rx, valid_rx, overflow) where the received
+    arrays have capacity n_shards*send_capacity and overflow is a device
+    scalar: max rows any destination needed (must be <= send_capacity).
+    """
+    cap = keys[0].shape[0]
+    h = hash_ops.hash_columns(list(keys))
+    dest = (h % jnp.uint64(n_shards)).astype(jnp.int32)
+    dest = jnp.where(valid, dest, n_shards)          # padding -> dropped
+
+    # Stable-sort rows by destination; position within destination block.
+    rowid = jnp.arange(cap, dtype=jnp.int32)
+    dest_s, row_s = jax.lax.sort([dest, rowid], num_keys=1, is_stable=True)
+    # per-dest counts -> start offset of each destination segment
+    ones = jnp.where(dest_s < n_shards, 1, 0).astype(jnp.int64)
+    counts = jax.ops.segment_sum(ones, dest_s, num_segments=n_shards + 1,
+                                 indices_are_sorted=True)[:n_shards]
+    starts = jnp.cumsum(counts) - counts
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    pos_in_dest = idx - starts[jnp.minimum(dest_s, n_shards - 1)]
+    overflow = jnp.max(counts)
+
+    flat_cap = n_shards * send_capacity
+    slot = jnp.minimum(dest_s, n_shards - 1).astype(jnp.int64) * send_capacity \
+        + pos_in_dest
+    slot = jnp.where((dest_s < n_shards) & (pos_in_dest < send_capacity),
+                     slot, flat_cap)                  # out-of-range -> dropped
+
+    def pack(arr):
+        src = arr[row_s]
+        buf = jnp.zeros((flat_cap,), arr.dtype).at[slot].set(src, mode="drop")
+        return buf.reshape(n_shards, send_capacity)
+
+    sent_valid = jnp.zeros((flat_cap,), jnp.bool_).at[slot].set(
+        True, mode="drop").reshape(n_shards, send_capacity)
+
+    keys_tx = [pack(k) for k in keys]
+    payloads_tx = [pack(p) for p in payloads]
+
+    def a2a(x):
+        return jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0,
+                                  tiled=False)
+
+    keys_rx = [a2a(k).reshape(flat_cap) for k in keys_tx]
+    payloads_rx = [a2a(p).reshape(flat_cap) for p in payloads_tx]
+    valid_rx = a2a(sent_valid).reshape(flat_cap)
+    return keys_rx, payloads_rx, valid_rx, overflow
+
+
+def all_gather_rows(arrays: Sequence[jax.Array], valid: jax.Array,
+                    axis_name: str) -> Tuple[List[jax.Array], jax.Array]:
+    """Replicate all shards' rows everywhere (broadcast-join/gather path)."""
+    out = [jax.lax.all_gather(a, axis_name, axis=0, tiled=True)
+           for a in arrays]
+    v = jax.lax.all_gather(valid, axis_name, axis=0, tiled=True)
+    return out, v
+
+
+def psum_scalar(x: jax.Array, axis_name: str) -> jax.Array:
+    return jax.lax.psum(x, axis_name)
