@@ -275,16 +275,23 @@ def _rekey(node: L.AggregateNode, child: ExecBlock) -> List[jax.Array]:
 
 
 def _stage1(node: L.AggregateNode, child: ExecBlock,
-            key_arrays: List[jax.Array], cap_g: int, ctx: ExecContext):
+            key_arrays: List[jax.Array], cap_g: int, ctx: ExecContext,
+            global_agg: bool = False):
     """Local grouping + per-aggregate partial states (WithMergeableState)."""
     cap = child.capacity
-    grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
+    if global_agg:
+        # GROUP BY (): one masked reduction, never a sort
+        # (Aggregator::executeWithoutKey analog)
+        grouping = agg_ops.group_trivial(child.valid, cap_g)
+    else:
+        grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
     gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
                                 grouping=grouping, num_groups_cap=cap_g)
     mask_s = grouping.take(child.valid)
     ids = jnp.where(mask_s, grouping.group_ids, cap_g)
     group_counts = agg_ops.segment_reduce(
-        "sum", jnp.ones((cap,), jnp.int64), ids, cap_g)
+        "sum", jnp.ones((cap,), jnp.int64), ids, cap_g,
+        grouping.ids_sorted)
     states_per_agg = []
     for item in node.aggregates:
         arg_cvs = [evaluate(a, child.env()).broadcast(cap) for a in item.args]
@@ -331,7 +338,7 @@ def _aggregate_local(node: L.AggregateNode, child: ExecBlock, key_cvs,
     s = ctx.settings
     cap_g = 1024 if global_agg else pad_to(min(child.capacity, s.max_groups))
     grouping, group_counts, states_per_agg = _stage1(
-        node, child, key_arrays, cap_g, ctx)
+        node, child, key_arrays, cap_g, ctx, global_agg)
     if not global_agg:
         ctx.checks.append(Check(grouping.num_groups, cap_g,
                                 "GROUP BY cardinality exceeded max_groups; "
@@ -352,7 +359,7 @@ def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
     s = ctx.settings
     cap_g = 1024 if global_agg else pad_to(min(child.capacity, s.max_groups))
     grouping, group_counts, states_per_agg = _stage1(
-        node, child, key_arrays, cap_g, ctx)
+        node, child, key_arrays, cap_g, ctx, global_agg)
 
     group_valid = jnp.arange(cap_g, dtype=jnp.int64) < grouping.num_groups
     flat_states: List[jax.Array] = [group_counts]

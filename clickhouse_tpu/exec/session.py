@@ -140,6 +140,12 @@ class Session:
             plan = self._plan(stmt, settings)
             cols, ctx = self._execute(plan, settings)
         types = [(f.display, str(f.dtype)) for f in plan.schema]
+        outfile = getattr(stmt, "outfile", None)
+        if outfile:
+            from ..storage import formats
+            formats.write_file(outfile, cols, types,
+                               fmt=getattr(stmt, "format", None))
+            return _status_result()
         return Result(cols, types,
                       rows_read=ctx.profile.get("rows_scanned", 0))
 
@@ -305,6 +311,13 @@ class Session:
     def _run_insert(self, stmt: ast.Insert) -> Result:
         db = stmt.database or self.catalog.current_database
         table = self.catalog.get_table(db, stmt.table)
+        if stmt.infile is not None:
+            from ..storage import formats
+            data = formats.read_file(stmt.infile, stmt.format)
+            if stmt.columns:
+                data = {k: data[k] for k in stmt.columns}
+            table.insert_pydict(_align_insert(data, table, stmt.columns))
+            return _status_result()
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
             cols: Dict[str, list] = {n: [] for n in names}

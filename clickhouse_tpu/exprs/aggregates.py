@@ -124,7 +124,8 @@ class CountAgg(AggregateFunction):
     def update(self, ctx, args, cond):
         mask_s, ids = self._mask_and_ids(ctx, args, cond)
         ones = jnp.ones(mask_s.shape, jnp.int64)
-        return [agg_ops.segment_reduce("sum", ones, ids, ctx.num_groups_cap)]
+        return [agg_ops.segment_reduce("sum", ones, ids, ctx.num_groups_cap,
+                               ctx.grouping.ids_sorted)]
 
     def finalize(self, states):
         return states[0].astype(jnp.uint64), None
@@ -157,7 +158,8 @@ class SumAgg(AggregateFunction):
         v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
         v = v.astype(st)
         v = jnp.where(mask_s, v, jnp.zeros((), st))
-        return [agg_ops.segment_reduce("sum", v, ids, ctx.num_groups_cap)]
+        return [agg_ops.segment_reduce("sum", v, ids, ctx.num_groups_cap,
+                               ctx.grouping.ids_sorted)]
 
     def finalize(self, states):
         return states[0], None
@@ -175,7 +177,8 @@ class MinMaxAgg(AggregateFunction):
     def update(self, ctx, args, cond):
         mask_s, ids = self._mask_and_ids(ctx, args, cond)
         v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        return [agg_ops.segment_reduce(self.op, v, ids, ctx.num_groups_cap)]
+        return [agg_ops.segment_reduce(self.op, v, ids, ctx.num_groups_cap,
+                               ctx.grouping.ids_sorted)]
 
     def finalize(self, states):
         return states[0], None
@@ -203,8 +206,9 @@ class AvgAgg(AggregateFunction):
         v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
         v = jnp.where(mask_s, v.astype(jnp.float64), 0.0)
         ones = jnp.ones(mask_s.shape, jnp.int64)
-        return [agg_ops.segment_reduce("sum", v, ids, ctx.num_groups_cap),
-                agg_ops.segment_reduce("sum", ones, ids, ctx.num_groups_cap)]
+        ss = ctx.grouping.ids_sorted
+        return [agg_ops.segment_reduce("sum", v, ids, ctx.num_groups_cap, ss),
+                agg_ops.segment_reduce("sum", ones, ids, ctx.num_groups_cap, ss)]
 
     def finalize(self, states):
         s, c = states
@@ -224,7 +228,8 @@ class AnyAgg(AggregateFunction):
     def update(self, ctx, args, cond):
         mask_s, ids = self._mask_and_ids(ctx, args, cond)
         v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        return [agg_ops.segment_reduce("any", v, ids, ctx.num_groups_cap)]
+        return [agg_ops.segment_reduce("any", v, ids, ctx.num_groups_cap,
+                               ctx.grouping.ids_sorted)]
 
     def finalize(self, states):
         return states[0], None
@@ -245,9 +250,10 @@ class SumSquaresMixin(AggregateFunction):
         v = jnp.where(mask_s, v.astype(jnp.float64), 0.0)
         ones = jnp.ones(mask_s.shape, jnp.int64)
         n = ctx.num_groups_cap
-        return [agg_ops.segment_reduce("sum", v, ids, n),
-                agg_ops.segment_reduce("sum", v * v, ids, n),
-                agg_ops.segment_reduce("sum", ones, ids, n)]
+        ss = ctx.grouping.ids_sorted
+        return [agg_ops.segment_reduce("sum", v, ids, n, ss),
+                agg_ops.segment_reduce("sum", v * v, ids, n, ss),
+                agg_ops.segment_reduce("sum", ones, ids, n, ss)]
 
     def _moments(self, states):
         s, s2, c = states
@@ -317,10 +323,11 @@ class ArgMinMaxAgg(AggregateFunction):
         tok = ctx.grouping.take(self._token(args[1], cap))
         tok = jnp.where(mask_s, tok, jnp.uint64(2**64 - 1))
         n = ctx.num_groups_cap
-        best = agg_ops.segment_reduce("min", tok, ids, n)
+        ss = ctx.grouping.ids_sorted
+        best = agg_ops.segment_reduce("min", tok, ids, n, ss)
         at_best = mask_s & (tok == best[jnp.minimum(ids, n - 1)])
         ids2 = jnp.where(at_best, ids, n)
-        value = agg_ops.segment_reduce("any", val, ids2, n)
+        value = agg_ops.segment_reduce("any", val, ids2, n, ss)
         return [best, value]
 
     def merge(self, states, group_ids, num_segments):

@@ -31,15 +31,21 @@ class Grouping:
     sorted rows [0, capacity): rows reordered so equal keys are adjacent;
     group_ids[i] = dense id of sorted row i, or num_groups_cap for padding
     rows (so scatters/segment ops drop them).
+
+    perm=None marks the sort-free trivial grouping (single global group):
+    rows keep their original order and ids are NOT sorted.
     """
-    perm: jax.Array              # int32 row permutation applied to inputs
+    perm: Optional[jax.Array]    # int32 row permutation applied to inputs
     group_ids: jax.Array         # int32, padding rows -> num_groups_cap
     num_groups: jax.Array        # int64 device scalar
     unique_keys: List[jax.Array]  # each (num_groups_cap,), padding = 0
     num_groups_cap: int
+    ids_sorted: bool = True
 
     def take(self, array: jax.Array) -> jax.Array:
         """Reorder a payload column into sorted-by-key order."""
+        if self.perm is None:
+            return array
         return array[self.perm]
 
 
@@ -88,21 +94,40 @@ def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
                     unique_keys=unique_keys, num_groups_cap=num_groups_cap)
 
 
+def group_trivial(row_valid: jax.Array, num_groups_cap: int = 1024
+                  ) -> Grouping:
+    """Sort-free grouping for GROUP BY (): one global group.
+
+    The reference's Aggregator::executeWithoutKey analog — a global
+    count()/sum() must cost one masked reduction, not a 100M-row sort.
+    """
+    cap = row_valid.shape[0]
+    gid = jnp.where(row_valid, 0, num_groups_cap).astype(jnp.int32)
+    num_groups = jnp.any(row_valid).astype(jnp.int64)
+    uk = jnp.zeros((num_groups_cap,), jnp.int32)
+    return Grouping(perm=None, group_ids=gid, num_groups=num_groups,
+                    unique_keys=[uk], num_groups_cap=num_groups_cap,
+                    ids_sorted=False)
+
+
 # -- segment reductions ------------------------------------------------------
 
-def _segment_sum(data, ids, n):
-    return jax.ops.segment_sum(data, ids, num_segments=n, indices_are_sorted=True)
+def _segment_sum(data, ids, n, sorted_):
+    return jax.ops.segment_sum(data, ids, num_segments=n,
+                               indices_are_sorted=sorted_)
 
 
-def _segment_min(data, ids, n):
-    return jax.ops.segment_min(data, ids, num_segments=n, indices_are_sorted=True)
+def _segment_min(data, ids, n, sorted_):
+    return jax.ops.segment_min(data, ids, num_segments=n,
+                               indices_are_sorted=sorted_)
 
 
-def _segment_max(data, ids, n):
-    return jax.ops.segment_max(data, ids, num_segments=n, indices_are_sorted=True)
+def _segment_max(data, ids, n, sorted_):
+    return jax.ops.segment_max(data, ids, num_segments=n,
+                               indices_are_sorted=sorted_)
 
 
-def _segment_any(data, ids, n):
+def _segment_any(data, ids, n, sorted_):
     # 'any value of the segment' — last write wins is fine (reference `any`
     # is explicitly non-deterministic; we are at least deterministic).
     return jnp.zeros((n,), data.dtype).at[ids].set(data, mode="drop")
@@ -117,11 +142,11 @@ SEGMENT_OPS = {
 
 
 def segment_reduce(op: str, data: jax.Array, group_ids: jax.Array,
-                   num_segments: int) -> jax.Array:
+                   num_segments: int, ids_sorted: bool = True) -> jax.Array:
     """Reduce `data` per group.  Padding rows must carry out-of-range ids.
 
     For min/max the caller must have substituted the op's identity into
     padding rows OR rely on out-of-range drop (segment_min/max drop them and
     fill empty segments with the dtype's identity).
     """
-    return SEGMENT_OPS[op](data, group_ids, num_segments)
+    return SEGMENT_OPS[op](data, group_ids, num_segments, ids_sorted)

@@ -293,6 +293,19 @@ class Analyzer:
         if name == "one":
             f = L.Field(self.fresh_id(), "dummy", dt.UInt8, quals)
             return L.OneRowNode([f]), Scope([f])
+        if name == "file":
+            if not fc.args or not isinstance(fc.args[0], ast.Literal):
+                raise AnalysisError("file() expects a constant path")
+            path = str(fc.args[0].value)
+            fmt = str(fc.args[1].value) if len(fc.args) > 1 \
+                and isinstance(fc.args[1], ast.Literal) else None
+            table = self.catalog.file_table(path, fmt)
+            fields, names = [], []
+            for cname, ctype in table.schema_items():
+                fields.append(self.field(cname, ctype, quals))
+                names.append(cname)
+            node = L.ScanNode("_files", table.name, fields, names)
+            return node, Scope(fields)
         raise UnknownTable(f"Unknown table function '{fc.name}'")
 
     def analyze_join(self, left: L.PlanNode, lscope: Scope, join: ast.Join,

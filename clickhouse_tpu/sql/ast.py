@@ -130,6 +130,8 @@ class Select:
     distinct: bool = False
     ctes: List[CTE] = dataclasses.field(default_factory=list)
     settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    outfile: Optional[str] = None
+    format: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -174,6 +176,8 @@ class Insert:
     columns: Optional[List[str]] = None
     values: Optional[List[List[Expr]]] = None
     select: Optional[Union[Select, "Union"]] = None
+    infile: Optional[str] = None
+    format: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -22,7 +22,7 @@ RESERVED = {
     "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
     "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
     "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "ROLLUP", "CUBE",
-    "INTERVAL", "EXISTS", "ARRAY",
+    "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE",
 }
 
 
@@ -198,6 +198,16 @@ class Parser:
                 if self.accept_kw("OFFSET"):
                     sel.offset = self.parse_expr()
         if self.accept_kw("SETTINGS"):
+            sel.settings = self.parse_settings_list()
+        if self.accept_kw("INTO"):
+            self.expect_kw("OUTFILE")
+            t = self.tok
+            if t.kind != "string":
+                raise ParseError("INTO OUTFILE expects a string path")
+            sel.outfile = self.advance().text
+        if self.accept_kw("FORMAT"):
+            sel.format = self.expect_word()
+        if self.accept_kw("SETTINGS") and not sel.settings:
             sel.settings = self.parse_settings_list()
         return sel
 
@@ -476,6 +486,16 @@ class Parser:
             except ParseError:
                 self.i = save
                 columns = None
+        if self.accept_kw("FROM"):
+            self.expect_kw("INFILE")
+            t = self.tok
+            if t.kind != "string":
+                raise ParseError("FROM INFILE expects a string path")
+            path = self.advance().text
+            fmt = None
+            if self.accept_kw("FORMAT"):
+                fmt = self.expect_word()
+            return ast.Insert(db, tbl, columns, infile=path, format=fmt)
         if self.accept_kw("VALUES"):
             rows = []
             while self.accept_op("("):
@@ -489,7 +509,8 @@ class Parser:
             return ast.Insert(db, tbl, columns, values=rows)
         if self.tok.is_kw("SELECT", "WITH"):
             return ast.Insert(db, tbl, columns, select=self.parse_select_union())
-        raise ParseError(f"Expected VALUES or SELECT at {self.tok.pos}")
+        raise ParseError(f"Expected VALUES, SELECT or FROM INFILE at "
+                         f"{self.tok.pos}")
 
     def parse_drop(self):
         self.advance()

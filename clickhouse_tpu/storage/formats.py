@@ -1,0 +1,205 @@
+"""Input/output formats.
+
+Analog of the reference's FormatFactory + ~70 formats
+(src/Formats/FormatFactory.h, src/Processors/Formats/).  Columnar formats
+(Parquet/Arrow/ORC) ride pyarrow; text formats (CSV/TSV/JSONEachRow) ride
+pandas/stdlib.  Everything lands in host pydicts that feed the columnar
+ingest path (dictionary-encoding strings on the way to the device).
+"""
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core import dtypes as dt
+from ..core.errors import AnalysisError, NotImplementedError_
+
+__all__ = ["read_file", "write_file", "detect_format", "FORMATS",
+           "format_rows_text"]
+
+FORMATS = ["Parquet", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
+           "JSONEachRow", "Native", "Values", "Arrow"]
+
+
+def detect_format(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    return {
+        ".parquet": "Parquet", ".pq": "Parquet", ".csv": "CSVWithNames",
+        ".tsv": "TSVWithNames", ".json": "JSONEachRow",
+        ".jsonl": "JSONEachRow", ".ndjson": "JSONEachRow",
+        ".native": "Native", ".arrow": "Arrow",
+    }.get(ext, "CSVWithNames")
+
+
+def read_file(path: str, fmt: Optional[str] = None,
+              ) -> Dict[str, np.ndarray]:
+    fmt = fmt or detect_format(path)
+    f = fmt.lower()
+    if f == "parquet":
+        import pyarrow.parquet as pq
+        table = pq.read_table(path)
+        return _arrow_to_pydict(table)
+    if f == "arrow":
+        import pyarrow as pa
+        with pa.memory_map(path) as src:
+            table = pa.ipc.open_file(src).read_all()
+        return _arrow_to_pydict(table)
+    if f in ("csv", "csvwithnames", "tsv", "tsvwithnames"):
+        import pandas as pd
+        sep = "\t" if f.startswith("tsv") else ","
+        header = 0 if f.endswith("withnames") else None
+        df = pd.read_csv(path, sep=sep, header=header)
+        if header is None:
+            df.columns = [f"c{i + 1}" for i in range(len(df.columns))]
+        return {str(c): _pandas_col(df[c]) for c in df.columns}
+    if f == "jsoneachrow":
+        rows = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+        if not rows:
+            return {}
+        cols: Dict[str, list] = {k: [] for k in rows[0]}
+        for r in rows:
+            for k in cols:
+                cols[k].append(r.get(k))
+        return {k: np.asarray(v, dtype=object) for k, v in cols.items()}
+    if f == "native":
+        from .native_format import read_native_file
+        return read_native_file(path)
+    raise NotImplementedError_(f"Input format '{fmt}' is not supported yet")
+
+
+def write_file(path: str, data: Dict[str, np.ndarray],
+               types: Optional[List[Tuple[str, str]]] = None,
+               fmt: Optional[str] = None) -> None:
+    fmt = fmt or detect_format(path)
+    f = fmt.lower()
+    if f == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table(_to_arrow_cols(data)), path)
+        return
+    if f in ("csv", "csvwithnames", "tsv", "tsvwithnames"):
+        import pandas as pd
+        sep = "\t" if f.startswith("tsv") else ","
+        pd.DataFrame(data).to_csv(path, sep=sep, index=False,
+                                  header=f.endswith("withnames"))
+        return
+    if f == "jsoneachrow":
+        names = list(data.keys())
+        n = len(next(iter(data.values()))) if data else 0
+        with open(path, "w") as fh:
+            for i in range(n):
+                fh.write(json.dumps({k: _py(data[k][i]) for k in names}))
+                fh.write("\n")
+        return
+    if f == "native":
+        from .native_format import write_native_file
+        write_native_file(path, data, types)
+        return
+    raise NotImplementedError_(f"Output format '{fmt}' is not supported yet")
+
+
+def _py(v):
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.str_):
+        return str(v)
+    return v
+
+
+def _pandas_col(series) -> np.ndarray:
+    import pandas as pd
+    if series.dtype == object or pd.api.types.is_string_dtype(series):
+        vals = series.to_numpy(dtype=object)
+        mask = pd.isna(series).to_numpy()
+        if mask.any():
+            vals = vals.copy()
+            vals[mask] = None
+        return vals
+    if pd.api.types.is_float_dtype(series) or pd.api.types.is_integer_dtype(series):
+        return series.to_numpy()
+    if pd.api.types.is_bool_dtype(series):
+        return series.to_numpy().astype(np.uint8)
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return (series.astype("int64") // 10**9).to_numpy()
+    return series.to_numpy(dtype=object)
+
+
+def _arrow_to_pydict(table) -> Dict[str, np.ndarray]:
+    import pyarrow as pa
+    out = {}
+    for name, col in zip(table.column_names, table.columns):
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t) or pa.types.is_dictionary(t):
+            out[name] = np.asarray(col.to_pylist(), dtype=object)
+        elif pa.types.is_timestamp(t):
+            out[name] = (col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                         // 10**(9 if t.unit == "ns" else
+                                 6 if t.unit == "us" else
+                                 3 if t.unit == "ms" else 0))
+        elif pa.types.is_boolean(t):
+            out[name] = col.to_numpy(zero_copy_only=False).astype(np.uint8)
+        else:
+            arr = col.to_numpy(zero_copy_only=False)
+            if col.null_count:
+                vals = np.asarray(col.to_pylist(), dtype=object)
+                out[name] = vals
+            else:
+                out[name] = arr
+    return out
+
+
+def _to_arrow_cols(data: Dict[str, np.ndarray]):
+    import pyarrow as pa
+    cols = {}
+    for k, v in data.items():
+        v = np.asarray(v)
+        if v.dtype == object:
+            cols[k] = pa.array(list(v))
+        else:
+            cols[k] = pa.array(v)
+    return cols
+
+
+def format_rows_text(data: Dict[str, np.ndarray], fmt: str) -> str:
+    """Render a result in a text output format (FORMAT clause analog)."""
+    f = fmt.lower()
+    names = list(data.keys())
+    n = len(next(iter(data.values()))) if data else 0
+    buf = io.StringIO()
+    if f in ("csv", "csvwithnames", "tsv", "tsvwithnames"):
+        sep = "\t" if f.startswith("tsv") else ","
+        w = csv.writer(buf, delimiter=sep, lineterminator="\n")
+        if f.endswith("withnames"):
+            w.writerow(names)
+        for i in range(n):
+            w.writerow([_py(data[k][i]) for k in names])
+        return buf.getvalue()
+    if f == "jsoneachrow":
+        for i in range(n):
+            buf.write(json.dumps({k: _py(data[k][i]) for k in names}))
+            buf.write("\n")
+        return buf.getvalue()
+    if f == "values":
+        rows = []
+        for i in range(n):
+            cells = []
+            for k in names:
+                v = _py(data[k][i])
+                cells.append("NULL" if v is None
+                             else f"'{v}'" if isinstance(v, str) else str(v))
+            rows.append("(" + ",".join(cells) + ")")
+        return ",".join(rows)
+    raise NotImplementedError_(f"Text format '{fmt}' is not supported yet")

@@ -146,8 +146,46 @@ class Catalog:
 
     def __init__(self):
         self.databases: Dict[str, Database] = {"default": Database("default"),
-                                               "system": Database("system")}
+                                               "system": Database("system"),
+                                               "_files": Database("_files")}
         self.current_database = "default"
+        self._file_cache: Dict[Tuple[str, float], str] = {}
+
+    def file_table(self, path: str, fmt: Optional[str] = None) -> Table:
+        """file() table function backing: read once per (path, mtime)."""
+        import os
+        from . import formats
+        from .table import Table as _T
+        mtime = os.path.getmtime(path)
+        key = (path, mtime)
+        name = self._file_cache.get(key)
+        db = self.databases["_files"]
+        if name is not None and name in db.tables:
+            return db.tables[name]
+        data = formats.read_file(path, fmt)
+        schema = []
+        for cname, vals in data.items():
+            v = np.asarray(vals)
+            if v.dtype == object:
+                non_null = [x for x in v if x is not None]
+                nullable = len(non_null) < len(v)
+                if all(isinstance(x, str) for x in non_null):
+                    t = dt.String
+                elif all(isinstance(x, (int, np.integer)) for x in non_null):
+                    t = dt.Int64
+                else:
+                    t = dt.Float64
+                if nullable:
+                    t = dt.make_nullable(t)
+            else:
+                t = dt.from_numpy_dtype(v.dtype)
+            schema.append((cname, t))
+        name = f"f{len(db.tables)}_{abs(hash(key)) % 10**8}"
+        t = _T(name, schema, engine="File")
+        t.insert_pydict(data)
+        db.tables[name] = t
+        self._file_cache[key] = name
+        return t
 
     def get_table(self, database: str, name: str) -> Table:
         db = self.databases.get(database)

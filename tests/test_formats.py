@@ -1,0 +1,106 @@
+"""Format round-trip tests (CSV/Parquet/JSONEachRow/Native) + file() +
+INTO OUTFILE / FROM INFILE."""
+import os
+
+import numpy as np
+import pytest
+
+import clickhouse_tpu as ch
+from clickhouse_tpu.storage import formats, native_format
+
+
+@pytest.fixture
+def session():
+    return ch.connect()
+
+
+@pytest.fixture
+def sample():
+    return {
+        "id": np.arange(100, dtype=np.int64),
+        "name": np.asarray([f"name_{i % 10}" for i in range(100)], object),
+        "score": np.arange(100, dtype=np.float64) * 1.5,
+    }
+
+
+class TestNativeFormat:
+    def test_roundtrip_numeric_string(self, tmp_path, sample):
+        p = str(tmp_path / "t.native")
+        native_format.write_native_file(p, sample)
+        back = native_format.read_native_file(p)
+        np.testing.assert_array_equal(back["id"], sample["id"])
+        np.testing.assert_array_equal(back["name"], sample["name"])
+        np.testing.assert_allclose(back["score"], sample["score"])
+
+    def test_roundtrip_nullable(self, tmp_path):
+        vals = np.asarray([1.5, None, 3.5, None], object)
+        p = str(tmp_path / "n.native")
+        native_format.write_native_file(p, {"v": vals})
+        back = native_format.read_native_file(p)
+        assert back["v"][1] is None and back["v"][0] == 1.5
+
+    def test_explicit_types(self, tmp_path):
+        p = str(tmp_path / "typed.native")
+        native_format.write_native_file(
+            p, {"a": np.asarray([1, 2], np.int64)}, [("a", "UInt32")])
+        with open(p, "rb") as f:
+            data, types = native_format.read_native(f)
+        assert types == [("a", "UInt32")]
+        assert data["a"].dtype == np.uint32
+
+    def test_multiblock(self, tmp_path):
+        import io
+        buf = io.BytesIO()
+        native_format.write_native(buf, {"x": np.arange(10, dtype=np.int64)},
+                                   block_rows=3)
+        buf.seek(0)
+        data, _ = native_format.read_native(buf)
+        np.testing.assert_array_equal(data["x"], np.arange(10))
+
+
+class TestFileFormats:
+    @pytest.mark.parametrize("ext", ["parquet", "csv", "jsonl", "native"])
+    def test_roundtrip(self, tmp_path, sample, ext):
+        p = str(tmp_path / f"t.{ext}")
+        formats.write_file(p, sample)
+        back = formats.read_file(p)
+        np.testing.assert_array_equal(np.asarray(back["id"], np.int64),
+                                      sample["id"])
+        assert list(back["name"]) == list(sample["name"])
+
+    def test_file_table_function(self, tmp_path, session, sample):
+        p = str(tmp_path / "data.parquet")
+        formats.write_file(p, sample)
+        r = session.execute(f"SELECT count(), sum(id) FROM file('{p}')")
+        assert r.rows()[0] == (100, int(sample["id"].sum()))
+
+    def test_file_group_by(self, tmp_path, session, sample):
+        p = str(tmp_path / "data.csv")
+        formats.write_file(p, sample)
+        r = session.execute(
+            f"SELECT name, count() AS c FROM file('{p}') "
+            f"GROUP BY name ORDER BY name LIMIT 3")
+        assert r.rows()[0] == ("name_0", 10)
+
+    def test_into_outfile(self, tmp_path, session, sample):
+        session.create_table_from_pydict("src", sample)
+        out = str(tmp_path / "out.parquet")
+        session.execute(f"SELECT id, score FROM src WHERE id < 10 "
+                        f"INTO OUTFILE '{out}'")
+        back = formats.read_file(out)
+        assert len(back["id"]) == 10
+
+    def test_from_infile(self, tmp_path, session, sample):
+        p = str(tmp_path / "in.csv")
+        formats.write_file(p, sample)
+        session.execute("CREATE TABLE dst (id Int64, name String, score Float64)")
+        session.execute(f"INSERT INTO dst FROM INFILE '{p}'")
+        assert session.execute("SELECT count() FROM dst").scalar() == 100
+
+    def test_text_format_rendering(self, sample):
+        txt = formats.format_rows_text(
+            {"a": np.asarray([1, 2]), "b": np.asarray(["x", "y"], object)},
+            "CSVWithNames")
+        assert txt == "a,b\n1,x\n2,y\n"
+        j = formats.format_rows_text({"a": np.asarray([1])}, "JSONEachRow")
+        assert j == '{"a": 1}\n'
