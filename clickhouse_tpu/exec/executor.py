@@ -238,34 +238,72 @@ def _repartition_block(eb: ExecBlock, key_arrays: List[jax.Array],
     return ExecBlock(cols, valid_rx, valid_rx.shape[0], sharded=True)
 
 
-def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock):
+def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
+                    settings: Settings):
+    """-> (key_cvs, key_arrays, dense_dims or None, global_agg)."""
+    from ..plan import ranges
     cap = child.capacity
     key_cvs = [evaluate(e, child.env()) for _, e in node.keys]
     if not key_cvs:
-        return key_cvs, [jnp.zeros((cap,), jnp.int32)], 1024, True
-    key_arrays, _ = _key_arrays(key_cvs, cap)
-    return key_cvs, key_arrays, None, False
+        return key_cvs, [jnp.zeros((cap,), jnp.int32)], None, True
+    arrays: List[jax.Array] = []
+    dims: List = []
+    dense_ok = True
+    total = 1
+    for (f, e), cv in zip(node.keys, key_cvs):
+        cv = cv.broadcast(cap)
+        data = cv.data
+        if cv.validity is not None:
+            v = cv.validity.astype(jnp.bool_)
+            data = jnp.where(v, data, jnp.zeros((), data.dtype))
+            arrays.append(v)
+            dims.append((0, 2))
+            total *= 2
+        arrays.append(data)
+        b = None
+        if cv.dtype.is_dictionary:
+            d = cv.dictionary
+            b = (0, max(len(d) - 1, 0)) if d is not None else None
+        elif cv.dtype.np_dtype.kind in ("i", "u", "b"):
+            b = ranges.infer_bounds(e, {})
+        if b is None:
+            dense_ok = False
+            dims.append(None)
+        else:
+            size = b[1] - b[0] + 1
+            dims.append((b[0], size))
+            total *= size
+    if not dense_ok or total <= 0 or total > settings.max_groups \
+            or settings.group_by_algorithm == "sort":
+        dims = None
+    return key_cvs, arrays, dims, False
 
 
 def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
-    key_cvs, key_arrays, _, global_agg = _agg_key_arrays(node, child)
+    key_cvs, key_arrays, dims, global_agg = _agg_key_arrays(
+        node, child, ctx.settings)
+    holistic = any(a.fn.holistic for a in node.aggregates)
+    if holistic:
+        # holistic aggregates build their own sorted grouping whose dense
+        # rank ids must match the primary grouping — only sort-based ids do
+        dims = None
 
     if child.sharded and ctx.distributed:
-        holistic = any(a.fn.holistic for a in node.aggregates)
         if holistic:
             if node.keys:
                 child = _repartition_block(child, _rekey(node, child), ctx)
             else:
                 child = _gather_block(child, ctx)
-            key_cvs, key_arrays, _, global_agg = _agg_key_arrays(node, child)
-            return _aggregate_local(node, child, key_cvs, key_arrays,
+            key_cvs, key_arrays, dims, global_agg = _agg_key_arrays(
+                node, child, ctx.settings)
+            return _aggregate_local(node, child, key_cvs, key_arrays, None,
                                     global_agg, ctx,
                                     sharded_out=bool(node.keys))
-        return _aggregate_two_stage(node, child, key_cvs, key_arrays,
+        return _aggregate_two_stage(node, child, key_cvs, key_arrays, dims,
                                     global_agg, ctx)
-    return _aggregate_local(node, child, key_cvs, key_arrays, global_agg,
-                            ctx, sharded_out=child.sharded)
+    return _aggregate_local(node, child, key_cvs, key_arrays, dims,
+                            global_agg, ctx, sharded_out=child.sharded)
 
 
 def _rekey(node: L.AggregateNode, child: ExecBlock) -> List[jax.Array]:
@@ -275,7 +313,7 @@ def _rekey(node: L.AggregateNode, child: ExecBlock) -> List[jax.Array]:
 
 
 def _stage1(node: L.AggregateNode, child: ExecBlock,
-            key_arrays: List[jax.Array], cap_g: int, ctx: ExecContext,
+            key_arrays: List[jax.Array], dims, cap_g: int, ctx: ExecContext,
             global_agg: bool = False):
     """Local grouping + per-aggregate partial states (WithMergeableState)."""
     cap = child.capacity
@@ -283,6 +321,10 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         # GROUP BY (): one masked reduction, never a sort
         # (Aggregator::executeWithoutKey analog)
         grouping = agg_ops.group_trivial(child.valid, cap_g)
+    elif dims is not None:
+        # provably-small key space: direct-array grouping, no sort
+        grouping = agg_ops.group_by_dense(key_arrays, dims, child.valid,
+                                          cap_g)
     else:
         grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
     gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
@@ -305,7 +347,8 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
 
 def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
               group_counts, states_per_agg, cap_g, global_agg,
-              sharded_out: bool, ctx: ExecContext) -> ExecBlock:
+              sharded_out: bool, ctx: ExecContext,
+              group_valid=None) -> ExecBlock:
     cols: Dict[str, ColVal] = {}
     ki = 0
     for (f, _), cv in zip(node.keys, key_cvs):
@@ -326,30 +369,45 @@ def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
                                           and item.field.dtype.is_dictionary) \
             else None
         cols[item.field.id] = ColVal(item.field.dtype, data, validity, dict_)
+    if group_valid is None:
+        if global_agg:
+            num_groups = jnp.maximum(num_groups, 1)
+        group_valid = jnp.arange(cap_g, dtype=jnp.int64) < num_groups
+    return ExecBlock(cols, group_valid, cap_g, sharded=sharded_out)
+
+
+def _agg_capacity(child: ExecBlock, dims, global_agg: bool,
+                  s: Settings) -> int:
     if global_agg:
-        num_groups = jnp.maximum(num_groups, 1)
-    valid = jnp.arange(cap_g, dtype=jnp.int64) < num_groups
-    return ExecBlock(cols, valid, cap_g, sharded=sharded_out)
+        return 1024
+    if dims is not None:
+        total = 1
+        for d in dims:
+            total *= d[1]
+        return pad_to(total)
+    return pad_to(min(child.capacity, s.max_groups))
 
 
 def _aggregate_local(node: L.AggregateNode, child: ExecBlock, key_cvs,
-                     key_arrays, global_agg: bool, ctx: ExecContext,
+                     key_arrays, dims, global_agg: bool, ctx: ExecContext,
                      sharded_out: bool) -> ExecBlock:
     s = ctx.settings
-    cap_g = 1024 if global_agg else pad_to(min(child.capacity, s.max_groups))
+    cap_g = _agg_capacity(child, dims, global_agg, s)
     grouping, group_counts, states_per_agg = _stage1(
-        node, child, key_arrays, cap_g, ctx, global_agg)
-    if not global_agg:
+        node, child, key_arrays, dims, cap_g, ctx, global_agg)
+    if not global_agg and dims is None:
         ctx.checks.append(Check(grouping.num_groups, cap_g,
                                 "GROUP BY cardinality exceeded max_groups; "
                                 "raise the max_groups setting"))
     return _finalize(node, key_cvs, grouping.unique_keys,
                      grouping.num_groups, group_counts, states_per_agg,
-                     cap_g, global_agg, sharded_out, ctx)
+                     cap_g, global_agg, sharded_out, ctx,
+                     group_valid=None if global_agg
+                     else grouping.group_valid())
 
 
 def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
-                         key_arrays, global_agg: bool, ctx: ExecContext
+                         key_arrays, dims, global_agg: bool, ctx: ExecContext
                          ) -> ExecBlock:
     """Distributed mergeable aggregation: local partial states -> exchange
     (all_to_all by key hash; all_gather for the single global group) ->
@@ -357,11 +415,11 @@ def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
     two-stage WithMergeableState flow (SURVEY.md §2.6)."""
     from ..parallel import exchange as ex
     s = ctx.settings
-    cap_g = 1024 if global_agg else pad_to(min(child.capacity, s.max_groups))
+    cap_g = _agg_capacity(child, dims, global_agg, s)
     grouping, group_counts, states_per_agg = _stage1(
-        node, child, key_arrays, cap_g, ctx, global_agg)
+        node, child, key_arrays, dims, cap_g, ctx, global_agg)
 
-    group_valid = jnp.arange(cap_g, dtype=jnp.int64) < grouping.num_groups
+    group_valid = grouping.group_valid()
     flat_states: List[jax.Array] = [group_counts]
     arity = [1]
     for item, _, states in states_per_agg:
@@ -405,7 +463,8 @@ def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
 
     return _finalize(node, key_cvs, g2.unique_keys, g2.num_groups,
                      merged_counts, merged_per_agg, cap_g, global_agg,
-                     sharded_out, ctx)
+                     sharded_out, ctx,
+                     group_valid=None if global_agg else g2.group_valid())
 
 
 def _token_for_sort(cv: ColVal, item: L.SortItem, capacity: int) -> jax.Array:

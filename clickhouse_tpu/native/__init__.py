@@ -1,0 +1,217 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Provides the host-side hot loops the reference keeps in C++
+(SURVEY.md §2.1 compression codecs + Native format serialization):
+
+  * lz4_compress / lz4_decompress       -- LZ4 block codec
+  * encode_strings / decode_strings     -- Native-format varint string columns
+  * hash64                              -- splitmix64 (matches ops.hash_ops)
+
+Falls back to pure-Python implementations when the toolchain is unavailable
+(`HAVE_NATIVE` tells you which you got).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["HAVE_NATIVE", "lz4_compress", "lz4_decompress",
+           "encode_strings", "decode_strings", "hash64_np"]
+
+_lib = None
+HAVE_NATIVE = False
+
+
+def _load():
+    global _lib, HAVE_NATIVE
+    if _lib is not None:
+        return _lib
+    try:
+        from .build import build
+        path = build()
+        lib = ctypes.CDLL(path)
+        lib.chn_lz4_compress.restype = ctypes.c_int
+        lib.chn_lz4_compress.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_void_p, ctypes.c_int]
+        lib.chn_lz4_decompress.restype = ctypes.c_int
+        lib.chn_lz4_decompress.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.c_void_p, ctypes.c_int]
+        lib.chn_write_strcol.restype = ctypes.c_longlong
+        lib.chn_write_strcol.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_longlong, ctypes.c_void_p,
+                                         ctypes.c_longlong]
+        lib.chn_read_strcol.restype = ctypes.c_longlong
+        lib.chn_read_strcol.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                                        ctypes.c_longlong, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_longlong]
+        lib.chn_hash64.restype = None
+        lib.chn_hash64.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                                   ctypes.c_void_p]
+        _lib = lib
+        HAVE_NATIVE = True
+    except Exception:
+        _lib = False
+        HAVE_NATIVE = False
+    return _lib
+
+
+# -- LZ4 block codec ---------------------------------------------------------
+
+def lz4_compress(data: bytes) -> bytes:
+    lib = _load()
+    if lib:
+        cap = len(data) + len(data) // 250 + 64
+        dst = ctypes.create_string_buffer(cap)
+        n = lib.chn_lz4_compress(data, len(data), dst, cap)
+        if n < 0:
+            raise ValueError("lz4 compression overflow")
+        return dst.raw[:n]
+    return _py_lz4_compress(data)
+
+
+def lz4_decompress(data: bytes, decompressed_size: int) -> bytes:
+    lib = _load()
+    if lib:
+        dst = ctypes.create_string_buffer(decompressed_size)
+        n = lib.chn_lz4_decompress(data, len(data), dst, decompressed_size)
+        if n != decompressed_size:
+            raise ValueError(f"lz4 decompression failed ({n})")
+        return dst.raw
+    return _py_lz4_decompress(data, decompressed_size)
+
+
+# -- Native string column codec ----------------------------------------------
+
+def encode_strings(values: np.ndarray) -> bytes:
+    """Object array of str -> varint-length-framed bytes."""
+    blobs = [("" if v is None else str(v)).encode() for v in values]
+    blob = b"".join(blobs)
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    lib = _load()
+    if lib:
+        cap = len(blob) + 10 * max(len(blobs), 1)
+        dst = ctypes.create_string_buffer(cap)
+        n = lib.chn_write_strcol(blob, offsets.ctypes.data, len(blobs),
+                                 dst, cap)
+        if n < 0:
+            raise ValueError("strcol encode overflow")
+        return dst.raw[:n]
+    out = bytearray()
+    for b in blobs:
+        x = len(b)
+        while True:
+            byte = x & 0x7F
+            x >>= 7
+            out.append(byte | 0x80 if x else byte)
+            if not x:
+                break
+        out += b
+    return bytes(out)
+
+
+def decode_strings(data: bytes, n_rows: int) -> Tuple[np.ndarray, int]:
+    """varint-framed bytes -> (object array, bytes consumed)."""
+    lib = _load()
+    if lib:
+        offsets = np.zeros(n_rows + 1, np.int64)
+        blob = ctypes.create_string_buffer(max(len(data), 1))
+        consumed = lib.chn_read_strcol(data, len(data), n_rows,
+                                       offsets.ctypes.data, blob, len(data))
+        if consumed < 0:
+            raise ValueError("strcol decode error")
+        raw = blob.raw
+        out = np.empty(n_rows, object)
+        for i in range(n_rows):
+            out[i] = raw[offsets[i]:offsets[i + 1]].decode(errors="replace")
+        return out, int(consumed)
+    # pure python
+    out = np.empty(n_rows, object)
+    pos = 0
+    for i in range(n_rows):
+        ln = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            ln |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        out[i] = data[pos:pos + ln].decode(errors="replace")
+        pos += ln
+    return out, pos
+
+
+def hash64_np(x: np.ndarray) -> np.ndarray:
+    """Host-side splitmix64 (bit-identical to ops.hash_ops.hash64)."""
+    x = np.ascontiguousarray(x.astype(np.uint64))
+    lib = _load()
+    if lib:
+        out = np.empty_like(x)
+        lib.chn_hash64(x.ctypes.data, len(x), out.ctypes.data)
+        return out
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+# -- pure-python LZ4 fallback (decompress-only oriented; compress = stored) --
+
+def _py_lz4_compress(data: bytes) -> bytes:
+    # trivial literal-only LZ4 stream (valid but uncompressed)
+    out = bytearray()
+    n = len(data)
+    lit = n
+    token_lit = 15 if lit >= 15 else lit
+    out.append(token_lit << 4)
+    if lit >= 15:
+        rest = lit - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    out += data
+    return bytes(out)
+
+
+def _py_lz4_decompress(data: bytes, size: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[i:i + lit]
+        i += lit
+        if i >= n:
+            break
+        offset = data[i] | (data[i + 1] << 8)
+        i += 2
+        mlen = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                b = data[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        for k in range(mlen):
+            out.append(out[start + k])
+    if len(out) != size:
+        raise ValueError("decompressed size mismatch")
+    return bytes(out)

@@ -1,0 +1,240 @@
+// Native runtime components for clickhouse_tpu.
+//
+// The host-side hot loops the reference implements in C++ and we keep native
+// too (the device compute path is JAX/XLA/Pallas; these are the IO/runtime
+// pieces around it):
+//   * LZ4 block codec        — reference: src/Compression/CompressionCodecLZ4
+//                              (via contrib/lz4); self-contained spec-
+//                              compliant implementation here, no third-party
+//                              code.
+//   * Native-format string column (varint length + bytes per row) encode/
+//     decode — reference: src/DataTypes/Serializations/SerializationString
+//   * splitmix64 column hasher for host-side shard routing — mirrors
+//     clickhouse_tpu/ops/hash_ops.py so host and device route identically.
+//
+// Exposed with a C ABI for ctypes.  Build: `python -m clickhouse_tpu.native.build`.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------- LZ4 block
+
+// Decompress an LZ4 *block* (raw, no frame) into dst (exactly dst_len bytes
+// expected).  Returns bytes written, or -1 on malformed input.
+int chn_lz4_decompress(const uint8_t* src, int src_len,
+                       uint8_t* dst, int dst_len) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_len;
+
+    while (ip < iend) {
+        const uint8_t token = *ip++;
+        // literals
+        int lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > iend || op + lit > oend) return -1;
+        std::memcpy(op, ip, lit);
+        ip += lit;
+        op += lit;
+        if (ip >= iend) break;          // last sequence: literals only
+
+        // match
+        if (ip + 2 > iend) return -1;
+        const int offset = ip[0] | (ip[1] << 8);
+        ip += 2;
+        if (offset == 0 || op - dst < offset) return -1;
+        int mlen = (token & 15) + 4;
+        if ((token & 15) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        if (op + mlen > oend) return -1;
+        const uint8_t* match = op - offset;
+        // overlapping copy must run forward byte-wise
+        for (int i = 0; i < mlen; ++i) op[i] = match[i];
+        op += mlen;
+    }
+    return static_cast<int>(op - dst);
+}
+
+static inline uint32_t chn_read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint32_t chn_hash4(uint32_t v) {
+    return (v * 2654435761u) >> 20;   // 12-bit table
+}
+
+// Compress src into dst (LZ4 block format).  Returns compressed size, or -1
+// if dst_cap is too small.  Greedy single-pass hash-chain matcher.
+int chn_lz4_compress(const uint8_t* src, int src_len,
+                     uint8_t* dst, int dst_cap) {
+    const int HASH_SIZE = 1 << 12;
+    int table[HASH_SIZE];
+    for (int i = 0; i < HASH_SIZE; ++i) table[i] = -1;
+
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    const uint8_t* const mflimit = iend - 12;  // LZ4 end-of-block rules
+    const uint8_t* anchor = src;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+
+    auto emit = [&](const uint8_t* lit_start, int lit_len,
+                    int offset, int match_len) -> bool {
+        uint8_t* token = op;
+        if (op + 1 > oend) return false;
+        ++op;
+        // literal length
+        if (lit_len >= 15) {
+            *token = 15 << 4;
+            int rest = lit_len - 15;
+            while (rest >= 255) {
+                if (op >= oend) return false;
+                *op++ = 255;
+                rest -= 255;
+            }
+            if (op >= oend) return false;
+            *op++ = static_cast<uint8_t>(rest);
+        } else {
+            *token = static_cast<uint8_t>(lit_len << 4);
+        }
+        if (op + lit_len > oend) return false;
+        std::memcpy(op, lit_start, lit_len);
+        op += lit_len;
+        if (match_len == 0) return true;   // final literals
+        if (op + 2 > oend) return false;
+        *op++ = static_cast<uint8_t>(offset & 0xFF);
+        *op++ = static_cast<uint8_t>(offset >> 8);
+        int m = match_len - 4;
+        if (m >= 15) {
+            *token |= 15;
+            m -= 15;
+            while (m >= 255) {
+                if (op >= oend) return false;
+                *op++ = 255;
+                m -= 255;
+            }
+            if (op >= oend) return false;
+            *op++ = static_cast<uint8_t>(m);
+        } else {
+            *token |= static_cast<uint8_t>(m);
+        }
+        return true;
+    };
+
+    if (src_len >= 13) {
+        while (ip < mflimit) {
+            const uint32_t h = chn_hash4(chn_read32(ip));
+            const int cand = table[h];
+            table[h] = static_cast<int>(ip - src);
+            if (cand >= 0 && ip - src - cand <= 65535 &&
+                chn_read32(src + cand) == chn_read32(ip)) {
+                // extend match
+                const uint8_t* m = src + cand;
+                const uint8_t* p = ip + 4;
+                const uint8_t* q = m + 4;
+                // matches must end 5 bytes before block end
+                const uint8_t* const matchlimit = iend - 5;
+                while (p < matchlimit && *p == *q) { ++p; ++q; }
+                const int match_len = static_cast<int>(p - ip);
+                const int lit_len = static_cast<int>(ip - anchor);
+                if (!emit(anchor, lit_len,
+                          static_cast<int>(ip - m), match_len))
+                    return -1;
+                ip += match_len;
+                anchor = ip;
+            } else {
+                ++ip;
+            }
+        }
+    }
+    // trailing literals
+    const int lit_len = static_cast<int>(iend - anchor);
+    if (!emit(anchor, lit_len, 0, 0)) return -1;
+    return static_cast<int>(op - dst);
+}
+
+// ------------------------------------------------- Native string column IO
+
+// Encode n strings (concatenated blob + n+1 offsets) as varint-length rows.
+// Returns bytes written or -1 if dst_cap too small.
+long long chn_write_strcol(const uint8_t* blob, const long long* offsets,
+                           long long n, uint8_t* dst, long long dst_cap) {
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    for (long long i = 0; i < n; ++i) {
+        unsigned long long len =
+            static_cast<unsigned long long>(offsets[i + 1] - offsets[i]);
+        unsigned long long x = len;
+        do {
+            if (op >= oend) return -1;
+            uint8_t b = x & 0x7F;
+            x >>= 7;
+            *op++ = x ? (b | 0x80) : b;
+        } while (x);
+        if (op + len > oend) return -1;
+        std::memcpy(op, blob + offsets[i], len);
+        op += len;
+    }
+    return op - dst;
+}
+
+// Decode n varint-framed strings; fills offsets (n+1) and blob (blob_cap).
+// Returns bytes consumed from src, or -1 on overflow/malformed.
+long long chn_read_strcol(const uint8_t* src, long long src_len, long long n,
+                          long long* offsets, uint8_t* blob,
+                          long long blob_cap) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_len;
+    long long pos = 0;
+    offsets[0] = 0;
+    for (long long i = 0; i < n; ++i) {
+        unsigned long long len = 0;
+        int shift = 0;
+        while (true) {
+            if (ip >= iend) return -1;
+            uint8_t b = *ip++;
+            len |= static_cast<unsigned long long>(b & 0x7F) << shift;
+            if (!(b & 0x80)) break;
+            shift += 7;
+            if (shift > 63) return -1;
+        }
+        if (ip + len > iend || pos + static_cast<long long>(len) > blob_cap)
+            return -1;
+        std::memcpy(blob + pos, ip, len);
+        ip += len;
+        pos += static_cast<long long>(len);
+        offsets[i + 1] = pos;
+    }
+    return ip - src;
+}
+
+// ------------------------------------------------------- splitmix64 hasher
+
+void chn_hash64(const uint64_t* src, long long n, uint64_t* dst) {
+    for (long long i = 0; i < n; ++i) {
+        uint64_t z = src[i] + 0x9E3779B97F4A7C15ull;
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+        dst[i] = z ^ (z >> 31);
+    }
+}
+
+}  // extern "C"

@@ -41,12 +41,21 @@ class Grouping:
     unique_keys: List[jax.Array]  # each (num_groups_cap,), padding = 0
     num_groups_cap: int
     ids_sorted: bool = True
+    # dense grouping: slots are a direct function of the key, so empty slots
+    # exist between groups; `present` marks live slots (else prefix layout)
+    present: Optional[jax.Array] = None
 
     def take(self, array: jax.Array) -> jax.Array:
         """Reorder a payload column into sorted-by-key order."""
         if self.perm is None:
             return array
         return array[self.perm]
+
+    def group_valid(self) -> jax.Array:
+        if self.present is not None:
+            return self.present
+        return jnp.arange(self.num_groups_cap, dtype=jnp.int64) \
+            < self.num_groups
 
 
 def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
@@ -92,6 +101,43 @@ def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
         unique_keys.append(uk)
     return Grouping(perm=perm, group_ids=gid, num_groups=num_groups,
                     unique_keys=unique_keys, num_groups_cap=num_groups_cap)
+
+
+def group_by_dense(keys: Sequence[jax.Array],
+                   dims: Sequence[Tuple[int, int]],
+                   row_valid: jax.Array, num_groups_cap: int) -> Grouping:
+    """Direct-array grouping: the slot is computed from the key, no sort.
+
+    The generalized FixedHashMap (src/Common/HashTable/FixedHashMap.h) path:
+    chosen when interval analysis proves prod(sizes) <= max_groups.
+
+    keys -- key storage arrays;  dims[i] = (lo_i, size_i) proven bounds.
+    Multi-key grouping linearizes: slot = sum((k_i - lo_i) * stride_i).
+    """
+    cap = keys[0].shape[0]
+    slot = jnp.zeros((cap,), jnp.int64)
+    stride = 1
+    total = 1
+    for k, (lo, size) in zip(keys, dims):
+        d = jnp.clip(k.astype(jnp.int64) - lo, 0, size - 1)
+        slot = slot + d * stride
+        stride *= size
+        total *= size
+    assert total <= num_groups_cap, "dense grouping exceeds capacity"
+    ids = jnp.where(row_valid, slot, num_groups_cap).astype(jnp.int32)
+    present = jnp.zeros((num_groups_cap,), jnp.bool_).at[ids].set(
+        True, mode="drop")
+    num_groups = jnp.sum(present.astype(jnp.int64))
+    # slot -> key value per dimension (pure arithmetic on the slot index)
+    uks = []
+    idx = jnp.arange(num_groups_cap, dtype=jnp.int64)
+    stride = 1
+    for k, (lo, size) in zip(keys, dims):
+        uks.append(((idx // stride) % size + lo).astype(k.dtype))
+        stride *= size
+    return Grouping(perm=None, group_ids=ids, num_groups=num_groups,
+                    unique_keys=uks, num_groups_cap=num_groups_cap,
+                    ids_sorted=False, present=present)
 
 
 def group_trivial(row_valid: jax.Array, num_groups_cap: int = 1024

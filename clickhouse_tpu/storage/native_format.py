@@ -100,10 +100,8 @@ def _write_column_data(out: BinaryIO, type_name: str, v: np.ndarray) -> None:
         _write_column_data(out, inner, filled)
         return
     if type_name in ("String", "FixedString"):
-        for x in v:
-            b = ("" if x is None else str(x)).encode()
-            _write_varuint(out, len(b))
-            out.write(b)
+        from .. import native as chnative
+        out.write(chnative.encode_strings(np.asarray(v, dtype=object)))
         return
     if type_name.startswith("LowCardinality("):
         _write_column_data(out, type_name[len("LowCardinality("):-1], v)
@@ -123,10 +121,16 @@ def _read_column_data(inp: BinaryIO, type_name: str, n_rows: int) -> np.ndarray:
         out[nulls == 1] = None
         return out
     if type_name == "String":
-        out = np.empty(n_rows, object)
-        for i in range(n_rows):
-            ln = _read_varuint(inp)
-            out[i] = inp.read(ln).decode(errors="replace")
+        from .. import native as chnative
+        # Read the remaining stream window and let the C++ codec consume
+        # exactly the column's bytes, then rewind the extra.
+        here = inp.tell() if inp.seekable() else None
+        data = inp.read()
+        out, consumed = chnative.decode_strings(data, n_rows)
+        if here is not None:
+            inp.seek(here + consumed)
+        elif consumed != len(data):
+            raise ValueError("non-seekable stream with trailing data")
         return out
     if type_name.startswith("FixedString(") and type_name.endswith(")"):
         width = int(type_name[len("FixedString("):-1])
