@@ -273,7 +273,9 @@ def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
             size = b[1] - b[0] + 1
             dims.append((b[0], size))
             total *= size
-    if not dense_ok or total <= 0 or total > settings.max_groups \
+    from ..ops.mxu_segsum import MAX_DENSE_GROUPS
+    if not dense_ok or total <= 0 \
+            or total > min(settings.max_groups, MAX_DENSE_GROUPS) \
             or settings.group_by_algorithm == "sort":
         dims = None
     return key_cvs, arrays, dims, False
@@ -284,9 +286,9 @@ def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
     key_cvs, key_arrays, dims, global_agg = _agg_key_arrays(
         node, child, ctx.settings)
     holistic = any(a.fn.holistic for a in node.aggregates)
-    if holistic:
-        # holistic aggregates build their own sorted grouping whose dense
-        # rank ids must match the primary grouping — only sort-based ids do
+    if holistic or not all(a.fn.sum_only for a in node.aggregates):
+        # dense/MXU grouping serves sum-family aggregates only; holistic
+        # aggregates additionally need sort-rank group ids
         dims = None
 
     if child.sharded and ctx.distributed:
@@ -329,11 +331,12 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
     gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
                                 grouping=grouping, num_groups_cap=cap_g)
-    mask_s = grouping.take(child.valid)
-    ids = jnp.where(mask_s, grouping.group_ids, cap_g)
-    group_counts = agg_ops.segment_reduce(
-        "sum", jnp.ones((cap,), jnp.int64), ids, cap_g,
-        grouping.ids_sorted)
+    group_counts = grouping.count_rows(child.valid)
+    if grouping.kind == "dense":
+        # dense slots include empty key-space cells; live groups come from
+        # the (always exact) counts
+        grouping.present = group_counts > 0
+        grouping.num_groups = jnp.sum(grouping.present.astype(jnp.int64))
     states_per_agg = []
     for item in node.aggregates:
         arg_cvs = [evaluate(a, child.env()).broadcast(cap) for a in item.args]
@@ -447,18 +450,13 @@ def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
     ctx.checks.append(Check(g2.num_groups, cap_g,
                             "GROUP BY cardinality exceeded max_groups; "
                             "raise the max_groups setting"))
-    mask2 = g2.take(valid_rx)
-    ids2 = jnp.where(mask2, g2.group_ids, cap_g)
-    i = 0
-    counts_sorted = g2.take(states_rx[0])
-    counts_sorted = jnp.where(mask2, counts_sorted, 0)
-    merged_counts = agg_ops.segment_reduce("sum", counts_sorted, ids2, cap_g)
+    merged_counts = g2.reduce("sum", states_rx[0], valid_rx)
     i = 1
     merged_per_agg = []
     for item, arg_cvs, states in states_per_agg:
-        ss = [g2.take(x) for x in states_rx[i:i + len(states)]]
+        ss = states_rx[i:i + len(states)]
         i += len(states)
-        merged = item.fn.merge(ss, ids2, cap_g)
+        merged = item.fn.merge(ss, g2, valid_rx)
         merged_per_agg.append((item, arg_cvs, merged))
 
     return _finalize(node, key_cvs, g2.unique_keys, g2.num_groups,
@@ -551,15 +549,19 @@ def _exec_limit_by(node: L.LimitByNode, ctx: ExecContext) -> ExecBlock:
     cap_g = pad_to(min(cap, ctx.settings.max_groups))
     g = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
     mask_s = g.take(child.valid)
-    ids = jnp.where(mask_s, g.group_ids, cap_g)
-    lens = agg_ops.segment_reduce("sum", mask_s.astype(jnp.int64), ids, cap_g)
-    starts = jnp.cumsum(lens) - lens
-    pos_in_group = (jnp.cumsum(mask_s.astype(jnp.int64)) - 1
-                    - starts[jnp.minimum(ids, cap_g - 1)])
+    # rank of each valid row within its group (stream order preserved by
+    # the stable sort): running count of valid rows minus the count before
+    # the group's first row
+    c = jnp.cumsum(mask_s.astype(jnp.int64))
+    gid = jnp.minimum(g.group_ids, cap_g - 1)
+    before = jnp.where(g.starts > 0, c[jnp.maximum(g.starts - 1, 0)], 0)
+    pos_in_group = c - 1 - before[gid]
     keep_sorted = mask_s & (pos_in_group >= node.offset) \
         & (pos_in_group < node.offset + node.n)
-    # scatter the keep decision back to original row order
-    keep = jnp.zeros((cap,), jnp.bool_).at[g.perm].set(keep_sorted)
+    # back to original row order via the inverse permutation (a sort, not a
+    # scatter: TPU scatter serializes)
+    inv = jnp.argsort(g.perm)
+    keep = keep_sorted[inv]
     return ExecBlock(child.cols, child.valid & keep, cap)
 
 

@@ -7,13 +7,17 @@ The analog of the reference's IAggregateFunction
   * finalize-- states -> result column (insertResultInto analog)
 States are ordinary fixed-width columns, so partial aggregation results ship
 through the exact machinery of regular blocks — the property behind two-stage
-distributed aggregation (QueryProcessingStage::WithMergeableState,
-ColumnAggregateFunction made unnecessary by keeping states columnar).
+distributed aggregation (QueryProcessingStage::WithMergeableState).
+
+All reductions go through Grouping.reduce (ops/agg_ops.py) — segmented scans
+for sort grouping, MXU matmuls for dense, plain reductions for global — so
+no aggregate ever issues a TPU scatter.
 
 Combinators (-If; reference: AggregateFunctionCombinatorFactory) wrap the row
 mask.  `holistic` functions (uniqExact, quantileExact, median) need all rows
 of a group co-located; the distributed planner repartitions by key for them
-instead of two-stage merging (SURVEY.md §2.6 partition-parallel aggregation).
+(SURVEY.md §2.6 partition-parallel aggregation).  `sum_only` functions can
+run on the dense/MXU grouping.
 """
 from __future__ import annotations
 
@@ -38,19 +42,8 @@ class GroupContext:
     """Everything an aggregate needs to produce per-group states."""
     keys: List[jax.Array]          # raw (unsorted) key storage arrays
     row_valid: jax.Array           # raw bool mask
-    grouping: agg_ops.Grouping     # primary grouping (sorted by keys)
+    grouping: agg_ops.Grouping
     num_groups_cap: int
-
-    def sorted_mask(self, extra_valid=None) -> jax.Array:
-        m = self.grouping.take(self.row_valid)
-        if extra_valid is not None:
-            m = m & self.grouping.take(extra_valid)
-        return m
-
-    def ids_where(self, mask_sorted) -> jax.Array:
-        """Group ids with rows failing `mask_sorted` pushed out of range."""
-        return jnp.where(mask_sorted, self.grouping.group_ids,
-                         self.num_groups_cap)
 
 
 def _arg_valid(cv: Optional[ColVal], capacity: int):
@@ -67,6 +60,7 @@ class AggregateFunction:
 
     name: str = ""
     holistic: bool = False
+    sum_only: bool = False      # True: all reductions are sums (dense-able)
 
     def __init__(self, arg_types: List[dt.DType]):
         self.arg_types = arg_types
@@ -85,9 +79,10 @@ class AggregateFunction:
         from an -If combinator (or None)."""
         raise NotImplementedError
 
-    def merge(self, states: List[jax.Array], group_ids: jax.Array,
-              num_segments: int) -> List[jax.Array]:
-        return [agg_ops.segment_reduce(op, s, group_ids, num_segments)
+    def merge(self, states: List[jax.Array], grouping: agg_ops.Grouping,
+              mask_raw: jax.Array) -> List[jax.Array]:
+        """states are per-row partial-state columns (raw order) to combine."""
+        return [grouping.reduce(op, s, mask_raw)
                 for op, s in zip(self.state_ops(), states)]
 
     def finalize(self, states: List[jax.Array]
@@ -96,24 +91,28 @@ class AggregateFunction:
         raise NotImplementedError
 
     # -- helpers -------------------------------------------------------------
-    def _mask_and_ids(self, ctx: GroupContext, args: List[ColVal],
-                      cond: Optional[jax.Array]):
+    def _row_mask(self, ctx: GroupContext, args: List[ColVal],
+                  cond: Optional[jax.Array]) -> jax.Array:
         cap = ctx.row_valid.shape[0]
-        extra = None
+        m = ctx.row_valid
         for a in args:
             av = _arg_valid(a, cap)
             if av is not None:
-                extra = av if extra is None else (extra & av)
+                m = m & av
         if cond is not None:
-            extra = cond if extra is None else (extra & cond)
-        mask_s = ctx.sorted_mask(extra)
-        return mask_s, ctx.ids_where(mask_s)
+            m = m & cond
+        return m
+
+    @staticmethod
+    def _value(ctx: GroupContext, cv: ColVal) -> jax.Array:
+        return cv.broadcast(ctx.row_valid.shape[0]).data
 
 
 # -- concrete aggregates -----------------------------------------------------
 
 class CountAgg(AggregateFunction):
     name = "count"
+    sum_only = True
 
     def result_type(self):
         return dt.UInt64
@@ -122,10 +121,8 @@ class CountAgg(AggregateFunction):
         return ["sum"]
 
     def update(self, ctx, args, cond):
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        ones = jnp.ones(mask_s.shape, jnp.int64)
-        return [agg_ops.segment_reduce("sum", ones, ids, ctx.num_groups_cap,
-                               ctx.grouping.ids_sorted)]
+        mask = self._row_mask(ctx, args, cond)
+        return [ctx.grouping.count_rows(mask)]
 
     def finalize(self, states):
         return states[0].astype(jnp.uint64), None
@@ -143,6 +140,11 @@ def _sum_state_dtype(t: dt.DType):
 class SumAgg(AggregateFunction):
     name = "sum"
 
+    @property
+    def sum_only(self):
+        # float sums are served by the sort path (exactness: see mxu_segsum)
+        return not dt.is_float(dt.remove_nullable(self.arg_types[0]))
+
     def result_type(self):
         t0 = dt.remove_nullable(self.arg_types[0])
         if dt.is_float(t0):
@@ -153,13 +155,9 @@ class SumAgg(AggregateFunction):
         return ["sum"]
 
     def update(self, ctx, args, cond):
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        st = _sum_state_dtype(self.arg_types[0])
-        v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        v = v.astype(st)
-        v = jnp.where(mask_s, v, jnp.zeros((), st))
-        return [agg_ops.segment_reduce("sum", v, ids, ctx.num_groups_cap,
-                               ctx.grouping.ids_sorted)]
+        mask = self._row_mask(ctx, args, cond)
+        v = self._value(ctx, args[0]).astype(_sum_state_dtype(self.arg_types[0]))
+        return [ctx.grouping.reduce("sum", v, mask)]
 
     def finalize(self, states):
         return states[0], None
@@ -168,20 +166,40 @@ class SumAgg(AggregateFunction):
 class MinMaxAgg(AggregateFunction):
     op = "min"
 
+    def __init__(self, arg_types):
+        super().__init__(arg_types)
+        self._dict_order: Optional[jax.Array] = None
+
     def result_type(self):
         return dt.remove_nullable(self.arg_types[0])
 
     def state_ops(self):
         return [self.op]
 
+    def _prep(self, ctx, cv: ColVal):
+        """For dictionary (string) args, aggregate lexicographic ranks and
+        map back to codes in finalize (codes are unordered after merges)."""
+        v = self._value(ctx, cv)
+        if cv.dictionary is not None and len(cv.dictionary):
+            vals = cv.dictionary.values.astype(str)
+            order = np.argsort(vals, kind="stable")
+            rank = np.empty(len(vals), np.int64)
+            rank[order] = np.arange(len(vals))
+            self._dict_order = jnp.asarray(order.astype(np.int32))
+            return jnp.asarray(rank)[jnp.maximum(v, 0)]
+        return v
+
     def update(self, ctx, args, cond):
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        return [agg_ops.segment_reduce(self.op, v, ids, ctx.num_groups_cap,
-                               ctx.grouping.ids_sorted)]
+        mask = self._row_mask(ctx, args, cond)
+        v = self._prep(ctx, args[0])
+        return [ctx.grouping.reduce(self.op, v, mask)]
 
     def finalize(self, states):
-        return states[0], None
+        s = states[0]
+        if self._dict_order is not None:
+            n = self._dict_order.shape[0]
+            s = self._dict_order[jnp.clip(s, 0, n - 1)]
+        return s, None
 
 
 class MinAgg(MinMaxAgg):
@@ -195,6 +213,10 @@ class MaxAgg(MinMaxAgg):
 class AvgAgg(AggregateFunction):
     name = "avg"
 
+    @property
+    def sum_only(self):
+        return not dt.is_float(dt.remove_nullable(self.arg_types[0]))
+
     def result_type(self):
         return dt.Float64
 
@@ -202,18 +224,20 @@ class AvgAgg(AggregateFunction):
         return ["sum", "sum"]
 
     def update(self, ctx, args, cond):
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        v = jnp.where(mask_s, v.astype(jnp.float64), 0.0)
-        ones = jnp.ones(mask_s.shape, jnp.int64)
-        ss = ctx.grouping.ids_sorted
-        return [agg_ops.segment_reduce("sum", v, ids, ctx.num_groups_cap, ss),
-                agg_ops.segment_reduce("sum", ones, ids, ctx.num_groups_cap, ss)]
+        mask = self._row_mask(ctx, args, cond)
+        t0 = dt.remove_nullable(self.arg_types[0])
+        if dt.is_float(t0):
+            v = self._value(ctx, args[0]).astype(jnp.float64)
+        else:
+            v = self._value(ctx, args[0]).astype(_sum_state_dtype(t0))
+        s = ctx.grouping.reduce("sum", v, mask)
+        c = ctx.grouping.count_rows(mask)
+        return [s.astype(jnp.float64) if not dt.is_float(t0) else s, c]
 
     def finalize(self, states):
         s, c = states
         safe = jnp.maximum(c, 1)
-        return s / safe.astype(jnp.float64), None
+        return s.astype(jnp.float64) / safe.astype(jnp.float64), None
 
 
 class AnyAgg(AggregateFunction):
@@ -226,17 +250,15 @@ class AnyAgg(AggregateFunction):
         return ["any"]
 
     def update(self, ctx, args, cond):
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        return [agg_ops.segment_reduce("any", v, ids, ctx.num_groups_cap,
-                               ctx.grouping.ids_sorted)]
+        mask = self._row_mask(ctx, args, cond)
+        return [ctx.grouping.reduce("any", self._value(ctx, args[0]), mask)]
 
     def finalize(self, states):
         return states[0], None
 
 
 class SumSquaresMixin(AggregateFunction):
-    """Shared states for variance family: [sum, sum_sq, count]."""
+    """Shared states for the variance family: [sum, sum_sq, count]."""
 
     def state_ops(self):
         return ["sum", "sum", "sum"]
@@ -245,15 +267,11 @@ class SumSquaresMixin(AggregateFunction):
         return dt.Float64
 
     def update(self, ctx, args, cond):
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        v = ctx.grouping.take(args[0].broadcast(ctx.row_valid.shape[0]).data)
-        v = jnp.where(mask_s, v.astype(jnp.float64), 0.0)
-        ones = jnp.ones(mask_s.shape, jnp.int64)
-        n = ctx.num_groups_cap
-        ss = ctx.grouping.ids_sorted
-        return [agg_ops.segment_reduce("sum", v, ids, n, ss),
-                agg_ops.segment_reduce("sum", v * v, ids, n, ss),
-                agg_ops.segment_reduce("sum", ones, ids, n, ss)]
+        mask = self._row_mask(ctx, args, cond)
+        v = self._value(ctx, args[0]).astype(jnp.float64)
+        return [ctx.grouping.reduce("sum", v, mask),
+                ctx.grouping.reduce("sum", v * v, mask),
+                ctx.grouping.count_rows(mask)]
 
     def _moments(self, states):
         s, s2, c = states
@@ -300,8 +318,7 @@ class ArgMinMaxAgg(AggregateFunction):
     """argMin(val, ord) / argMax: value at the extremum of ord.
 
     States: [best_token(u64, min-merged), value_at_best(any-merged)] — after
-    the token reduce, a second masked scatter picks the value whose token
-    equals the group's best (deterministic for ties up to 'any' semantics).
+    the token reduce, rows at the group's best token select the value.
     """
     minimize = True
 
@@ -311,32 +328,32 @@ class ArgMinMaxAgg(AggregateFunction):
     def state_ops(self):
         return ["min", "any"]
 
-    def _token(self, ord_cv: ColVal, cap):
-        tok = sort_ops.order_token(ord_cv.broadcast(cap).data,
-                                   descending=not self.minimize)
-        return tok
-
     def update(self, ctx, args, cond):
+        g = ctx.grouping
         cap = ctx.row_valid.shape[0]
-        mask_s, ids = self._mask_and_ids(ctx, args, cond)
-        val = ctx.grouping.take(args[0].broadcast(cap).data)
-        tok = ctx.grouping.take(self._token(args[1], cap))
-        tok = jnp.where(mask_s, tok, jnp.uint64(2**64 - 1))
-        n = ctx.num_groups_cap
-        ss = ctx.grouping.ids_sorted
-        best = agg_ops.segment_reduce("min", tok, ids, n, ss)
-        at_best = mask_s & (tok == best[jnp.minimum(ids, n - 1)])
-        ids2 = jnp.where(at_best, ids, n)
-        value = agg_ops.segment_reduce("any", val, ids2, n, ss)
+        mask = self._row_mask(ctx, args, cond)
+        val = self._value(ctx, args[0])
+        tok = sort_ops.order_token(self._value(ctx, args[1]),
+                                   descending=not self.minimize)
+        ms = g.take(mask)
+        ts = g.take(tok)
+        best = g.reduce_sorted("min", ts, ms)
+        gid = jnp.minimum(g.group_ids, g.num_groups_cap - 1)
+        at_best = ms & (ts == best[gid])
+        vs = g.take(val)
+        value = g.reduce_sorted("any", vs, at_best)
         return [best, value]
 
-    def merge(self, states, group_ids, num_segments):
+    def merge(self, states, grouping, mask_raw):
         tok, val = states
-        best = agg_ops.segment_reduce("min", tok, group_ids, num_segments)
-        at_best = tok == best[jnp.minimum(group_ids, num_segments - 1)]
-        ids2 = jnp.where(at_best & (group_ids < num_segments),
-                         group_ids, num_segments)
-        value = agg_ops.segment_reduce("any", val, ids2, num_segments)
+        g = grouping
+        ms = g.take(mask_raw)
+        ts = g.take(tok)
+        best = g.reduce_sorted("min", ts, ms)
+        gid = jnp.minimum(g.group_ids, g.num_groups_cap - 1)
+        at_best = ms & (ts == best[gid])
+        vs = g.take(val)
+        value = g.reduce_sorted("any", vs, at_best)
         return [best, value]
 
     def finalize(self, states):
@@ -354,8 +371,8 @@ class ArgMaxAgg(ArgMinMaxAgg):
 class UniqExactAgg(AggregateFunction):
     """Exact distinct count — holistic (needs all rows of a key together).
 
-    Single-node: secondary grouping by (keys, value); distinct count per key =
-    number of (key,value) boundary rows landing in the key's group.
+    Secondary-sorted grouping by (keys, value): distinct count per key =
+    number of first-occurrence rows in the key's segment.
     """
     name = "uniqExact"
     holistic = True
@@ -368,26 +385,20 @@ class UniqExactAgg(AggregateFunction):
 
     def update(self, ctx, args, cond):
         cap = ctx.row_valid.shape[0]
-        value = args[0].broadcast(cap).data
-        # Re-sort with the value as a secondary operand: rows within a key
-        # group become value-ordered, so "first occurrence of value in group"
-        # is detectable from neighbours.
+        value = self._value(ctx, args[0])
+        mask = self._row_mask(ctx, args, cond)
+        # masked-out rows sink below valid ones inside each key segment so
+        # the first-occurrence chain below only ever sees valid neighbours
         g2 = agg_ops.group_by_sort(ctx.keys, ctx.row_valid,
-                                   ctx.num_groups_cap, secondary=[value])
-        mask_s = g2.take(ctx.row_valid)
-        if cond is not None:
-            mask_s = mask_s & g2.take(cond)
-        av = _arg_valid(args[0], cap)
-        if av is not None:
-            mask_s = mask_s & g2.take(av)
+                                   ctx.num_groups_cap,
+                                   secondary=[jnp.logical_not(mask), value])
+        mask_s = g2.take(mask)
         v_s = g2.take(value)
-        ids = jnp.where(mask_s, g2.group_ids, ctx.num_groups_cap)
-        prev_same = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
-                                     (v_s[1:] == v_s[:-1])
-                                     & (g2.group_ids[1:] == g2.group_ids[:-1])])
+        prev_same = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_),
+             (v_s[1:] == v_s[:-1]) & (g2.group_ids[1:] == g2.group_ids[:-1])])
         is_first = mask_s & jnp.logical_not(prev_same)
-        return [agg_ops.segment_reduce(
-            "sum", is_first.astype(jnp.int64), ids, ctx.num_groups_cap)]
+        return [g2.reduce_sorted("sum", is_first.astype(jnp.int64), mask_s)]
 
     def finalize(self, states):
         return states[0].astype(jnp.uint64), None
@@ -411,31 +422,29 @@ class QuantileExactAgg(AggregateFunction):
 
     def update(self, ctx, args, cond):
         cap = ctx.row_valid.shape[0]
-        value = args[0].broadcast(cap).data
+        value = self._value(ctx, args[0])
         tok = sort_ops.order_token(value)
+        mask = self._row_mask(ctx, args, cond)
+        # sort by (key, masked-out-last, value): within each key group the
+        # masked-in rows come first in value order, so the q-th element sits
+        # at a computable offset from the group start.
         g2 = agg_ops.group_by_sort(ctx.keys, ctx.row_valid,
                                    ctx.num_groups_cap, secondary=[tok])
-        mask_s = g2.take(ctx.row_valid)
-        if cond is not None:
-            mask_s = mask_s & g2.take(cond)
-        ids = jnp.where(mask_s, g2.group_ids, ctx.num_groups_cap)
-        n = ctx.num_groups_cap
-        lens = agg_ops.segment_reduce("sum", mask_s.astype(jnp.int64), ids, n)
-        # Compact valid sorted rows: group g occupies [starts[g], starts[g]+lens[g])
-        # in compacted coordinates, already value-ordered within the group.
-        starts = jnp.cumsum(lens) - lens
-        # index of the q-th element (nearest-rank, matching quantileExact)
-        pick = starts + jnp.clip(
+        mask_s = g2.take(mask)
+        lens = g2.reduce_sorted("sum", mask_s.astype(jnp.int64), mask_s)
+        # compact masked sorted values to rank order (gather-based)
+        from ..ops import filter_ops
+        v_s = g2.take(value)
+        compacted, _ = filter_ops.compact_arrays([v_s], mask_s)
+        # start of each group within the compacted array
+        starts_c = jnp.cumsum(lens) - lens
+        pick = starts_c + jnp.clip(
             jnp.floor(self.q * (lens - 1).astype(jnp.float64)).astype(jnp.int64),
             0, jnp.maximum(lens - 1, 0))
-        v_s = g2.take(value)
-        # Build the array of valid sorted values compacted to rank order.
-        from ..ops import filter_ops
-        compacted, _ = filter_ops.compact_arrays([v_s], mask_s)
         data = compacted[0][jnp.clip(pick, 0, cap - 1)]
         return [data]
 
-    def merge(self, states, group_ids, num_segments):
+    def merge(self, states, grouping, mask_raw):
         raise TypeError_("quantileExact cannot merge partial states")
 
     def finalize(self, states):

@@ -1,17 +1,21 @@
-"""Grouping machinery: sort-based and (later) hash-based GROUP BY cores.
+"""Grouping machinery: sort-based, dense direct-array, and trivial GROUP BY.
 
 TPU-native replacement for the reference Aggregator's 143 hash-table variants
-(src/Interpreters/Aggregator.h:71, AggregatedDataVariants.h:20-137).  Per
-SURVEY.md §7 the robust core is *sort-based grouping*: sort rows by key,
-derive segment ids, and run segment reductions — every step is a large
-bandwidth-bound vector op that XLA tiles well, with no atomics and no dynamic
-memory.  The output has a static capacity (`num_groups_cap`) and a device
-scalar group count, mirroring the fixed-capacity block discipline.
+(src/Interpreters/Aggregator.h:71, AggregatedDataVariants.h:20-137).  Three
+grouping kinds, all scatter-free (TPU scatter serializes; see scan_ops.py):
 
-The mergeable-state algebra (partial states that can be re-grouped and merged,
-reference: IAggregateFunction::merge + QueryProcessingStage::WithMergeableState)
-is preserved: states are ordinary columns, so the distributed two-stage
-aggregation reuses this exact machinery after an all-to-all by bucket.
+  * sort    -- generic: multi-operand device sort, segment boundaries,
+               reductions via segmented scans + searchsorted gathers;
+  * dense   -- provably-small key space (interval analysis): slot computed
+               from the key; sum/count reductions as MXU one-hot matmuls
+               (mxu_segsum.py) — the FixedHashMap analog;
+  * trivial -- GROUP BY (): plain masked whole-array reductions
+               (Aggregator::executeWithoutKey analog).
+
+The mergeable-state algebra (reference: IAggregateFunction::merge +
+WithMergeableState) is preserved: states are ordinary columns; the
+distributed two-stage aggregation re-groups and merges them after an ICI
+all_to_all keyed by bucket.
 """
 from __future__ import annotations
 
@@ -21,32 +25,38 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Grouping", "group_by_sort", "segment_reduce", "SEGMENT_OPS"]
+from . import mxu_segsum, scan_ops
+
+__all__ = ["Grouping", "group_by_sort", "group_by_dense", "group_trivial"]
 
 
 @dataclasses.dataclass
 class Grouping:
-    """Result of assigning each (valid) row to a dense group id.
+    """Dense group-id assignment for each (valid) row.
 
-    sorted rows [0, capacity): rows reordered so equal keys are adjacent;
-    group_ids[i] = dense id of sorted row i, or num_groups_cap for padding
-    rows (so scatters/segment ops drop them).
+    kind='sort':   rows are key-sorted; group_ids ascending dense ranks;
+                   perm maps sorted position -> original row.
+    kind='dense':  slot is a function of the key; rows keep original order
+                   (perm=None); empty slots possible (`present` mask).
+    kind='trivial': single global group at slot 0.
 
-    perm=None marks the sort-free trivial grouping (single global group):
-    rows keep their original order and ids are NOT sorted.
+    group_ids carry num_groups_cap for padding/invalid rows (dropped by all
+    reductions).
     """
-    perm: Optional[jax.Array]    # int32 row permutation applied to inputs
-    group_ids: jax.Array         # int32, padding rows -> num_groups_cap
-    num_groups: jax.Array        # int64 device scalar
-    unique_keys: List[jax.Array]  # each (num_groups_cap,), padding = 0
+    kind: str
+    group_ids: jax.Array              # int32, in sorted order for 'sort'
+    num_groups: jax.Array             # int64 device scalar
+    unique_keys: List[jax.Array]      # each (num_groups_cap,)
     num_groups_cap: int
-    ids_sorted: bool = True
-    # dense grouping: slots are a direct function of the key, so empty slots
-    # exist between groups; `present` marks live slots (else prefix layout)
-    present: Optional[jax.Array] = None
+    perm: Optional[jax.Array] = None  # int32 (sort only)
+    boundary: Optional[jax.Array] = None   # bool, sorted order (sort only)
+    starts: Optional[jax.Array] = None     # (cap_g,) int64 (sort only)
+    ends: Optional[jax.Array] = None       # (cap_g,) int64 (sort only)
+    present: Optional[jax.Array] = None    # (cap_g,) bool (dense only)
 
+    # -- row-order plumbing --------------------------------------------------
     def take(self, array: jax.Array) -> jax.Array:
-        """Reorder a payload column into sorted-by-key order."""
+        """Raw row order -> the grouping's working (sorted) order."""
         if self.perm is None:
             return array
         return array[self.perm]
@@ -57,27 +67,104 @@ class Grouping:
         return jnp.arange(self.num_groups_cap, dtype=jnp.int64) \
             < self.num_groups
 
+    # -- reductions ----------------------------------------------------------
+    def reduce(self, op: str, data_raw: jax.Array,
+               mask_raw: jax.Array) -> jax.Array:
+        """Per-group reduction; data/mask in RAW row order."""
+        return self.reduce_sorted(op, self.take(data_raw),
+                                  self.take(mask_raw))
+
+    def reduce_sorted(self, op: str, data: jax.Array, mask: jax.Array
+                      ) -> jax.Array:
+        """Per-group reduction; data/mask already in working order."""
+        if self.kind == "trivial":
+            return self._reduce_trivial(op, data, mask)
+        if self.kind == "dense":
+            return self._reduce_dense(op, data, mask)
+        return scan_ops.seg_reduce_sorted(
+            op, data, self.group_ids, self.boundary, self.starts, self.ends,
+            self.num_groups_cap, mask_sorted=mask)
+
+    def count_rows(self, mask_raw: jax.Array) -> jax.Array:
+        """Rows per group (int64)."""
+        if self.kind == "dense":
+            return self.dense_counts(mask_raw)
+        ones = jnp.ones(mask_raw.shape, jnp.int64)
+        return self.reduce("sum", ones, mask_raw)
+
+    def _reduce_trivial(self, op, data, mask):
+        cap_g = self.num_groups_cap
+        if op == "sum":
+            acc = data
+            if acc.dtype in (jnp.int8, jnp.int16, jnp.int32, jnp.bool_):
+                acc = acc.astype(jnp.int64)
+            elif acc.dtype in (jnp.uint8, jnp.uint16, jnp.uint32):
+                acc = acc.astype(jnp.uint64)
+            elif acc.dtype == jnp.float32:
+                acc = acc.astype(jnp.float64)
+            v = jnp.sum(jnp.where(mask, acc, jnp.zeros((), acc.dtype)))
+        elif op in ("min", "max"):
+            if jnp.issubdtype(data.dtype, jnp.integer) \
+                    or data.dtype == jnp.bool_:
+                ident = (jnp.iinfo(data.dtype).max if op == "min"
+                         else jnp.iinfo(data.dtype).min)
+                ident = jnp.asarray(ident, data.dtype)
+            else:
+                ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf,
+                                    data.dtype)
+            fn = jnp.min if op == "min" else jnp.max
+            v = fn(jnp.where(mask, data, ident))
+            v = jnp.where(jnp.any(mask), v, jnp.zeros((), data.dtype))
+        elif op == "any":
+            # first masked-in value: argmax of mask is the first True
+            idx = jnp.argmax(mask)
+            v = jnp.where(jnp.any(mask), data[idx],
+                          jnp.zeros((), data.dtype))
+        else:
+            raise ValueError(op)
+        out = jnp.zeros((cap_g,), v.dtype)
+        return out.at[0].set(v)      # static index: dynamic-update-slice
+
+    def _reduce_dense(self, op, data, mask):
+        if op != "sum":
+            raise ValueError(f"dense grouping cannot reduce '{op}'")
+        ids = jnp.minimum(self.group_ids, self.num_groups_cap - 1)
+        m = mask & (self.group_ids < self.num_groups_cap)
+        signed = not jnp.issubdtype(data.dtype, jnp.unsignedinteger)
+        if not jnp.issubdtype(data.dtype, jnp.integer):
+            if data.dtype == jnp.bool_:
+                data = data.astype(jnp.int64)
+                signed = True
+            else:
+                raise ValueError("dense grouping sums integers only")
+        counts, sums = mxu_segsum.mxu_counts_and_sums(
+            ids, m, [(data, signed)], self.num_groups_cap)
+        return sums[0]
+
+    def dense_counts(self, mask) -> jax.Array:
+        ids = jnp.minimum(self.group_ids, self.num_groups_cap - 1)
+        m = mask & (self.group_ids < self.num_groups_cap)
+        counts, _ = mxu_segsum.mxu_counts_and_sums(
+            ids, m, [], self.num_groups_cap)
+        return counts
+
 
 def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
                   num_groups_cap: int,
                   secondary: Sequence[jax.Array] = ()) -> Grouping:
-    """Dense group ids via multi-operand sort.
+    """Generic grouping via multi-operand sort (scatter-free throughout).
 
-    keys      -- storage arrays of the GROUP BY columns (any fixed-width dtype;
-                 strings arrive as dictionary codes)
-    row_valid -- bool mask of valid rows (False rows are excluded)
-    secondary -- extra sort operands ordering rows *within* each group without
-                 affecting group boundaries (used by holistic aggregates:
-                 quantileExact needs group-local value order).  Group ids are
-                 identical to a call without `secondary`.
+    keys      -- storage arrays of the GROUP BY columns
+    row_valid -- bool mask (False rows excluded, sink to the end)
+    secondary -- extra sort operands ordering rows *within* groups without
+                 affecting boundaries (holistic aggregates)
     """
     cap = keys[0].shape[0]
     rowid = jnp.arange(cap, dtype=jnp.int32)
     invalid = jnp.logical_not(row_valid)
-    # Sort with validity first so padding rows sink to the end, then the key
-    # columns lexicographically; rowid payload carries the permutation.
     operands = [invalid] + list(keys) + list(secondary) + [rowid]
-    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys) + len(secondary))
+    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys)
+                              + len(secondary), is_stable=True)
     inv_s = sorted_ops[0]
     keys_s = sorted_ops[1:1 + len(keys)]
     perm = sorted_ops[-1]
@@ -92,27 +179,25 @@ def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
     gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     valid_s = jnp.logical_not(inv_s)
     num_groups = jnp.max(jnp.where(valid_s, gid, -1)).astype(jnp.int64) + 1
-    # Padding rows get an out-of-range id so downstream scatters drop them.
     gid = jnp.where(valid_s, gid, num_groups_cap)
 
-    unique_keys = []
-    for ks in keys_s:
-        uk = jnp.zeros((num_groups_cap,), ks.dtype).at[gid].set(ks, mode="drop")
-        unique_keys.append(uk)
-    return Grouping(perm=perm, group_ids=gid, num_groups=num_groups,
-                    unique_keys=unique_keys, num_groups_cap=num_groups_cap)
+    starts, ends = scan_ops.segment_starts_ends(gid, num_groups_cap)
+    first_row = jnp.clip(starts, 0, cap - 1)
+    unique_keys = [ks[first_row] for ks in keys_s]
+    return Grouping(kind="sort", group_ids=gid, num_groups=num_groups,
+                    unique_keys=unique_keys, num_groups_cap=num_groups_cap,
+                    perm=perm, boundary=boundary, starts=starts, ends=ends)
 
 
 def group_by_dense(keys: Sequence[jax.Array],
                    dims: Sequence[Tuple[int, int]],
-                   row_valid: jax.Array, num_groups_cap: int) -> Grouping:
-    """Direct-array grouping: the slot is computed from the key, no sort.
+                   row_valid: jax.Array, num_groups_cap: int,
+                   present: Optional[jax.Array] = None) -> Grouping:
+    """Direct-array grouping: slot computed from the key, no sort, no scatter.
 
-    The generalized FixedHashMap (src/Common/HashTable/FixedHashMap.h) path:
-    chosen when interval analysis proves prod(sizes) <= max_groups.
-
-    keys -- key storage arrays;  dims[i] = (lo_i, size_i) proven bounds.
-    Multi-key grouping linearizes: slot = sum((k_i - lo_i) * stride_i).
+    dims[i] = (lo_i, size_i) proven bounds per key array (interval analysis;
+    the generalized FixedHashMap dispatch).  `present`/num_groups are filled
+    in by the caller from the (always computed) dense counts.
     """
     cap = keys[0].shape[0]
     slot = jnp.zeros((cap,), jnp.int64)
@@ -125,74 +210,26 @@ def group_by_dense(keys: Sequence[jax.Array],
         total *= size
     assert total <= num_groups_cap, "dense grouping exceeds capacity"
     ids = jnp.where(row_valid, slot, num_groups_cap).astype(jnp.int32)
-    present = jnp.zeros((num_groups_cap,), jnp.bool_).at[ids].set(
-        True, mode="drop")
-    num_groups = jnp.sum(present.astype(jnp.int64))
-    # slot -> key value per dimension (pure arithmetic on the slot index)
     uks = []
     idx = jnp.arange(num_groups_cap, dtype=jnp.int64)
     stride = 1
     for k, (lo, size) in zip(keys, dims):
         uks.append(((idx // stride) % size + lo).astype(k.dtype))
         stride *= size
-    return Grouping(perm=None, group_ids=ids, num_groups=num_groups,
+    if present is None:
+        present = jnp.zeros((num_groups_cap,), jnp.bool_)
+    return Grouping(kind="dense", group_ids=ids,
+                    num_groups=jnp.sum(present.astype(jnp.int64)),
                     unique_keys=uks, num_groups_cap=num_groups_cap,
-                    ids_sorted=False, present=present)
+                    present=present)
 
 
 def group_trivial(row_valid: jax.Array, num_groups_cap: int = 1024
                   ) -> Grouping:
-    """Sort-free grouping for GROUP BY (): one global group.
-
-    The reference's Aggregator::executeWithoutKey analog — a global
-    count()/sum() must cost one masked reduction, not a 100M-row sort.
-    """
+    """GROUP BY (): one global group, plain masked reductions."""
     cap = row_valid.shape[0]
     gid = jnp.where(row_valid, 0, num_groups_cap).astype(jnp.int32)
     num_groups = jnp.any(row_valid).astype(jnp.int64)
     uk = jnp.zeros((num_groups_cap,), jnp.int32)
-    return Grouping(perm=None, group_ids=gid, num_groups=num_groups,
-                    unique_keys=[uk], num_groups_cap=num_groups_cap,
-                    ids_sorted=False)
-
-
-# -- segment reductions ------------------------------------------------------
-
-def _segment_sum(data, ids, n, sorted_):
-    return jax.ops.segment_sum(data, ids, num_segments=n,
-                               indices_are_sorted=sorted_)
-
-
-def _segment_min(data, ids, n, sorted_):
-    return jax.ops.segment_min(data, ids, num_segments=n,
-                               indices_are_sorted=sorted_)
-
-
-def _segment_max(data, ids, n, sorted_):
-    return jax.ops.segment_max(data, ids, num_segments=n,
-                               indices_are_sorted=sorted_)
-
-
-def _segment_any(data, ids, n, sorted_):
-    # 'any value of the segment' — last write wins is fine (reference `any`
-    # is explicitly non-deterministic; we are at least deterministic).
-    return jnp.zeros((n,), data.dtype).at[ids].set(data, mode="drop")
-
-
-SEGMENT_OPS = {
-    "sum": _segment_sum,
-    "min": _segment_min,
-    "max": _segment_max,
-    "any": _segment_any,
-}
-
-
-def segment_reduce(op: str, data: jax.Array, group_ids: jax.Array,
-                   num_segments: int, ids_sorted: bool = True) -> jax.Array:
-    """Reduce `data` per group.  Padding rows must carry out-of-range ids.
-
-    For min/max the caller must have substituted the op's identity into
-    padding rows OR rely on out-of-range drop (segment_min/max drop them and
-    fill empty segments with the dtype's identity).
-    """
-    return SEGMENT_OPS[op](data, group_ids, num_segments, ids_sorted)
+    return Grouping(kind="trivial", group_ids=gid, num_groups=num_groups,
+                    unique_keys=[uk], num_groups_cap=num_groups_cap)

@@ -13,7 +13,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["compaction_indices", "compact_arrays", "count_mask"]
+__all__ = ["gather_compaction_indices", "compact_arrays", "count_mask"]
 
 
 def count_mask(mask: jax.Array) -> jax.Array:
@@ -21,31 +21,27 @@ def count_mask(mask: jax.Array) -> jax.Array:
     return jnp.sum(mask.astype(jnp.int64))
 
 
-def compaction_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Scatter positions for stream compaction.
+def gather_compaction_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Source row index for each output slot of a stream compaction.
 
-    Returns (positions, count): positions[i] is the output slot of row i when
-    mask[i], else an out-of-range slot (dropped by the scatter).  One
-    cumsum + one scatter per column — O(n), bandwidth-bound, exactly the work
-    the reference's SIMD filter loop does per column.
+    Returns (src_idx, count): output slot j takes input row src_idx[j]
+    (garbage for j >= count).  Gather-only formulation — TPU scatter
+    serializes, so the usual scatter-compaction is inverted into
+    "for output j, binary-search the j-th set bit" (cumsum + searchsorted).
     """
-    m = mask.astype(jnp.int32)
-    pos = jnp.cumsum(m) - 1
+    c = jnp.cumsum(mask.astype(jnp.int64))
+    count = c[-1]
     cap = mask.shape[0]
-    positions = jnp.where(mask, pos, cap)  # cap = out-of-bounds -> dropped
-    count = (pos[-1] + 1).astype(jnp.int64)
-    return positions, count
+    j = jnp.arange(cap, dtype=jnp.int64)
+    src = jnp.searchsorted(c, j + 1, side="left")
+    return jnp.clip(src, 0, cap - 1).astype(jnp.int32), count
 
 
 def compact_arrays(arrays: Sequence[jax.Array], mask: jax.Array
                    ) -> Tuple[list, jax.Array]:
-    """Compact each array by the mask into the leading slots.
+    """Compact each array by the mask into the leading slots (gather-based).
 
-    Padding slots keep each array's zero value; consumers must respect count.
+    Slots beyond count hold repeated garbage; consumers must respect count.
     """
-    positions, count = compaction_indices(mask)
-    out = []
-    for a in arrays:
-        res = jnp.zeros_like(a).at[positions].set(a, mode="drop")
-        out.append(res)
-    return out, count
+    src, count = gather_compaction_indices(mask)
+    return [a[src] for a in arrays], count

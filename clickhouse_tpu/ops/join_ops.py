@@ -54,11 +54,8 @@ _PAD_HASH = jnp.uint64(2**64 - 1)
 def build_join_table(keys: Sequence[jax.Array], row_valid: jax.Array,
                      group_capacity: int) -> JoinTable:
     g = agg_ops.group_by_sort(keys, row_valid, group_capacity)
-    ones = jnp.where(g.group_ids < group_capacity, jnp.int64(1), jnp.int64(0))
-    seg_len = jax.ops.segment_sum(ones, g.group_ids,
-                                  num_segments=group_capacity,
-                                  indices_are_sorted=True)
-    seg_start = jnp.cumsum(seg_len) - seg_len
+    seg_len = g.ends - g.starts          # scatter-free (searchsorted-derived)
+    seg_start = g.starts
 
     h = hash_ops.hash_columns(g.unique_keys)
     gidx = jnp.arange(group_capacity, dtype=jnp.int64)
@@ -132,31 +129,23 @@ def expand_matches(table: JoinTable, matched_gid: jax.Array,
         lens = jnp.minimum(lens, 1)
     if left:
         lens = jnp.where(probe_valid, jnp.maximum(lens, 1), 0)
-    first_out = jnp.cumsum(lens) - lens          # exclusive prefix
-    out_count = (first_out[-1] + lens[-1]).astype(jnp.int64)
+    cum = jnp.cumsum(lens)                       # inclusive prefix
+    first_out = cum - lens                       # exclusive prefix
+    out_count = cum[-1].astype(jnp.int64)
 
-    # Replicate: mark each probe row's first output slot, cumsum to recover the
-    # probe index per output slot.
-    marker = jnp.zeros((out_capacity,), jnp.int32)
-    has_out = lens > 0
-    start_idx = jnp.where(has_out, first_out, out_capacity)
-    marker = marker.at[start_idx].add(1, mode="drop")
-    # probe_idx_for_out = (number of starts <= j) - 1
-    probe_rank = jnp.cumsum(marker) - 1
-    # Map rank -> probe row id via compaction of probe rows that emit output.
-    probe_rows = jnp.arange(lens.shape[0], dtype=jnp.int32)
-    emit_pos = jnp.cumsum(has_out.astype(jnp.int32)) - 1
-    emit_rows = jnp.zeros((lens.shape[0],), jnp.int32).at[
-        jnp.where(has_out, emit_pos, lens.shape[0])].set(probe_rows, mode="drop")
-    probe_row_idx = emit_rows[jnp.clip(probe_rank, 0, lens.shape[0] - 1)]
+    # Replicate (IColumn::replicate analog), gather-only: output slot j
+    # belongs to the probe row whose cumulative range covers j — a vectorized
+    # binary search over the inclusive prefix (no scatter: TPU serializes it).
+    j = jnp.arange(out_capacity, dtype=lens.dtype)
+    probe_row_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    probe_row_idx = jnp.clip(probe_row_idx, 0, lens.shape[0] - 1)
 
-    j = jnp.arange(out_capacity, dtype=jnp.int64)
-    k = j - first_out[probe_row_idx]            # offset within the segment
+    k = j - first_out[probe_row_idx]             # offset within the segment
     gid_out = safe_gid[probe_row_idx]
     m_out = matched[probe_row_idx] & probe_valid[probe_row_idx]
     sorted_pos = jnp.clip(table.seg_start[gid_out] + k, 0,
                           table.row_order.shape[0] - 1)
     build_row_idx = table.row_order[sorted_pos]
-    valid_out = (j < out_count) & (probe_rank >= 0)
+    valid_out = j.astype(jnp.int64) < out_count
     match_mask = m_out & valid_out
     return probe_row_idx, build_row_idx, match_mask, out_count

@@ -1,0 +1,124 @@
+"""Scatter-free segment reductions over key-sorted rows.
+
+TPU scatter serializes updates (measured ~85ns/row — 8.5s per 100M-row
+segment_sum), so the engine never scatters on hot paths.  After the rows are
+key-sorted (sort: ~0.5s/100M — cheap), every per-group reduction becomes:
+
+  * segmented associative scan (value carried within segment, reset at
+    boundaries) -> per-group result sits at each segment's last row;
+  * group start positions via vectorized binary search (searchsorted) on the
+    sorted group-id array — gathers only;
+  * gather the per-group results at segment ends.
+
+Integer sums use plain cumsum + boundary differences (exact modulo 2^64);
+float sums use the segmented scan so accumulation never crosses segment
+boundaries (matches per-group sequential accuracy).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["segment_starts_ends", "seg_reduce_sorted"]
+
+
+def segment_starts_ends(group_ids_sorted: jax.Array, num_groups_cap: int
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """starts[g], ends[g): row range of group g in sorted order (gather-only).
+
+    group_ids_sorted must be ascending with padding rows at the end carrying
+    id >= num_groups_cap.  Empty groups get starts==ends.
+    """
+    g = jnp.arange(num_groups_cap, dtype=group_ids_sorted.dtype)
+    starts = jnp.searchsorted(group_ids_sorted, g, side="left")
+    ends = jnp.searchsorted(group_ids_sorted, g, side="right")
+    return starts.astype(jnp.int64), ends.astype(jnp.int64)
+
+
+def _segmented_scan(op, data: jax.Array, boundary: jax.Array) -> jax.Array:
+    """Inclusive segmented scan: combine resets at rows where boundary=True."""
+    flags = boundary.astype(jnp.bool_)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        v = jnp.where(bf, bv, op(av, bv))
+        return v, af | bf
+
+    out, _ = jax.lax.associative_scan(combine, (data, flags))
+    return out
+
+
+def seg_reduce_sorted(op: str, data: jax.Array, group_ids_sorted: jax.Array,
+                      boundary: jax.Array, starts: jax.Array,
+                      ends: jax.Array, num_groups_cap: int,
+                      mask_sorted: Optional[jax.Array] = None) -> jax.Array:
+    """Per-group reduction over key-sorted rows; returns (num_groups_cap,).
+
+    op           -- sum | min | max | any (first masked-in value)
+    data         -- values in sorted-row order
+    boundary     -- True at each segment's first row
+    mask_sorted  -- rows to include (False rows contribute the identity)
+    Empty groups get 0 (sum) / dtype identity (min/max).
+    """
+    cap = data.shape[0]
+    last = jnp.maximum(ends - 1, 0)
+    have = ends > starts
+
+    if op == "sum":
+        acc = data
+        if acc.dtype in (jnp.int8, jnp.int16, jnp.int32):
+            acc = acc.astype(jnp.int64)
+        elif acc.dtype in (jnp.uint8, jnp.uint16, jnp.uint32):
+            acc = acc.astype(jnp.uint64)
+        elif acc.dtype == jnp.bool_:
+            acc = acc.astype(jnp.int64)
+        elif acc.dtype == jnp.float32:
+            acc = acc.astype(jnp.float64)
+        zero = jnp.zeros((), acc.dtype)
+        if mask_sorted is not None:
+            acc = jnp.where(mask_sorted, acc, zero)
+        if jnp.issubdtype(acc.dtype, jnp.integer):
+            # exact modulo arithmetic: cumsum + boundary difference
+            c = jnp.cumsum(acc)
+            total = c[last]
+            before = jnp.where(starts > 0, c[jnp.maximum(starts - 1, 0)], zero)
+            return jnp.where(have, total - before, zero)
+        seg = _segmented_scan(jnp.add, acc, boundary)
+        return jnp.where(have, seg[last], zero)
+
+    if op in ("min", "max"):
+        if jnp.issubdtype(data.dtype, jnp.integer) or data.dtype == jnp.bool_:
+            ident = jnp.iinfo(data.dtype).max if op == "min" \
+                else jnp.iinfo(data.dtype).min
+            ident = jnp.asarray(ident, data.dtype)
+        else:
+            ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf,
+                                data.dtype)
+        acc = data
+        if mask_sorted is not None:
+            acc = jnp.where(mask_sorted, acc, ident)
+        fn = jnp.minimum if op == "min" else jnp.maximum
+        seg = _segmented_scan(fn, acc, boundary)
+        out = seg[last]
+        return jnp.where(have, out, jnp.zeros((), data.dtype))
+
+    if op == "any":
+        # first masked-in value per segment
+        m = mask_sorted if mask_sorted is not None \
+            else jnp.ones((cap,), jnp.bool_)
+
+        def combine(a, b):
+            av, ah, af = a
+            bv, bh, bf = b
+            v = jnp.where(bf, bv, jnp.where(ah, av, bv))
+            h = jnp.where(bf, bh, ah | bh)
+            return v, h, af | bf
+
+        out, _, _ = jax.lax.associative_scan(
+            combine, (data, m, boundary.astype(jnp.bool_)))
+        return jnp.where(have, out[last], jnp.zeros((), data.dtype))
+
+    raise ValueError(f"Unknown segmented reduction '{op}'")

@@ -92,11 +92,8 @@ class TestGroupBy:
         valid = _valid_mask(n, cap)
         g = agg_ops.group_by_sort([kd], valid, num_groups_cap=1024)
         assert int(g.num_groups) == 37
-        vs = g.take(vd)
-        sums = agg_ops.segment_reduce("sum", vs, g.group_ids, 1024)
-        counts = agg_ops.segment_reduce(
-            "sum", jnp.where(g.group_ids < 1024, 1, 0).astype(jnp.int64),
-            g.group_ids, 1024)
+        sums = g.reduce("sum", vd, valid)
+        counts = g.count_rows(valid)
         df = pd.DataFrame({"k": keys, "v": vals}).groupby("k").agg(
             s=("v", "sum"), c=("v", "count")).reset_index().sort_values("k")
         got_keys = np.asarray(g.unique_keys[0])[:37]
@@ -128,9 +125,8 @@ class TestGroupBy:
         cap = kd.shape[0]
         valid = _valid_mask(n, cap)
         g = agg_ops.group_by_sort([kd], valid, 64)
-        vs = g.take(vd)
-        mins = agg_ops.segment_reduce("min", vs, g.group_ids, 64)
-        maxs = agg_ops.segment_reduce("max", vs, g.group_ids, 64)
+        mins = g.reduce("min", vd, valid)
+        maxs = g.reduce("max", vd, valid)
         df = pd.DataFrame({"k": keys, "v": vals}).groupby("k").agg(
             mn=("v", "min"), mx=("v", "max")).reset_index()
         got_keys = np.asarray(g.unique_keys[0])[:11]
