@@ -528,6 +528,133 @@ def _sort_block(node: L.SortNode, child: ExecBlock, ctx: ExecContext
     return ExecBlock(cols, valid, cap, sharded=child.sharded)
 
 
+def _exec_window(node: L.WindowNode, ctx: ExecContext) -> ExecBlock:
+    """Window functions over sorted partitions (WindowTransform analog):
+    partition = sort grouping with the ORDER BY tokens as secondary sort;
+    frames are segmented scans; results return to original row order via the
+    inverse permutation (gathers only)."""
+    from ..ops import scan_ops
+    child = execute_plan(node.child, ctx)
+    if child.sharded and ctx.distributed:
+        child = _gather_block(child, ctx)   # round-1: centralize windows
+    cap = child.capacity
+    cols = dict(child.cols)
+
+    for item in node.items:
+        if item.partition_by:
+            pcvs = [evaluate(e, child.env()) for e in item.partition_by]
+            pk, _ = _key_arrays(pcvs, cap)
+        else:
+            pk = [jnp.zeros((cap,), jnp.int32)]
+        tokens = [_token_for_sort(evaluate(si.expr, child.env()), si, cap)
+                  for si in item.order_by]
+        cap_g = pad_to(min(cap, ctx.settings.max_groups))
+        g = agg_ops.group_by_sort(pk, child.valid, cap_g, secondary=tokens)
+        mask_s = g.take(child.valid)
+        inv = jnp.argsort(g.perm)
+        gid = jnp.minimum(g.group_ids, cap_g - 1)
+        pb = g.boundary
+
+        v_s = None
+        argmask_s = mask_s
+        if item.args:
+            cv0 = evaluate(item.args[0], child.env()).broadcast(cap)
+            v_s = g.take(cv0.data)
+            if cv0.validity is not None:
+                argmask_s = mask_s & g.take(cv0.validity.astype(jnp.bool_))
+
+        # running count of valid rows per partition (basis for numbering)
+        c = jnp.cumsum(mask_s.astype(jnp.int64))
+        before = jnp.where(g.starts > 0, c[jnp.maximum(g.starts - 1, 0)], 0)
+        rownum = c - before[gid]                 # 1-based among valid rows
+
+        validity_out = None
+        fn = item.fn
+        st = dt.remove_nullable(item.field.dtype).jnp_dtype
+        dict_ = None
+        if fn == "row_number":
+            out_s = rownum
+        elif fn in ("rank", "dense_rank"):
+            tie_b = pb
+            for t in tokens:
+                ts = g.take(t)
+                tie_b = tie_b | jnp.concatenate(
+                    [jnp.ones((1,), jnp.bool_), ts[1:] != ts[:-1]])
+            if fn == "rank":
+                out_s = scan_ops.running_reduce("first", rownum, tie_b,
+                                                mask_s)
+            else:
+                rfirst = scan_ops.running_reduce(
+                    "first", jnp.arange(cap, dtype=jnp.int64), tie_b, mask_s)
+                is_new = mask_s & (rfirst == jnp.arange(cap, dtype=jnp.int64))
+                out_s = scan_ops.running_reduce(
+                    "sum", is_new.astype(jnp.int64), pb, mask_s)
+        elif fn in ("lag", "lead"):
+            shift = item.shift if fn == "lag" else -item.shift
+            idx = jnp.arange(cap, dtype=jnp.int64) - shift
+            ok = (idx >= 0) & (idx < cap)
+            idx_c = jnp.clip(idx, 0, cap - 1)
+            ok = ok & (gid[idx_c] == gid) & mask_s & g.take(child.valid)[idx_c]
+            out_s = jnp.where(ok, v_s[idx_c], jnp.zeros((), v_s.dtype))
+            validity_out = ok.astype(jnp.uint8)
+            cv0 = evaluate(item.args[0], child.env())
+            dict_ = cv0.dictionary
+        elif fn == "count":
+            if item.frame == "running":
+                out_s = scan_ops.running_reduce(
+                    "sum", argmask_s.astype(jnp.int64), pb, mask_s)
+            else:
+                red = g.reduce_sorted("sum", argmask_s.astype(jnp.int64),
+                                      argmask_s)
+                out_s = red[gid]
+        elif fn in ("sum", "avg", "min", "max"):
+            acc = v_s
+            if fn in ("sum", "avg"):
+                acc = acc.astype(jnp.float64 if fn == "avg"
+                                 or jnp.issubdtype(st, jnp.floating)
+                                 else (jnp.uint64 if jnp.issubdtype(
+                                     acc.dtype, jnp.unsignedinteger)
+                                     else jnp.int64))
+            op = "sum" if fn in ("sum", "avg") else fn
+            if item.frame == "running":
+                out_s = scan_ops.running_reduce(op, acc, pb, argmask_s)
+                cnt = scan_ops.running_reduce(
+                    "sum", argmask_s.astype(jnp.int64), pb, mask_s)
+            else:
+                out_s = g.reduce_sorted(op, acc, argmask_s)[gid]
+                cnt = g.reduce_sorted("sum", argmask_s.astype(jnp.int64),
+                                      argmask_s)[gid]
+            if fn == "avg":
+                out_s = out_s.astype(jnp.float64) \
+                    / jnp.maximum(cnt, 1).astype(jnp.float64)
+            cv0 = evaluate(item.args[0], child.env())
+            if fn in ("min", "max"):
+                dict_ = cv0.dictionary
+        elif fn in ("any", "first_value", "last_value"):
+            which = "last" if fn == "last_value" else "first"
+            if item.frame == "running":
+                out_s = scan_ops.running_reduce(which, v_s, pb, argmask_s)
+            else:
+                red_op = "any" if which == "first" else "any"
+                if which == "first":
+                    out_s = g.reduce_sorted("any", v_s, argmask_s)[gid]
+                else:
+                    # last of partition: value at the partition's last row
+                    last = jnp.clip(g.ends - 1, 0, cap - 1)
+                    out_s = v_s[last[gid]]
+            cv0 = evaluate(item.args[0], child.env())
+            dict_ = cv0.dictionary
+        else:
+            raise NotImplementedError_(f"window function '{fn}'")
+
+        out_raw = out_s[inv].astype(st) if out_s.dtype != st \
+            else out_s[inv]
+        v_raw = validity_out[inv] if validity_out is not None else None
+        cols[item.field.id] = ColVal(item.field.dtype, out_raw, v_raw, dict_)
+
+    return ExecBlock(cols, child.valid, cap, sharded=child.sharded)
+
+
 def _exec_limit(node: L.LimitNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
     if child.sharded and ctx.distributed:
@@ -790,6 +917,7 @@ _DISPATCH: Dict[type, Callable] = {
     L.ProjectNode: _exec_project,
     L.AggregateNode: _exec_aggregate,
     L.SortNode: _exec_sort,
+    L.WindowNode: _exec_window,
     L.LimitNode: _exec_limit,
     L.LimitByNode: _exec_limit_by,
     L.DistinctNode: _exec_distinct,

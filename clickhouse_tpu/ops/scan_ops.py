@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["segment_starts_ends", "seg_reduce_sorted"]
+__all__ = ["segment_starts_ends", "seg_reduce_sorted", "running_reduce"]
 
 
 def segment_starts_ends(group_ids_sorted: jax.Array, num_groups_cap: int
@@ -49,6 +49,53 @@ def _segmented_scan(op, data: jax.Array, boundary: jax.Array) -> jax.Array:
 
     out, _ = jax.lax.associative_scan(combine, (data, flags))
     return out
+
+
+def running_reduce(op: str, data: jax.Array, boundary: jax.Array,
+                   mask: Optional[jax.Array] = None) -> jax.Array:
+    """Per-row inclusive running reduction within segments (window frames:
+    UNBOUNDED PRECEDING .. CURRENT ROW).  Masked rows pass the carry through.
+
+    op: sum | min | max | first | last
+    """
+    if op == "sum":
+        acc = data
+        if acc.dtype in (jnp.int8, jnp.int16, jnp.int32, jnp.bool_):
+            acc = acc.astype(jnp.int64)
+        elif acc.dtype in (jnp.uint8, jnp.uint16, jnp.uint32):
+            acc = acc.astype(jnp.uint64)
+        if mask is not None:
+            acc = jnp.where(mask, acc, jnp.zeros((), acc.dtype))
+        return _segmented_scan(jnp.add, acc, boundary)
+    if op in ("min", "max"):
+        if jnp.issubdtype(data.dtype, jnp.integer) or data.dtype == jnp.bool_:
+            ident = jnp.iinfo(data.dtype).max if op == "min" \
+                else jnp.iinfo(data.dtype).min
+            ident = jnp.asarray(ident, data.dtype)
+        else:
+            ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf,
+                                data.dtype)
+        acc = jnp.where(mask, data, ident) if mask is not None else data
+        fn = jnp.minimum if op == "min" else jnp.maximum
+        return _segmented_scan(fn, acc, boundary)
+    if op in ("first", "last"):
+        m = mask if mask is not None else jnp.ones(data.shape, jnp.bool_)
+        keep_first = op == "first"
+
+        def combine(a, b):
+            av, ah, af = a
+            bv, bh, bf = b
+            if keep_first:
+                v = jnp.where(bf, bv, jnp.where(ah, av, bv))
+            else:
+                v = jnp.where(bf, bv, jnp.where(bh, bv, av))
+            h = jnp.where(bf, bh, ah | bh)
+            return v, h, af | bf
+
+        out, _, _ = jax.lax.associative_scan(
+            combine, (data, m, boundary.astype(jnp.bool_)))
+        return out
+    raise ValueError(op)
 
 
 def seg_reduce_sorted(op: str, data: jax.Array, group_ids_sorted: jax.Array,

@@ -166,11 +166,25 @@ class Analyzer:
             if sel.having is not None:
                 having = bind_post(sel.having)
                 plan = L.FilterNode(plan, having, plan.schema)
-            bound_items = [(bind_post(e), name) for e, name in items]
         else:
             bind_post = lambda e: self.bind(expand(e), scope, allow_agg=False)
-            bound_items = [(bind_post(e), name) for e, name in items]
             scope_after = scope
+
+        # window functions (evaluated after aggregation/HAVING, before the
+        # projection — the reference's WindowStep position)
+        win_exprs = [expand(e) for e, _ in items] \
+            + [expand(oi.expr) for oi in order_items]
+        if any(_contains_window(e) for e in win_exprs):
+            plan, scope_after, win_map = self.plan_windows(
+                plan, scope_after, win_exprs, bind_post)
+            subst = lambda e: _replace_windows(e, win_map)
+            if has_agg:
+                bind_post = lambda e: self.bind_post_agg(
+                    subst(expand(e)), rewrite, scope_after)
+            else:
+                bind_post = lambda e: self.bind(
+                    subst(expand(e)), scope_after, allow_agg=False)
+        bound_items = [(bind_post(e), name) for e, name in items]
 
         # Projection (+ hidden sort columns)
         out_fields = [self.field(name, be.dtype) for be, name in bound_items]
@@ -435,10 +449,87 @@ class Analyzer:
                    "keys_bound": key_by_bound, "pre_scope": scope}
         return node, Scope(schema), rewrite
 
+    # -- window functions ----------------------------------------------------
+    _WINDOW_FNS = {
+        "row_number": dt.UInt64, "rank": dt.UInt64, "dense_rank": dt.UInt64,
+        "count": dt.UInt64, "avg": dt.Float64,
+        # None -> derived from the argument
+        "sum": None, "min": None, "max": None, "any": None,
+        "lag": None, "lead": None, "first_value": None, "last_value": None,
+    }
+    _WINDOW_ALIASES = {"laginframe": "lag", "leadinframe": "lead",
+                       "rownumber": "row_number", "denserank": "dense_rank",
+                       "anylast": "any"}
+
+    def plan_windows(self, plan: L.PlanNode, scope_after: Scope,
+                     exprs: List[ast.Expr], binder):
+        """Collect window calls, build the WindowNode, return substitution
+        map text(call) -> placeholder identifier name."""
+        win_items: List[L.WindowItem] = []
+        win_map: Dict[str, str] = {}
+        fields: List[L.Field] = []
+
+        def collect(e: ast.Expr):
+            if isinstance(e, ast.FuncCall) and e.over is not None:
+                text = ast.format_expr(e)
+                if text in win_map:
+                    return
+                item = self._bind_window(e, binder, text)
+                placeholder = f"__win{len(win_items)}"
+                win_map[text] = placeholder
+                f = L.Field(item.field.id, placeholder, item.field.dtype)
+                item.field = f
+                win_items.append(item)
+                fields.append(f)
+                return
+            for c in _ast_children(e):
+                collect(c)
+
+        for e in exprs:
+            collect(e)
+        schema = list(plan.schema) + fields
+        node = L.WindowNode(plan, win_items, schema)
+        return node, Scope(scope_after.fields + fields), win_map
+
+    def _bind_window(self, e: ast.FuncCall, binder, text: str) -> L.WindowItem:
+        name = e.name.lower()
+        name = self._WINDOW_ALIASES.get(name, name)
+        if name not in self._WINDOW_FNS:
+            raise NotImplementedError_(
+                f"Window function '{e.name}' is not supported")
+        args = [binder(a) for a in e.args]
+        shift = 1
+        if name in ("lag", "lead"):
+            if len(args) >= 2:
+                shift = _const_int(e.args[1])
+                args = args[:1]
+        part = [binder(p) for p in (e.over.partition_by or [])]
+        order = []
+        for oi in (e.over.order_by or []):
+            nl = oi.nulls_last if oi.nulls_last is not None else True
+            order.append(L.SortItem(binder(oi.expr), oi.descending, nl))
+        out_t = self._WINDOW_FNS[name]
+        if out_t is None:
+            base = args[0].dtype if args else dt.UInt64
+            if name == "sum":
+                t0 = dt.remove_nullable(base)
+                out_t = dt.Float64 if dt.is_float(t0) else (
+                    dt.UInt64 if t0.np_dtype.kind == "u" else dt.Int64)
+            elif name in ("lag", "lead"):
+                out_t = dt.make_nullable(base)
+            else:
+                out_t = base
+        field = self.field(text, out_t)
+        frame = e.over.frame or ("running" if order else "full")
+        return L.WindowItem(field=field, fn=name, args=args,
+                            partition_by=part, order_by=order, frame=frame,
+                            shift=shift)
+
     def _is_aggregate_call(self, e: ast.FuncCall) -> bool:
         # Aggregate and scalar namespaces are disjoint in our registry (the
         # reference resolves aggregates first too, executeQuery.cpp path).
-        return agg_reg.is_aggregate_name(e.name)
+        # `sum(x) OVER (...)` is a window call, not an aggregate.
+        return e.over is None and agg_reg.is_aggregate_name(e.name)
 
     def _bind_aggregate(self, e: ast.FuncCall, scope: Scope) -> L.AggregateItem:
         name = e.name
@@ -666,12 +757,37 @@ def _ast_children(e: ast.Expr):
 
 def _contains_aggregate(e: ast.Expr) -> bool:
     if isinstance(e, ast.FuncCall):
-        if agg_reg.is_aggregate_name(e.name):
+        if e.over is None and agg_reg.is_aggregate_name(e.name):
             return True
         return any(_contains_aggregate(a) for a in e.args)
     if isinstance(e, ast.Tuple_):
         return any(_contains_aggregate(i) for i in e.items)
     return False
+
+
+def _contains_window(e: ast.Expr) -> bool:
+    if isinstance(e, ast.FuncCall):
+        if e.over is not None:
+            return True
+        return any(_contains_window(a) for a in e.args)
+    if isinstance(e, ast.Tuple_):
+        return any(_contains_window(i) for i in e.items)
+    return False
+
+
+def _replace_windows(e: ast.Expr, win_map: Dict[str, str]) -> ast.Expr:
+    """Substitute collected window calls with their placeholder columns."""
+    if isinstance(e, ast.FuncCall):
+        if e.over is not None:
+            text = ast.format_expr(e)
+            if text in win_map:
+                return ast.Identifier(win_map[text])
+        return ast.FuncCall(e.name,
+                            [_replace_windows(a, win_map) for a in e.args],
+                            e.params, e.distinct, e.over)
+    if isinstance(e, ast.Tuple_):
+        return ast.Tuple_([_replace_windows(i, win_map) for i in e.items])
+    return e
 
 
 def _split_conjuncts(e: ast.Expr) -> List[ast.Expr]:
@@ -700,10 +816,19 @@ def _expand_aliases(e: ast.Expr, aliases: Dict[str, ast.Expr], scope: Scope,
                 return _expand_aliases(aliases[name], aliases, scope, depth + 1)
         return e
     if isinstance(e, ast.FuncCall):
+        over = e.over
+        if over is not None:
+            over = ast.WindowSpec(
+                [_expand_aliases(p, aliases, scope, depth)
+                 for p in over.partition_by],
+                [ast.OrderItem(_expand_aliases(o.expr, aliases, scope, depth),
+                               o.descending, o.nulls_last)
+                 for o in over.order_by],
+                over.frame)
         return ast.FuncCall(e.name,
                             [_expand_aliases(a, aliases, scope, depth)
                              for a in e.args],
-                            e.params, e.distinct)
+                            e.params, e.distinct, over)
     if isinstance(e, ast.Tuple_):
         return ast.Tuple_([_expand_aliases(i, aliases, scope, depth)
                            for i in e.items])

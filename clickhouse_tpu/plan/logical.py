@@ -18,8 +18,8 @@ from ..exprs.aggregates import AggregateFunction
 __all__ = [
     "Field", "PlanNode", "ScanNode", "OneRowNode", "NumbersNode",
     "FilterNode", "ProjectNode", "AggregateItem", "AggregateNode",
-    "SortItem", "SortNode", "LimitNode", "LimitByNode", "JoinNode",
-    "DistinctNode", "UnionNode", "explain_plan",
+    "SortItem", "SortNode", "WindowItem", "WindowNode", "LimitNode",
+    "LimitByNode", "JoinNode", "DistinctNode", "UnionNode", "explain_plan",
 ]
 
 
@@ -126,6 +126,32 @@ class SortItem:
     expr: BoundExpr
     descending: bool = False
     nulls_last: bool = True
+
+
+@dataclasses.dataclass
+class WindowItem:
+    field: Field
+    fn: str                       # row_number|rank|dense_rank|lag|lead|...
+    args: List[BoundExpr]
+    partition_by: List[BoundExpr]
+    order_by: List[SortItem]
+    frame: str                    # running | full
+    shift: int = 1                # lag/lead offset
+
+
+@dataclasses.dataclass
+class WindowNode(PlanNode):
+    """Window functions over sorted partitions (WindowTransform analog,
+    src/Processors/Transforms/WindowTransform.cpp)."""
+    child: PlanNode
+    items: List[WindowItem]
+    schema: List[Field]           # child fields + window fields
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return "Window [" + ", ".join(i.fn for i in self.items) + "]"
 
 
 @dataclasses.dataclass

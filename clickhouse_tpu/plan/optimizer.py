@@ -121,6 +121,19 @@ def _prune_columns(node: L.PlanNode, needed: Set[str]) -> None:
         _prune_columns(node.child, child_needed)
         node.schema = [f for f in node.child.schema]
         return
+    if isinstance(node, L.WindowNode):
+        child_needed = set(needed) - {i.field.id for i in node.items}
+        for i in node.items:
+            for e in i.args + i.partition_by:
+                expr_column_refs(e, child_needed)
+            for si in i.order_by:
+                expr_column_refs(si.expr, child_needed)
+        _prune_columns(node.child, child_needed)
+        kept = {f.id for f in node.child.schema}
+        node.schema = [f for f in node.schema
+                       if f.id in kept or f.id in {i.field.id
+                                                   for i in node.items}]
+        return
     if isinstance(node, L.DistinctNode):
         # DISTINCT semantics depend on its full schema — keep everything
         _prune_columns(node.child, {f.id for f in node.schema})

@@ -11,7 +11,8 @@ import dataclasses
 from typing import Any, Dict, List, Optional, Tuple, Union
 
 __all__ = [
-    "Expr", "Identifier", "Literal", "Star", "FuncCall", "Tuple_", "Subquery",
+    "Expr", "Identifier", "Literal", "Star", "FuncCall", "WindowSpec",
+    "Tuple_", "Subquery",
     "SelectItem", "TableRef", "TableFunctionRef", "SubqueryRef", "Join",
     "OrderItem", "Select", "Union", "Insert", "ColumnDef", "CreateTable",
     "CreateDatabase", "DropTable", "ShowTables", "Describe", "Explain",
@@ -44,11 +45,19 @@ class Star(Expr):
 
 
 @dataclasses.dataclass
+class WindowSpec:
+    partition_by: List["Expr"] = dataclasses.field(default_factory=list)
+    order_by: List["OrderItem"] = dataclasses.field(default_factory=list)
+    frame: Optional[str] = None            # None|"running"|"full"
+
+
+@dataclasses.dataclass
 class FuncCall(Expr):
     name: str
     args: List[Expr]
     params: Optional[List[Expr]] = None    # quantile(0.5)(x)
     distinct: bool = False                 # count(DISTINCT x)
+    over: Optional[WindowSpec] = None      # fn(...) OVER (...)
 
 
 @dataclasses.dataclass
@@ -239,7 +248,18 @@ def format_expr(e: Expr) -> str:
         if e.params:
             params = "(" + ", ".join(format_expr(p) for p in e.params) + ")"
         d = "DISTINCT " if e.distinct else ""
-        return f"{e.name}{params}({d}{', '.join(format_expr(a) for a in e.args)})"
+        base = f"{e.name}{params}({d}{', '.join(format_expr(a) for a in e.args)})"
+        if e.over is not None:
+            parts = []
+            if e.over.partition_by:
+                parts.append("PARTITION BY " + ", ".join(
+                    format_expr(p) for p in e.over.partition_by))
+            if e.over.order_by:
+                parts.append("ORDER BY " + ", ".join(
+                    format_expr(o.expr) + (" DESC" if o.descending else "")
+                    for o in e.over.order_by))
+            base += " OVER (" + " ".join(parts) + ")"
+        return base
     if isinstance(e, Tuple_):
         return "(" + ", ".join(format_expr(i) for i in e.items) + ")"
     if isinstance(e, Subquery):

@@ -22,7 +22,7 @@ RESERVED = {
     "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
     "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
     "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "ROLLUP", "CUBE",
-    "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE",
+    "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE", "OVER",
 }
 
 
@@ -689,7 +689,12 @@ class Parser:
     def parse_postfix(self) -> ast.Expr:
         e = self.parse_primary()
         while True:
-            if self.accept_op("::"):
+            if isinstance(e, ast.FuncCall) and e.over is None \
+                    and self.tok.is_kw("OVER"):
+                self.advance()
+                e = ast.FuncCall(e.name, e.args, e.params, e.distinct,
+                                 over=self.parse_window_spec())
+            elif self.accept_op("::"):
                 tname = self.parse_type_name()
                 e = ast.FuncCall("CAST", [e, ast.Literal(tname)])
             elif self.tok.kind == "op" and self.tok.text == "(" \
@@ -796,6 +801,47 @@ class Parser:
                 return ast.FuncCall(name, args, distinct=distinct)
             return ast.Identifier(name)
         raise ParseError(f"Unexpected token {t.text!r} at {t.pos}")
+
+    def parse_window_spec(self) -> ast.WindowSpec:
+        spec = ast.WindowSpec()
+        self.expect_op("(")
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            spec.partition_by.append(self.parse_expr())
+            while self.accept_op(","):
+                spec.partition_by.append(self.parse_expr())
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            spec.order_by.append(self.parse_order_item())
+            while self.accept_op(","):
+                spec.order_by.append(self.parse_order_item())
+            spec.frame = "running"     # SQL default with ORDER BY
+        else:
+            spec.frame = "full"
+        if self.tok.is_kw("ROWS", "RANGE"):
+            self.advance()
+            self.expect_kw("BETWEEN")
+            lo = self._parse_frame_bound()
+            self.expect_kw("AND")
+            hi = self._parse_frame_bound()
+            if lo == "unbounded_preceding" and hi == "current_row":
+                spec.frame = "running"
+            elif lo == "unbounded_preceding" and hi == "unbounded_following":
+                spec.frame = "full"
+            else:
+                raise ParseError("Only UNBOUNDED PRECEDING .. CURRENT ROW / "
+                                 "UNBOUNDED FOLLOWING frames are supported")
+        self.expect_op(")")
+        return spec
+
+    def _parse_frame_bound(self) -> str:
+        if self.accept_kw("UNBOUNDED"):
+            kw = self.expect_kw("PRECEDING", "FOLLOWING")
+            return f"unbounded_{kw.text.lower()}"
+        if self.accept_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return "current_row"
+        raise ParseError(f"Unsupported frame bound at {self.tok.pos}")
 
     def parse_case(self) -> ast.Expr:
         self.expect_kw("CASE")
