@@ -76,6 +76,9 @@ class ExecContext:
         self.axis_name = axis_name
         self.n_shards = n_shards
         self.sharded_tables = sharded_tables or set()
+        # interval-analysis facts: field id -> (lo, hi), filled at scans from
+        # part minmax stats and propagated through projections
+        self.field_bounds: Dict[str, Tuple[int, int]] = {}
 
     @property
     def distributed(self) -> bool:
@@ -138,6 +141,8 @@ def _exec_scan(node: L.ScanNode, ctx: ExecContext) -> ExecBlock:
     for f, storage_name in zip(node.schema, node.column_names):
         cols[f.id] = colval_from_column(blk[storage_name])
     cap = blk.capacity
+    if node.column_stats:
+        ctx.field_bounds.update(node.column_stats)
     sharded = (node.database, node.table) in ctx.sharded_tables
     if "__row_valid" in blk.columns:
         # distributed tables carry an explicit per-row validity column
@@ -177,10 +182,14 @@ def _exec_filter(node: L.FilterNode, ctx: ExecContext) -> ExecBlock:
 
 def _exec_project(node: L.ProjectNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
+    from ..plan import ranges
     cols = {}
     for f, e in zip(node.schema, node.exprs):
         cv = evaluate(e, child.env())
         cols[f.id] = cv.broadcast(child.capacity)
+        b = ranges.infer_bounds(e, ctx.field_bounds)
+        if b is not None:
+            ctx.field_bounds[f.id] = b
     return ExecBlock(cols, child.valid, child.capacity,
                      sharded=child.sharded)
 
@@ -239,9 +248,10 @@ def _repartition_block(eb: ExecBlock, key_arrays: List[jax.Array],
 
 
 def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
-                    settings: Settings):
+                    ctx: ExecContext):
     """-> (key_cvs, key_arrays, dense_dims or None, global_agg)."""
     from ..plan import ranges
+    settings = ctx.settings
     cap = child.capacity
     key_cvs = [evaluate(e, child.env()) for _, e in node.keys]
     if not key_cvs:
@@ -265,7 +275,7 @@ def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
             d = cv.dictionary
             b = (0, max(len(d) - 1, 0)) if d is not None else None
         elif cv.dtype.np_dtype.kind in ("i", "u", "b"):
-            b = ranges.infer_bounds(e, {})
+            b = ranges.infer_bounds(e, ctx.field_bounds)
         if b is None:
             dense_ok = False
             dims.append(None)
@@ -284,7 +294,7 @@ def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
 def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
     key_cvs, key_arrays, dims, global_agg = _agg_key_arrays(
-        node, child, ctx.settings)
+        node, child, ctx)
     holistic = any(a.fn.holistic for a in node.aggregates)
     if holistic or not all(a.fn.sum_only for a in node.aggregates):
         # dense/MXU grouping serves sum-family aggregates only; holistic
@@ -298,7 +308,7 @@ def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
             else:
                 child = _gather_block(child, ctx)
             key_cvs, key_arrays, dims, global_agg = _agg_key_arrays(
-                node, child, ctx.settings)
+                node, child, ctx)
             return _aggregate_local(node, child, key_cvs, key_arrays, None,
                                     global_agg, ctx,
                                     sharded_out=bool(node.keys))

@@ -283,10 +283,16 @@ class Analyzer:
         quals = (ref.alias,) if ref.alias else (ref.table,)
         fields = []
         names = []
+        stats = {}
         for name, ctype in table.schema_items():
-            fields.append(self.field(name, ctype, quals))
+            f = self.field(name, ctype, quals)
+            fields.append(f)
             names.append(name)
-        node = L.ScanNode(db, ref.table, fields, names, final=ref.final)
+            b = table.column_bounds(name)
+            if b is not None:
+                stats[f.id] = b
+        node = L.ScanNode(db, ref.table, fields, names, final=ref.final,
+                          column_stats=stats or None)
         return node, Scope(fields)
 
     def analyze_table_function(self, ref: ast.TableFunctionRef

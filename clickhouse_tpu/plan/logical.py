@@ -51,6 +51,8 @@ class ScanNode(PlanNode):
     final: bool = False
     # set by the optimizer: predicate usable for part/granule pruning
     pruning_predicate: Optional[BoundExpr] = None
+    # per-field integer bounds from part minmax stats (interval analysis)
+    column_stats: Optional[Dict[str, Tuple[int, int]]] = None
 
     def label(self):
         return f"Scan {self.database}.{self.table}"

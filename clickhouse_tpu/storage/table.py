@@ -134,6 +134,24 @@ class Table:
         """Per-part minmax for scan pruning."""
         return [(p.num_rows, p.minmax) for p in self.parts]
 
+    def column_bounds(self, name: str):
+        """Integer (lo, hi) over all parts, or None (minmax-index analog)."""
+        t = self.schema.get(name)
+        if t is None or t.is_dictionary or t.np_dtype.kind not in ("i", "u"):
+            return None
+        lo = hi = None
+        for p in self.parts:
+            mm = p.minmax.get(name)
+            if mm is None:
+                if p.num_rows:
+                    return None
+                continue
+            lo = mm[0] if lo is None else min(lo, mm[0])
+            hi = mm[1] if hi is None else max(hi, mm[1])
+        if lo is None:
+            return None
+        return (int(lo), int(hi))
+
 
 class Database:
     def __init__(self, name: str):
