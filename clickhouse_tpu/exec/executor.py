@@ -71,7 +71,9 @@ class ExecContext:
         self.settings = settings
         self.checks: List[Check] = []
         self.profile: Dict[str, int] = {}
-        self.totals: Optional[Dict[str, ColVal]] = None
+        # WITH TOTALS: a single-row block flowing beside the main pipeline
+        # (the reference's totals port, IProcessor totals stream)
+        self.totals_block: Optional["ExecBlock"] = None
         # distributed execution (inside shard_map over `axis_name`)
         self.axis_name = axis_name
         self.n_shards = n_shards
@@ -190,6 +192,17 @@ def _exec_project(node: L.ProjectNode, ctx: ExecContext) -> ExecBlock:
         b = ranges.infer_bounds(e, ctx.field_bounds)
         if b is not None:
             ctx.field_bounds[f.id] = b
+    if ctx.totals_block is not None:
+        t = ctx.totals_block
+        tcols = {}
+        for f, e in zip(node.schema, node.exprs):
+            try:
+                tcols[f.id] = evaluate(e, t.env()).broadcast(t.capacity)
+            except Exception:
+                tcols[f.id] = ColVal(f.dtype,
+                                     jnp.zeros((t.capacity,),
+                                               f.dtype.jnp_dtype))
+        ctx.totals_block = ExecBlock(tcols, t.valid, t.capacity)
     return ExecBlock(cols, child.valid, child.capacity,
                      sharded=child.sharded)
 
@@ -312,10 +325,36 @@ def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
             return _aggregate_local(node, child, key_cvs, key_arrays, None,
                                     global_agg, ctx,
                                     sharded_out=bool(node.keys))
+        if node.with_totals:
+            ctx.totals_block = _aggregate_totals(node, child, ctx)
         return _aggregate_two_stage(node, child, key_cvs, key_arrays, dims,
                                     global_agg, ctx)
+    if node.with_totals and not global_agg:
+        ctx.totals_block = _aggregate_totals(node, child, ctx)
     return _aggregate_local(node, child, key_cvs, key_arrays, dims,
                             global_agg, ctx, sharded_out=child.sharded)
+
+
+def _aggregate_totals(node: L.AggregateNode, child: ExecBlock,
+                      ctx: ExecContext) -> ExecBlock:
+    """WITH TOTALS: the same aggregates over all rows as one global group;
+    key columns carry their defaults (reference: TotalsHavingTransform)."""
+    cap = child.capacity
+    key_cvs = [evaluate(e, child.env()) for _, e in node.keys]
+    tnode = dataclasses.replace(node, keys=[], with_totals=False,
+                                schema=[a.field for a in node.aggregates])
+    zeros = [jnp.zeros((cap,), jnp.int32)]
+    if child.sharded and ctx.distributed:
+        tot = _aggregate_two_stage(tnode, child, [], zeros, None, True, ctx)
+    else:
+        tot = _aggregate_local(tnode, child, [], zeros, None, True,
+                               ctx, sharded_out=False)
+    # replace the (meaningless) key outputs with default values
+    for (f, _), cv in zip(node.keys, key_cvs):
+        cv_b = cv.broadcast(cap)
+        data = jnp.zeros((tot.capacity,), cv_b.data.dtype)
+        tot.cols[f.id] = ColVal(f.dtype, data, None, cv_b.dictionary)
+    return tot
 
 
 def _rekey(node: L.AggregateNode, child: ExecBlock) -> List[jax.Array]:

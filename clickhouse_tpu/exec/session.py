@@ -44,9 +44,12 @@ class Session:
         self.settings = settings or Settings()
         self.catalog = catalog or Catalog()
         self.query_log: List[QueryLogEntry] = []
+        # ProfileEvents analog: monotonic counters (src/Common/ProfileEvents)
+        self.profile_events: Dict[str, int] = {}
         # Compiled-query cache (CompiledExpressionCache analog, scaled up to
         # whole plans): key -> (jitted fn, plan, trace-time structure)
         self._jit_cache: Dict[Any, Any] = {}
+        self.catalog.system_providers = self._system_providers()
 
     # -- public API ----------------------------------------------------------
     def execute(self, sql: str, settings: Optional[Dict[str, Any]] = None
@@ -146,8 +149,12 @@ class Session:
             formats.write_file(outfile, cols, types,
                                fmt=getattr(stmt, "format", None))
             return _status_result()
-        return Result(cols, types,
-                      rows_read=ctx.profile.get("rows_scanned", 0))
+        rows_read = ctx.profile.get("rows_scanned", 0)
+        self.profile_events["Query"] = self.profile_events.get("Query", 0) + 1
+        self.profile_events["SelectedRows"] = \
+            self.profile_events.get("SelectedRows", 0) + rows_read
+        return Result(cols, types, rows_read=rows_read,
+                      totals=getattr(ctx, "totals_np", None))
 
     def _collect_table_blocks(self, plan: L.PlanNode, out=None):
         if out is None:
@@ -166,6 +173,9 @@ class Session:
         ctx = ExecContext(blocks, settings)
         out = execute_plan(plan, ctx)
         cols = materialize(out, plan.schema, ctx)
+        if ctx.totals_block is not None:
+            tctx = ExecContext({}, settings)
+            ctx.totals_np = materialize(ctx.totals_block, plan.schema, tctx)
         return cols, ctx
 
     def _execute_to_pydict(self, plan, settings) -> Dict[str, np.ndarray]:
@@ -233,9 +243,24 @@ class Session:
             struct["dicts"] = dicts                 # trace-time capture
             struct["checks"] = [(c.limit, c.message) for c in ctx.checks]
             struct["capacity"] = out.capacity
-            return {"valid": out.valid, "data": data_leaves,
-                    "validity": validity_leaves,
-                    "checks": [c.value for c in ctx.checks]}
+            leaves = {"valid": out.valid, "data": data_leaves,
+                      "validity": validity_leaves,
+                      "checks": [c.value for c in ctx.checks]}
+            tot = ctx.totals_block
+            struct["totals"] = None
+            if tot is not None:
+                td, tv, tdicts = {}, {}, {}
+                for f in plan.schema:
+                    cv = tot.cols[f.id].broadcast(tot.capacity)
+                    td[f.id] = cv.data
+                    if cv.validity is not None:
+                        tv[f.id] = cv.validity
+                    tdicts[f.id] = cv.dictionary
+                struct["totals"] = {"dicts": tdicts,
+                                    "capacity": tot.capacity}
+                leaves["totals"] = {"valid": tot.valid, "data": td,
+                                    "validity": tv}
+            return leaves
 
         return (jax.jit(fn), plan, struct)
 
@@ -268,6 +293,17 @@ class Session:
                                 struct["dicts"][f.id])
         out = ExecBlock(cols, leaves["valid"], struct["capacity"])
         cols_np = materialize(out, plan.schema, ctx)
+        if struct.get("totals") is not None and "totals" in leaves:
+            tmeta = struct["totals"]
+            tl = leaves["totals"]
+            tcols = {}
+            for f in plan.schema:
+                tcols[f.id] = ColVal(f.dtype, tl["data"][f.id],
+                                     tl["validity"].get(f.id),
+                                     tmeta["dicts"][f.id])
+            tout = ExecBlock(tcols, tl["valid"], tmeta["capacity"])
+            ctx.totals_np = materialize(tout, plan.schema,
+                                        ExecContext({}, settings))
         return cols_np, ctx
 
     # -- EXPLAIN -------------------------------------------------------------
@@ -275,6 +311,9 @@ class Session:
         settings = self._query_settings(stmt.query, overrides)
         if stmt.kind == "ast":
             text = _dump_ast(stmt.query)
+        elif stmt.kind == "pipeline":
+            plan = self._plan(stmt.query, settings)
+            text = _explain_pipeline(plan, 0)
         else:
             plan = self._plan(stmt.query, settings)
             text = L.explain_plan(plan)
@@ -364,6 +403,104 @@ class Session:
                        "type": np.asarray(types, object)},
                       [("name", "String"), ("type", "String")])
 
+    # -- system tables (self-observation: the engine queries its own state,
+    #    the reference's system.* / SystemLog pattern, SURVEY.md §5) ---------
+    def _system_providers(self):
+        from ..core import dtypes as dtm
+        from ..storage.table import Table
+
+        def query_log():
+            t = Table("query_log", [("query", dtm.String),
+                                    ("query_duration_ms", dtm.Float64),
+                                    ("result_rows", dtm.UInt64),
+                                    ("type", dtm.String),
+                                    ("exception", dtm.String)])
+            entries = list(self.query_log)
+            t.insert_pydict({
+                "query": np.asarray([e.query for e in entries], object),
+                "query_duration_ms": np.asarray(
+                    [e.elapsed_s * 1e3 for e in entries]),
+                "result_rows": np.asarray([e.rows_result for e in entries],
+                                          np.uint64),
+                "type": np.asarray(
+                    ["QueryFinish" if e.status == "OK" else "ExceptionWhile"
+                     for e in entries], object),
+                "exception": np.asarray([e.error for e in entries], object),
+            })
+            return t
+
+        def settings_table():
+            t = Table("settings", [("name", dtm.String),
+                                   ("value", dtm.String),
+                                   ("description", dtm.String)])
+            from ..core.settings import SETTING_DOCS
+            items = sorted(self.settings.as_dict().items())
+            t.insert_pydict({
+                "name": np.asarray([k for k, _ in items], object),
+                "value": np.asarray([str(v) for _, v in items], object),
+                "description": np.asarray(
+                    [SETTING_DOCS.get(k, "") for k, _ in items], object),
+            })
+            return t
+
+        def functions_table():
+            from ..exprs.functions import FUNCTIONS
+            from ..exprs.aggregates import AGGREGATES
+            names = sorted(FUNCTIONS) + sorted(AGGREGATES)
+            kinds = ["scalar"] * len(FUNCTIONS) + ["aggregate"] * len(AGGREGATES)
+            t = Table("functions", [("name", dtm.String),
+                                    ("kind", dtm.String)])
+            t.insert_pydict({"name": np.asarray(names, object),
+                             "kind": np.asarray(kinds, object)})
+            return t
+
+        def events_table():
+            t = Table("events", [("event", dtm.String),
+                                 ("value", dtm.UInt64)])
+            items = sorted(self.profile_events.items())
+            t.insert_pydict({
+                "event": np.asarray([k for k, _ in items], object),
+                "value": np.asarray([v for _, v in items], np.uint64)})
+            return t
+
+        def columns_table():
+            rows = []
+            for dbn, db in self.catalog.databases.items():
+                for tn, tbl in db.tables.items():
+                    for cn, ct in tbl.schema_items():
+                        rows.append((dbn, tn, cn, str(ct)))
+            t = Table("columns", [("database", dtm.String),
+                                  ("table", dtm.String),
+                                  ("name", dtm.String),
+                                  ("type", dtm.String)])
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "name": np.asarray([r[2] for r in rows], object),
+                "type": np.asarray([r[3] for r in rows], object)})
+            return t
+
+        def parts_table():
+            rows = []
+            for dbn, db in self.catalog.databases.items():
+                for tn, tbl in db.tables.items():
+                    for i, p in enumerate(tbl.parts):
+                        rows.append((dbn, tn, f"part_{i}", p.num_rows))
+            t = Table("parts", [("database", dtm.String),
+                                ("table", dtm.String),
+                                ("name", dtm.String),
+                                ("rows", dtm.UInt64)])
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "name": np.asarray([r[2] for r in rows], object),
+                "rows": np.asarray([r[3] for r in rows], np.uint64)})
+            return t
+
+        return {"query_log": query_log, "settings": settings_table,
+                "functions": functions_table, "events": events_table,
+                "columns": columns_table, "parts": parts_table}
+
     # -- convenience ---------------------------------------------------------
     def insert_pydict(self, table: str, data: Dict[str, np.ndarray],
                       database: Optional[str] = None):
@@ -428,6 +565,38 @@ def _infer_dtype(vals: np.ndarray) -> dt.DType:
             base = dt.Float64
         return dt.make_nullable(base) if nullable else base
     return dt.from_numpy_dtype(v.dtype)
+
+
+_PIPELINE_NAMES = {
+    "ScanNode": "Source",
+    "OneRowNode": "SourceFromSingleChunk",
+    "NumbersNode": "NumbersSource",
+    "FilterNode": "FilterTransform (validity-mask AND)",
+    "ProjectNode": "ExpressionTransform (fused by XLA)",
+    "AggregateNode": "AggregatingTransform",
+    "SortNode": "SortingTransform (device sort / top-k)",
+    "WindowNode": "WindowTransform (segmented scans)",
+    "LimitNode": "LimitTransform",
+    "LimitByNode": "LimitByTransform",
+    "DistinctNode": "DistinctTransform",
+    "JoinNode": "JoiningTransform (sorted-hash build + binsearch probe)",
+    "UnionNode": "UnionTransform",
+}
+
+
+def _explain_pipeline(node, indent: int) -> str:
+    """EXPLAIN PIPELINE: the executor transforms a plan node lowers onto."""
+    name = _PIPELINE_NAMES.get(type(node).__name__, type(node).__name__)
+    detail = ""
+    if isinstance(node, L.AggregateNode):
+        if not node.keys:
+            detail = " (without key: masked reductions)"
+        else:
+            detail = " (dense MXU / sort grouping by key bounds)"
+    lines = ["  " * indent + name + detail]
+    for c in node.children():
+        lines.append(_explain_pipeline(c, indent + 1))
+    return "\n".join(lines)
 
 
 def _dump_ast(node, indent=0) -> str:

@@ -168,6 +168,8 @@ class Catalog:
                                                "_files": Database("_files")}
         self.current_database = "default"
         self._file_cache: Dict[Tuple[str, float], str] = {}
+        # extra system.* table providers registered by the session
+        self.system_providers: Dict[str, "callable"] = {}
 
     def file_table(self, path: str, fmt: Optional[str] = None) -> Table:
         """file() table function backing: read once per (path, mtime)."""
@@ -261,6 +263,9 @@ class Catalog:
 
     # -- system tables (self-observation, reference: src/Storages/System/) --
     def _system_table(self, name: str) -> Optional[Table]:
+        provider = self.system_providers.get(name)
+        if provider is not None:
+            return provider()
         if name == "one":
             t = Table("one", [("dummy", dt.UInt8)])
             t.insert_pydict({"dummy": np.zeros(1, np.uint8)})
