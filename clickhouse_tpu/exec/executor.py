@@ -155,7 +155,52 @@ def _exec_scan(node: L.ScanNode, ctx: ExecContext) -> ExecBlock:
         valid = jnp.arange(cap) < jnp.asarray(n)
         ctx.count("rows_scanned",
                   int(n) if isinstance(n, (int, np.integer)) else 0)
-    return ExecBlock(cols, valid, cap, sharded=sharded)
+    eb = ExecBlock(cols, valid, cap, sharded=sharded)
+    if node.final:
+        eb = _apply_final(node, eb, ctx)
+    return eb
+
+
+def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
+                 ) -> ExecBlock:
+    """FINAL read: fold rows with equal sort key at read time — the
+    reference's merge-algorithm family applied on SELECT
+    (Replacing/Summing *SortedAlgorithm.cpp; SURVEY.md §2.5)."""
+    engine = node.engine.lower()
+    if engine not in ("replacingmergetree", "summingmergetree") \
+            or not node.order_by_cols:
+        return eb
+    cap = eb.capacity
+    key_ids = [f.id for f, n in zip(node.schema, node.column_names)
+               if n in node.order_by_cols]
+    if not key_ids:
+        return eb            # sort key columns were pruned away entirely
+    key_cvs = [eb.cols[i] for i in key_ids]
+    key_arrays, _ = _key_arrays(key_cvs, cap)
+    cap_g = pad_to(min(cap, ctx.settings.max_groups))
+    # secondary: newest insertion first within each key group
+    anti_rowid = -jnp.arange(cap, dtype=jnp.int64)
+    g = agg_ops.group_by_sort(key_arrays, eb.valid, cap_g,
+                              secondary=[anti_rowid])
+    keep_sorted = g.boundary & (g.group_ids < cap_g)
+    inv = jnp.argsort(g.perm)
+    keep = keep_sorted[inv]
+    cols = eb.cols
+    if engine == "summingmergetree":
+        gid_raw = g.group_ids[inv]
+        gid_c = jnp.minimum(gid_raw, cap_g - 1)
+        cols = dict(eb.cols)
+        for f in node.schema:
+            if f.id in key_ids:
+                continue
+            cv = cols[f.id].broadcast(cap)
+            if cv.dtype.is_dictionary \
+                    or cv.dtype.np_dtype.kind not in ("i", "u", "f"):
+                continue
+            sums = g.reduce("sum", cv.data, eb.valid)
+            data = sums[gid_c].astype(cv.data.dtype)
+            cols[f.id] = ColVal(cv.dtype, data, cv.validity, cv.dictionary)
+    return ExecBlock(cols, eb.valid & keep, cap, sharded=eb.sharded)
 
 
 def _exec_onerow(node: L.OneRowNode, ctx: ExecContext) -> ExecBlock:

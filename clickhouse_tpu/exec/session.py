@@ -97,6 +97,21 @@ class Session:
             db = stmt.database or self.catalog.current_database
             self.catalog.get_table(db, stmt.table).truncate()
             return _status_result()
+        if isinstance(stmt, ast.OptimizeTable):
+            db = stmt.database or self.catalog.current_database
+            self.catalog.get_table(db, stmt.table).optimize(stmt.final)
+            return _status_result()
+        if isinstance(stmt, ast.BackupRestore):
+            from ..storage import backup as bk
+            db = stmt.database or self.catalog.current_database
+            if stmt.kind == "backup":
+                bk.backup_table(self.catalog.get_table(db, stmt.table),
+                                stmt.path)
+            else:
+                t = bk.restore_table(stmt.path)
+                t.name = stmt.table
+                self.catalog.create_table(db, t)
+            return _status_result()
         if isinstance(stmt, ast.ShowTables):
             return self._run_show(stmt)
         if isinstance(stmt, ast.Describe):

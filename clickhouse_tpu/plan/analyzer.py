@@ -292,7 +292,9 @@ class Analyzer:
             if b is not None:
                 stats[f.id] = b
         node = L.ScanNode(db, ref.table, fields, names, final=ref.final,
-                          column_stats=stats or None)
+                          column_stats=stats or None,
+                          engine=table.engine,
+                          order_by_cols=tuple(table.order_by or ()))
         return node, Scope(fields)
 
     def analyze_table_function(self, ref: ast.TableFunctionRef

@@ -53,6 +53,9 @@ class ScanNode(PlanNode):
     pruning_predicate: Optional[BoundExpr] = None
     # per-field integer bounds from part minmax stats (interval analysis)
     column_stats: Optional[Dict[str, Tuple[int, int]]] = None
+    # engine family + sort key (FINAL fold semantics at read time)
+    engine: str = "Memory"
+    order_by_cols: Tuple[str, ...] = ()
 
     def label(self):
         return f"Scan {self.database}.{self.table}"

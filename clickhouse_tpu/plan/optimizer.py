@@ -60,7 +60,8 @@ def _prune_columns(node: L.PlanNode, needed: Set[str]) -> None:
     """Push the set of needed field ids down, trimming producers."""
     if isinstance(node, L.ScanNode):
         keep = [(f, n) for f, n in zip(node.schema, node.column_names)
-                if f.id in needed]
+                if f.id in needed
+                or (node.final and n in node.order_by_cols)]
         if not keep:        # keep at least one column to carry the row count
             keep = [(node.schema[0], node.column_names[0])]
         node.schema = [f for f, _ in keep]

@@ -204,6 +204,21 @@ class TruncateTable:
 
 
 @dataclasses.dataclass
+class OptimizeTable:
+    database: Optional[str]
+    table: str
+    final: bool = False
+
+
+@dataclasses.dataclass
+class BackupRestore:
+    kind: str                      # backup | restore
+    database: Optional[str]
+    table: str
+    path: str
+
+
+@dataclasses.dataclass
 class ShowTables:
     databases: bool = False
     like: Optional[str] = None

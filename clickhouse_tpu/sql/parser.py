@@ -105,6 +105,22 @@ class Parser:
             return self.parse_drop()
         if t.is_kw("TRUNCATE"):
             return self.parse_truncate()
+        if t.is_kw("OPTIMIZE"):
+            self.advance()
+            self.expect_kw("TABLE")
+            db, tbl = self.parse_table_name()
+            final = bool(self.accept_kw("FINAL"))
+            return ast.OptimizeTable(db, tbl, final)
+        if t.is_kw("BACKUP", "RESTORE"):
+            kind = self.advance().text.lower()
+            self.expect_kw("TABLE")
+            db, tbl = self.parse_table_name()
+            self.expect_kw("TO" if kind == "backup" else "FROM")
+            pt = self.tok
+            if pt.kind != "string":
+                raise ParseError("BACKUP/RESTORE expects a string path")
+            self.advance()
+            return ast.BackupRestore(kind, db, tbl, pt.text)
         if t.is_kw("SHOW"):
             return self.parse_show()
         if t.is_kw("DESCRIBE", "DESC"):

@@ -1,0 +1,81 @@
+"""BACKUP / RESTORE (reference: src/Backups/).
+
+On-disk format: JSON header (schema/engine/sort key) + LZ4-framed Native
+blocks.  Frames: [u32 compressed][u32 raw][lz4 block] — compression via the
+native C++ codec (clickhouse_tpu/native), mirroring the reference's
+CompressedWriteBuffer framing role (checksums TODO).
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+from .. import native as chnative
+from ..core import dtypes as dt
+from .native_format import read_native, write_native
+from .table import Table
+
+__all__ = ["backup_table", "restore_table"]
+
+_MAGIC = b"CHTPUBK1"
+_FRAME = 1 << 20
+
+
+def backup_table(table: Table, path: str) -> None:
+    cols = {}
+    for name in table.schema:
+        pieces = [p.columns[name] for p in table.parts]
+        if table.schema[name].is_dictionary:
+            cols[name] = np.concatenate(
+                [np.asarray(p, object) for p in pieces]) if pieces else \
+                np.zeros(0, object)
+        else:
+            cols[name] = np.concatenate(pieces) if pieces else \
+                np.zeros(0, table.schema[name].np_dtype)
+    buf = io.BytesIO()
+    write_native(buf, cols)
+    payload = buf.getvalue()
+    header = json.dumps({
+        "table": table.name,
+        "engine": table.engine,
+        "order_by": table.order_by,
+        "schema": [(n, str(t)) for n, t in table.schema_items()],
+        "rows": table.num_rows,
+    }).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        for off in range(0, max(len(payload), 1), _FRAME):
+            raw = payload[off:off + _FRAME]
+            comp = chnative.lz4_compress(raw)
+            f.write(struct.pack("<II", len(comp), len(raw)))
+            f.write(comp)
+
+
+def restore_table(path: str) -> Table:
+    with open(path, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise ValueError("not a clickhouse-tpu backup file")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode())
+        payload = io.BytesIO()
+        while True:
+            frame_hdr = f.read(8)
+            if len(frame_hdr) < 8:
+                break
+            clen, rlen = struct.unpack("<II", frame_hdr)
+            payload.write(chnative.lz4_decompress(f.read(clen), rlen))
+    payload.seek(0)
+    data, _types = read_native(payload)
+    schema = [(n, dt.parse_type_name(t)) for n, t in header["schema"]]
+    t = Table(header["table"], schema, header.get("engine", "Memory"),
+              order_by=header.get("order_by") or [])
+    if data:
+        t.insert_pydict(data)
+    return t

@@ -103,6 +103,53 @@ class Table:
             self.version += 1
             self._device_cache = None
 
+    def optimize(self, final: bool = False):
+        """Merge all parts into one, applying the engine's fold semantics
+        (MergeTask analog: horizontal merge + *SortedAlgorithm fold)."""
+        import pandas as pd
+        with self._lock:
+            if not self.parts:
+                return
+            cols = {}
+            for name in self.schema:
+                pieces = [p.columns[name] for p in self.parts]
+                if self.schema[name].is_dictionary:
+                    cols[name] = np.concatenate(
+                        [np.asarray(p, object) for p in pieces])
+                else:
+                    cols[name] = np.concatenate(pieces)
+            engine = self.engine.lower()
+            keys = [k for k in self.order_by if k in cols]
+            if keys and engine == "replacingmergetree":
+                df = pd.DataFrame(cols)
+                df = df.drop_duplicates(subset=keys, keep="last")
+                df = df.sort_values(keys, kind="stable")
+                cols = {k: (df[k].to_numpy(dtype=object)
+                            if self.schema[k].is_dictionary
+                            else df[k].to_numpy()) for k in cols}
+            elif keys and engine == "summingmergetree":
+                df = pd.DataFrame(cols)
+                aggs = {}
+                for name, t in self.schema.items():
+                    if name in keys:
+                        continue
+                    aggs[name] = "sum" if (not t.is_dictionary
+                                           and t.np_dtype.kind in "iuf") \
+                        else "first"
+                df = df.groupby(keys, as_index=False, sort=True).agg(aggs)
+                cols = {k: (df[k].to_numpy(dtype=object)
+                            if self.schema[k].is_dictionary
+                            else df[k].to_numpy().astype(
+                                self.schema[k].np_dtype)) for k in cols}
+            elif keys:
+                df = pd.DataFrame(cols).sort_values(keys, kind="stable")
+                cols = {k: (df[k].to_numpy(dtype=object)
+                            if self.schema[k].is_dictionary
+                            else df[k].to_numpy()) for k in cols}
+            self.parts = [Part.from_pydict(cols, self.schema)]
+            self.version += 1
+            self._device_cache = None
+
     # -- reads ---------------------------------------------------------------
     def read_block(self, columns: Optional[Sequence[str]] = None) -> Block:
         """Whole-table device block (concatenated parts, padded)."""
