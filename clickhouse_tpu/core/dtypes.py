@@ -86,13 +86,27 @@ Date = DType("Date", "int32")
 DateTime = DType("DateTime", "int64")
 Nothing = DType("Nothing", "int8")
 
+# Interval types (reference: DataTypeInterval) — int64 counts of their unit.
+INTERVAL_UNITS = ["Second", "Minute", "Hour", "Day", "Week", "Month",
+                  "Quarter", "Year"]
+INTERVALS = {u: DType(f"Interval{u}", "int64") for u in INTERVAL_UNITS}
+
 _BY_NAME = {
     t.name: t
     for t in [
         Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64,
         Float32, Float64, Boolean, String, Date, DateTime, Nothing,
+        *INTERVALS.values(),
     ]
 }
+
+
+def is_interval(t: DType) -> bool:
+    return t.name.startswith("Interval")
+
+
+def is_datetime_like(t: DType) -> bool:
+    return t.name in ("Date", "DateTime")
 _BY_NAME["Float"] = Float64
 _BY_NAME["Int"] = Int64
 _BY_NAME["Boolean"] = Boolean

@@ -214,7 +214,10 @@ class Session:
             for (db, tbl) in blocks))
         skey = json.dumps(settings.as_dict(), sort_keys=True, default=str)
         key = (sql, skey, sig)
-        entry = self._jit_cache.get(key)
+        low = sql.lower()
+        nondet = any(t in low for t in ("now(", "today(", "yesterday(",
+                                        "rand("))
+        entry = None if nondet else self._jit_cache.get(key)
         if entry is None:
             entry = self._compile_plan(plan, blocks, settings)
             if len(self._jit_cache) >= settings.query_compile_cache_size:

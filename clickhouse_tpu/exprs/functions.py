@@ -154,8 +154,105 @@ def _unary_numeric(op):
 
 # -- arithmetic --------------------------------------------------------------
 
-register("plus", _resolve_arith(), _binary_numeric(jnp.add))
-register("minus", _resolve_arith(lambda t: _signed(t)), _binary_numeric(jnp.subtract))
+def _resolve_plusminus(ts):
+    a, b = ts
+    a0, b0 = dt.remove_nullable(a), dt.remove_nullable(b)
+    nullable = a.nullable or b.nullable
+    # date/time ± interval keeps the date/time type (DataTypeInterval rules)
+    for x, y in ((a0, b0), (b0, a0)):
+        if dt.is_datetime_like(x) and (dt.is_interval(y) or dt.is_integer(y)):
+            return x.with_nullable(nullable)
+    if dt.is_datetime_like(a0) and dt.is_datetime_like(b0):
+        return dt.Int64.with_nullable(nullable)      # date difference
+    return None
+
+
+def _datetime_arith(sign):
+    def ex(args, out_dtype):
+        a, b = args
+        date_cv, iv_cv = (a, b) if dt.is_datetime_like(
+            dt.remove_nullable(a.dtype)) else (b, a)
+        d0 = dt.remove_nullable(date_cv.dtype)
+        unit = iv_cv.dtype.name[len("Interval"):] \
+            if dt.is_interval(iv_cv.dtype) else ("Day" if d0.name == "Date"
+                                                 else "Second")
+        n = (iv_cv.data.astype(jnp.int64) * sign)
+        base = date_cv.data.astype(jnp.int64)
+        if unit in ("Month", "Quarter", "Year"):
+            months = n * {"Month": 1, "Quarter": 3, "Year": 12}[unit]
+            days = base if d0.name == "Date" else jnp.floor_divide(base, 86400)
+            secs_in_day = jnp.zeros_like(base) if d0.name == "Date" \
+                else base - days * 86400
+            y, m, dd = _civil_from_days(days)
+            tot = (y * 12 + (m - 1)) + months
+            ny = jnp.floor_divide(tot, 12)
+            nm = tot - ny * 12 + 1
+            # clamp the day to the target month's length
+            ml = _days_in_month(ny, nm)
+            nd = jnp.minimum(dd, ml)
+            out_days = _days_from_civil(ny, nm, nd)
+            data = out_days if d0.name == "Date" \
+                else out_days * 86400 + secs_in_day
+        else:
+            scale = {"Second": 1, "Minute": 60, "Hour": 3600,
+                     "Day": 86400, "Week": 7 * 86400}[unit]
+            if d0.name == "Date":
+                # Date stays day-granular for >= Day units; smaller units
+                # promote conceptually to DateTime — round-1: day units only
+                day_units = {"Day": 1, "Week": 7}
+                data = base + n * day_units.get(unit, 0)
+            else:
+                data = base + n * scale
+        data = data.astype(dt.remove_nullable(out_dtype).jnp_dtype)
+        return ColVal(out_dtype, data, _and_validity(args))
+    return ex
+
+
+def _days_in_month(y, m):
+    leap = ((jnp.mod(y, 4) == 0) & (jnp.mod(y, 100) != 0)) \
+        | (jnp.mod(y, 400) == 0)
+    base = jnp.asarray([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                       jnp.int64)
+    d = base[jnp.clip(m - 1, 0, 11)]
+    return jnp.where((m == 2) & leap, 29, d)
+
+
+def _plus_exec(args, out_dtype):
+    a, b = args
+    a0 = dt.remove_nullable(a.dtype)
+    b0 = dt.remove_nullable(b.dtype)
+    if (dt.is_datetime_like(a0) and (dt.is_interval(b0) or dt.is_integer(b0))) \
+            or (dt.is_datetime_like(b0) and (dt.is_interval(a0)
+                                             or dt.is_integer(a0))):
+        return _datetime_arith(1)(args, out_dtype)
+    return _binary_numeric(jnp.add)(args, out_dtype)
+
+
+def _minus_exec(args, out_dtype):
+    a, b = args
+    a0 = dt.remove_nullable(a.dtype)
+    b0 = dt.remove_nullable(b.dtype)
+    if dt.is_datetime_like(a0) and dt.is_datetime_like(b0):
+        data = a.data.astype(jnp.int64) - b.data.astype(jnp.int64)
+        return ColVal(out_dtype, data, _and_validity(args))
+    if dt.is_datetime_like(a0) and (dt.is_interval(b0) or dt.is_integer(b0)):
+        return _datetime_arith(-1)(args, out_dtype)
+    return _binary_numeric(jnp.subtract)(args, out_dtype)
+
+
+def _resolve_arith_dates(promote=None):
+    base = _resolve_arith(promote)
+
+    def r(ts):
+        special = _resolve_plusminus(ts) if len(ts) == 2 else None
+        if special is not None:
+            return special
+        return base(ts)
+    return r
+
+
+register("plus", _resolve_arith_dates(), _plus_exec)
+register("minus", _resolve_arith_dates(lambda t: _signed(t)), _minus_exec)
 register("multiply", _resolve_arith(), _binary_numeric(jnp.multiply))
 
 
@@ -727,6 +824,98 @@ register("toStartOfMonth", lambda ts: dt.Date.with_nullable(ts[0].nullable),
          _start_of("month"))
 register("toStartOfWeek", lambda ts: dt.Date.with_nullable(ts[0].nullable),
          _start_of("week"))
+
+
+for _unit in dt.INTERVAL_UNITS:
+    def _mk_interval(unit=_unit):
+        t = dt.INTERVALS[unit]
+
+        def ex(args, out_dtype):
+            return ColVal(t, args[0].data.astype(jnp.int64),
+                          _and_validity(args))
+        return ex
+    register(f"toInterval{_unit}",
+             (lambda u: lambda ts: dt.INTERVALS[u])(_unit),
+             _mk_interval())
+
+
+def _now_exec(args, out_dtype):
+    import time as _time
+    return ColVal(out_dtype, jnp.asarray(int(_time.time()), jnp.int64))
+
+
+register("now", lambda ts: dt.DateTime, _now_exec, case_insensitive=True)
+register("today", lambda ts: dt.Date,
+         lambda args, t: ColVal(t, jnp.asarray(
+             int(__import__("time").time()) // 86400, jnp.int32)),
+         case_insensitive=True)
+register("yesterday", lambda ts: dt.Date,
+         lambda args, t: ColVal(t, jnp.asarray(
+             int(__import__("time").time()) // 86400 - 1, jnp.int32)),
+         case_insensitive=True)
+
+
+def _add_unit(unit, sign):
+    def resolve(ts):
+        return ts[0]
+
+    def ex(args, out_dtype):
+        iv = ColVal(dt.INTERVALS[unit], args[1].data.astype(jnp.int64),
+                    args[1].validity)
+        return _datetime_arith(sign)([args[0], iv], out_dtype)
+    return resolve, ex
+
+
+for _unit in dt.INTERVAL_UNITS:
+    _r, _e = _add_unit(_unit, 1)
+    register(f"add{_unit}s", _r, _e)
+    _r2, _e2 = _add_unit(_unit, -1)
+    register(f"subtract{_unit}s", _r2, _e2)
+
+
+def _date_diff_exec(args, out_dtype):
+    unit_cv, a, b = args
+    unit = str(unit_cv.dictionary.values[0]).lower() \
+        if unit_cv.dictionary is not None else "day"
+    def days_of(cv):
+        base = cv.data.astype(jnp.int64)
+        return base if dt.remove_nullable(cv.dtype).name == "Date" \
+            else jnp.floor_divide(base, 86400)
+    def secs_of(cv):
+        base = cv.data.astype(jnp.int64)
+        return base * 86400 if dt.remove_nullable(cv.dtype).name == "Date" \
+            else base
+    if unit in ("second", "minute", "hour"):
+        scale = {"second": 1, "minute": 60, "hour": 3600}[unit]
+        data = jnp.floor_divide(secs_of(b) - secs_of(a), scale)
+    elif unit in ("day", "week"):
+        scale = {"day": 1, "week": 7}[unit]
+        data = jnp.floor_divide(days_of(b) - days_of(a), scale)
+    elif unit in ("month", "quarter", "year"):
+        ya, ma, _ = _civil_from_days(days_of(a))
+        yb, mb, _ = _civil_from_days(days_of(b))
+        months = (yb * 12 + mb) - (ya * 12 + ma)
+        scale = {"month": 1, "quarter": 3, "year": 12}[unit]
+        data = jnp.floor_divide(months, scale)
+    else:
+        raise TypeError_(f"dateDiff: unknown unit '{unit}'")
+    return ColVal(out_dtype, data.astype(jnp.int64),
+                  _and_validity(args[1:]))
+
+
+register("dateDiff", lambda ts: dt.Int64.with_nullable(
+    any(t.nullable for t in ts[1:])), _date_diff_exec)
+register("toStartOfDay", lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(t, _as_days(args[0]) * 86400,
+                                _and_validity(args)))
+register("toStartOfHour", lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, jnp.floor_divide(args[0].data.astype(jnp.int64), 3600) * 3600,
+             _and_validity(args)))
+register("toStartOfMinute", lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, jnp.floor_divide(args[0].data.astype(jnp.int64), 60) * 60,
+             _and_validity(args)))
 
 
 # -- strings (dictionary-LUT execution) --------------------------------------
