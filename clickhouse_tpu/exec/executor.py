@@ -431,9 +431,15 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         # the (always exact) counts
         grouping.present = group_counts > 0
         grouping.num_groups = jnp.sum(grouping.present.astype(jnp.int64))
+    from ..plan import ranges
     states_per_agg = []
     for item in node.aggregates:
-        arg_cvs = [evaluate(a, child.env()).broadcast(cap) for a in item.args]
+        arg_cvs = []
+        for a in item.args:
+            cv = evaluate(a, child.env()).broadcast(cap)
+            if cv.bounds is None:
+                cv.bounds = ranges.infer_bounds(a, ctx.field_bounds)
+            arg_cvs.append(cv)
         cond = None
         if item.cond is not None:
             cond = _bool_mask(evaluate(item.cond, child.env()), cap)

@@ -157,7 +157,8 @@ class SumAgg(AggregateFunction):
     def update(self, ctx, args, cond):
         mask = self._row_mask(ctx, args, cond)
         v = self._value(ctx, args[0]).astype(_sum_state_dtype(self.arg_types[0]))
-        return [ctx.grouping.reduce("sum", v, mask)]
+        return [ctx.grouping.reduce("sum", v, mask,
+                                    value_bounds=args[0].bounds)]
 
     def finalize(self, states):
         return states[0], None
@@ -230,7 +231,7 @@ class AvgAgg(AggregateFunction):
             v = self._value(ctx, args[0]).astype(jnp.float64)
         else:
             v = self._value(ctx, args[0]).astype(_sum_state_dtype(t0))
-        s = ctx.grouping.reduce("sum", v, mask)
+        s = ctx.grouping.reduce("sum", v, mask, value_bounds=args[0].bounds)
         c = ctx.grouping.count_rows(mask)
         return [s.astype(jnp.float64) if not dt.is_float(t0) else s, c]
 

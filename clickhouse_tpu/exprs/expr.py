@@ -39,6 +39,8 @@ class ColVal:
     data: Any                          # jax array (scalar or (cap,))
     validity: Optional[Any] = None     # None = all valid
     dictionary: Optional[Dictionary] = None
+    # proven integer value range (interval analysis), if known
+    bounds: Optional[tuple] = None
 
     @property
     def is_const(self) -> bool:
@@ -53,7 +55,7 @@ class ColVal:
             v = jnp.broadcast_to(v, (capacity,))
         if data is self.data and v is self.validity:
             return self
-        return ColVal(self.dtype, data, v, self.dictionary)
+        return ColVal(self.dtype, data, v, self.dictionary, self.bounds)
 
 
 def colval_from_column(col: Column) -> ColVal:

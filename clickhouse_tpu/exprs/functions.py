@@ -275,11 +275,25 @@ def _div_exec(args, out_dtype):
 register("divide", _resolve_float, _div_exec)
 
 
+def _const_nonzero(b: ColVal) -> bool:
+    """True when the divisor is a compile-time nonzero constant (the common
+    `x % 1024` shape) — no zero-divide mask needed."""
+    if not b.is_const:
+        return False
+    try:
+        return float(np.asarray(b.data)) != 0.0
+    except Exception:
+        return False
+
+
 def _intdiv_exec(args, out_dtype):
     a, b = args
     st = dt.remove_nullable(out_dtype).jnp_dtype
     x = _numeric_data(a).astype(st)
     y = _numeric_data(b).astype(st)
+    if _const_nonzero(b):
+        return ColVal(dt.remove_nullable(out_dtype).with_nullable(
+            a.dtype.nullable), jax.lax.div(x, y), _and_validity(args))
     safe = jnp.where(y == 0, jnp.ones_like(y), y)
     q = jax.lax.div(x, safe)       # C-style truncation, as the reference
     data = jnp.where(y == 0, jnp.zeros_like(q), q)
@@ -307,6 +321,9 @@ def _mod_exec(args, out_dtype):
     st = dt.remove_nullable(out_dtype).jnp_dtype
     x = _numeric_data(a).astype(st)
     y = _numeric_data(b).astype(st)
+    if _const_nonzero(b):
+        return ColVal(dt.remove_nullable(out_dtype).with_nullable(
+            a.dtype.nullable), jax.lax.rem(x, y), _and_validity(args))
     safe = jnp.where(y == 0, jnp.ones_like(y), y)
     r = jax.lax.rem(x, safe)
     data = jnp.where(y == 0, jnp.zeros_like(r), r)

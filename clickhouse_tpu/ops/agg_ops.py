@@ -68,19 +68,19 @@ class Grouping:
             < self.num_groups
 
     # -- reductions ----------------------------------------------------------
-    def reduce(self, op: str, data_raw: jax.Array,
-               mask_raw: jax.Array) -> jax.Array:
+    def reduce(self, op: str, data_raw: jax.Array, mask_raw: jax.Array,
+               value_bounds=None) -> jax.Array:
         """Per-group reduction; data/mask in RAW row order."""
         return self.reduce_sorted(op, self.take(data_raw),
-                                  self.take(mask_raw))
+                                  self.take(mask_raw), value_bounds)
 
-    def reduce_sorted(self, op: str, data: jax.Array, mask: jax.Array
-                      ) -> jax.Array:
+    def reduce_sorted(self, op: str, data: jax.Array, mask: jax.Array,
+                      value_bounds=None) -> jax.Array:
         """Per-group reduction; data/mask already in working order."""
         if self.kind == "trivial":
             return self._reduce_trivial(op, data, mask)
         if self.kind == "dense":
-            return self._reduce_dense(op, data, mask)
+            return self._reduce_dense(op, data, mask, value_bounds)
         return scan_ops.seg_reduce_sorted(
             op, data, self.group_ids, self.boundary, self.starts, self.ends,
             self.num_groups_cap, mask_sorted=mask)
@@ -125,7 +125,7 @@ class Grouping:
         out = jnp.zeros((cap_g,), v.dtype)
         return out.at[0].set(v)      # static index: dynamic-update-slice
 
-    def _reduce_dense(self, op, data, mask):
+    def _reduce_dense(self, op, data, mask, value_bounds=None):
         if op != "sum":
             raise ValueError(f"dense grouping cannot reduce '{op}'")
         ids = jnp.minimum(self.group_ids, self.num_groups_cap - 1)
@@ -135,10 +135,11 @@ class Grouping:
             if data.dtype == jnp.bool_:
                 data = data.astype(jnp.int64)
                 signed = True
+                value_bounds = (0, 1)
             else:
                 raise ValueError("dense grouping sums integers only")
         counts, sums = mxu_segsum.mxu_counts_and_sums(
-            ids, m, [(data, signed)], self.num_groups_cap)
+            ids, m, [(data, signed)], self.num_groups_cap, [value_bounds])
         return sums[0]
 
     def dense_counts(self, mask) -> jax.Array:

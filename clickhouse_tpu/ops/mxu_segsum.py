@@ -33,13 +33,30 @@ def _factor(S: int) -> Tuple[int, int]:
     return s1, s2
 
 
+def _limbs_for(v: jax.Array, signed: bool,
+               bounds: Optional[Tuple[int, int]]) -> Tuple[int, bool]:
+    """(limb count, needs_bias).  Proven-nonnegative values skip the sign
+    bias and only carry as many 8-bit limbs as their range needs."""
+    if bounds is not None and bounds[0] >= 0:
+        bits = max(int(bounds[1]).bit_length(), 1)
+        return (bits + 7) // 8, False
+    return 8, signed
+
+
 def mxu_counts_and_sums(ids: jax.Array, mask: jax.Array,
                         int_values: Sequence[Tuple[jax.Array, bool]],
-                        S: int) -> Tuple[jax.Array, List[jax.Array]]:
+                        S: int,
+                        bounds: Sequence[Optional[Tuple[int, int]]] = ()
+                        ) -> Tuple[jax.Array, List[jax.Array]]:
     """-> (counts (S,) int64, [sums (S,) i64/u64 matching each value]).
 
     ids        -- int32 slot per row, in [0, S) (rows with mask=False ignored)
     int_values -- list of (values, is_signed); values any integer dtype
+    bounds     -- optional proven (lo, hi) per value (fewer limbs, no bias)
+
+    Per-chunk partial sums are exact in the f32 MXU accumulator (< 2^24);
+    cross-chunk carries are integer (i32/u64) — f64 is emulated on TPU and
+    would dominate both compile and run time.
     """
     assert S <= MAX_DENSE_GROUPS
     s1, s2 = _factor(S)
@@ -53,15 +70,19 @@ def mxu_counts_and_sums(ids: jax.Array, mask: jax.Array,
         return jnp.concatenate(
             [a, jnp.full((pad,), fill, a.dtype)])
 
-    ids_p = padded(ids.astype(jnp.int32))
-    mask_p = padded(mask, False)
+    specs = []          # (n_limbs, biased)
     vals_u64 = []
-    for v, signed in int_values:
+    for i, (v, signed) in enumerate(int_values):
+        b = bounds[i] if i < len(bounds) else None
+        n_limbs, biased = _limbs_for(v, signed, b)
+        specs.append((n_limbs, biased))
         u = v.astype(jnp.uint64)
-        if signed:
+        if biased:
             u = u + jnp.uint64(1 << 63)        # bias to unsigned
         vals_u64.append(padded(u))
 
+    ids_p = padded(ids.astype(jnp.int32))
+    mask_p = padded(mask, False)
     R = n_pad // _CHUNK
     ids_c = ids_p.reshape(R, _CHUNK)
     mask_c = mask_p.reshape(R, _CHUNK)
@@ -83,36 +104,37 @@ def mxu_counts_and_sums(ids: jax.Array, mask: jax.Array,
         ohl = (lo[:, None] == lo_range[None, :]).astype(jnp.float32)  # (C, s2)
         count_acc = count_acc + jnp.dot(
             ohh.T, ohl, preferred_element_type=jnp.float32
-        ).astype(jnp.float64)
+        ).astype(jnp.int32)
         new_limb_accs = []
-        for vi, acc in zip(vs, limb_accs):
+        for vi, acc, (n_limbs, _) in zip(vs, limb_accs, specs):
             limb_sums = []
-            for l in range(8):
+            for l in range(n_limbs):
                 limb = ((vi >> jnp.uint64(8 * l)) & jnp.uint64(0xFF)
                         ).astype(jnp.float32)
                 lhs = ohh * limb[:, None]                   # (C, s1)
                 limb_sums.append(jnp.dot(
                     lhs.T, ohl, preferred_element_type=jnp.float32
-                ).astype(jnp.float64))
-            new_limb_accs.append(acc + jnp.stack(limb_sums))
+                ).astype(jnp.uint32))
+            new_limb_accs.append(acc + jnp.stack(limb_sums).astype(jnp.uint64))
         return (count_acc, new_limb_accs), None
 
-    init = (jnp.zeros((s1, s2), jnp.float64),
-            [jnp.zeros((8, s1, s2), jnp.float64) for _ in range(k)])
+    init = (jnp.zeros((s1, s2), jnp.int32),
+            [jnp.zeros((specs[i][0], s1, s2), jnp.uint64) for i in range(k)])
     (count_acc, limb_accs), _ = jax.lax.scan(
         body, init, tuple([ids_c, mask_c] + vals_c))
 
     counts = count_acc.reshape(s1 * s2)[:S].astype(jnp.int64)
 
     sums: List[jax.Array] = []
-    for (v, signed), limbs in zip(int_values, limb_accs):
-        flat = limbs.reshape(8, s1 * s2)[:, :S]
+    for (v, signed), (n_limbs, biased), limbs in zip(int_values, specs,
+                                                     limb_accs):
+        flat = limbs.reshape(n_limbs, s1 * s2)[:, :S]
         total = jnp.zeros((S,), jnp.uint64)
-        for l in range(8):
-            # limb sums < 2^53: exact in f64; wrap-around via u64 shifts
-            total = total + (flat[l].astype(jnp.uint64) << jnp.uint64(8 * l))
-        if signed:
+        for l in range(n_limbs):
+            total = total + (flat[l] << jnp.uint64(8 * l))
+        if biased:
             total = total - counts.astype(jnp.uint64) * jnp.uint64(1 << 63)
+        if signed:
             sums.append(total.astype(jnp.int64))
         else:
             sums.append(total)

@@ -638,6 +638,13 @@ class Analyzer:
         name = fn_reg.canonical_name(e.name)
         fn = fn_reg.get(name)
         out = fn.resolve([a.dtype for a in args])
+        # x % CONST / intDiv(x, CONST) with a nonzero literal divisor cannot
+        # produce the zero-divide NULL — strip the speculative nullability
+        if name in ("modulo", "intDiv") and len(args) == 2 \
+                and isinstance(args[1], BoundLiteral) \
+                and args[1].value not in (0, None) \
+                and not args[0].dtype.nullable:
+            out = dt.remove_nullable(out)
         return BoundCall(name, args, out)
 
     def _bind_cast(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
