@@ -45,6 +45,7 @@ class Settings:
     max_join_build_rows: int = 1 << 26
     join_use_nulls: bool = False
     max_probe_iterations: int = 64     # linear-probe bound in hash kernels
+    max_joined_rows: int = 0           # join output capacity (0 = auto)
 
     # -- sorting -------------------------------------------------------------
     max_bytes_before_external_sort: int = 0

@@ -900,8 +900,10 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
     any_join = node.strictness == "any"
     if node.kind == "cross":
         out_cap = pad_to(min(lcap * rcap, 1 << 24))
+    elif s.max_joined_rows > 0:
+        out_cap = pad_to(s.max_joined_rows)
     else:
-        out_cap = lcap
+        out_cap = pad_to(lcap + rcap)
     p_idx, b_idx, mmask, out_count = join_ops.expand_matches(
         table, matched_gid, left.valid, out_cap,
         left=left_outer, any_join=any_join)

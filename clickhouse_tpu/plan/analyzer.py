@@ -333,8 +333,6 @@ class Analyzer:
     def analyze_join(self, left: L.PlanNode, lscope: Scope, join: ast.Join,
                      ctes, scalar_aliases) -> Tuple[L.PlanNode, Scope]:
         right, rscope = self.analyze_table_expr(join.table, ctes)
-        if join.kind in ("right", "full"):
-            raise NotImplementedError_("RIGHT/FULL JOIN not supported yet")
         if join.strictness == "asof":
             raise NotImplementedError_("ASOF JOIN not supported yet")
 
@@ -386,6 +384,50 @@ class Analyzer:
         strict = join.strictness
         if strict in ("semi", "anti"):
             out_fields = list(left.schema)
+            node = L.JoinNode(left, right, kind, strict, left_keys,
+                              right_keys, residual, out_fields,
+                              join.is_global)
+            return node, Scope(out_fields)
+
+        if kind == "right":
+            # RIGHT JOIN = LEFT JOIN with swapped sides; the schema keeps the
+            # user-facing orientation (field ids are side-agnostic)
+            node = L.JoinNode(right, left, "left", strict, right_keys,
+                              left_keys, residual, out_fields,
+                              join.is_global)
+            return node, Scope(out_fields)
+
+        if kind == "full":
+            # FULL JOIN = LEFT JOIN  UNION ALL  (right ANTI left) padded with
+            # left-side defaults (the reference composes NotJoined rows the
+            # same way, HashJoin::getNonJoinedBlocks)
+            import copy
+            inner_left = L.JoinNode(left, right, "left", strict, left_keys,
+                                    right_keys, residual, out_fields,
+                                    join.is_global)
+            # the anti branch needs its own copies: plan nodes are mutated by
+            # the optimizer (column pruning), so subtrees must not be shared
+            anti = L.JoinNode(copy.deepcopy(right), copy.deepcopy(left),
+                              "left", "anti", right_keys, left_keys, None,
+                              list(right.schema), join.is_global)
+            proj_exprs: List[BoundExpr] = []
+            proj_fields: List[L.Field] = []
+            right_ids = {f.id for f in right.schema}
+            for f in out_fields:
+                nf = L.Field(self.fresh_id(), f.display, f.dtype,
+                             f.qualifiers)
+                proj_fields.append(nf)
+                if f.id in right_ids:
+                    proj_exprs.append(BoundColumn(f.id, f.dtype))
+                else:
+                    proj_exprs.append(_default_literal(f.dtype))
+            padded = L.ProjectNode(anti, proj_exprs, proj_fields)
+            union_fields = [self.field(f.display, f.dtype, f.qualifiers)
+                            for f in out_fields]
+            node = L.UnionNode([inner_left, padded], union_fields)
+            # map original field ids to the union outputs for upper scopes
+            return node, Scope(union_fields)
+
         node = L.JoinNode(left, right, kind, strict, left_keys, right_keys,
                           residual, out_fields, join.is_global)
         return node, Scope(out_fields)
@@ -721,6 +763,14 @@ class Analyzer:
 
 
 # -- helpers -----------------------------------------------------------------
+
+def _default_literal(t: dt.DType) -> BoundLiteral:
+    if t.nullable:
+        return BoundLiteral(None, t)
+    if t.is_dictionary:
+        return BoundLiteral("", t)
+    return BoundLiteral(0, t)
+
 
 def _bound_repr(be: BoundExpr) -> str:
     """Canonical string of a bound expression tree (for key matching)."""

@@ -493,3 +493,38 @@ class TestDateTime:
     def test_yyyymm(self, session):
         r = q(session, "SELECT toYYYYMM(d) FROM t_dates ORDER BY d LIMIT 1")
         assert r.scalar() == 197001
+
+
+class TestOuterJoins:
+    def test_right_join(self, session):
+        r = q(session, """
+            SELECT count(), countIf(user_id = 0 AND uid != 0)
+            FROM (SELECT user_id FROM events WHERE user_id < 50) e
+            RIGHT JOIN users u ON e.user_id = u.uid
+        """)
+        g = session._golden
+        matched = int(g.user_id[g.user_id < 50].count())
+        row = r.rows()[0]
+        # every matching event row + one row for each unmatched user (50..79)
+        assert row[0] == matched + 30
+        # unmatched-right rows get the left default user_id=0; matched rows
+        # with user_id=0 have uid=0, so exactly the 30 unmatched rows count
+        assert row[1] == 30
+
+    def test_full_join(self, session):
+        session.execute("DROP TABLE IF EXISTS fa")
+        session.execute("DROP TABLE IF EXISTS fb")
+        session.execute("CREATE TABLE fa (k Int64, a Int64)")
+        session.execute("CREATE TABLE fb (k Int64, b Int64)")
+        session.execute("INSERT INTO fa VALUES (1, 10), (2, 20), (3, 30)")
+        session.execute("INSERT INTO fb VALUES (2, 200), (3, 300), (4, 400)")
+        r = q(session, """
+            SELECT fa.k AS ka, a, fb.k AS kb, b
+            FROM fa FULL JOIN fb ON fa.k = fb.k
+            ORDER BY ka, kb
+        """)
+        rows = sorted(r.rows())
+        assert (0, 0, 4, 400) in rows          # right-only row, defaults left
+        assert (1, 10, 0, 0) in rows           # left-only row, defaults right
+        assert (2, 20, 2, 200) in rows and (3, 30, 3, 300) in rows
+        assert len(rows) == 4
