@@ -70,6 +70,7 @@ class Settings:
     # -- compilation ---------------------------------------------------------
     compile_queries: bool = True       # jit the whole plan into one XLA program
     query_compile_cache_size: int = 256
+    use_query_cache: bool = False      # materialized-result cache
 
     # -- observability -------------------------------------------------------
     log_queries: bool = True

@@ -75,6 +75,11 @@ class Session:
     # -- dispatch (InterpreterFactory analog) --------------------------------
     def _dispatch(self, stmt, overrides: Dict[str, Any],
                   sql: str = "") -> Result:
+        if self.settings.readonly and not isinstance(
+                stmt, (ast.Select, ast.Union, ast.Explain, ast.Describe,
+                       ast.ShowTables, ast.Use)):
+            raise AnalysisError("Cannot execute a write statement in "
+                                "readonly mode")
         if isinstance(stmt, (ast.Select, ast.Union)):
             return self._run_select(stmt, overrides, sql)
         if isinstance(stmt, ast.Explain):
@@ -149,9 +154,49 @@ class Session:
         merged.update(overrides)
         return s.copy_with(merged) if merged else s
 
+    def _table_versions_sig(self, plan) -> tuple:
+        blocks = {}
+        from ..plan import logical as Lp
+
+        def walk(n):
+            if isinstance(n, Lp.ScanNode):
+                blocks[(n.database, n.table)] = True
+            for c in n.children():
+                walk(c)
+        walk(plan)
+        return tuple(sorted(
+            (db, t, self.catalog.get_table(db, t).version) for db, t in blocks))
+
     def _run_select(self, stmt, overrides: Dict[str, Any],
                     sql: str = "") -> Result:
         settings = self._query_settings(stmt, overrides)
+        if settings.use_query_cache and sql:
+            # QueryResultCache analog: materialized results keyed by query
+            # text + settings + table versions
+            plan0 = self._plan(stmt, settings)
+            import json as _json
+            ckey = (sql, _json.dumps(settings.as_dict(), sort_keys=True,
+                                     default=str),
+                    self._table_versions_sig(plan0))
+            cache = getattr(self, "_result_cache", None)
+            if cache is None:
+                cache = self._result_cache = {}
+            hit = cache.get(ckey)
+            if hit is not None:
+                self.profile_events["QueryCacheHits"] = \
+                    self.profile_events.get("QueryCacheHits", 0) + 1
+                return hit
+            cols, ctx = self._execute(plan0, settings)
+            types = [(f.display, str(f.dtype)) for f in plan0.schema]
+            res = Result(cols, types,
+                         rows_read=ctx.profile.get("rows_scanned", 0),
+                         totals=getattr(ctx, "totals_np", None))
+            if len(cache) > 128:
+                cache.clear()
+            cache[ckey] = res
+            self.profile_events["QueryCacheMisses"] = \
+                self.profile_events.get("QueryCacheMisses", 0) + 1
+            return res
         if settings.compile_queries and sql:
             plan, cols, ctx = self._execute_compiled(stmt, settings, sql)
         else:

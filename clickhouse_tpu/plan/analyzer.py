@@ -161,6 +161,9 @@ class Analyzer:
         if has_agg:
             plan, scope_after, rewrite = self.plan_aggregation(
                 plan, scope, sel, items, aliases)
+            if sel.group_by_modifier and isinstance(plan, L.AggregateNode):
+                plan = self._expand_grouping_sets(plan,
+                                                  sel.group_by_modifier)
             bind_post = lambda e: self.bind_post_agg(expand(e), rewrite,
                                                      scope_after)
             if sel.having is not None:
@@ -610,6 +613,55 @@ class Analyzer:
             bound_args = bound_args[:-1]
         field = self.field(ast.format_expr(e), fn.result_type())
         return L.AggregateItem(field, fn, bound_args, cond)
+
+    def _expand_grouping_sets(self, agg: L.AggregateNode, modifier: str
+                              ) -> L.PlanNode:
+        """ROLLUP/CUBE: union of aggregations over key subsets, each padded
+        to the full key list with default values (reference:
+        RollupTransform/CubeTransform re-aggregate the full result; here each
+        set re-aggregates the input — simpler and parallel)."""
+        import copy
+        import itertools
+        n = len(agg.keys)
+        if modifier == "rollup":
+            subsets = [tuple(range(k)) for k in range(n - 1, -1, -1)]
+        else:
+            subsets = [s for r in range(n - 1, -1, -1)
+                       for s in itertools.combinations(range(n), r)]
+        branches: List[L.PlanNode] = [agg]
+        for subset in subsets:
+            child = copy.deepcopy(agg.child)
+            keys = [(self.field(agg.keys[i][0].display,
+                                agg.keys[i][0].dtype),
+                     copy.deepcopy(agg.keys[i][1])) for i in subset]
+            aggs = []
+            for item in agg.aggregates:
+                it = copy.deepcopy(item)
+                it.field = self.field(item.field.display, item.field.dtype)
+                aggs.append(it)
+            sub_schema = [f for f, _ in keys] + [a.field for a in aggs]
+            sub = L.AggregateNode(child, keys, aggs, sub_schema)
+            # pad to the full key list: defaults for folded-away keys
+            proj_exprs: List[BoundExpr] = []
+            proj_fields: List[L.Field] = []
+            by_pos = {i: f for i, f in zip(subset, (f for f, _ in keys))}
+            for i, (kf, _) in enumerate(agg.keys):
+                nf = self.field(kf.display, kf.dtype)
+                proj_fields.append(nf)
+                if i in by_pos:
+                    proj_exprs.append(BoundColumn(by_pos[i].id,
+                                                  by_pos[i].dtype))
+                else:
+                    proj_exprs.append(_default_literal(kf.dtype))
+            for item, orig in zip(aggs, agg.aggregates):
+                nf = self.field(orig.field.display, orig.field.dtype)
+                proj_fields.append(nf)
+                proj_exprs.append(BoundColumn(item.field.id,
+                                              item.field.dtype))
+            branches.append(L.ProjectNode(sub, proj_exprs, proj_fields))
+        # the union reuses the primary aggregate's field ids so every
+        # post-aggregation reference keeps resolving unchanged
+        return L.UnionNode(branches, list(agg.schema))
 
     def bind_post_agg(self, e: ast.Expr, rewrite, scope_after: Scope
                       ) -> BoundExpr:

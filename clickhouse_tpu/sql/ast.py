@@ -131,6 +131,7 @@ class Select:
     prewhere: Optional[Expr] = None
     group_by: Optional[List[Expr]] = None
     group_by_with_totals: bool = False
+    group_by_modifier: Optional[str] = None   # rollup | cube
     having: Optional[Expr] = None
     order_by: Optional[List[OrderItem]] = None
     limit: Optional[Expr] = None

@@ -177,17 +177,24 @@ class Parser:
             sel.where = self.parse_expr()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            if self.accept_kw("ROLLUP", "CUBE"):
-                raise ParseError("ROLLUP/CUBE are not supported yet")
-            sel.group_by = [self.parse_expr()]
-            while self.accept_op(","):
-                sel.group_by.append(self.parse_expr())
-            if self.accept_kw("WITH"):
+            mod = self.accept_kw("ROLLUP", "CUBE")
+            if mod:
+                sel.group_by_modifier = mod.text.lower()
+                self.expect_op("(")
+                sel.group_by = [self.parse_expr()]
+                while self.accept_op(","):
+                    sel.group_by.append(self.parse_expr())
+                self.expect_op(")")
+            else:
+                sel.group_by = [self.parse_expr()]
+                while self.accept_op(","):
+                    sel.group_by.append(self.parse_expr())
+            while self.accept_kw("WITH"):
                 kw = self.expect_kw("TOTALS", "ROLLUP", "CUBE")
                 if kw.text.upper() == "TOTALS":
                     sel.group_by_with_totals = True
                 else:
-                    raise ParseError("ROLLUP/CUBE are not supported yet")
+                    sel.group_by_modifier = kw.text.lower()
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
         if self.accept_kw("ORDER"):

@@ -75,3 +75,67 @@ class TestExplain:
     def test_explain_ast(self, session):
         r = session.execute("EXPLAIN AST SELECT 1")
         assert "Select" in r.rows()[0][0]
+
+
+class TestGroupingSets:
+    def test_rollup(self, session):
+        r = session.execute(
+            "SELECT k, sum(v) AS s FROM t GROUP BY ROLLUP(k) ORDER BY k")
+        rows = r.rows()
+        # subtotal row k=0 (default) + per-key rows
+        assert (0, 150) in rows
+        assert (1, 30) in rows and (2, 70) in rows and (3, 50) in rows
+
+    def test_with_rollup_two_keys(self, session):
+        session.execute("DROP TABLE IF EXISTS r2")
+        session.execute("CREATE TABLE r2 (a Int64, b Int64, v Int64)")
+        session.execute("INSERT INTO r2 VALUES (1,1,5),(1,2,7),(2,1,11)")
+        r = session.execute(
+            "SELECT a, b, sum(v) AS s FROM r2 GROUP BY a, b WITH ROLLUP "
+            "ORDER BY a, b")
+        rows = set(r.rows())
+        assert (1, 1, 5) in rows and (1, 2, 7) in rows and (2, 1, 11) in rows
+        assert (1, 0, 12) in rows and (2, 0, 11) in rows   # per-a subtotals
+        assert (0, 0, 23) in rows                           # grand total
+
+    def test_cube(self, session):
+        session.execute("CREATE TABLE r2 (a Int64, b Int64, v Int64)")
+        session.execute("INSERT INTO r2 VALUES (1,1,5),(1,2,7),(2,1,11)")
+        r = session.execute(
+            "SELECT a, b, sum(v) AS s FROM r2 GROUP BY CUBE(a, b)")
+        rows = set(r.rows())
+        assert (0, 1, 16) in rows and (0, 2, 7) in rows    # per-b subtotals
+        assert (0, 0, 23) in rows
+
+
+class TestCachesAndReadonly:
+    def test_query_result_cache(self, session):
+        session.execute("SELECT sum(v) FROM t SETTINGS use_query_cache = 1")
+        before = session.profile_events.get("QueryCacheHits", 0)
+        r = session.execute("SELECT sum(v) FROM t SETTINGS use_query_cache = 1")
+        assert session.profile_events.get("QueryCacheHits", 0) == before + 1
+        assert r.scalar() == 150
+
+    def test_cache_invalidated_by_insert(self, session):
+        session.execute("DROP TABLE IF EXISTS qc")
+        session.execute("CREATE TABLE qc (x Int64)")
+        session.execute("INSERT INTO qc VALUES (1)")
+        a = session.execute("SELECT sum(x) FROM qc "
+                            "SETTINGS use_query_cache = 1").scalar()
+        session.execute("INSERT INTO qc VALUES (41)")
+        b = session.execute("SELECT sum(x) FROM qc "
+                            "SETTINGS use_query_cache = 1").scalar()
+        assert (a, b) == (1, 42)
+
+    def test_readonly(self, session):
+        import pytest as _pytest
+        from clickhouse_tpu.core.errors import AnalysisError
+        session.execute("SET readonly = 1")
+        try:
+            assert session.execute("SELECT 1").scalar() == 1
+            with _pytest.raises(AnalysisError):
+                session.execute("CREATE TABLE nope (x Int64)")
+            with _pytest.raises(AnalysisError):
+                session.execute("INSERT INTO t VALUES (9, 9)")
+        finally:
+            session.settings = session.settings.copy_with({"readonly": 0})
