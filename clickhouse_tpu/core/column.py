@@ -95,12 +95,17 @@ class Dictionary:
 
 @dataclasses.dataclass
 class Column:
-    """A typed, padded device array (+ optional validity, dictionary)."""
+    """A typed, padded device array (+ optional validity, dictionary).
+
+    Array(T) columns hold data of shape (capacity, max_len) plus per-row
+    `lengths` — the reference's size0+data substreams with a static width.
+    """
 
     dtype: dt.DType
-    data: jax.Array                      # shape (capacity,), dtype = storage
+    data: jax.Array                      # (capacity,) or (capacity, max_len)
     validity: Optional[jax.Array] = None  # shape (capacity,), uint8, 1=valid
     dictionary: Optional[Dictionary] = None
+    lengths: Optional[jax.Array] = None   # (capacity,) int32, arrays only
 
     @property
     def capacity(self) -> int:
@@ -116,6 +121,14 @@ class Column:
         raw = np.asarray(jax.device_get(self.data))
         if num_rows is not None:
             raw = raw[:num_rows]
+        if self.dtype.is_array:
+            lens = np.asarray(jax.device_get(self.lengths))
+            if num_rows is not None:
+                lens = lens[:num_rows]
+            out = np.empty(len(raw), object)
+            for i in range(len(raw)):
+                out[i] = list(raw[i][:lens[i]])
+            return out
         if self.dtype.is_dictionary:
             assert self.dictionary is not None
             codes = raw.astype(np.int64)
@@ -145,6 +158,44 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
     values = np.asarray(values)
     n = len(values)
     cap = capacity or pad_to(n)
+
+    # Array(T): object array of python lists -> (cap, max_len) + lengths
+    if (dtype is not None and dtype.is_array) or (
+            values.dtype == object and n > 0
+            and all(isinstance(v, (list, tuple, np.ndarray))
+                    for v in values)):
+        lists = [list(v) if v is not None else [] for v in values]
+        max_len = max((len(v) for v in lists), default=0)
+        max_len = max(((max_len + 7) // 8) * 8, 8)
+        if dtype is None:
+            flat = [x for v in lists for x in v]
+            inner = dt.String if any(isinstance(x, str) for x in flat) \
+                else (dt.Float64 if any(isinstance(x, float) for x in flat)
+                      else dt.Int64)
+            dtype = dt.Array(inner)
+        inner = dt.array_inner(dtype)
+        lens = np.zeros(cap, np.int32)
+        lens[:n] = [len(v) for v in lists]
+        if inner.is_dictionary:
+            flat_vals = np.asarray([str(x) for v in lists for x in v] or [""],
+                                   object)
+            uniq, codes = np.unique(flat_vals.astype(str),
+                                    return_inverse=True)
+            mat = np.zeros((cap, max_len), np.int32)
+            pos = 0
+            for i, v in enumerate(lists):
+                k = len(v)
+                mat[i, :k] = codes[pos:pos + k]
+                pos += k
+            return Column(dtype, jnp.asarray(mat), None,
+                          Dictionary(uniq.astype(object)),
+                          lengths=jnp.asarray(lens))
+        mat = np.zeros((cap, max_len), inner.np_dtype)
+        for i, v in enumerate(lists):
+            if v:
+                mat[i, :len(v)] = np.asarray(v, inner.np_dtype)
+        return Column(dtype, jnp.asarray(mat), None,
+                      lengths=jnp.asarray(lens))
 
     validity_np = None
     if values.dtype == object:

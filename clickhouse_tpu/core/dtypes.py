@@ -40,12 +40,16 @@ class DType:
     nullable        -- whether a validity mask accompanies the values
     is_dictionary   -- True for String: device holds int32 codes into a
                        host-side dictionary of unique byte strings
+    is_array        -- True for Array(T): device holds a (rows, max_len)
+                       padded matrix + per-row lengths (the reference's
+                       size0 + data substream layout, statically shaped)
     """
 
     name: str
     storage_dtype: str
     nullable: bool = False
     is_dictionary: bool = False
+    is_array: bool = False
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -124,6 +128,18 @@ def remove_nullable(t: DType) -> DType:
     return t.with_nullable(False)
 
 
+def Array(inner: DType) -> DType:
+    if inner.is_array:
+        raise ValueError("Nested arrays are not supported yet")
+    return DType(f"Array({inner})", inner.storage_dtype,
+                 is_dictionary=inner.is_dictionary, is_array=True)
+
+
+def array_inner(t: DType) -> DType:
+    assert t.is_array
+    return parse_type_name(t.name[len("Array("):-1])
+
+
 def parse_type_name(name: str) -> DType:
     """Parse ``Int64``, ``Nullable(Float64)``, ``LowCardinality(String)``."""
     name = name.strip()
@@ -132,13 +148,16 @@ def parse_type_name(name: str) -> DType:
     if name.startswith("LowCardinality(") and name.endswith(")"):
         # Dictionary encoding is our default physical layout already.
         return parse_type_name(name[len("LowCardinality("):-1])
+    if name.startswith("Array(") and name.endswith(")"):
+        return Array(parse_type_name(name[len("Array("):-1]))
     if name in _BY_NAME:
         return _BY_NAME[name]
     raise ValueError(f"Unknown data type: {name!r}")
 
 
 def is_numeric(t: DType) -> bool:
-    return not t.is_dictionary and t.name not in ("Nothing",)
+    return not t.is_dictionary and not t.is_array \
+        and t.name not in ("Nothing",)
 
 
 def is_integer(t: DType) -> bool:

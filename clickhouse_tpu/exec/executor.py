@@ -125,7 +125,8 @@ def _gather_colval(cv: ColVal, idx: jax.Array, capacity: int) -> ColVal:
     cv = cv.broadcast(capacity)
     data = cv.data[idx]
     validity = cv.validity[idx] if cv.validity is not None else None
-    return ColVal(cv.dtype, data, validity, cv.dictionary)
+    lengths = cv.lengths[idx] if cv.lengths is not None else None
+    return ColVal(cv.dtype, data, validity, cv.dictionary, lengths=lengths)
 
 
 # -- node execution ----------------------------------------------------------
@@ -425,14 +426,8 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
     gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
                                 grouping=grouping, num_groups_cap=cap_g)
-    group_counts = grouping.count_rows(child.valid)
-    if grouping.kind == "dense":
-        # dense slots include empty key-space cells; live groups come from
-        # the (always exact) counts
-        grouping.present = group_counts > 0
-        grouping.num_groups = jnp.sum(grouping.present.astype(jnp.int64))
     from ..plan import ranges
-    states_per_agg = []
+    per_agg_inputs = []
     for item in node.aggregates:
         arg_cvs = []
         for a in item.args:
@@ -443,9 +438,75 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         cond = None
         if item.cond is not None:
             cond = _bool_mask(evaluate(item.cond, child.env()), cap)
-        states_per_agg.append((item, arg_cvs,
-                               item.fn.update(gctx, arg_cvs, cond)))
+        per_agg_inputs.append((item, arg_cvs, cond))
+
+    if grouping.kind == "dense":
+        group_counts, states_per_agg = _dense_stage1(
+            grouping, child, gctx, per_agg_inputs)
+        grouping.present = group_counts > 0
+        grouping.num_groups = jnp.sum(grouping.present.astype(jnp.int64))
+        return grouping, group_counts, states_per_agg
+
+    group_counts = grouping.count_rows(child.valid)
+    states_per_agg = [(item, arg_cvs, item.fn.update(gctx, arg_cvs, cond))
+                      for item, arg_cvs, cond in per_agg_inputs]
     return grouping, group_counts, states_per_agg
+
+
+def _dense_stage1(grouping, child: ExecBlock, gctx, per_agg_inputs):
+    """All dense (sum-family) aggregates batched into ONE MXU pass."""
+    from ..ops import mxu_segsum
+    cap_g = grouping.num_groups_cap
+    base = child.valid & (grouping.group_ids < cap_g)
+    ids = jnp.minimum(grouping.group_ids, cap_g - 1)
+
+    count_masks: List = [None]           # [0] = the group row counts
+    sum_specs: List = []
+    plan = []                            # per agg: list of ('c'|'s', index)
+    for item, arg_cvs, cond in per_agg_inputs:
+        fn = item.fn
+        mask = fn._row_mask(gctx, arg_cvs, cond)
+        mask = None if mask is child.valid else mask
+        if isinstance(fn, agg_reg.CountAgg):
+            plan.append([("c", len(count_masks))])
+            count_masks.append(mask)
+        elif isinstance(fn, agg_reg.SumAgg):
+            v = fn._value(gctx, arg_cvs[0]).astype(
+                agg_reg._sum_state_dtype(fn.arg_types[0]))
+            signed = not jnp.issubdtype(v.dtype, jnp.unsignedinteger)
+            sum_specs.append((v, signed, arg_cvs[0].bounds, mask))
+            plan.append([("s", len(sum_specs) - 1)])
+        elif isinstance(fn, agg_reg.AvgAgg):
+            v = fn._value(gctx, arg_cvs[0]).astype(
+                agg_reg._sum_state_dtype(
+                    dt.remove_nullable(fn.arg_types[0])))
+            signed = not jnp.issubdtype(v.dtype, jnp.unsignedinteger)
+            sum_specs.append((v, signed, arg_cvs[0].bounds, mask))
+            steps = [("s", len(sum_specs) - 1), ("c", len(count_masks))]
+            count_masks.append(mask)
+            plan.append(steps)
+        else:                            # unexpected: per-agg fallback
+            plan.append([("u", (item, arg_cvs, cond))])
+
+    counts, sums = mxu_segsum.mxu_group_reduce(
+        ids, base, count_masks, sum_specs, cap_g)
+
+    states_per_agg = []
+    for (item, arg_cvs, cond), steps in zip(per_agg_inputs, plan):
+        states = []
+        for kind, ref in steps:
+            if kind == "c":
+                states.append(counts[ref])
+            elif kind == "s":
+                states.append(sums[ref])
+            else:
+                states = item.fn.update(gctx, *ref[1:])
+                break
+        if isinstance(item.fn, agg_reg.AvgAgg):
+            # AvgAgg state order: [sum(f64 for floats / int), count]
+            states = [states[0], states[1]]
+        states_per_agg.append((item, arg_cvs, states))
+    return counts[0], states_per_agg
 
 
 def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
@@ -626,6 +687,33 @@ def _sort_block(node: L.SortNode, child: ExecBlock, ctx: ExecContext
             for fid, cv in child.cols.items()}
     valid = jnp.arange(cap, dtype=jnp.int64) < n_valid
     return ExecBlock(cols, valid, cap, sharded=child.sharded)
+
+
+def _exec_array_join(node: L.ArrayJoinNode, ctx: ExecContext) -> ExecBlock:
+    """Row expansion: one output row per array element (ArrayJoinTransform
+    analog) via the gather-only replicate scheme."""
+    child = execute_plan(node.child, ctx)
+    cap = child.capacity
+    arr = evaluate(node.array_expr, child.env()).broadcast(cap)
+    lens = jnp.where(child.valid, arr.lengths.astype(jnp.int64), 0)
+    cum = jnp.cumsum(lens)
+    first = cum - lens
+    total = cum[-1]
+    max_len = arr.data.shape[-1]
+    out_cap = pad_to(min(cap * max_len, max(cap * 4, 1 << 16)))
+    ctx.checks.append(Check(total, out_cap,
+                            "arrayJoin expansion exceeded capacity"))
+    j = jnp.arange(out_cap, dtype=jnp.int64)
+    row = jnp.clip(jnp.searchsorted(cum, j, side="right"), 0, cap - 1) \
+        .astype(jnp.int32)
+    k = jnp.clip(j - first[row], 0, max_len - 1).astype(jnp.int32)
+    cols = {fid: _gather_colval(cv, row, cap)
+            for fid, cv in child.cols.items()}
+    elem = jnp.take_along_axis(arr.data[row], k[:, None], axis=-1)[:, 0]
+    cols[node.out_field.id] = ColVal(node.out_field.dtype, elem, None,
+                                     arr.dictionary)
+    valid = j < total
+    return ExecBlock(cols, valid, out_cap, sharded=child.sharded)
 
 
 def _exec_window(node: L.WindowNode, ctx: ExecContext) -> ExecBlock:
@@ -1020,6 +1108,7 @@ _DISPATCH: Dict[type, Callable] = {
     L.AggregateNode: _exec_aggregate,
     L.SortNode: _exec_sort,
     L.WindowNode: _exec_window,
+    L.ArrayJoinNode: _exec_array_join,
     L.LimitNode: _exec_limit,
     L.LimitByNode: _exec_limit_by,
     L.DistinctNode: _exec_distinct,
@@ -1044,6 +1133,20 @@ def materialize(block: ExecBlock, schema: List[L.Field],
     for f in schema:
         cv = block.cols[f.id].broadcast(block.capacity)
         data = np.asarray(jax.device_get(cv.data))[valid_np]
+        if cv.dtype.is_array:
+            lens = np.asarray(jax.device_get(cv.lengths))[valid_np]
+            d = cv.dictionary
+            rows = np.empty(len(data), object)
+            for i in range(len(data)):
+                elems = data[i][:lens[i]]
+                if cv.dtype.is_dictionary and d is not None:
+                    rows[i] = [str(d.values[c]) if 0 <= c < len(d) else ""
+                               for c in elems]
+                else:
+                    rows[i] = [x.item() for x in elems]
+            name = f.display
+            out[name] = rows
+            continue
         if cv.dtype.is_dictionary:
             codes = data.astype(np.int64)
             vals = np.empty(len(codes), object)

@@ -292,22 +292,27 @@ class Session:
                 for name, col in blk.columns.items():
                     e = args[akey]["cols"][name]
                     cols[name] = Column(col.dtype, e["data"],
-                                        e.get("validity"), col.dictionary)
+                                        e.get("validity"), col.dictionary,
+                                        lengths=e.get("lengths"))
                 blocks2[k] = Block(cols, args[akey]["num_rows"])
             ctx = ExecContext(blocks2, settings)
             out = execute_plan(plan, ctx)
             data_leaves, validity_leaves, dicts = {}, {}, {}
+            length_leaves = {}
             for f in plan.schema:
                 cv = out.cols[f.id].broadcast(out.capacity)
                 data_leaves[f.id] = cv.data
                 if cv.validity is not None:
                     validity_leaves[f.id] = cv.validity
+                if cv.lengths is not None:
+                    length_leaves[f.id] = cv.lengths
                 dicts[f.id] = cv.dictionary
             struct["dicts"] = dicts                 # trace-time capture
             struct["checks"] = [(c.limit, c.message) for c in ctx.checks]
             struct["capacity"] = out.capacity
             leaves = {"valid": out.valid, "data": data_leaves,
                       "validity": validity_leaves,
+                      "lengths": length_leaves,
                       "checks": [c.value for c in ctx.checks]}
             tot = ctx.totals_block
             struct["totals"] = None
@@ -337,6 +342,8 @@ class Session:
                 e = {"data": col.data}
                 if col.validity is not None:
                     e["validity"] = col.validity
+                if col.lengths is not None:
+                    e["lengths"] = col.lengths
                 cols[name] = e
             args[f"{db}.{tbl}"] = {
                 "cols": cols,
@@ -353,7 +360,8 @@ class Session:
         for f in plan.schema:
             cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],
                                 leaves["validity"].get(f.id),
-                                struct["dicts"][f.id])
+                                struct["dicts"][f.id],
+                                lengths=leaves.get("lengths", {}).get(f.id))
         out = ExecBlock(cols, leaves["valid"], struct["capacity"])
         cols_np = materialize(out, plan.schema, ctx)
         if struct.get("totals") is not None and "totals" in leaves:

@@ -41,25 +41,39 @@ class ColVal:
     dictionary: Optional[Dictionary] = None
     # proven integer value range (interval analysis), if known
     bounds: Optional[tuple] = None
+    # Array(T): per-row element counts ((cap,) int32)
+    lengths: Optional[Any] = None
 
     @property
     def is_const(self) -> bool:
-        return getattr(self.data, "ndim", 0) == 0
+        nd = getattr(self.data, "ndim", 0)
+        if self.dtype.is_array:
+            return nd <= 1
+        return nd == 0
 
     def broadcast(self, capacity: int) -> "ColVal":
         data = self.data
+        lengths = self.lengths
         if self.is_const:
-            data = jnp.broadcast_to(data, (capacity,))
+            if self.dtype.is_array:
+                data = jnp.broadcast_to(data, (capacity, data.shape[-1]))
+                if lengths is not None and getattr(lengths, "ndim", 0) == 0:
+                    lengths = jnp.broadcast_to(lengths, (capacity,))
+            else:
+                data = jnp.broadcast_to(data, (capacity,))
         v = self.validity
         if v is not None and getattr(v, "ndim", 0) == 0:
             v = jnp.broadcast_to(v, (capacity,))
-        if data is self.data and v is self.validity:
+        if data is self.data and v is self.validity \
+                and lengths is self.lengths:
             return self
-        return ColVal(self.dtype, data, v, self.dictionary, self.bounds)
+        return ColVal(self.dtype, data, v, self.dictionary, self.bounds,
+                      lengths)
 
 
 def colval_from_column(col: Column) -> ColVal:
-    return ColVal(col.dtype, col.data, col.validity, col.dictionary)
+    return ColVal(col.dtype, col.data, col.validity, col.dictionary,
+                  lengths=col.lengths)
 
 
 def colval_to_column(cv: ColVal, capacity: int) -> Column:

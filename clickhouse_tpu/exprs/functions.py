@@ -1129,3 +1129,191 @@ register("identity", lambda ts: ts[0], _identity_exec)
 register("materialize", lambda ts: ts[0], _identity_exec)
 register("ignore", lambda ts: dt.UInt8,
          lambda args, t: ColVal(t, jnp.zeros((), jnp.uint8)))
+
+
+# -- arrays (padded (rows, max_len) + lengths; SURVEY §2.1 ColumnArray) ------
+
+def _elem_mask(cv: ColVal):
+    ml = cv.data.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, cv.data.shape, len(cv.data.shape) - 1)
+    return idx < cv.lengths[..., None].astype(jnp.int32)
+
+
+def _resolve_array_ctor(ts):
+    if not ts:
+        return dt.Array(dt.Int64)
+    inner = ts[0]
+    for t in ts[1:]:
+        inner = dt.common_supertype(inner, t)
+    return dt.Array(dt.remove_nullable(inner))
+
+
+def _array_ctor_exec(args, out_dtype):
+    inner = dt.array_inner(out_dtype)
+    k = len(args)
+    if k == 0:
+        return ColVal(out_dtype, jnp.zeros((1, 8), inner.jnp_dtype), None,
+                      None, lengths=jnp.zeros((), jnp.int32))
+    if inner.is_dictionary:
+        # unify element dictionaries pairwise
+        merged = args[0].dictionary or Dictionary(np.asarray([], object))
+        datas = [args[0].data]
+        for a in args[1:]:
+            d = a.dictionary or Dictionary(np.asarray([], object))
+            merged, ra, rb = Dictionary.unify(merged, d)
+            lut_a = jnp.asarray(ra)
+            datas = [lut_a[jnp.maximum(x, 0)] if len(ra) else x
+                     for x in datas]
+            lut_b = jnp.asarray(rb)
+            datas.append(lut_b[jnp.maximum(a.data, 0)] if len(rb) else a.data)
+        stacked = jnp.stack(jnp.broadcast_arrays(*datas), axis=-1)
+        dict_ = merged
+    else:
+        st = inner.jnp_dtype
+        stacked = jnp.stack(
+            jnp.broadcast_arrays(*[a.data.astype(st) for a in args]), axis=-1)
+        dict_ = None
+    ml = max(((k + 7) // 8) * 8, 8)
+    pad_shape = stacked.shape[:-1] + (ml - k,)
+    stacked = jnp.concatenate(
+        [stacked, jnp.zeros(pad_shape, stacked.dtype)], axis=-1)
+    if stacked.ndim == 1:
+        lengths = jnp.asarray(k, jnp.int32)
+    else:
+        lengths = jnp.full(stacked.shape[:-1], k, jnp.int32)
+    return ColVal(out_dtype, stacked, _and_validity(args), dict_,
+                  lengths=lengths)
+
+
+register("array", _resolve_array_ctor, _array_ctor_exec)
+
+
+def _array_arg(a: ColVal):
+    if not a.dtype.is_array:
+        raise TypeError_("Expected an Array argument")
+    return a
+
+
+def _resolve_arr_len(ts):
+    if ts and ts[0].is_array:
+        return dt.UInt64.with_nullable(ts[0].nullable)
+    return dt.UInt64.with_nullable(ts[0].nullable)
+
+
+_string_length_exec = FUNCTIONS["length"]._execute
+
+
+def _length_exec(args, out_dtype):
+    a = args[0]
+    if a.dtype.is_array:
+        return ColVal(out_dtype, a.lengths.astype(jnp.uint64),
+                      _and_validity(args))
+    return _string_length_exec(args, out_dtype)
+
+
+register("length", _resolve_arr_len, _length_exec, case_insensitive=True)
+
+
+def _array_element_exec(args, out_dtype):
+    a, i = args
+    _array_arg(a)
+    idx = i.data.astype(jnp.int64)
+    lens = a.lengths.astype(jnp.int64)
+    # 1-based; negative counts from the end (reference semantics)
+    pos = jnp.where(idx > 0, idx - 1, lens + idx)
+    ok = (pos >= 0) & (pos < lens)
+    pos_c = jnp.clip(pos, 0, max(a.data.shape[-1] - 1, 0)).astype(jnp.int32)
+    if a.data.ndim == 1:           # constant array
+        data = a.data[pos_c]
+    else:
+        data = jnp.take_along_axis(a.data, pos_c[..., None], axis=-1)[..., 0]
+    # out-of-range default: '' for strings (code -1 decodes to ''), 0 else
+    default = jnp.asarray(-1, data.dtype) if a.dtype.is_dictionary \
+        else jnp.zeros((), data.dtype)
+    data = jnp.where(ok, data, default)
+    return ColVal(out_dtype, data, _and_validity(args), a.dictionary)
+
+
+register("arrayElement", lambda ts: dt.array_inner(ts[0]),
+         _array_element_exec)
+
+
+def _has_exec(args, out_dtype):
+    a, v = args
+    _array_arg(a)
+    m = _elem_mask(a)
+    if a.dtype.is_dictionary:
+        ca, cb, merged = _string_codes_common(
+            ColVal(dt.String, a.data, None, a.dictionary),
+            ColVal(dt.String, v.data, None, v.dictionary))
+        eq = ca == cb[..., None] if getattr(cb, "ndim", 0) else ca == cb
+    else:
+        eq = a.data == v.data[..., None] if getattr(v.data, "ndim", 0) \
+            else a.data == v.data
+    hit = jnp.any(eq & m, axis=-1)
+    return ColVal(out_dtype, hit.astype(jnp.uint8), _and_validity(args))
+
+
+register("has", lambda ts: dt.UInt8.with_nullable(any(t.nullable for t in ts)),
+         _has_exec)
+
+
+def _index_of_exec(args, out_dtype):
+    a, v = args
+    _array_arg(a)
+    m = _elem_mask(a)
+    eq = (a.data == (v.data[..., None] if getattr(v.data, "ndim", 0)
+                     else v.data)) & m
+    ml = a.data.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int64, eq.shape, eq.ndim - 1)
+    first = jnp.min(jnp.where(eq, idx, ml), axis=-1)
+    return ColVal(out_dtype, jnp.where(first < ml, first + 1, 0)
+                  .astype(jnp.uint64), _and_validity(args))
+
+
+register("indexOf", lambda ts: dt.UInt64.with_nullable(
+    any(t.nullable for t in ts)), _index_of_exec)
+
+
+def _arr_reduce(op, out_type_fn):
+    def resolve(ts):
+        return out_type_fn(dt.array_inner(ts[0])).with_nullable(ts[0].nullable)
+
+    def ex(args, out_dtype):
+        a = _array_arg(args[0])
+        m = _elem_mask(a)
+        st = dt.remove_nullable(out_dtype).jnp_dtype
+        x = a.data.astype(st)
+        if op == "sum":
+            data = jnp.sum(jnp.where(m, x, jnp.zeros((), st)), axis=-1)
+        elif op == "avg":
+            s = jnp.sum(jnp.where(m, x, jnp.zeros((), st)), axis=-1)
+            data = s / jnp.maximum(a.lengths, 1).astype(st)
+        elif op == "min":
+            big = jnp.asarray(jnp.iinfo(st).max
+                              if jnp.issubdtype(st, jnp.integer)
+                              else jnp.inf, st)
+            data = jnp.min(jnp.where(m, x, big), axis=-1)
+            data = jnp.where(a.lengths > 0, data, jnp.zeros((), st))
+        else:
+            small = jnp.asarray(jnp.iinfo(st).min
+                                if jnp.issubdtype(st, jnp.integer)
+                                else -jnp.inf, st)
+            data = jnp.max(jnp.where(m, x, small), axis=-1)
+            data = jnp.where(a.lengths > 0, data, jnp.zeros((), st))
+        return ColVal(out_dtype, data, _and_validity(args))
+    return resolve, ex
+
+
+for _n, _op, _ot in [("arraySum", "sum",
+                      lambda t: dt.Float64 if dt.is_float(t) else dt.Int64),
+                     ("arrayAvg", "avg", lambda t: dt.Float64),
+                     ("arrayMin", "min", lambda t: t),
+                     ("arrayMax", "max", lambda t: t)]:
+    _r, _e = _arr_reduce(_op, _ot)
+    register(_n, _r, _e)
+
+
+register("emptyArrayInt64", lambda ts: dt.Array(dt.Int64),
+         lambda args, t: ColVal(t, jnp.zeros((8,), jnp.int64), None, None,
+                                lengths=jnp.asarray(0, jnp.int32)))

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 __all__ = ["MAX_DENSE_GROUPS", "mxu_counts_and_sums"]
 
 MAX_DENSE_GROUPS = 16384          # 128 x 128 factorization
+# chunk bound: worst-case per-chunk limb sums must stay f32-exact:
+# CHUNK * 255 < 2^24  =>  CHUNK <= 65793
 _CHUNK = 1 << 16
 
 
@@ -41,6 +43,127 @@ def _limbs_for(v: jax.Array, signed: bool,
         bits = max(int(bounds[1]).bit_length(), 1)
         return (bits + 7) // 8, False
     return 8, signed
+
+
+def mxu_group_reduce(ids, base_mask, count_masks, sum_specs, S):
+    """Batched dense reductions in ONE pass over the data.
+
+    count_masks -- one count output per entry (None entry = base_mask)
+    sum_specs   -- (values, signed, bounds, mask or None) per sum output
+    Returns ([counts...], [sums...]).  All aggregates of a GROUP BY share the
+    one-hot construction and the scan — one data read total.  Sign-biased
+    sums get an internal matching count to remove the bias exactly.
+    """
+    assert S <= MAX_DENSE_GROUPS
+    s1, s2 = _factor(S)
+    n = ids.shape[0]
+    n_pad = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+    pad = n_pad - n
+
+    def padded(a, fill=0):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
+    R = n_pad // _CHUNK
+    ids_c = padded(ids.astype(jnp.int32)).reshape(R, _CHUNK)
+    base_c = padded(base_mask, False).reshape(R, _CHUNK)
+
+    sspecs = []          # (n_limbs, biased, signed, has_mask)
+    svals_c = []
+    smask_c = []
+    bias_count_idx = []  # per sum: index into the count list (or None)
+    all_count_masks = list(count_masks)
+    for v, signed, b, m in sum_specs:
+        n_limbs, biased = _limbs_for(v, signed, b)
+        sspecs.append((n_limbs, biased, signed, m is not None))
+        u = v.astype(jnp.uint64)
+        if biased:
+            u = u + jnp.uint64(1 << 63)
+            bias_count_idx.append(len(all_count_masks))
+            all_count_masks.append(m)      # count with this sum's mask
+        else:
+            bias_count_idx.append(None)
+        svals_c.append(padded(u).reshape(R, _CHUNK))
+        if m is not None:
+            smask_c.append(padded(m, False).reshape(R, _CHUNK))
+
+    cmask_c = [padded(m, False).reshape(R, _CHUNK) if m is not None else None
+               for m in all_count_masks]
+    has_cmask = [m is not None for m in cmask_c]
+    cmask_present = [m for m in cmask_c if m is not None]
+
+    r1 = jnp.arange(s1, dtype=jnp.int32)
+    r2 = jnp.arange(s2, dtype=jnp.int32)
+    kc = len(all_count_masks)
+    ks = len(svals_c)
+
+    def body(carry, xs):
+        caccs, laccs = carry
+        pos = 0
+        iv = xs[pos]; pos += 1
+        bm = xs[pos]; pos += 1
+        cms_present = xs[pos:pos + len(cmask_present)]
+        pos += len(cmask_present)
+        svs = xs[pos:pos + ks]
+        pos += ks
+        sms_present = xs[pos:]
+
+        hi = iv // s2
+        lo = iv - hi * s2
+        ohh = ((hi[:, None] == r1[None, :]) & bm[:, None]).astype(jnp.float32)
+        ohl = (lo[:, None] == r2[None, :]).astype(jnp.float32)
+
+        new_caccs = []
+        ci = 0
+        for acc, has in zip(caccs, has_cmask):
+            if has:
+                lhs = ohh * cms_present[ci][:, None].astype(jnp.float32)
+                ci += 1
+            else:
+                lhs = ohh
+            new_caccs.append(acc + jnp.dot(
+                lhs.T, ohl, preferred_element_type=jnp.float32
+            ).astype(jnp.int32))
+
+        new_laccs = []
+        mi = 0
+        for (n_limbs, biased, _, has_mask), acc, vv in zip(sspecs, laccs, svs):
+            if has_mask:
+                base = ohh * sms_present[mi][:, None].astype(jnp.float32)
+                mi += 1
+            else:
+                base = ohh
+            sums = []
+            for l in range(n_limbs):
+                limb = ((vv >> jnp.uint64(8 * l)) & jnp.uint64(0xFF)
+                        ).astype(jnp.float32)
+                sums.append(jnp.dot((base * limb[:, None]).T, ohl,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(jnp.uint32))
+            new_laccs.append(acc + jnp.stack(sums).astype(jnp.uint64))
+        return (new_caccs, new_laccs), None
+
+    init = ([jnp.zeros((s1, s2), jnp.int32) for _ in range(kc)],
+            [jnp.zeros((sspecs[i][0], s1, s2), jnp.uint64)
+             for i in range(ks)])
+    xs = tuple([ids_c, base_c] + cmask_present + svals_c + smask_c)
+    (caccs, laccs), _ = jax.lax.scan(body, init, xs)
+
+    all_counts = [c.reshape(s1 * s2)[:S].astype(jnp.int64) for c in caccs]
+    counts = all_counts[:len(count_masks)]
+    sums = []
+    for (n_limbs, biased, signed, _), limbs, bidx in zip(sspecs, laccs,
+                                                         bias_count_idx):
+        flat = limbs.reshape(n_limbs, s1 * s2)[:, :S]
+        total = jnp.zeros((S,), jnp.uint64)
+        for l in range(n_limbs):
+            total = total + (flat[l] << jnp.uint64(8 * l))
+        if biased:
+            cnt = all_counts[bidx]
+            total = total - cnt.astype(jnp.uint64) * jnp.uint64(1 << 63)
+        sums.append(total.astype(jnp.int64) if signed else total)
+    return counts, sums
 
 
 def mxu_counts_and_sums(ids: jax.Array, mask: jax.Array,

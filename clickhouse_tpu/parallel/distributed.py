@@ -222,6 +222,9 @@ class DistributedSession(Session):
                 if col.validity is not None:
                     e["validity"] = col.validity
                     es["validity"] = spec
+                if col.lengths is not None:
+                    e["lengths"] = col.lengths
+                    es["lengths"] = spec
                 cols[cname] = e
                 specs[cname] = es
             args[akey] = cols
@@ -235,7 +238,8 @@ class DistributedSession(Session):
                 for cname, col in blk.columns.items():
                     e = a[akey][cname]
                     cols[cname] = Column(col.dtype, e["data"],
-                                         e.get("validity"), col.dictionary)
+                                         e.get("validity"), col.dictionary,
+                                         lengths=e.get("lengths"))
                 local_cap = next(iter(cols.values())).capacity
                 blocks2[k] = Block(cols, local_cap)
             ctx = ExecContext(blocks2, settings, axis_name=axis, n_shards=n,
@@ -243,11 +247,14 @@ class DistributedSession(Session):
             out = execute_plan(plan, ctx)
             out = _gather_block(out, ctx)
             data_leaves, validity_leaves, dicts = {}, {}, {}
+            length_leaves = {}
             for f in plan.schema:
                 cv = out.cols[f.id].broadcast(out.capacity)
                 data_leaves[f.id] = cv.data
                 if cv.validity is not None:
                     validity_leaves[f.id] = cv.validity
+                if cv.lengths is not None:
+                    length_leaves[f.id] = cv.lengths
                 dicts[f.id] = cv.dictionary
             struct["dicts"] = dicts
             struct["checks"] = [(c.limit, c.message) for c in ctx.checks]
@@ -255,7 +262,8 @@ class DistributedSession(Session):
             checks = [jax.lax.pmax(jnp.asarray(c.value), axis)
                       for c in ctx.checks]
             return {"valid": out.valid, "data": data_leaves,
-                    "validity": validity_leaves, "checks": checks}
+                    "validity": validity_leaves, "lengths": length_leaves,
+                    "checks": checks}
 
         mapped = shard_map(fn, mesh=self.mesh, in_specs=(arg_specs,),
                            out_specs=P())
@@ -268,7 +276,8 @@ class DistributedSession(Session):
         for f in plan.schema:
             cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],
                                 leaves["validity"].get(f.id),
-                                struct["dicts"][f.id])
+                                struct["dicts"][f.id],
+                                lengths=leaves.get("lengths", {}).get(f.id))
         out = ExecBlock(cols, leaves["valid"], struct["capacity"])
         cols_np = materialize(out, plan.schema, ctx2)
         return cols_np, ctx2

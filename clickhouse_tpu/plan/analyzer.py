@@ -135,6 +135,53 @@ class Analyzer:
                 pred = self.bind(expand(pred_ast), scope, allow_agg=False)
                 plan = L.FilterNode(plan, pred, plan.schema)
 
+        # arrayJoin(...) expands rows after WHERE, before aggregation
+        # (reference: ArrayJoinAction position in the chain)
+        aj_texts: Dict[str, str] = {}
+        aj_exprs: List[ast.Expr] = []
+
+        def collect_aj(e: ast.Expr):
+            if isinstance(e, ast.FuncCall) and e.name == "arrayJoin" \
+                    and len(e.args) == 1:
+                text = ast.format_expr(e)
+                if text not in aj_texts:
+                    aj_texts[text] = ""
+                    aj_exprs.append(e)
+                return
+            for c in _ast_children(e):
+                collect_aj(c)
+
+        probe_exprs = [expand(it.expr) for it in sel.items
+                       if not isinstance(it.expr, ast.Star)]
+        for ge in (sel.group_by or []):
+            probe_exprs.append(expand(ge))
+        if sel.having is not None:
+            probe_exprs.append(expand(sel.having))
+        for oi in (sel.order_by or []):
+            probe_exprs.append(expand(oi.expr))
+        for e in probe_exprs:
+            collect_aj(e)
+        if len(aj_exprs) > 1:
+            raise NotImplementedError_(
+                "Multiple distinct arrayJoin expressions are not supported")
+        if aj_exprs:
+            call = aj_exprs[0]
+            arr_bound = self.bind(expand(call.args[0]), scope,
+                                  allow_agg=False)
+            if not arr_bound.dtype.is_array:
+                raise TypeError_("arrayJoin expects an Array argument")
+            placeholder = "__array_join"
+            elem_f = L.Field(self.fresh_id(), placeholder,
+                             dt.array_inner(arr_bound.dtype))
+            plan = L.ArrayJoinNode(plan, arr_bound, elem_f,
+                                   list(plan.schema) + [elem_f])
+            scope = Scope(scope.fields + [elem_f])
+            aj_texts[ast.format_expr(call)] = placeholder
+            outer_expand = expand
+
+            def expand(e: ast.Expr) -> ast.Expr:   # noqa: F811
+                return _replace_by_text(outer_expand(e), aj_texts)
+
         # Expand stars & name items
         items: List[Tuple[ast.Expr, str]] = []
         for item in sel.items:
@@ -160,7 +207,7 @@ class Analyzer:
 
         if has_agg:
             plan, scope_after, rewrite = self.plan_aggregation(
-                plan, scope, sel, items, aliases)
+                plan, scope, sel, items, aliases, expand)
             if sel.group_by_modifier and isinstance(plan, L.AggregateNode):
                 plan = self._expand_grouping_sets(plan,
                                                   sel.group_by_modifier)
@@ -457,8 +504,9 @@ class Analyzer:
 
     # -- aggregation ---------------------------------------------------------
     def plan_aggregation(self, plan: L.PlanNode, scope: Scope, sel: ast.Select,
-                         items, aliases):
-        expand = lambda e: _expand_aliases(e, aliases, scope)
+                         items, aliases, expand=None):
+        if expand is None:
+            expand = lambda e: _expand_aliases(e, aliases, scope)
         key_fields: List[Tuple[L.Field, BoundExpr]] = []
         key_by_text: Dict[str, L.Field] = {}
         key_by_bound: Dict[str, L.Field] = {}
@@ -890,6 +938,21 @@ def _contains_window(e: ast.Expr) -> bool:
     if isinstance(e, ast.Tuple_):
         return any(_contains_window(i) for i in e.items)
     return False
+
+
+def _replace_by_text(e: ast.Expr, mapping: Dict[str, str]) -> ast.Expr:
+    """Substitute subtrees whose formatted text appears in `mapping` with the
+    mapped identifier."""
+    text = ast.format_expr(e)
+    if text in mapping and mapping[text]:
+        return ast.Identifier(mapping[text])
+    if isinstance(e, ast.FuncCall):
+        return ast.FuncCall(e.name,
+                            [_replace_by_text(a, mapping) for a in e.args],
+                            e.params, e.distinct, e.over)
+    if isinstance(e, ast.Tuple_):
+        return ast.Tuple_([_replace_by_text(i, mapping) for i in e.items])
+    return e
 
 
 def _replace_windows(e: ast.Expr, win_map: Dict[str, str]) -> ast.Expr:

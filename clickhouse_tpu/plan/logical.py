@@ -18,8 +18,9 @@ from ..exprs.aggregates import AggregateFunction
 __all__ = [
     "Field", "PlanNode", "ScanNode", "OneRowNode", "NumbersNode",
     "FilterNode", "ProjectNode", "AggregateItem", "AggregateNode",
-    "SortItem", "SortNode", "WindowItem", "WindowNode", "LimitNode",
-    "LimitByNode", "JoinNode", "DistinctNode", "UnionNode", "explain_plan",
+    "SortItem", "SortNode", "WindowItem", "WindowNode", "ArrayJoinNode",
+    "LimitNode", "LimitByNode", "JoinNode", "DistinctNode", "UnionNode",
+    "explain_plan",
 ]
 
 
@@ -131,6 +132,19 @@ class SortItem:
     expr: BoundExpr
     descending: bool = False
     nulls_last: bool = True
+
+
+@dataclasses.dataclass
+class ArrayJoinNode(PlanNode):
+    """arrayJoin(arr): expand each row into one row per array element
+    (reference: ArrayJoinTransform, src/Interpreters/ArrayJoinAction.cpp)."""
+    child: PlanNode
+    array_expr: BoundExpr
+    out_field: Field              # the element column
+    schema: List[Field]
+
+    def children(self):
+        return (self.child,)
 
 
 @dataclasses.dataclass

@@ -122,6 +122,14 @@ def _prune_columns(node: L.PlanNode, needed: Set[str]) -> None:
         _prune_columns(node.child, child_needed)
         node.schema = [f for f in node.child.schema]
         return
+    if isinstance(node, L.ArrayJoinNode):
+        child_needed = set(needed) - {node.out_field.id}
+        expr_column_refs(node.array_expr, child_needed)
+        _prune_columns(node.child, child_needed)
+        kept = {f.id for f in node.child.schema}
+        node.schema = [f for f in node.schema
+                       if f.id in kept or f.id == node.out_field.id]
+        return
     if isinstance(node, L.WindowNode):
         child_needed = set(needed) - {i.field.id for i in node.items}
         for i in node.items:

@@ -720,6 +720,10 @@ class Parser:
             elif self.accept_op("::"):
                 tname = self.parse_type_name()
                 e = ast.FuncCall("CAST", [e, ast.Literal(tname)])
+            elif self.accept_op("["):
+                idx = self.parse_expr()
+                self.expect_op("]")
+                e = ast.FuncCall("arrayElement", [e, idx])
             elif self.tok.kind == "op" and self.tok.text == "(" \
                     and isinstance(e, ast.FuncCall) and e.params is None:
                 # parameterized aggregate: quantile(0.5)(x) — the first
@@ -746,6 +750,15 @@ class Parser:
         if t.kind == "op" and t.text == "*":
             self.advance()
             return ast.Star()
+        if t.kind == "op" and t.text == "[":
+            self.advance()
+            items: List[ast.Expr] = []
+            if not (self.tok.kind == "op" and self.tok.text == "]"):
+                items.append(self.parse_expr())
+                while self.accept_op(","):
+                    items.append(self.parse_expr())
+            self.expect_op("]")
+            return ast.FuncCall("array", items)
         if t.kind == "op" and t.text == "(":
             self.advance()
             if self.tok.is_kw("SELECT", "WITH"):
