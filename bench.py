@@ -75,6 +75,40 @@ def main():
     except Exception as e:  # keep headline alive
         log(f"Q2 failed: {e}")
 
+    try:
+        t_agg2 = bench_query(s, "SELECT x AS k, count() AS c FROM hits "
+                                 "GROUP BY k ORDER BY c DESC LIMIT 10 "
+                                 "SETTINGS max_groups = 2097152", reps=3)
+        log(f"Q2b group-by(1M keys, sort path)+top10: {t_agg2*1e3:.1f} ms "
+            f"({N_ROWS/t_agg2/1e9:.2f} G rows/s)")
+    except Exception as e:
+        log(f"Q2b failed: {e}")
+
+    try:
+        t_sort = bench_query(s, "SELECT x FROM hits ORDER BY x LIMIT 100",
+                             reps=3)
+        log(f"Q3 top-100 of 100M: {t_sort*1e3:.1f} ms "
+            f"({N_ROWS/t_sort/1e9:.2f} G rows/s)")
+    except Exception as e:
+        log(f"Q3 failed: {e}")
+
+    try:
+        n_dim = 1_000_000
+        s.execute("CREATE TABLE dim (k Int64, label Int64)")
+        s.insert_pydict("dim", {
+            "k": np.arange(n_dim, dtype=np.int64),
+            "label": (np.arange(n_dim, dtype=np.int64) * 7) % 97})
+        s.execute("CREATE TABLE fact (fk Int64)")
+        s.insert_pydict("fact", {
+            "fk": (np.arange(N_ROWS, dtype=np.int64) * 40503) % n_dim})
+        t_join = bench_query(
+            s, "SELECT count(), sum(label) FROM fact "
+               "INNER JOIN dim ON fact.fk = dim.k", reps=3)
+        log(f"Q4 join 100M x 1M: {t_join*1e3:.1f} ms "
+            f"({N_ROWS/t_join/1e9:.2f} G rows/s)")
+    except Exception as e:
+        log(f"Q4 failed: {e}")
+
     print(json.dumps({
         "metric": "filter_count_rows_per_s",
         "value": rows_s,

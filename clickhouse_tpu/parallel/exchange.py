@@ -41,31 +41,31 @@ def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
     dest = (h % jnp.uint64(n_shards)).astype(jnp.int32)
     dest = jnp.where(valid, dest, n_shards)          # padding -> dropped
 
-    # Stable-sort rows by destination; position within destination block.
+    # Stable-sort rows by destination, then fill each destination's block of
+    # the send buffer by GATHERING from the sorted order (TPU scatter
+    # serializes; the inverse mapping slot -> sorted row is direct).
     rowid = jnp.arange(cap, dtype=jnp.int32)
     dest_s, row_s = jax.lax.sort([dest, rowid], num_keys=1, is_stable=True)
-    # per-dest counts -> start offset of each destination segment
-    ones = jnp.where(dest_s < n_shards, 1, 0).astype(jnp.int64)
-    counts = jax.ops.segment_sum(ones, dest_s, num_segments=n_shards + 1,
-                                 indices_are_sorted=True)[:n_shards]
-    starts = jnp.cumsum(counts) - counts
-    idx = jnp.arange(cap, dtype=jnp.int64)
-    pos_in_dest = idx - starts[jnp.minimum(dest_s, n_shards - 1)]
+    # per-dest row ranges via binary search over the sorted destinations
+    d = jnp.arange(n_shards, dtype=dest_s.dtype)
+    starts = jnp.searchsorted(dest_s, d, side="left").astype(jnp.int64)
+    ends = jnp.searchsorted(dest_s, d, side="right").astype(jnp.int64)
+    counts = ends - starts
     overflow = jnp.max(counts)
 
     flat_cap = n_shards * send_capacity
-    slot = jnp.minimum(dest_s, n_shards - 1).astype(jnp.int64) * send_capacity \
-        + pos_in_dest
-    slot = jnp.where((dest_s < n_shards) & (pos_in_dest < send_capacity),
-                     slot, flat_cap)                  # out-of-range -> dropped
+    slot_dest = (jnp.arange(flat_cap, dtype=jnp.int64) // send_capacity)
+    slot_pos = jnp.arange(flat_cap, dtype=jnp.int64) % send_capacity
+    src_idx = jnp.clip(starts[slot_dest] + slot_pos, 0, cap - 1)
+    slot_live = slot_pos < counts[slot_dest]
 
     def pack(arr):
-        src = arr[row_s]
-        buf = jnp.zeros((flat_cap,), arr.dtype).at[slot].set(src, mode="drop")
-        return buf.reshape(n_shards, send_capacity)
+        src = arr[row_s][src_idx]
+        src = jnp.where(slot_live, src, jnp.zeros((), src.dtype)) \
+            if src.ndim == 1 else src
+        return src.reshape(n_shards, send_capacity)
 
-    sent_valid = jnp.zeros((flat_cap,), jnp.bool_).at[slot].set(
-        True, mode="drop").reshape(n_shards, send_capacity)
+    sent_valid = slot_live.reshape(n_shards, send_capacity)
 
     keys_tx = [pack(k) for k in keys]
     payloads_tx = [pack(p) for p in payloads]
