@@ -30,7 +30,10 @@ _CHUNK = 1 << 16
 
 
 def _factor(S: int) -> Tuple[int, int]:
-    s2 = min(S, 128)
+    # Balanced factorization: (32, 32) measured ~6x faster than (8, 128) at
+    # S=1024 on v5e (narrow one-hot operands waste lanes).
+    s2 = 1 << ((max(S - 1, 1).bit_length() + 1) // 2)
+    s2 = max(8, min(s2, 128))
     s1 = (S + s2 - 1) // s2
     return s1, s2
 
