@@ -251,24 +251,37 @@ class Session:
     def _execute_compiled(self, stmt, settings: Settings, sql: str):
         import json
 
-        plan = self._plan(stmt, settings)
-        blocks = self._collect_table_blocks(plan)
-        sig = tuple(sorted(
-            (db, tbl, self.catalog.get_table(db, tbl).version,
-             blocks[(db, tbl)].capacity)
-            for (db, tbl) in blocks))
-        skey = json.dumps(settings.as_dict(), sort_keys=True, default=str)
-        key = (sql, skey, sig)
+        skey = json.dumps(settings.as_dict(), sort_keys=True, default=str) \
+            + "@" + self.catalog.current_database
         low = sql.lower()
         nondet = any(t in low for t in ("now(", "today(", "yesterday(",
                                         "rand("))
-        entry = None if nondet else self._jit_cache.get(key)
-        if entry is None:
-            entry = self._compile_plan(plan, blocks, settings)
+        # Fast path: a previous compile of this (sql, settings) whose table
+        # versions are unchanged skips parse/analyze/optimize entirely.
+        fast = None if nondet else self._jit_cache.get((sql, skey))
+        if fast is not None:
+            fn, plan_c, struct, sig0, table_keys = fast
+            sig = tuple(sorted(
+                (db, tbl, self.catalog.get_table(db, tbl).version)
+                for (db, tbl) in table_keys))
+            if sig == sig0:
+                blocks = self._collect_table_blocks(plan_c)
+                leaves = fn(self._block_args(blocks))
+                cols, ctx = self._materialize_compiled(plan_c, struct,
+                                                       leaves, settings)
+                return plan_c, cols, ctx
+
+        plan = self._plan(stmt, settings)
+        blocks = self._collect_table_blocks(plan)
+        sig = tuple(sorted(
+            (db, tbl, self.catalog.get_table(db, tbl).version)
+            for (db, tbl) in blocks))
+        fn, plan_c, struct = self._compile_plan(plan, blocks, settings)
+        if not nondet:
             if len(self._jit_cache) >= settings.query_compile_cache_size:
                 self._jit_cache.clear()
-            self._jit_cache[key] = entry
-        fn, plan_c, struct = entry
+            self._jit_cache[(sql, skey)] = (fn, plan_c, struct, sig,
+                                            tuple(blocks.keys()))
         leaves = fn(self._block_args(blocks))
         cols, ctx = self._materialize_compiled(plan_c, struct, leaves,
                                                settings)
