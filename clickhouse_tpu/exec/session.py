@@ -89,6 +89,8 @@ class Session:
         if isinstance(stmt, ast.CreateDatabase):
             self.catalog.create_database(stmt.name, stmt.if_not_exists)
             return _status_result()
+        if isinstance(stmt, ast.CreateView):
+            return self._run_create_view(stmt)
         if isinstance(stmt, ast.Insert):
             return self._run_insert(stmt)
         if isinstance(stmt, ast.DropTable):
@@ -431,6 +433,62 @@ class Session:
             t.insert_pydict(_align_insert(data, t, None))
         return _status_result()
 
+    def _run_create_view(self, stmt: ast.CreateView) -> Result:
+        from ..storage.table import ViewDef
+        db = stmt.database or self.catalog.current_database
+        dbo = self.catalog.databases.get(db)
+        if dbo is None:
+            raise UnknownTable(f"Unknown database '{db}'")
+        if stmt.name in dbo.views:
+            if stmt.if_not_exists:
+                return _status_result()
+            raise AnalysisError(f"View '{db}.{stmt.name}' already exists")
+        source = None
+        if stmt.materialized:
+            if stmt.to_table is None:
+                raise NotImplementedError_(
+                    "MATERIALIZED VIEW requires a TO target table")
+            src_ref = stmt.query.from_ if isinstance(stmt.query, ast.Select) \
+                else None
+            if not isinstance(src_ref, ast.TableRef):
+                raise NotImplementedError_(
+                    "MATERIALIZED VIEW source must be a plain table")
+            source = (src_ref.database or db, src_ref.table)
+            self.catalog.get_table(db, stmt.to_table)  # must exist
+        # validate the query analyzes cleanly
+        self._plan(stmt.query, self.settings)
+        dbo.views[stmt.name] = ViewDef(stmt.name, stmt.query,
+                                       stmt.materialized, source,
+                                       stmt.to_table)
+        return _status_result()
+
+    def _trigger_materialized_views(self, db: str, table_name: str,
+                                    data: Dict[str, np.ndarray]) -> None:
+        """Run insert-trigger pipelines: the new rows flow through each MV's
+        SELECT into its target (reference: pushing to views on insert,
+        src/Processors/Transforms/buildPushingToViewsChain.cpp)."""
+        import copy
+        for dbo in self.catalog.databases.values():
+            for view in dbo.views.values():
+                if not view.materialized or view.source != (db, table_name):
+                    continue
+                tmp = f"__mv_in_{table_name}"
+                src_table = self.catalog.get_table(db, table_name)
+                t = Table(tmp, src_table.schema_items())
+                t.insert_pydict(data)
+                self.catalog.databases["_files"].tables[tmp] = t
+                try:
+                    q = copy.deepcopy(view.query)
+                    q.from_ = ast.TableRef("_files", tmp,
+                                           q.from_.alias or table_name)
+                    out = self._execute_to_pydict(
+                        self._plan(q, self.settings), self.settings)
+                    target = self.catalog.get_table(dbo.name, view.to_table)
+                    out = dict(zip(target.schema.keys(), out.values()))
+                    target.insert_pydict(_align_insert(out, target, None))
+                finally:
+                    self.catalog.databases["_files"].tables.pop(tmp, None)
+
     def _run_insert(self, stmt: ast.Insert) -> Result:
         db = stmt.database or self.catalog.current_database
         table = self.catalog.get_table(db, stmt.table)
@@ -439,7 +497,9 @@ class Session:
             data = formats.read_file(stmt.infile, stmt.format)
             if stmt.columns:
                 data = {k: data[k] for k in stmt.columns}
-            table.insert_pydict(_align_insert(data, table, stmt.columns))
+            aligned = _align_insert(data, table, stmt.columns)
+            table.insert_pydict(aligned)
+            self._trigger_materialized_views(db, stmt.table, aligned)
             return _status_result()
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
@@ -450,7 +510,9 @@ class Session:
                 for n, e in zip(names, row):
                     cols[n].append(_literal_value(e))
             data = {n: np.asarray(v, dtype=object) for n, v in cols.items()}
-            table.insert_pydict(_align_insert(data, table, names))
+            aligned = _align_insert(data, table, names)
+            table.insert_pydict(aligned)
+            self._trigger_materialized_views(db, stmt.table, aligned)
             return _status_result()
         assert stmt.select is not None
         data = self._execute_to_pydict(
@@ -459,7 +521,9 @@ class Session:
             data = dict(zip(stmt.columns, data.values()))
         else:
             data = dict(zip(table.schema.keys(), data.values()))
-        table.insert_pydict(_align_insert(data, table, stmt.columns))
+        aligned = _align_insert(data, table, stmt.columns)
+        table.insert_pydict(aligned)
+        self._trigger_materialized_views(db, stmt.table, aligned)
         return _status_result()
 
     def _run_show(self, stmt: ast.ShowTables) -> Result:
@@ -590,6 +654,7 @@ class Session:
                       database: Optional[str] = None):
         db = database or self.catalog.current_database
         self.catalog.get_table(db, table).insert_pydict(data)
+        self._trigger_materialized_views(db, table, data)
 
     def create_table_from_pydict(self, name: str,
                                  data: Dict[str, np.ndarray],

@@ -329,6 +329,17 @@ class Analyzer:
             sub.schema = fields
             return sub, Scope(fields)
         db = ref.database or self.catalog.current_database
+        view = self.catalog.get_view(db, ref.table) \
+            if hasattr(self.catalog, "get_view") else None
+        if view is not None and not view.materialized:
+            sub = (self.analyze_select(view.query, dict(ctes))
+                   if isinstance(view.query, ast.Select)
+                   else self.analyze_union(view.query, dict(ctes)))
+            quals = (ref.alias or ref.table,)
+            fields = [L.Field(f.id, f.display, f.dtype, quals)
+                      for f in sub.schema]
+            sub.schema = fields
+            return sub, Scope(fields)
         table = self.catalog.get_table(db, ref.table)
         quals = (ref.alias,) if ref.alias else (ref.table,)
         fields = []

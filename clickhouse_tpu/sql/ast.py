@@ -180,6 +180,16 @@ class CreateDatabase:
 
 
 @dataclasses.dataclass
+class CreateView:
+    database: Optional[str]
+    name: str
+    query: Union["Select", "Union"]
+    materialized: bool = False
+    to_table: Optional[str] = None     # MATERIALIZED ... TO target
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
 class Insert:
     database: Optional[str]
     table: str

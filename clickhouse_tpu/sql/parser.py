@@ -396,6 +396,20 @@ class Parser:
             return ast.CreateDatabase(self.expect_word(), ine)
         self.accept_kw("OR")  # CREATE OR REPLACE
         self.accept_kw("REPLACE")
+        materialized = bool(self.accept_kw("MATERIALIZED"))
+        if self.accept_kw("VIEW"):
+            ine = self._if_not_exists()
+            db, name = self.parse_table_name()
+            to_table = None
+            if self.accept_kw("TO"):
+                _, to_table = self.parse_table_name()
+            # tolerate an ENGINE clause on materialized views
+            if self.accept_kw("ENGINE"):
+                self.expect_op("=")
+                self.expect_word()
+            self.expect_kw("AS")
+            q = self.parse_select_union()
+            return ast.CreateView(db, name, q, materialized, to_table, ine)
         self.expect_kw("TABLE")
         ine = self._if_not_exists()
         db, tbl = self.parse_table_name()
@@ -540,7 +554,7 @@ class Parser:
         if self.accept_kw("DATABASE"):
             ie = self._if_exists()
             return ast.DropTable(None, self.expect_word(), ie, is_database=True)
-        self.expect_kw("TABLE")
+        self.expect_kw("TABLE", "VIEW")
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
         return ast.DropTable(db, tbl, ie)

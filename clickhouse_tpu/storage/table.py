@@ -200,10 +200,22 @@ class Table:
         return (int(lo), int(hi))
 
 
+@dataclasses.dataclass
+class ViewDef:
+    """A stored SELECT (StorageView) or insert-trigger pipeline
+    (StorageMaterializedView, reference: src/Storages/StorageMaterializedView)."""
+    name: str
+    query: object                  # ast.Select / ast.Union
+    materialized: bool = False
+    source: Optional[Tuple[str, str]] = None   # (db, table) trigger source
+    to_table: Optional[str] = None
+
+
 class Database:
     def __init__(self, name: str):
         self.name = name
         self.tables: Dict[str, Table] = {}
+        self.views: Dict[str, ViewDef] = {}
 
 
 class Catalog:
@@ -268,6 +280,12 @@ class Catalog:
             raise UnknownTable(f"Unknown table '{database}.{name}'")
         return t
 
+    def get_view(self, database: str, name: str) -> Optional[ViewDef]:
+        db = self.databases.get(database)
+        if db is None:
+            return None
+        return db.views.get(name)
+
     def has_table(self, database: str, name: str) -> bool:
         try:
             self.get_table(database, name)
@@ -288,6 +306,9 @@ class Catalog:
 
     def drop_table(self, database: str, name: str, if_exists: bool = False):
         db = self.databases.get(database)
+        if db is not None and name in getattr(db, "views", {}):
+            del db.views[name]
+            return
         if db is None or name not in db.tables:
             if if_exists:
                 return

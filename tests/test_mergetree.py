@@ -92,3 +92,45 @@ class TestBackup:
         assert a == b
         t = session.catalog.get_table("default", "dst")
         assert t.engine == "MergeTree" and t.order_by == ["a"]
+
+
+class TestViews:
+    def test_view(self, session):
+        session.execute("CREATE TABLE vsrc (k Int64, v Int64)")
+        session.execute("INSERT INTO vsrc VALUES (1, 10), (2, 20)")
+        session.execute("CREATE VIEW vv AS SELECT k, v * 2 AS d FROM vsrc")
+        r = session.execute("SELECT d FROM vv ORDER BY k")
+        assert [row[0] for row in r.rows()] == [20, 40]
+        # view reflects later inserts
+        session.execute("INSERT INTO vsrc VALUES (3, 30)")
+        assert session.execute("SELECT count() FROM vv").scalar() == 3
+        session.execute("DROP VIEW vv")
+
+    def test_view_with_aggregation(self, session):
+        session.execute("CREATE TABLE v2src (g Int64, x Int64)")
+        session.execute("INSERT INTO v2src VALUES (1,1),(1,2),(2,3)")
+        session.execute("CREATE VIEW v2 AS SELECT g, sum(x) AS s "
+                        "FROM v2src GROUP BY g")
+        r = session.execute("SELECT g, s FROM v2 ORDER BY g")
+        assert r.rows() == [(1, 3), (2, 3)]
+
+    def test_materialized_view_trigger(self, session):
+        session.execute("CREATE TABLE msrc (k Int64, v Int64)")
+        session.execute("CREATE TABLE mtgt (k Int64, total Int64)")
+        session.execute("CREATE MATERIALIZED VIEW mv1 TO mtgt AS "
+                        "SELECT k, sum(v) AS total FROM msrc GROUP BY k")
+        session.execute("INSERT INTO msrc VALUES (1, 5), (1, 6), (2, 7)")
+        r = session.execute("SELECT k, total FROM mtgt ORDER BY k")
+        assert r.rows() == [(1, 11), (2, 7)]
+        session.execute("INSERT INTO msrc VALUES (2, 3)")
+        r = session.execute("SELECT k, sum(total) FROM mtgt GROUP BY k "
+                            "ORDER BY k")
+        assert r.rows() == [(1, 11), (2, 10)]
+
+    def test_mv_requires_target(self, session):
+        import pytest as _p
+        from clickhouse_tpu.core.errors import NotImplementedError_
+        session.execute("CREATE TABLE m2src (x Int64)")
+        with _p.raises(NotImplementedError_):
+            session.execute("CREATE MATERIALIZED VIEW bad AS "
+                            "SELECT x FROM m2src")
