@@ -50,6 +50,14 @@ class Session:
         # whole plans): key -> (jitted fn, plan, trace-time structure)
         self._jit_cache: Dict[Any, Any] = {}
         self.catalog.system_providers = self._system_providers()
+        # access control (reference: src/Access/)
+        from ..core.access import AccessControl
+        if not hasattr(self.catalog, "access"):
+            self.catalog.access = AccessControl()
+        self.current_user = self.catalog.access.users["default"]
+
+    def login(self, user: str, password: str = "") -> None:
+        self.current_user = self.catalog.access.authenticate(user, password)
 
     # -- public API ----------------------------------------------------------
     def execute(self, sql: str, settings: Optional[Dict[str, Any]] = None
@@ -80,6 +88,21 @@ class Session:
                        ast.ShowTables, ast.Use)):
             raise AnalysisError("Cannot execute a write statement in "
                                 "readonly mode")
+        self._check_access(stmt)
+        if isinstance(stmt, ast.CreateUser):
+            self.catalog.access.create_user(stmt.name, stmt.password,
+                                            stmt.if_not_exists)
+            return _status_result()
+        if isinstance(stmt, ast.DropUser):
+            self.catalog.access.drop_user(stmt.name, stmt.if_exists)
+            return _status_result()
+        if isinstance(stmt, ast.GrantRevoke):
+            for p in stmt.privileges:
+                if stmt.kind == "grant":
+                    self.catalog.access.grant(stmt.user, p, stmt.target)
+                else:
+                    self.catalog.access.revoke(stmt.user, p, stmt.target)
+            return _status_result()
         if isinstance(stmt, (ast.Select, ast.Union)):
             return self._run_select(stmt, overrides, sql)
         if isinstance(stmt, ast.Explain):
@@ -108,6 +131,8 @@ class Session:
             db = stmt.database or self.catalog.current_database
             self.catalog.get_table(db, stmt.table).optimize(stmt.final)
             return _status_result()
+        if isinstance(stmt, ast.AlterTable):
+            return self._run_alter(stmt)
         if isinstance(stmt, ast.BackupRestore):
             from ..storage import backup as bk
             db = stmt.database or self.catalog.current_database
@@ -134,6 +159,37 @@ class Session:
             return _status_result()
         raise NotImplementedError_(
             f"Statement {type(stmt).__name__} is not supported")
+
+    def _check_access(self, stmt) -> None:
+        """Coarse statement-level privilege check (SettingsConstraints/
+        ContextAccess analog, round-1 granularity)."""
+        acc = self.catalog.access
+        user = self.current_user
+
+        def tbl_of(s):
+            db = getattr(s, "database", None) or self.catalog.current_database
+            return db, getattr(s, "table", "*")
+
+        if isinstance(stmt, (ast.Select, ast.Union, ast.Explain)):
+            ref = getattr(stmt, "from_", None)
+            if isinstance(ref, ast.TableRef):
+                acc.check(user, "select",
+                          ref.database or self.catalog.current_database,
+                          ref.table)
+            else:
+                acc.check(user, "select", self.catalog.current_database)
+        elif isinstance(stmt, ast.Insert):
+            acc.check(user, "insert", *tbl_of(stmt))
+        elif isinstance(stmt, (ast.CreateTable, ast.CreateDatabase,
+                               ast.CreateView)):
+            acc.check(user, "create", self.catalog.current_database)
+        elif isinstance(stmt, (ast.DropTable, ast.TruncateTable)):
+            acc.check(user, "drop", *tbl_of(stmt))
+        elif isinstance(stmt, ast.AlterTable):
+            acc.check(user, "alter", *tbl_of(stmt))
+        elif isinstance(stmt, (ast.CreateUser, ast.DropUser,
+                               ast.GrantRevoke)):
+            acc.check(user, "all", "*")
 
     # -- SELECT --------------------------------------------------------------
     def _plan(self, stmt, settings: Settings):
@@ -524,6 +580,72 @@ class Session:
         aligned = _align_insert(data, table, stmt.columns)
         table.insert_pydict(aligned)
         self._trigger_materialized_views(db, stmt.table, aligned)
+        return _status_result()
+
+    def _run_alter(self, stmt: ast.AlterTable) -> Result:
+        """Mutations (MutateTask analog): the whole table is rewritten
+        through the engine itself — immutable parts swapped atomically."""
+        from ..sql import ast as A
+        db = stmt.database or self.catalog.current_database
+        table = self.catalog.get_table(db, stmt.table)
+
+        if stmt.action == "add_column":
+            col = stmt.column
+            t = dt.parse_type_name(col.type_name)
+            n = table.num_rows
+            if col.default is not None:
+                v = _literal_value(col.default)
+                vals = np.full(n, v, object)
+            elif t.is_dictionary:
+                vals = np.full(n, "", object)
+            else:
+                vals = np.zeros(n, t.np_dtype)
+            # rebuild parts with the new column appended
+            offset = 0
+            table.schema[col.name] = t
+            for p in table.parts:
+                piece = vals[offset:offset + p.num_rows]
+                p.columns[col.name] = piece.astype(
+                    object if t.is_dictionary else t.np_dtype)
+                offset += p.num_rows
+            table.version += 1
+            table._device_cache = None
+            return _status_result()
+
+        if stmt.action == "drop_column":
+            name = stmt.column_name
+            if name in table.schema:
+                del table.schema[name]
+                for p in table.parts:
+                    p.columns.pop(name, None)
+                    p.minmax.pop(name, None)
+                table.version += 1
+                table._device_cache = None
+            return _status_result()
+
+        # DELETE / UPDATE: run a SELECT producing the surviving/updated rows
+        cols = list(table.schema.keys())
+        if stmt.action == "delete":
+            items = [A.SelectItem(A.Identifier(c), c) for c in cols]
+            where = A.FuncCall("not", [stmt.predicate])
+            sel = A.Select(items=items,
+                           from_=A.TableRef(db, stmt.table), where=where)
+        else:
+            upd = dict(stmt.updates or [])
+            items = []
+            for c in cols:
+                if c in upd:
+                    items.append(A.SelectItem(
+                        A.FuncCall("if", [stmt.predicate, upd[c],
+                                          A.Identifier(c)]), c))
+                else:
+                    items.append(A.SelectItem(A.Identifier(c), c))
+            sel = A.Select(items=items, from_=A.TableRef(db, stmt.table))
+        data = self._execute_to_pydict(self._plan(sel, self.settings),
+                                       self.settings)
+        data = dict(zip(cols, data.values()))
+        table.truncate()
+        table.insert_pydict(_align_insert(data, table, None))
         return _status_result()
 
     def _run_show(self, stmt: ast.ShowTables) -> Result:

@@ -222,6 +222,38 @@ class OptimizeTable:
 
 
 @dataclasses.dataclass
+class CreateUser:
+    name: str
+    password: Optional[str] = None
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class DropUser:
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class GrantRevoke:
+    kind: str                      # grant | revoke
+    privileges: List[str] = dataclasses.field(default_factory=list)
+    target: str = "*.*"
+    user: str = "default"
+
+
+@dataclasses.dataclass
+class AlterTable:
+    database: Optional[str]
+    table: str
+    action: str                    # delete|update|add_column|drop_column
+    predicate: Optional[Expr] = None
+    updates: Optional[List[Tuple[str, Expr]]] = None
+    column: Optional[ColumnDef] = None
+    column_name: Optional[str] = None
+
+
+@dataclasses.dataclass
 class BackupRestore:
     kind: str                      # backup | restore
     database: Optional[str]

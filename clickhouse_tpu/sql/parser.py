@@ -111,6 +111,10 @@ class Parser:
             db, tbl = self.parse_table_name()
             final = bool(self.accept_kw("FINAL"))
             return ast.OptimizeTable(db, tbl, final)
+        if t.is_kw("ALTER"):
+            return self.parse_alter()
+        if t.is_kw("GRANT", "REVOKE"):
+            return self.parse_grant()
         if t.is_kw("BACKUP", "RESTORE"):
             kind = self.advance().text.lower()
             self.expect_kw("TABLE")
@@ -391,6 +395,19 @@ class Parser:
     # -- DDL/DML -------------------------------------------------------------
     def parse_create(self):
         self.advance()  # CREATE/ATTACH
+        if self.accept_kw("USER"):
+            ine = self._if_not_exists()
+            name = self.expect_word()
+            pwd = None
+            if self.accept_kw("IDENTIFIED"):
+                self.accept_kw("WITH")
+                self.accept_kw("PLAINTEXT_PASSWORD")
+                self.expect_kw("BY")
+                t = self.tok
+                if t.kind != "string":
+                    raise ParseError("IDENTIFIED BY expects a string")
+                pwd = self.advance().text
+            return ast.CreateUser(name, pwd, ine)
         if self.accept_kw("DATABASE"):
             ine = self._if_not_exists()
             return ast.CreateDatabase(self.expect_word(), ine)
@@ -551,6 +568,9 @@ class Parser:
 
     def parse_drop(self):
         self.advance()
+        if self.accept_kw("USER"):
+            ie = self._if_exists()
+            return ast.DropUser(self.expect_word(), ie)
         if self.accept_kw("DATABASE"):
             ie = self._if_exists()
             return ast.DropTable(None, self.expect_word(), ie, is_database=True)
@@ -558,6 +578,68 @@ class Parser:
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
         return ast.DropTable(db, tbl, ie)
+
+    def parse_alter(self):
+        self.advance()
+        self.expect_kw("TABLE")
+        db, tbl = self.parse_table_name()
+        if self.accept_kw("DELETE"):
+            self.expect_kw("WHERE")
+            return ast.AlterTable(db, tbl, "delete",
+                                  predicate=self.parse_expr())
+        if self.accept_kw("UPDATE"):
+            updates = []
+            while True:
+                col = self.expect_word()
+                self.expect_op("=")
+                updates.append((col, self.parse_expr()))
+                if not self.accept_op(","):
+                    break
+            self.expect_kw("WHERE")
+            return ast.AlterTable(db, tbl, "update", updates=updates,
+                                  predicate=self.parse_expr())
+        if self.accept_kw("ADD"):
+            self.expect_kw("COLUMN")
+            self.accept_kw("IF")  # IF NOT EXISTS tolerated
+            self.accept_kw("NOT")
+            self.accept_kw("EXISTS")
+            cname = self.expect_word()
+            ctype = self.parse_type_name()
+            default = None
+            if self.accept_kw("DEFAULT"):
+                default = self.parse_expr()
+            return ast.AlterTable(db, tbl, "add_column",
+                                  column=ast.ColumnDef(cname, ctype, default))
+        if self.accept_kw("DROP"):
+            self.expect_kw("COLUMN")
+            self.accept_kw("IF")
+            self.accept_kw("EXISTS")
+            return ast.AlterTable(db, tbl, "drop_column",
+                                  column_name=self.expect_word())
+        raise ParseError(f"Unsupported ALTER action at {self.tok.pos}")
+
+    def parse_grant(self):
+        kind = self.advance().text.lower()
+        privs = [self.expect_word()]
+        while self.accept_op(","):
+            privs.append(self.expect_word())
+        self.expect_kw("ON")
+        if self.accept_op("*"):
+            self.expect_op(".")
+            self.expect_op("*")
+            target = "*.*"
+        else:
+            a = self.expect_word()
+            if self.accept_op("."):
+                if self.accept_op("*"):
+                    target = f"{a}.*"
+                else:
+                    target = f"{a}.{self.expect_word()}"
+            else:
+                target = f"*.{a}"
+        self.expect_kw("TO" if kind == "grant" else "FROM")
+        user = self.expect_word()
+        return ast.GrantRevoke(kind, privs, target, user)
 
     def parse_truncate(self):
         self.advance()

@@ -134,3 +134,36 @@ class TestViews:
         with _p.raises(NotImplementedError_):
             session.execute("CREATE MATERIALIZED VIEW bad AS "
                             "SELECT x FROM m2src")
+
+
+class TestMutations:
+    def test_alter_delete(self, session):
+        session.execute("CREATE TABLE md (k Int64, v Int64)")
+        session.execute("INSERT INTO md SELECT number, number * 10 "
+                        "FROM numbers(10)")
+        session.execute("ALTER TABLE md DELETE WHERE k % 2 = 0")
+        r = session.execute("SELECT k FROM md ORDER BY k")
+        assert [row[0] for row in r.rows()] == [1, 3, 5, 7, 9]
+
+    def test_alter_update(self, session):
+        session.execute("CREATE TABLE mu (k Int64, v Int64)")
+        session.execute("INSERT INTO mu VALUES (1, 10), (2, 20), (3, 30)")
+        session.execute("ALTER TABLE mu UPDATE v = v + 100 WHERE k >= 2")
+        r = session.execute("SELECT k, v FROM mu ORDER BY k")
+        assert r.rows() == [(1, 10), (2, 120), (3, 130)]
+
+    def test_add_drop_column(self, session):
+        session.execute("CREATE TABLE mc (a Int64)")
+        session.execute("INSERT INTO mc VALUES (1), (2)")
+        session.execute("ALTER TABLE mc ADD COLUMN b Int64 DEFAULT 7")
+        r = session.execute("SELECT a, b FROM mc ORDER BY a")
+        assert r.rows() == [(1, 7), (2, 7)]
+        session.execute("ALTER TABLE mc DROP COLUMN b")
+        names = [row[0] for row in session.execute("DESCRIBE TABLE mc").rows()]
+        assert names == ["a"]
+
+    def test_add_string_column(self, session):
+        session.execute("CREATE TABLE ms (a Int64)")
+        session.execute("INSERT INTO ms VALUES (1)")
+        session.execute("ALTER TABLE ms ADD COLUMN s String")
+        assert session.execute("SELECT s FROM ms").rows() == [("",)]

@@ -139,3 +139,31 @@ class TestCachesAndReadonly:
                 session.execute("INSERT INTO t VALUES (9, 9)")
         finally:
             session.settings = session.settings.copy_with({"readonly": 0})
+
+
+class TestAccessControl:
+    def test_users_and_grants(self, session):
+        session.execute("CREATE TABLE secure_t (x Int64)")
+        session.execute("INSERT INTO secure_t VALUES (1)")
+        session.execute("CREATE USER analyst IDENTIFIED BY 'pw'")
+        session.execute("GRANT SELECT ON default.secure_t TO analyst")
+        import pytest as _p
+        from clickhouse_tpu.core.access import AccessDenied
+        # wrong password
+        with _p.raises(AccessDenied):
+            session.login("analyst", "nope")
+        session.login("analyst", "pw")
+        assert session.execute("SELECT x FROM secure_t").scalar() == 1
+        with _p.raises(AccessDenied):
+            session.execute("INSERT INTO secure_t VALUES (2)")
+        with _p.raises(AccessDenied):
+            session.execute("DROP TABLE secure_t")
+        # grants are user-managed only by privileged users
+        with _p.raises(AccessDenied):
+            session.execute("GRANT ALL ON *.* TO analyst")
+        session.login("default")
+        session.execute("GRANT INSERT ON default.secure_t TO analyst")
+        session.login("analyst", "pw")
+        session.execute("INSERT INTO secure_t VALUES (2)")
+        assert session.execute("SELECT count() FROM secure_t").scalar() == 2
+        session.login("default")
