@@ -114,6 +114,22 @@ class Session:
             return _status_result()
         if isinstance(stmt, ast.CreateView):
             return self._run_create_view(stmt)
+        if isinstance(stmt, ast.CreateDictionary):
+            from ..storage.table import DictionaryDef
+            db = stmt.database or self.catalog.current_database
+            if stmt.source_table is None or stmt.primary_key is None:
+                raise NotImplementedError_(
+                    "CREATE DICTIONARY requires PRIMARY KEY and a SOURCE "
+                    "with a table name")
+            src_db = db if self.catalog.has_table(db, stmt.source_table) \
+                else self.catalog.current_database
+            self.catalog.get_table(src_db, stmt.source_table)  # must exist
+            attrs = {c.name: dt.parse_type_name(c.type_name)
+                     for c in stmt.columns}
+            self.catalog.databases[db].dictionaries[stmt.name] = \
+                DictionaryDef(stmt.name, stmt.primary_key, src_db,
+                              stmt.source_table, attrs)
+            return _status_result()
         if isinstance(stmt, ast.Insert):
             return self._run_insert(stmt)
         if isinstance(stmt, ast.DropTable):

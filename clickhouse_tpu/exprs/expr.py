@@ -119,6 +119,55 @@ class BoundCall(BoundExpr):
 
 
 @dataclasses.dataclass
+class BoundDictGet(BoundExpr):
+    """dictGet('dict', 'attr', key): in-memory key->attribute lookup
+    (reference: src/Dictionaries/ hashed layout + FunctionDictGet).
+
+    The dictionary's data is query metadata: sorted keys + attribute values
+    become device constants; the lookup is a vectorized binary search."""
+    key: BoundExpr
+    sorted_keys: "np.ndarray"        # host int64, sorted
+    values: "np.ndarray"             # host attribute values (aligned)
+    default: Any
+    dtype: dt.DType
+
+    def children(self):
+        return (self.key,)
+
+
+def _evaluate_dict_get(expr: "BoundDictGet", env) -> ColVal:
+    k = evaluate(expr.key, env)
+    keys_c = jnp.asarray(expr.sorted_keys)
+    n = len(expr.sorted_keys)
+    data = k.data.astype(jnp.int64)
+    if n == 0:
+        if expr.dtype.is_dictionary:
+            d = Dictionary(np.asarray([str(expr.default)], object))
+            return ColVal(expr.dtype, jnp.zeros_like(data, jnp.int32) * 0,
+                          k.validity, d)
+        return ColVal(expr.dtype,
+                      jnp.full_like(data, expr.default,
+                                    dtype=expr.dtype.jnp_dtype), k.validity)
+    pos = jnp.clip(jnp.searchsorted(keys_c, data), 0, n - 1)
+    hit = keys_c[pos] == data
+    if expr.dtype.is_dictionary:
+        vals = np.asarray(expr.values, object)
+        uniq, codes = np.unique(
+            np.append(vals.astype(str), str(expr.default)),
+            return_inverse=True)
+        lut = jnp.asarray(codes[:-1].astype(np.int32))
+        default_code = int(codes[-1])
+        out = jnp.where(hit, lut[pos], default_code)
+        return ColVal(expr.dtype, out, k.validity,
+                      Dictionary(uniq.astype(object)))
+    vals_c = jnp.asarray(np.asarray(expr.values)
+                         .astype(expr.dtype.np_dtype))
+    out = jnp.where(hit, vals_c[pos],
+                    jnp.asarray(expr.default, expr.dtype.jnp_dtype))
+    return ColVal(expr.dtype, out, k.validity)
+
+
+@dataclasses.dataclass
 class BoundInList(BoundExpr):
     """expr IN (v1, v2, ...) with a materialized host-side value set.
 
@@ -155,6 +204,8 @@ def evaluate(expr: BoundExpr, env: Dict[str, ColVal]) -> ColVal:
         return fn.execute(args, expr.dtype)
     if isinstance(expr, BoundInList):
         return _evaluate_in_list(expr, env)
+    if isinstance(expr, BoundDictGet):
+        return _evaluate_dict_get(expr, env)
     raise TypeError_(f"Cannot evaluate expression node {expr!r}")
 
 

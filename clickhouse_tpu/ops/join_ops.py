@@ -124,7 +124,10 @@ def expand_matches(table: JoinTable, matched_gid: jax.Array,
     """
     matched = matched_gid >= 0
     safe_gid = jnp.maximum(matched_gid, 0)
-    lens = jnp.where(matched & probe_valid, table.seg_len[safe_gid], 0)
+    # 32-bit expansion arithmetic: out_capacity < 2^31 always; halves the
+    # intermediate footprint on billion-row probes
+    lens = jnp.where(matched & probe_valid,
+                     table.seg_len[safe_gid].astype(jnp.int32), 0)
     if any_join:
         lens = jnp.minimum(lens, 1)
     if left:
@@ -136,14 +139,14 @@ def expand_matches(table: JoinTable, matched_gid: jax.Array,
     # Replicate (IColumn::replicate analog), gather-only: output slot j
     # belongs to the probe row whose cumulative range covers j — a vectorized
     # binary search over the inclusive prefix (no scatter: TPU serializes it).
-    j = jnp.arange(out_capacity, dtype=lens.dtype)
+    j = jnp.arange(out_capacity, dtype=jnp.int32)
     probe_row_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
     probe_row_idx = jnp.clip(probe_row_idx, 0, lens.shape[0] - 1)
 
     k = j - first_out[probe_row_idx]             # offset within the segment
     gid_out = safe_gid[probe_row_idx]
     m_out = matched[probe_row_idx] & probe_valid[probe_row_idx]
-    sorted_pos = jnp.clip(table.seg_start[gid_out] + k, 0,
+    sorted_pos = jnp.clip(table.seg_start[gid_out].astype(jnp.int32) + k, 0,
                           table.row_order.shape[0] - 1)
     build_row_idx = table.row_order[sorted_pos]
     valid_out = j.astype(jnp.int64) < out_count

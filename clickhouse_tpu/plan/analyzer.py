@@ -776,6 +776,8 @@ class Analyzer:
                     f"Aggregate function {e.name} is not allowed here")
             if e.name.lower() in ("in", "notin", "globalin", "globalnotin"):
                 return self._bind_in(e, scope)
+            if e.name.lower() in ("dictget", "dictgetordefault", "dicthas"):
+                return self._bind_dict_get(e, scope)
             if e.name == "CAST":
                 return self._bind_cast(e, scope)
             if e.name.lower() == "exists":
@@ -837,6 +839,52 @@ class Analyzer:
         else:
             raise NotImplementedError_("Unsupported IN right-hand side")
         return BoundInList(lhs, values, negated, dt.UInt8)
+
+    def _bind_dict_get(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
+        from ..exprs.expr import BoundDictGet
+        name = e.name.lower()
+        is_has = name == "dicthas"
+        min_args = 2 if is_has else 3
+        if len(e.args) < min_args:
+            raise AnalysisError(f"{e.name} expects at least {min_args} args")
+        if not isinstance(e.args[0], ast.Literal):
+            raise AnalysisError("dictGet: dictionary name must be a literal")
+        dname = str(e.args[0].value)
+        db = self.catalog.current_database
+        dbo = self.catalog.databases.get(db)
+        ddef = (dbo.dictionaries.get(dname)
+                if dbo is not None else None)
+        if ddef is None:
+            raise UnknownTable(f"Unknown dictionary '{dname}'")
+        src = self.catalog.get_table(ddef.source_db, ddef.source_table)
+        # host-side snapshot: keys + attribute values (hashed-layout analog)
+        keys_np = np.concatenate(
+            [p.columns[ddef.key_column] for p in src.parts]) \
+            if src.parts else np.zeros(0, np.int64)
+        keys_np = keys_np.astype(np.int64)
+        order = np.argsort(keys_np, kind="stable")
+        if is_has:
+            key_expr = self.bind(e.args[1], scope, allow_agg=False)
+            return BoundDictGet(key_expr, keys_np[order],
+                                np.ones(len(keys_np), np.uint8), 0, dt.UInt8)
+        if not isinstance(e.args[1], ast.Literal):
+            raise AnalysisError("dictGet: attribute name must be a literal")
+        attr = str(e.args[1].value)
+        if attr not in src.schema:
+            raise UnknownIdentifier(f"Dictionary attribute '{attr}' missing")
+        at = src.schema[attr]
+        vals_np = np.concatenate(
+            [np.asarray(p.columns[attr],
+                        object if at.is_dictionary else at.np_dtype)
+             for p in src.parts]) if src.parts else \
+            np.zeros(0, object if at.is_dictionary else at.np_dtype)
+        key_expr = self.bind(e.args[2], scope, allow_agg=False)
+        default = "" if at.is_dictionary else 0
+        if len(e.args) > 3 and isinstance(e.args[3], ast.Literal):
+            default = e.args[3].value
+        return BoundDictGet(key_expr, keys_np[order], vals_np[order],
+                            default, at.with_nullable(key_expr.dtype.nullable
+                                                      and False))
 
     # -- subquery execution (uncorrelated, eager) ----------------------------
     def _run_subquery(self, sq: ast.Subquery):

@@ -222,6 +222,15 @@ class OptimizeTable:
 
 
 @dataclasses.dataclass
+class CreateDictionary:
+    database: Optional[str]
+    name: str
+    columns: List["ColumnDef"] = dataclasses.field(default_factory=list)
+    primary_key: Optional[str] = None
+    source_table: Optional[str] = None
+
+
+@dataclasses.dataclass
 class CreateUser:
     name: str
     password: Optional[str] = None

@@ -411,6 +411,43 @@ class Parser:
         if self.accept_kw("DATABASE"):
             ine = self._if_not_exists()
             return ast.CreateDatabase(self.expect_word(), ine)
+        if self.accept_kw("DICTIONARY"):
+            self._if_not_exists()
+            db, name = self.parse_table_name()
+            cols = []
+            if self.accept_op("("):
+                while True:
+                    cname = self.expect_word()
+                    ctype = self.parse_type_name()
+                    self.accept_kw("DEFAULT") and self.parse_expr()
+                    cols.append(ast.ColumnDef(cname, ctype))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            pk = None
+            src_table = None
+            while self.tok.kind == "word":
+                if self.accept_kw("PRIMARY"):
+                    self.expect_kw("KEY")
+                    pk = self.expect_word()
+                elif self.tok.is_kw("SOURCE", "LAYOUT", "LIFETIME"):
+                    self.advance()
+                    # skim the parenthesized block, remembering any string
+                    # or TABLE ident (the source table name)
+                    depth = 0
+                    while True:
+                        t = self.advance()
+                        if t.kind == "op" and t.text == "(":
+                            depth += 1
+                        elif t.kind == "op" and t.text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        elif t.kind == "string" and src_table is None:
+                            src_table = t.text
+                else:
+                    break
+            return ast.CreateDictionary(db, name, cols, pk, src_table)
         self.accept_kw("OR")  # CREATE OR REPLACE
         self.accept_kw("REPLACE")
         materialized = bool(self.accept_kw("MATERIALIZED"))
@@ -574,7 +611,7 @@ class Parser:
         if self.accept_kw("DATABASE"):
             ie = self._if_exists()
             return ast.DropTable(None, self.expect_word(), ie, is_database=True)
-        self.expect_kw("TABLE", "VIEW")
+        self.expect_kw("TABLE", "VIEW", "DICTIONARY")
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
         return ast.DropTable(db, tbl, ie)

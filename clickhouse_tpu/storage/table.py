@@ -211,11 +211,23 @@ class ViewDef:
     to_table: Optional[str] = None
 
 
+@dataclasses.dataclass
+class DictionaryDef:
+    """External dictionary: key -> attributes, refreshed from a source table
+    (reference: src/Dictionaries/, hashed layout)."""
+    name: str
+    key_column: str
+    source_db: str
+    source_table: str
+    attributes: Dict[str, object]      # attr name -> DType
+
+
 class Database:
     def __init__(self, name: str):
         self.name = name
         self.tables: Dict[str, Table] = {}
         self.views: Dict[str, ViewDef] = {}
+        self.dictionaries: Dict[str, DictionaryDef] = {}
 
 
 class Catalog:
@@ -308,6 +320,9 @@ class Catalog:
         db = self.databases.get(database)
         if db is not None and name in getattr(db, "views", {}):
             del db.views[name]
+            return
+        if db is not None and name in getattr(db, "dictionaries", {}):
+            del db.dictionaries[name]
             return
         if db is None or name not in db.tables:
             if if_exists:

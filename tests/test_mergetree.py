@@ -167,3 +167,30 @@ class TestMutations:
         session.execute("INSERT INTO ms VALUES (1)")
         session.execute("ALTER TABLE ms ADD COLUMN s String")
         assert session.execute("SELECT s FROM ms").rows() == [("",)]
+
+
+class TestDictionaries:
+    def test_dict_get(self, session):
+        session.execute("CREATE TABLE dsrc (code UInt64, name String, "
+                        "pop Int64)")
+        session.execute("INSERT INTO dsrc VALUES (1,'US',331),(2,'DE',83)")
+        session.execute("CREATE DICTIONARY cd (code UInt64, name String, "
+                        "pop Int64) PRIMARY KEY code "
+                        "SOURCE(CLICKHOUSE(TABLE 'dsrc')) LAYOUT(HASHED())")
+        r = session.execute(
+            "SELECT dictGet('cd', 'name', number) AS n, "
+            "dictGet('cd', 'pop', number) AS p, "
+            "dictHas('cd', number) AS h FROM numbers(3)")
+        assert r.rows() == [("", 0, 0), ("US", 331, 1), ("DE", 83, 1)]
+        session.execute("DROP DICTIONARY cd")
+
+    def test_dict_get_in_where_and_group(self, session):
+        session.execute("CREATE TABLE d2src (k UInt64, grp String)")
+        session.execute("INSERT INTO d2src VALUES (0,'even'),(1,'odd')")
+        session.execute("CREATE DICTIONARY pd (k UInt64, grp String) "
+                        "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'd2src')) "
+                        "LAYOUT(FLAT())")
+        r = session.execute(
+            "SELECT dictGet('pd', 'grp', number % 2) AS g, count() AS c "
+            "FROM numbers(10) GROUP BY g ORDER BY g")
+        assert r.rows() == [("even", 5), ("odd", 5)]
