@@ -62,6 +62,7 @@ class Settings:
     cast_to_float32_for_speed: bool = False
 
     # -- storage / scan ------------------------------------------------------
+    system_numbers_limit: int = 1 << 21   # cap for the virtual system.numbers
     index_granularity: int = 8192
     use_minmax_pruning: bool = True
     use_partition_pruning: bool = True

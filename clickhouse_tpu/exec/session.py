@@ -640,9 +640,11 @@ class Session:
             return _status_result()
 
         # DELETE / UPDATE: run a SELECT producing the surviving/updated rows
+        # no aliases: the mutation reads results positionally, and aliases
+        # matching column names would trigger alias-substitution semantics
         cols = list(table.schema.keys())
         if stmt.action == "delete":
-            items = [A.SelectItem(A.Identifier(c), c) for c in cols]
+            items = [A.SelectItem(A.Identifier(c)) for c in cols]
             where = A.FuncCall("not", [stmt.predicate])
             sel = A.Select(items=items,
                            from_=A.TableRef(db, stmt.table), where=where)
@@ -653,9 +655,9 @@ class Session:
                 if c in upd:
                     items.append(A.SelectItem(
                         A.FuncCall("if", [stmt.predicate, upd[c],
-                                          A.Identifier(c)]), c))
+                                          A.Identifier(c)])))
                 else:
-                    items.append(A.SelectItem(A.Identifier(c), c))
+                    items.append(A.SelectItem(A.Identifier(c)))
             sel = A.Select(items=items, from_=A.TableRef(db, stmt.table))
         data = self._execute_to_pydict(self._plan(sel, self.settings),
                                        self.settings)

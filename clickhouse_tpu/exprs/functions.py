@@ -1152,7 +1152,8 @@ def _array_ctor_exec(args, out_dtype):
     inner = dt.array_inner(out_dtype)
     k = len(args)
     if k == 0:
-        return ColVal(out_dtype, jnp.zeros((1, 8), inner.jnp_dtype), None,
+        # 1-D data marks an array constant (broadcast tiles it per row)
+        return ColVal(out_dtype, jnp.zeros((8,), inner.jnp_dtype), None,
                       None, lengths=jnp.zeros((), jnp.int32))
     if inner.is_dictionary:
         # unify element dictionaries pairwise

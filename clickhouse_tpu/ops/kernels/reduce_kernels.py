@@ -36,8 +36,10 @@ def _count_kernel(x_lo_ref, x_hi_ref, thresh_ref, out_ref):
 
     The comparison runs in 32-bit lanes: value > t  <=>  (hi > t_hi) or
     (hi == t_hi and lo > t_lo) with signed hi and unsigned lo — no 64-bit
-    emulation inside the kernel.
+    emulation inside the kernel.  The TPU grid runs sequentially, so all
+    programs accumulate into one (1,1) output cell.
     """
+    i = pl.program_id(0)
     t_hi = thresh_ref[0]
     t_lo = thresh_ref[1]
     hi = x_hi_ref[:].astype(jnp.int32)
@@ -47,7 +49,15 @@ def _count_kernel(x_lo_ref, x_hi_ref, thresh_ref, out_ref):
     lo_s = lo + bias
     tlo_s = t_lo + bias
     gt = (hi > t_hi) | ((hi == t_hi) & (lo_s > tlo_s))
-    out_ref[0, 0] = jnp.sum(gt.astype(jnp.int32))
+    partial = jnp.sum(gt.astype(jnp.int32))
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = partial
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + partial
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -78,7 +88,7 @@ def masked_count_gt(x: jax.Array, threshold, interpret: bool = False
                        .astype(jnp.int32)])
 
     grid = rows // tile
-    partials = pl.pallas_call(
+    total = pl.pallas_call(
         _count_kernel,
         grid=(grid,),
         in_specs=[
@@ -88,9 +98,9 @@ def masked_count_gt(x: jax.Array, threshold, interpret: bool = False
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         interpret=interpret,
     )(lo2, hi2, t_arr)
-    return jnp.sum(partials.astype(jnp.int64))
+    return total[0, 0].astype(jnp.int64)

@@ -42,6 +42,9 @@ class Scope:
             name = parts[0]
             matches = [f for f in self.fields if f.display == name]
             if len(matches) > 1:
+                visible = [f for f in matches if not f.star_hidden]
+                if len(visible) == 1:
+                    return visible[0]    # USING key: the left side wins
                 raise AnalysisError(f"Ambiguous column '{name}'")
             return matches[0] if matches else None
         if len(parts) == 2:
@@ -111,7 +114,7 @@ class Analyzer:
         if sel.from_ is None:
             dummy = self.field("dummy", dt.UInt8)
             plan: L.PlanNode = L.OneRowNode([dummy])
-            scope = Scope([])
+            scope = Scope([dummy])     # implicit FROM system.one
         else:
             plan, scope = self.analyze_table_expr(sel.from_, ctes)
 
@@ -126,8 +129,9 @@ class Analyzer:
             if item.alias and not isinstance(item.expr, ast.Star):
                 aliases[item.alias] = item.expr
 
-        def expand(e: ast.Expr) -> ast.Expr:
-            return _expand_aliases(e, aliases, scope)
+        def expand(e: ast.Expr, own: Optional[str] = None) -> ast.Expr:
+            excl = frozenset({own}) if own else frozenset()
+            return _expand_aliases(e, aliases, scope, exclude=excl)
 
         # PREWHERE/WHERE
         for pred_ast in (sel.prewhere, sel.where):
@@ -151,7 +155,7 @@ class Analyzer:
             for c in _ast_children(e):
                 collect_aj(c)
 
-        probe_exprs = [expand(it.expr) for it in sel.items
+        probe_exprs = [expand(it.expr, it.alias) for it in sel.items
                        if not isinstance(it.expr, ast.Star)]
         for ge in (sel.group_by or []):
             probe_exprs.append(expand(ge))
@@ -179,8 +183,8 @@ class Analyzer:
             aj_texts[ast.format_expr(call)] = placeholder
             outer_expand = expand
 
-            def expand(e: ast.Expr) -> ast.Expr:   # noqa: F811
-                return _replace_by_text(outer_expand(e), aj_texts)
+            def expand(e: ast.Expr, own: Optional[str] = None):  # noqa: F811
+                return _replace_by_text(outer_expand(e, own), aj_texts)
 
         # Expand stars & name items
         items: List[Tuple[ast.Expr, str]] = []
@@ -189,21 +193,29 @@ class Analyzer:
                 for f in scope.fields:
                     if item.expr.table and item.expr.table not in f.qualifiers:
                         continue
+                    if not item.expr.table and f.star_hidden:
+                        continue     # USING right key folded out of bare *
                     items.append((ast.Identifier(f.display, (f.display,))
                                   if not item.expr.table else
                                   ast.Identifier(f"{item.expr.table}.{f.display}",
                                                  (item.expr.table, f.display)),
-                                  f.display))
+                                  f.display, None))
             else:
                 name = item.alias or ast.format_expr(item.expr)
-                items.append((item.expr, name))
+                items.append((item.expr, name, item.alias))
 
         has_agg = (sel.group_by is not None
-                   or any(_contains_aggregate(expand(e)) for e, _ in items)
+                   or any(_contains_aggregate(expand(e, own))
+                          for e, _, own in items)
                    or (sel.having is not None
                        and _contains_aggregate(expand(sel.having))))
 
         order_items = sel.order_by or []
+        if len(order_items) == 1 \
+                and isinstance(order_items[0].expr, ast.Identifier) \
+                and order_items[0].expr.name == "__order_all__":
+            # ORDER BY ALL: every visible select column, ascending
+            order_items = [ast.OrderItem(e) for e, _, _ in items]
 
         if has_agg:
             plan, scope_after, rewrite = self.plan_aggregation(
@@ -211,30 +223,32 @@ class Analyzer:
             if sel.group_by_modifier and isinstance(plan, L.AggregateNode):
                 plan = self._expand_grouping_sets(plan,
                                                   sel.group_by_modifier)
-            bind_post = lambda e: self.bind_post_agg(expand(e), rewrite,
-                                                     scope_after)
+            bind_post = lambda e, own=None: self.bind_post_agg(
+                expand(e, own), rewrite, scope_after)
             if sel.having is not None:
                 having = bind_post(sel.having)
                 plan = L.FilterNode(plan, having, plan.schema)
         else:
-            bind_post = lambda e: self.bind(expand(e), scope, allow_agg=False)
+            bind_post = lambda e, own=None: self.bind(expand(e, own), scope,
+                                                      allow_agg=False)
             scope_after = scope
 
         # window functions (evaluated after aggregation/HAVING, before the
         # projection — the reference's WindowStep position)
-        win_exprs = [expand(e) for e, _ in items] \
+        win_exprs = [expand(e, own) for e, _, own in items] \
             + [expand(oi.expr) for oi in order_items]
         if any(_contains_window(e) for e in win_exprs):
             plan, scope_after, win_map = self.plan_windows(
                 plan, scope_after, win_exprs, bind_post)
             subst = lambda e: _replace_windows(e, win_map)
             if has_agg:
-                bind_post = lambda e: self.bind_post_agg(
-                    subst(expand(e)), rewrite, scope_after)
+                bind_post = lambda e, own=None: self.bind_post_agg(
+                    subst(expand(e, own)), rewrite, scope_after)
             else:
-                bind_post = lambda e: self.bind(
-                    subst(expand(e)), scope_after, allow_agg=False)
-        bound_items = [(bind_post(e), name) for e, name in items]
+                bind_post = lambda e, own=None: self.bind(
+                    subst(expand(e, own)), scope_after, allow_agg=False)
+        bound_items = [(bind_post(e, own), name)
+                       for e, name, own in items]
 
         # Projection (+ hidden sort columns)
         out_fields = [self.field(name, be.dtype) for be, name in bound_items]
@@ -329,6 +343,14 @@ class Analyzer:
             sub.schema = fields
             return sub, Scope(fields)
         db = ref.database or self.catalog.current_database
+        if db == "system" and ref.table in ("numbers", "numbers_mt"):
+            # virtual sequence source; statically capped (static shapes) —
+            # queries take LIMIT n below system_numbers_limit
+            quals = (ref.alias or ref.table, "numbers")
+            f = L.Field(self.fresh_id(), "number", dt.UInt64, quals)
+            return L.NumbersNode([f], 0,
+                                 self.settings.system_numbers_limit), \
+                Scope([f])
         view = self.catalog.get_view(db, ref.table) \
             if hasattr(self.catalog, "get_view") else None
         if view is not None and not view.materialized:
@@ -417,7 +439,9 @@ class Analyzer:
                 left_keys.append(BoundColumn(lf.id, lf.dtype))
                 right_keys.append(BoundColumn(rf.id, rf.dtype))
             using = set(join.using)
-            out_fields += [f for f in right.schema if f.display not in using]
+            out_fields += [f if f.display not in using
+                           else dataclasses.replace(f, star_hidden=True)
+                           for f in right.schema]
         elif join.on is not None:
             both = lscope + rscope
             conjuncts = _split_conjuncts(join.on)
@@ -547,8 +571,8 @@ class Analyzer:
             for ch in _ast_children(e):
                 collect(ch)
 
-        for e, _ in items:
-            collect(expand(e))
+        for e, _, own in items:
+            collect(expand(e, own))
         if sel.having is not None:
             collect(expand(sel.having))
         for oi in (sel.order_by or []):
@@ -1039,37 +1063,42 @@ def _split_conjuncts(e: ast.Expr) -> List[ast.Expr]:
 
 
 def _expand_aliases(e: ast.Expr, aliases: Dict[str, ast.Expr], scope: Scope,
-                    depth: int = 0) -> ast.Expr:
-    """Substitute select-item aliases into an expression (reference allows
-    alias references everywhere; real columns shadow aliases)."""
+                    depth: int = 0,
+                    exclude: frozenset = frozenset()) -> ast.Expr:
+    """Substitute select-item aliases into an expression.
+
+    Reference default semantics (prefer_column_name_to_alias=0): the alias
+    REPLACES the column name everywhere in the query, including other select
+    items — except inside its own definition, where the name keeps referring
+    to the source column (`x*2 AS x` is not cyclic)."""
     if depth > 16:
         raise AnalysisError("Alias expansion too deep (cyclic aliases?)")
     if isinstance(e, ast.Identifier) and len(e.parts) == 1:
         name = e.parts[0]
-        if name in aliases:
-            try:
-                direct = scope.resolve((name,))
-            except AnalysisError:
-                direct = None      # ambiguous bare column: alias wins
-            if direct is None:
-                return _expand_aliases(aliases[name], aliases, scope, depth + 1)
+        if name in aliases and name not in exclude:
+            sub = aliases[name]
+            if ast.format_expr(sub) != name:     # x AS x is a no-op
+                return _expand_aliases(sub, aliases, scope, depth + 1,
+                                       exclude | {name})
         return e
     if isinstance(e, ast.FuncCall):
         over = e.over
         if over is not None:
             over = ast.WindowSpec(
-                [_expand_aliases(p, aliases, scope, depth)
+                [_expand_aliases(p, aliases, scope, depth, exclude)
                  for p in over.partition_by],
-                [ast.OrderItem(_expand_aliases(o.expr, aliases, scope, depth),
+                [ast.OrderItem(_expand_aliases(o.expr, aliases, scope, depth,
+                                               exclude),
                                o.descending, o.nulls_last)
                  for o in over.order_by],
                 over.frame)
         return ast.FuncCall(e.name,
-                            [_expand_aliases(a, aliases, scope, depth)
+                            [_expand_aliases(a, aliases, scope, depth,
+                                             exclude)
                              for a in e.args],
                             e.params, e.distinct, over)
     if isinstance(e, ast.Tuple_):
-        return ast.Tuple_([_expand_aliases(i, aliases, scope, depth)
+        return ast.Tuple_([_expand_aliases(i, aliases, scope, depth, exclude)
                            for i in e.items])
     return e
 

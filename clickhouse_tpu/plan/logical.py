@@ -30,6 +30,9 @@ class Field:
     display: str                 # user-visible result name
     dtype: dt.DType
     qualifiers: Tuple[str, ...] = ()   # table aliases this field answers to
+    # JOIN ... USING folds the right key out of unqualified `*` but keeps it
+    # reachable via its qualifier (b.k / b.*) — reference semantics
+    star_hidden: bool = False
 
 
 class PlanNode:

@@ -36,9 +36,24 @@ def expr_column_refs(e: BoundExpr, out: Optional[Set[str]] = None) -> Set[str]:
 
 def optimize_plan(plan: L.PlanNode, settings: Settings) -> L.PlanNode:
     plan = _fuse_filters(plan)
+    _push_limit_into_numbers(plan)
     needed = {f.id for f in plan.schema}
     _prune_columns(plan, needed)
     return plan
+
+
+def _push_limit_into_numbers(node: L.PlanNode) -> None:
+    """LIMIT n over a projection chain on the virtual numbers source shrinks
+    the source itself (the reference reads only ceil(n/block) blocks from
+    system.numbers; for us it shrinks the static capacity)."""
+    if isinstance(node, L.LimitNode) and node.limit >= 0:
+        child = node.child
+        while isinstance(child, L.ProjectNode):
+            child = child.child
+        if isinstance(child, L.NumbersNode):
+            child.count = min(child.count, node.limit + max(node.offset, 0))
+    for c in node.children():
+        _push_limit_into_numbers(c)
 
 
 def _fuse_filters(node: L.PlanNode) -> L.PlanNode:

@@ -203,9 +203,15 @@ class Parser:
             sel.having = self.parse_expr()
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
-            sel.order_by = [self.parse_order_item()]
-            while self.accept_op(","):
-                sel.order_by.append(self.parse_order_item())
+            nxt = self.tokens[self.i + 1]
+            if self.tok.is_kw("ALL") and not (
+                    nxt.kind == "op" and nxt.text in ("(", ".", "[")):
+                self.advance()
+                sel.order_by = [ast.OrderItem(ast.Identifier("__order_all__"))]
+            else:
+                sel.order_by = [self.parse_order_item()]
+                while self.accept_op(","):
+                    sel.order_by.append(self.parse_order_item())
         if self.accept_kw("LIMIT"):
             first = self.parse_expr()
             if self.accept_op(","):
