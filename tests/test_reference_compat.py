@@ -17,25 +17,68 @@ from clickhouse_tpu.sql.lexer import tokenize
 
 REF_DIR = "/root/reference/tests/queries/0_stateless"
 
-# Curated, known-deterministic cases.
+# Curated, known-deterministic cases (auto-triaged + verified green).
 CASES = [
     "00001_select_1",
     "00007_array",
     "00008_array_join",
     "00009_array_join_subquery",
+    "00015_totals_having_constants",
+    "00016_totals_having_constants",
     "00018_distinct_in_subquery",
+    "00023_agg_select_agg_subquery",
     "00024_unused_array_join_in_subquery",
+    "00025_implicitly_used_subquery_column",
+    "00027_distinct_and_order_by",
+    "00035_function_array_return_type",
+    "00038_totals_limit",
     "00041_aggregation_remap",
     "00042_set",
+    "00044_sorting_by_string_descending",
     "00049_any_left_join",
     "00050_any_left_join",
+    "00051_any_inner_join",
     "00052_all_left_join",
     "00053_all_inner_join",
+    "00055_join_two_numbers",
     "00057_join_aliases",
-    "00076_ip_coding_functions",      # probably unsupported -> skipped below
+    "00066_group_by_in",
+    "00071_insert_fewer_columns",
+    "00072_in_types",
+    "00098_1_union_all",
+    "00098_2_union_all",
+    "00098_3_union_all",
+    "00098_4_union_all",
+    "00098_5_union_all",
+    "00098_6_union_all",
+    "00098_7_union_all",
+    "00098_8_union_all",
+    "00098_9_union_all",
+    "00098_a_union_all",
+    "00098_b_union_all",
+    "00098_c_union_all",
+    "00098_d_union_all",
+    "00098_e_union_all",
+    "00098_f_union_all",
+    "00098_g_union_all",
+    "00098_h_union_all",
+    "00099_join_many_blocks_segfault",
+    "00106_totals_after_having",
+    "00114_float_type_result_of_division",
+    "00122_join_with_subquery_with_subquery",
+    "00127_group_by_concat",
+    "00136_duplicate_order_by_elems",
+    "00144_empty_regexp",
+    "00159_whitespace_in_columns_list",
+    "00164_not_chain",
+    "00188_constants_as_arguments_of_aggregate_functions",
+    "00202_cross_join",
+    "00238_removal_of_temporary_columns",
+    "00269_database_table_whitespace",
+    "00272_union_all_and_in_subquery",
 ]
 
-SKIP = {"00076_ip_coding_functions"}
+SKIP: set = set()
 
 
 def split_statements(sql_text: str):
