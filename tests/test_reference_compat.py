@@ -76,6 +76,24 @@ CASES = [
     "00238_removal_of_temporary_columns",
     "00269_database_table_whitespace",
     "00272_union_all_and_in_subquery",
+    "00320_between",
+    "00330_view_subqueries",
+    "00355_array_of_non_const_convertible_types",
+    "00356_analyze_aggregations_and_union_all",
+    "00389_concat_operator",
+    "00404_null_literal",
+    "00466_comments_in_keyword",
+    "00470_identifiers_in_double_quotes",
+    "00516_modulo",
+    "00553_invalid_nested_name",
+    "00562_rewrite_select_expression_with_union",
+    "00582_not_aliasing_functions",
+    "00592_union_all_different_aliases",
+    "00593_union_all_assert_columns_removed",
+    "00603_system_parts_nonexistent_database",
+    "00633_func_or_in",
+    "00647_select_numbers_with_offset",
+    "00688_case_without_else",
 ]
 
 SKIP: set = set()
