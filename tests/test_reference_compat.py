@@ -94,6 +94,31 @@ CASES = [
     "00633_func_or_in",
     "00647_select_numbers_with_offset",
     "00688_case_without_else",
+    "00741_client_comment_multiline",
+    "00753_with_with_single_alias",
+    "00756_power_alias",
+    "00814_parsing_ub",
+    "00816_join_column_names_sarg",
+    "00817_with_simple",
+    "00832_storage_file_lock",
+    "00834_not_between",
+    "00836_numbers_table_function_zero",
+    "00856_no_column_issue_4242",
+    "00882_multiple_join_no_alias",
+    "00964_os_thread_priority",
+    "00994_table_function_numbers_mt",
+    "00999_settings_no_extra_quotes",
+    "01012_select_limit_x_0",
+    "01020_having_without_group_by",
+    "01051_same_name_alias_with_joins",
+    "01051_scalar_optimization",
+    "01072_select_constant_limit",
+    "01091_query_profiler_does_not_hang",
+    "01097_pre_limit",
+    "01117_greatest_least_case",
+    "01280_opencl_bitonic_order_by",
+    "01284_view_and_extremes_bug",
+    "01328_bad_peephole_optimization",
 ]
 
 SKIP: set = set()
