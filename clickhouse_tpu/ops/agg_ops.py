@@ -53,6 +53,8 @@ class Grouping:
     starts: Optional[jax.Array] = None     # (cap_g,) int64 (sort only)
     ends: Optional[jax.Array] = None       # (cap_g,) int64 (sort only)
     present: Optional[jax.Array] = None    # (cap_g,) bool (dense only)
+    # the row_valid the grouping was built with (identity-checked fast paths)
+    row_valid_ref: Optional[jax.Array] = None
 
     # -- row-order plumbing --------------------------------------------------
     def take(self, array: jax.Array) -> jax.Array:
@@ -89,6 +91,10 @@ class Grouping:
         """Rows per group (int64)."""
         if self.kind == "dense":
             return self.dense_counts(mask_raw)
+        if self.kind == "sort" and mask_raw is self.row_valid_ref:
+            # the grouping already segregated exactly these rows: counts are
+            # segment extents — no pass over the data (5.9s -> 0 at 100M)
+            return self.ends - self.starts
         ones = jnp.ones(mask_raw.shape, jnp.int64)
         return self.reduce("sum", ones, mask_raw)
 
@@ -187,7 +193,8 @@ def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
     unique_keys = [ks[first_row] for ks in keys_s]
     return Grouping(kind="sort", group_ids=gid, num_groups=num_groups,
                     unique_keys=unique_keys, num_groups_cap=num_groups_cap,
-                    perm=perm, boundary=boundary, starts=starts, ends=ends)
+                    perm=perm, boundary=boundary, starts=starts, ends=ends,
+                    row_valid_ref=row_valid)
 
 
 def group_by_dense(keys: Sequence[jax.Array],
