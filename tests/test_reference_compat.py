@@ -119,6 +119,28 @@ CASES = [
     "01280_opencl_bitonic_order_by",
     "01284_view_and_extremes_bug",
     "01328_bad_peephole_optimization",
+    "01457_compile_expressions_fuzzer",
+    "01552_alter_name_collision",
+    "01561_aggregate_functions_of_key_with_join",
+    "01659_array_aggregation_ubsan",
+    "01680_predicate_pushdown_union_distinct_subquery",
+    "01711_cte_subquery_fix",
+    "01720_engine_file_empty_if_not_exists",
+    "01720_union_distinct_with_limit",
+    "01772_intdiv_minus_one_ubsan",
+    "01818_case_float_value_fangyc",
+    "01832_memory_write_suffix",
+    "01908_with_unknown_column",
+    "02032_short_circuit_least_greatest_bug",
+    "02096_join_unusual_identifier_begin",
+    "02123_MySQLWire_regression",
+    "02131_remove_columns_in_subquery",
+    "02189_join_type_conversion",
+    "02244_casewithexpression_return_type",
+    "02267_insert_empty_data",
+    "02316_literal_no_octal",
+    "02321_nested_short_circuit_functions",
+    "02364_window_case",
 ]
 
 SKIP: set = set()
