@@ -122,9 +122,13 @@ def main():
         if time.time() > deadline:
             raise TimeoutError("extras budget exhausted")
         # fresh session: drop the hits table's device residency before the
-        # join working set (single chip, 16 GB HBM)
+        # join working set (single chip, 16 GB HBM); probe capped at 50M —
+        # expansion intermediates are ~8 arrays of out_cap
         del s
+        import gc
+        gc.collect()
         s2 = ch.connect()
+        n_fact = min(N_ROWS, 50_000_000)
         n_dim = 1_000_000
         s2.execute("CREATE TABLE dim (k Int64, label Int64)")
         s2.insert_pydict("dim", {
@@ -132,12 +136,12 @@ def main():
             "label": (np.arange(n_dim, dtype=np.int64) * 7) % 97})
         s2.execute("CREATE TABLE fact (fk Int64)")
         s2.insert_pydict("fact", {
-            "fk": (np.arange(N_ROWS, dtype=np.int64) * 40503) % n_dim})
+            "fk": (np.arange(n_fact, dtype=np.int64) * 40503) % n_dim})
         t_join = bench_query(
             s2, "SELECT count(), sum(label) FROM fact "
                 "INNER JOIN dim ON fact.fk = dim.k", reps=3)
-        log(f"Q4 join 100M x 1M: {t_join*1e3:.1f} ms "
-            f"({N_ROWS/t_join/1e9:.2f} G rows/s)")
+        log(f"Q4 join {n_fact/1e6:.0f}M x 1M: {t_join*1e3:.1f} ms "
+            f"({n_fact/t_join/1e9:.2f} G rows/s)")
     except Exception as e:
         log(f"Q4 failed: {e}")
 
