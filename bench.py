@@ -137,6 +137,9 @@ def main():
         s2.execute("CREATE TABLE fact (fk Int64)")
         s2.insert_pydict("fact", {
             "fk": (np.arange(n_fact, dtype=np.int64) * 40503) % n_dim})
+        # sort-merge join (ops/join_ops.py); measured 7.2 s steady-state at
+        # 50M x 1M on v5e, but first compile is 2-17 min — usually skipped
+        # by the extras deadline above
         t_join = bench_query(
             s2, "SELECT count(), sum(label) FROM fact "
                 "INNER JOIN dim ON fact.fk = dim.k", reps=3)

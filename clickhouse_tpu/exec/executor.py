@@ -30,6 +30,7 @@ from ..exprs import aggregates as agg_reg
 from ..exprs.expr import ColVal, colval_from_column, evaluate
 from ..exprs.functions import _string_codes_common
 from ..ops import agg_ops, filter_ops, join_ops, sort_ops
+from ..ops import search as search_ops
 from ..plan import logical as L
 
 __all__ = ["ExecBlock", "ExecContext", "execute_plan", "materialize"]
@@ -704,7 +705,7 @@ def _exec_array_join(node: L.ArrayJoinNode, ctx: ExecContext) -> ExecBlock:
     ctx.checks.append(Check(total, out_cap,
                             "arrayJoin expansion exceeded capacity"))
     j = jnp.arange(out_cap, dtype=jnp.int64)
-    row = jnp.clip(jnp.searchsorted(cum, j, side="right"), 0, cap - 1) \
+    row = jnp.clip(search_ops.searchsorted(cum, j, side="right"), 0, cap - 1) \
         .astype(jnp.int32)
     k = jnp.clip(j - first[row], 0, max_len - 1).astype(jnp.int32)
     cols = {fid: _gather_colval(cv, row, cap)
@@ -976,11 +977,10 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
 
     cap_g = pad_to(min(rcap, s.max_join_build_rows))
     table = join_ops.build_join_table(rkeys, build_ok, cap_g)
-    matched_gid = join_ops.probe_join_table(table, lkeys, probe_ok)
+    pr = join_ops.probe_join_table(table, lkeys, probe_ok)
 
     if node.strictness in ("semi", "anti"):
-        matched = matched_gid >= 0
-        keep = matched if node.strictness == "semi" else ~matched
+        keep = pr.matched if node.strictness == "semi" else ~pr.matched
         return ExecBlock(left.cols, left.valid & keep, lcap,
                          sharded=left.sharded)
 
@@ -992,13 +992,16 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
         out_cap = pad_to(s.max_joined_rows)
     else:
         out_cap = pad_to(lcap + rcap)
-    p_idx, b_idx, mmask, out_count = join_ops.expand_matches(
-        table, matched_gid, left.valid, out_cap,
-        left=left_outer, any_join=any_join)
+    p_idx, b_pos, mmask, out_count = join_ops.expand_matches(
+        pr, left.valid, out_cap, left=left_outer, any_join=any_join)
     ctx.checks.append(Check(out_count, out_cap,
                             "JOIN result exceeded the output capacity; raise "
                             "max_block_size / join capacity settings"))
 
+    # b_pos addresses the KEY-SORTED build order: pre-permute each build
+    # column once (build-sized gather), then one output-sized gather —
+    # instead of two chained output-sized random gathers per column.
+    b_idx = jnp.clip(b_pos, 0, rcap - 1)
     cols: Dict[str, ColVal] = {}
     left_ids = {f.id for f in node.left.schema}
     for f in node.schema:
@@ -1006,8 +1009,8 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
             cols[f.id] = _gather_colval(left.cols[f.id], p_idx, lcap)
         else:
             cv = right.cols[f.id].broadcast(rcap)
-            data = cv.data[jnp.clip(b_idx, 0, rcap - 1)]
-            validity = cv.validity[jnp.clip(b_idx, 0, rcap - 1)] \
+            data = cv.data[table.row_order][b_idx]
+            validity = cv.validity[table.row_order][b_idx] \
                 if cv.validity is not None else None
             if left_outer:
                 # join_use_nulls=0 semantics: unmatched -> default value

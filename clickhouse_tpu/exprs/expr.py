@@ -148,7 +148,8 @@ def _evaluate_dict_get(expr: "BoundDictGet", env) -> ColVal:
         return ColVal(expr.dtype,
                       jnp.full_like(data, expr.default,
                                     dtype=expr.dtype.jnp_dtype), k.validity)
-    pos = jnp.clip(jnp.searchsorted(keys_c, data), 0, n - 1)
+    from ..ops.search import searchsorted as _ss
+    pos = jnp.clip(_ss(keys_c, data), 0, n - 1)
     hit = keys_c[pos] == data
     if expr.dtype.is_dictionary:
         vals = np.asarray(expr.values, object)

@@ -13,6 +13,8 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import search
+
 __all__ = ["gather_compaction_indices", "compact_arrays", "count_mask"]
 
 
@@ -33,7 +35,7 @@ def gather_compaction_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     count = c[-1]
     cap = mask.shape[0]
     j = jnp.arange(cap, dtype=jnp.int64)
-    src = jnp.searchsorted(c, j + 1, side="left")
+    src = search.searchsorted(c, j + 1, side="left")
     return jnp.clip(src, 0, cap - 1).astype(jnp.int32), count
 
 

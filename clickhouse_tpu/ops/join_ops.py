@@ -1,23 +1,44 @@
-"""Hash-join kernels: build, probe, expand.
+"""Sort-merge join kernels: build, probe, expand — zero random gathers on
+the probe path.
 
 TPU-native replacement for the reference HashJoin
 (src/Interpreters/HashJoin/HashJoin.h:110, probe loops in
 HashJoinMethodsImpl.h:334).  The reference builds a linear-probe hash table
-with arena-allocated row lists; on TPU we avoid atomics/CAS entirely:
+with arena-allocated row lists; TPU random gathers cost ~20-35 ns/element
+(measured v5e) while device sorts stream at ~0.5 s/100M rows, so hash
+probing (N * log G gathers) loses badly to sort-merging.  Design:
 
   build:  group the build side by key (sort-based, reuses agg_ops machinery)
-          -> per-group [seg_start, seg_len] into the key-sorted row order;
-          then order the unique groups by their 64-bit key hash.  The "hash
-          table" is simply this hash-sorted array — fully deterministic,
-          built by two large sorts.
-  probe:  vectorized binary search of each probe row's hash in the sorted
-          group hashes (log2(G) gathers), then verify actual key equality
-          scanning the (device-computed, ~1) maximal equal-hash run.
-  expand: 1-to-N match expansion via the scatter + cumsum replicate trick —
-          the analog of IColumn::replicate (src/Columns/IColumn.h:440).
+          -> per-group [seg_start, seg_len] into the key-sorted row order.
+          No hash is ever computed: lax.sort takes the key columns as
+          multi-operand sort keys directly, so there are no collisions.
+  probe:  ONE sort of concat(unique build keys, probe keys) with a side flag;
+          each build entry's (seg_start, seg_len) — packed into one u64 —
+          reaches the probe rows of its key run via two cummax scans (run
+          start + last table position; a probe row matches iff the last
+          table entry at or before it is inside its own run) and a single
+          near-monotone gather; a second sort restores probe order.
+          (A segmented associative_scan would be gather-free, but
+          lax.associative_scan over ~33M-element tuples is a compile-time
+          bomb on TPU — the XLA helper OOMs — so the carry uses native
+          cumulative-max ops instead.)
+  expand: 1-to-N match expansion (the IColumn::replicate analog,
+          src/Columns/IColumn.h:440): instead of binary-searching each
+          output slot in the cumulative-length array, merge-sort
+          concat(cum, iota(out_cap)); a reverse cummin of the cum entries'
+          probe-row ids assigns each output slot its source row, a second
+          sort restores output order, and one packed monotone gather pulls
+          (seg_start, matched); within-segment offsets come from a cummax
+          over the output order.  The only remaining random gathers are the
+          final payload-column gathers, which are inherent to join output.
 
-LEFT joins emit one row per unmatched probe row with a match_mask=0 so the
-executor can null build-side columns (join_use_nulls semantics).
+Build-side output rows are addressed in KEY-SORTED build order
+(`build_pos`); callers gather payload columns through `row_order` once
+(build-side sized) and then index with `build_pos` — one random gather per
+output column instead of two.
+
+LEFT joins emit one row per unmatched probe row with match_mask=0 so the
+executor can null/default build-side columns (join_use_nulls semantics).
 """
 from __future__ import annotations
 
@@ -27,128 +48,160 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import agg_ops, hash_ops
+from . import agg_ops
 
-__all__ = ["JoinTable", "build_join_table", "probe_join_table", "expand_matches"]
+__all__ = ["JoinTable", "ProbeResult", "build_join_table",
+           "probe_join_table", "expand_matches"]
 
 
 @dataclasses.dataclass
 class JoinTable:
-    """Build-side index, ordered by key hash."""
-    hashes: jax.Array        # (G,) uint64 sorted; padding = u64 max
-    key_cols: List[jax.Array]  # each (G,) unique key values, hash-sorted
-    seg_start: jax.Array     # (G,) int64 start into row_order
-    seg_len: jax.Array       # (G,) int64 rows per group (0 for padding)
+    """Build-side index in key-sorted group order."""
+    key_cols: List[jax.Array]  # each (G,) unique key values per group
+    seg_start: jax.Array     # (G,) int32 start into row_order
+    seg_len: jax.Array       # (G,) int32 rows per group (0 for padding)
     row_order: jax.Array     # (N,) int32 build row ids, key-sorted
     num_groups: jax.Array    # int64 device scalar
-    max_run: jax.Array       # int64 device scalar: max equal-hash run length
 
     @property
     def group_capacity(self) -> int:
-        return int(self.hashes.shape[0])
+        return int(self.seg_start.shape[0])
 
 
-_PAD_HASH = jnp.uint64(2**64 - 1)
+@dataclasses.dataclass
+class ProbeResult:
+    """Per-probe-row match info (raw probe row order)."""
+    matched: jax.Array       # (N,) bool
+    seg_start: jax.Array     # (N,) int32 into row_order (0 if unmatched)
+    seg_len: jax.Array       # (N,) int32 matching build rows (0 if unmatched)
 
 
 def build_join_table(keys: Sequence[jax.Array], row_valid: jax.Array,
                      group_capacity: int) -> JoinTable:
     g = agg_ops.group_by_sort(keys, row_valid, group_capacity)
-    seg_len = g.ends - g.starts          # scatter-free (searchsorted-derived)
-    seg_start = g.starts
-
-    h = hash_ops.hash_columns(g.unique_keys)
+    seg_len = (g.ends - g.starts).astype(jnp.int32)
     gidx = jnp.arange(group_capacity, dtype=jnp.int64)
-    is_group = gidx < g.num_groups
-    h = jnp.where(is_group, h, _PAD_HASH)
-    # Hash-sort the groups (payload: original group index).
-    h_sorted, order = jax.lax.sort([h, gidx.astype(jnp.int32)], num_keys=1)
-    key_cols = [k[order] for k in g.unique_keys]
-    seg_start_s = seg_start[order]
-    seg_len_s = jnp.where(is_group[order], seg_len[order], jnp.int64(0))
-
-    # Maximal run of equal hashes (>=1 when any group exists): needed to bound
-    # the probe-side collision scan.  64-bit collisions make runs >1 rare.
-    same = jnp.concatenate([jnp.zeros((1,), jnp.int64),
-                            (h_sorted[1:] == h_sorted[:-1]).astype(jnp.int64)])
-    same = jnp.where(h_sorted == _PAD_HASH, 0, same)
-    idx = jnp.arange(group_capacity, dtype=jnp.int64)
-    last_reset = jax.lax.cummax(jnp.where(same == 0, idx, -1))
-    run = idx - last_reset               # consecutive equal-hash count at i
-    max_run = jnp.maximum(jnp.max(run) + 1, 1)
-
-    return JoinTable(hashes=h_sorted, key_cols=key_cols, seg_start=seg_start_s,
-                     seg_len=seg_len_s, row_order=g.perm,
-                     num_groups=g.num_groups, max_run=max_run)
+    seg_len = jnp.where(gidx < g.num_groups, seg_len, 0)
+    return JoinTable(key_cols=list(g.unique_keys),
+                     seg_start=g.starts.astype(jnp.int32),
+                     seg_len=seg_len, row_order=g.perm,
+                     num_groups=g.num_groups)
 
 
 def probe_join_table(table: JoinTable, probe_keys: Sequence[jax.Array],
-                     probe_valid: jax.Array) -> jax.Array:
-    """Group index (into the hash-sorted table) per probe row, or -1."""
+                     probe_valid: jax.Array) -> ProbeResult:
+    """Sort-merge probe: no hashing, no collisions, one monotone gather."""
     G = table.group_capacity
-    h = hash_ops.hash_columns(list(probe_keys))
-    h = jnp.where(probe_valid, h, _PAD_HASH)
-    base = jnp.searchsorted(table.hashes, h, side="left").astype(jnp.int32)
+    N = probe_keys[0].shape[0]
+    M = G + N
+    gidx = jnp.arange(G, dtype=jnp.int64)
+    tbl_invalid = gidx >= table.num_groups      # padding groups sink last
 
-    def body(state):
-        r, found = state
-        cand = jnp.clip(base + r, 0, G - 1)
-        hash_eq = (table.hashes[cand] == h) & (base + r < G)
-        key_eq = hash_eq
-        for tk, pk in zip(table.key_cols, probe_keys):
-            key_eq = key_eq & (tk[cand] == pk)
-        key_eq = key_eq & probe_valid
-        found = jnp.where((found < 0) & key_eq, cand, found)
-        return r + 1, found
+    invalid = jnp.concatenate([tbl_invalid, jnp.logical_not(probe_valid)])
+    keys = [jnp.concatenate([tk, pk.astype(tk.dtype)])
+            for tk, pk in zip(table.key_cols, probe_keys)]
+    # table entries sort before equal-key probe entries
+    is_probe = jnp.concatenate([jnp.zeros((G,), jnp.bool_),
+                                jnp.ones((N,), jnp.bool_)])
+    idx = jnp.arange(M, dtype=jnp.int32)
+    # (seg_start, seg_len) packed so the carry costs ONE gather
+    packed = (table.seg_start.astype(jnp.uint64) << jnp.uint64(32)) \
+        | table.seg_len.astype(jnp.uint32).astype(jnp.uint64)
+    packed = jnp.concatenate([packed, jnp.zeros((N,), jnp.uint64)])
 
-    def cond(state):
-        r, _ = state
-        return r < table.max_run.astype(jnp.int32)
+    ops = [invalid] + keys + [is_probe, idx, packed]
+    nk = 1 + len(keys) + 1
+    sorted_ops = jax.lax.sort(ops, num_keys=nk, is_stable=False)
+    inv_s = sorted_ops[0]
+    keys_s = sorted_ops[1:1 + len(keys)]
+    probe_s = sorted_ops[1 + len(keys)]
+    idx_s = sorted_ops[nk]
+    packed_s = sorted_ops[nk + 1]
 
-    _, found = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.full(h.shape, -1, jnp.int32)))
-    return found
+    boundary = jnp.zeros((M,), jnp.bool_).at[0].set(True)
+    for ks in keys_s:
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+    boundary = boundary | jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), inv_s[1:] != inv_s[:-1]])
+
+    # A probe row matches iff the most recent table entry at or before it
+    # lies inside its own key run (each run holds at most one table entry,
+    # sorted to the run head).  Two native cumulative maxes — no
+    # associative_scan (compile-time bomb at this scale, see module doc).
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_table_row = jnp.logical_not(probe_s) & jnp.logical_not(inv_s)
+    run_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
+    last_table = jax.lax.cummax(jnp.where(is_table_row, pos, -1))
+    matched = (last_table >= run_start) & probe_s & jnp.logical_not(inv_s)
+    carried = packed_s[jnp.clip(last_table, 0, M - 1)]
+
+    # restore original order; probe rows occupy positions G..G+N-1
+    _, m_r, pk_r = jax.lax.sort(
+        [idx_s, matched.astype(jnp.int8), carried], num_keys=1,
+        is_stable=False)
+    m = m_r[G:].astype(jnp.bool_) & probe_valid
+    pk_out = jnp.where(m, pk_r[G:], jnp.uint64(0))
+    return ProbeResult(matched=m,
+                       seg_start=(pk_out >> jnp.uint64(32)).astype(jnp.int32),
+                       seg_len=pk_out.astype(jnp.uint32).astype(jnp.int32))
 
 
-def expand_matches(table: JoinTable, matched_gid: jax.Array,
-                   probe_valid: jax.Array, out_capacity: int,
-                   left: bool = False, any_join: bool = False
+def expand_matches(probe: ProbeResult, probe_valid: jax.Array,
+                   out_capacity: int, left: bool = False,
+                   any_join: bool = False
                    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Expand 1-to-N matches into flat output row pairs.
+    """Expand 1-to-N matches into flat output row pairs (gather-free core).
 
-    Returns (probe_row_idx, build_row_idx, match_mask, out_count):
+    Returns (probe_row_idx, build_pos, match_mask, out_count):
       probe_row_idx[j] -- source probe row of output row j
-      build_row_idx[j] -- source build row (undefined where match_mask=0)
+      build_pos[j]     -- KEY-SORTED build position (index into row_order;
+                          undefined where match_mask=0)
       match_mask[j]    -- False for LEFT-join null rows and padding
       out_count        -- device scalar of real output rows
     """
-    matched = matched_gid >= 0
-    safe_gid = jnp.maximum(matched_gid, 0)
-    # 32-bit expansion arithmetic: out_capacity < 2^31 always; halves the
-    # intermediate footprint on billion-row probes
-    lens = jnp.where(matched & probe_valid,
-                     table.seg_len[safe_gid].astype(jnp.int32), 0)
+    N = probe.matched.shape[0]
+    lens = jnp.where(probe.matched & probe_valid, probe.seg_len, 0)
     if any_join:
         lens = jnp.minimum(lens, 1)
     if left:
         lens = jnp.where(probe_valid, jnp.maximum(lens, 1), 0)
-    cum = jnp.cumsum(lens)                       # inclusive prefix
-    first_out = cum - lens                       # exclusive prefix
-    out_count = cum[-1].astype(jnp.int64)
+    cum = jnp.cumsum(lens.astype(jnp.int64))         # inclusive prefix
+    out_count = cum[-1]
+    M = N + out_capacity
 
-    # Replicate (IColumn::replicate analog), gather-only: output slot j
-    # belongs to the probe row whose cumulative range covers j — a vectorized
-    # binary search over the inclusive prefix (no scatter: TPU serializes it).
-    j = jnp.arange(out_capacity, dtype=jnp.int32)
-    probe_row_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    probe_row_idx = jnp.clip(probe_row_idx, 0, lens.shape[0] - 1)
+    # Merge-based replicate: output slot j belongs to probe row
+    # i = searchsorted(cum, j, 'right') = the first cum entry AFTER slot j
+    # in the merged order (cum entries tie-break before equal j, and among
+    # themselves by ascending i — idx is a second sort key).  A reverse
+    # cummin over the cum entries' row ids hands each slot that i directly.
+    j64 = jnp.arange(out_capacity, dtype=jnp.int64)
+    key = jnp.concatenate([cum, j64])
+    idx = jnp.arange(M, dtype=jnp.int32)
+    _, idx_s = jax.lax.sort([key, idx], num_keys=2, is_stable=False)
+    is_cum = idx_s < N
+    nxt = jax.lax.cummin(jnp.where(is_cum, idx_s, N), reverse=True)
 
-    k = j - first_out[probe_row_idx]             # offset within the segment
-    gid_out = safe_gid[probe_row_idx]
-    m_out = matched[probe_row_idx] & probe_valid[probe_row_idx]
-    sorted_pos = jnp.clip(table.seg_start[gid_out].astype(jnp.int32) + k, 0,
-                          table.row_order.shape[0] - 1)
-    build_row_idx = table.row_order[sorted_pos]
-    valid_out = j.astype(jnp.int64) < out_count
-    match_mask = m_out & valid_out
-    return probe_row_idx, build_row_idx, match_mask, out_count
+    # back to output order: slots occupy positions N..M-1
+    _, pri = jax.lax.sort([idx_s, nxt], num_keys=1, is_stable=False)
+    pri = jnp.clip(pri[N:], 0, N - 1)                # row id per output slot
+
+    # ONE packed monotone gather for (seg_start, matched)
+    packed = (probe.seg_start.astype(jnp.int64) << jnp.int64(1)) \
+        | (probe.matched & probe_valid).astype(jnp.int64)
+    pk = packed[pri]
+    ss_o = (pk >> jnp.int64(1)).astype(jnp.int32)
+    mm_o = (pk & jnp.int64(1)).astype(jnp.bool_)
+
+    # within-segment offset k: distance to the segment's first output slot
+    # (where pri changes) — cummax trick, no first_out gather
+    j32 = jnp.arange(out_capacity, dtype=jnp.int32)
+    seg_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), pri[1:] != pri[:-1]])
+    last_start = jax.lax.cummax(jnp.where(seg_first, j32, 0))
+    k = j32 - last_start
+
+    valid_out = j64 < out_count
+    match_mask = mm_o & valid_out
+    build_pos = ss_o + k
+    return pri, build_pos, match_mask, out_count

@@ -21,6 +21,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import search
+
 __all__ = ["segment_starts_ends", "seg_reduce_sorted", "running_reduce"]
 
 
@@ -28,13 +30,16 @@ def segment_starts_ends(group_ids_sorted: jax.Array, num_groups_cap: int
                         ) -> Tuple[jax.Array, jax.Array]:
     """starts[g], ends[g): row range of group g in sorted order (gather-only).
 
-    group_ids_sorted must be ascending with padding rows at the end carrying
-    id >= num_groups_cap.  Empty groups get starts==ends.
+    group_ids_sorted must be ascending *integers* with padding rows at the
+    end carrying id >= num_groups_cap.  Empty groups get starts==ends.
+    One searchsorted suffices: for integer ids count(x <= g-1) == count(x < g),
+    so starts[g] = ends[g-1] exactly.
     """
     g = jnp.arange(num_groups_cap, dtype=group_ids_sorted.dtype)
-    starts = jnp.searchsorted(group_ids_sorted, g, side="left")
-    ends = jnp.searchsorted(group_ids_sorted, g, side="right")
-    return starts.astype(jnp.int64), ends.astype(jnp.int64)
+    ends = search.searchsorted(group_ids_sorted, g, side="right") \
+        .astype(jnp.int64)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int64), ends[:-1]])
+    return starts, ends
 
 
 def _segmented_scan(op, data: jax.Array, boundary: jax.Array) -> jax.Array:

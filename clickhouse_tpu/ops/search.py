@@ -1,0 +1,61 @@
+"""Vectorized searchsorted tuned for TPU.
+
+`jnp.searchsorted`'s default binary search does len(v) * log2(len(a))
+data-dependent gathers; TPU executes random 8-byte gathers at ~20-35 ns per
+element (measured on v5e), so a 64M-query search into a 32M table costs ~37 s
+— it dominated the join/expand path.  Device sorts, in contrast, run at
+~0.5 s per 100M rows.  For large query sets we therefore compute searchsorted
+as a two-sort merge (the classic sort-join formulation, cf. the reference's
+sortedness-exploiting joins in MergeJoinTransform, but here chosen purely for
+the TPU's gather/sort cost ratio):
+
+  1. sort concat(a, v) with a tie-flag so queries land on the correct side
+     of equal table entries; the answer for each query is the number of
+     table entries before it (a cumsum, not a gather);
+  2. sort back by original position to restore query order.
+
+Both sorts are large, regular, and MXU/VPU friendly; no random access at all.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["searchsorted", "searchsorted_via_sort"]
+
+# Below this many queries the O(N log G) binary search wins (sort cost is
+# O(N + G) but with a bigger constant and a compile-time hit).
+_SORT_MIN_QUERIES = 1 << 18
+
+
+def searchsorted_via_sort(a: jax.Array, v: jax.Array, side: str = "left"
+                          ) -> jax.Array:
+    """Two-sort merge searchsorted; returns int32 indices into `a`."""
+    G = a.shape[0]
+    N = v.shape[0]
+    cd = jnp.promote_types(a.dtype, v.dtype)
+    key = jnp.concatenate([a.astype(cd), v.astype(cd)])
+    # side='left': queries sort BEFORE equal table entries (table flag 1);
+    # side='right': after (table flag 0).  Within an equal-(key, flag) run
+    # all queries see the same table-entry count, so stability is irrelevant.
+    tflag = jnp.bool_(side == "left")
+    flag = jnp.concatenate([jnp.full((G,), tflag),
+                            jnp.full((N,), ~tflag)])
+    idx = jnp.arange(G + N, dtype=jnp.int32)
+    _, _, idx_s = jax.lax.sort([key, flag, idx], num_keys=2, is_stable=False)
+    is_table = (idx_s < G).astype(jnp.int32)
+    before = jnp.cumsum(is_table) - is_table          # exclusive count
+    _, res = jax.lax.sort([idx_s, before], num_keys=1, is_stable=False)
+    return res[G:]
+
+
+def searchsorted(a: jax.Array, v: jax.Array, side: str = "left") -> jax.Array:
+    """Drop-in for jnp.searchsorted(a, v, side) picking the TPU-fast method.
+
+    Returns int32 (all call sites index arrays < 2^31 rows).
+    """
+    if (v.ndim == 1 and v.shape[0] >= _SORT_MIN_QUERIES
+            and not jnp.issubdtype(a.dtype, jnp.floating)
+            and not jnp.issubdtype(v.dtype, jnp.floating)):
+        return searchsorted_via_sort(a, v, side)
+    return jnp.searchsorted(a, v, side=side).astype(jnp.int32)

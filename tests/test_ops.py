@@ -200,16 +200,18 @@ class TestJoin:
         lvalid = _valid_mask(ln, lkd.shape[0])
 
         table = join_ops.build_join_table([rkd], rvalid, group_capacity=256)
-        gid = join_ops.probe_join_table(table, [lkd], lvalid)
+        pr = join_ops.probe_join_table(table, [lkd], lvalid)
         out_cap = lkd.shape[0]
-        p_idx, b_idx, mmask, count = join_ops.expand_matches(
-            table, gid, lvalid, out_cap, left=(how == "left"))
+        p_idx, b_pos, mmask, count = join_ops.expand_matches(
+            pr, lvalid, out_cap, left=(how == "left"))
+        b_idx = np.asarray(table.row_order)[
+            np.clip(np.asarray(b_pos), 0, rkd.shape[0] - 1)]
 
         expected = self._join_df(lk, lv, rk, rv, how)
         cnt = int(count)
         assert cnt == len(expected)
         p_idx = np.asarray(p_idx)[:cnt]
-        b_idx = np.asarray(b_idx)[:cnt]
+        b_idx = b_idx[:cnt]
         mmask = np.asarray(mmask)[:cnt]
         got = pd.DataFrame({
             "k": lk[p_idx], "lv": lv[p_idx],
@@ -233,13 +235,14 @@ class TestJoin:
         lvalid = _valid_mask(ln, lkd.shape[0])
 
         table = join_ops.build_join_table([rkd], rvalid, 16)
-        gid = join_ops.probe_join_table(table, [lkd], lvalid)
-        p_idx, b_idx, mmask, count = join_ops.expand_matches(
-            table, gid, lvalid, out_capacity=lkd.shape[0])
+        pr = join_ops.probe_join_table(table, [lkd], lvalid)
+        p_idx, b_pos, mmask, count = join_ops.expand_matches(
+            pr, lvalid, out_capacity=lkd.shape[0])
         cnt = int(count)
         assert cnt == 6  # 2 + 1 + 3
         p = np.asarray(p_idx)[:cnt]
-        b = np.asarray(b_idx)[:cnt]
+        b = np.asarray(table.row_order)[
+            np.clip(np.asarray(b_pos), 0, rkd.shape[0] - 1)][:cnt]
         got = sorted(zip(lk[p], rv[b]))
         assert got == [(1, 10), (1, 11), (2, 20), (3, 30), (3, 31), (3, 32)]
 
@@ -257,7 +260,7 @@ class TestJoin:
         lvalid = _valid_mask(ln, lk1d.shape[0])
 
         table = join_ops.build_join_table([rk1d, rk2d], rvalid, 16)
-        gid = join_ops.probe_join_table(table, [lk1d, lk2d], lvalid)
-        p_idx, b_idx, mmask, count = join_ops.expand_matches(
-            table, gid, lvalid, out_capacity=lk1d.shape[0])
+        pr = join_ops.probe_join_table(table, [lk1d, lk2d], lvalid)
+        p_idx, b_pos, mmask, count = join_ops.expand_matches(
+            pr, lvalid, out_capacity=lk1d.shape[0])
         assert int(count) == 2  # (1,10) and (2,10)
