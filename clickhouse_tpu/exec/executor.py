@@ -415,18 +415,6 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
             global_agg: bool = False):
     """Local grouping + per-aggregate partial states (WithMergeableState)."""
     cap = child.capacity
-    if global_agg:
-        # GROUP BY (): one masked reduction, never a sort
-        # (Aggregator::executeWithoutKey analog)
-        grouping = agg_ops.group_trivial(child.valid, cap_g)
-    elif dims is not None:
-        # provably-small key space: direct-array grouping, no sort
-        grouping = agg_ops.group_by_dense(key_arrays, dims, child.valid,
-                                          cap_g)
-    else:
-        grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
-    gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
-                                grouping=grouping, num_groups_cap=cap_g)
     from ..plan import ranges
     per_agg_inputs = []
     for item in node.aggregates:
@@ -439,18 +427,48 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         cond = None
         if item.cond is not None:
             cond = _bool_mask(evaluate(item.cond, child.env()), cap)
-        per_agg_inputs.append((item, arg_cvs, cond))
+        premask = agg_reg.compose_row_mask(child.valid, arg_cvs, cond)
+        per_agg_inputs.append((item, arg_cvs, cond, premask))
+
+    if global_agg:
+        # GROUP BY (): one masked reduction, never a sort
+        # (Aggregator::executeWithoutKey analog)
+        grouping = agg_ops.group_trivial(child.valid, cap_g)
+    elif dims is not None:
+        # provably-small key space: direct-array grouping, no sort
+        grouping = agg_ops.group_by_dense(key_arrays, dims, child.valid,
+                                          cap_g)
+    else:
+        # aggregate operands and masks ride the grouping sort as payloads —
+        # one extra sort operand each instead of a per-array random gather
+        payloads, seen = [], {id(child.valid)}
+        for _, arg_cvs, cond, premask in per_agg_inputs:
+            for arr in ([premask] + [cv.data for cv in arg_cvs
+                                     if cv.data.ndim == 1
+                                     and cv.data.shape[0] == cap]):
+                if id(arr) not in seen:
+                    seen.add(id(arr))
+                    payloads.append(arr)
+        grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g,
+                                         payloads=payloads)
+    gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
+                                grouping=grouping, num_groups_cap=cap_g)
 
     if grouping.kind == "dense":
         group_counts, states_per_agg = _dense_stage1(
-            grouping, child, gctx, per_agg_inputs)
+            grouping, child, gctx,
+            [(item, arg_cvs, cond)
+             for item, arg_cvs, cond, _ in per_agg_inputs])
         grouping.present = group_counts > 0
         grouping.num_groups = jnp.sum(grouping.present.astype(jnp.int64))
         return grouping, group_counts, states_per_agg
 
     group_counts = grouping.count_rows(child.valid)
-    states_per_agg = [(item, arg_cvs, item.fn.update(gctx, arg_cvs, cond))
-                      for item, arg_cvs, cond in per_agg_inputs]
+    states_per_agg = [
+        (item, arg_cvs,
+         item.fn.update(dataclasses.replace(gctx, premask=premask),
+                        arg_cvs, cond))
+        for item, arg_cvs, cond, premask in per_agg_inputs]
     return grouping, group_counts, states_per_agg
 
 

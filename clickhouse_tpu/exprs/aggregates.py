@@ -44,6 +44,10 @@ class GroupContext:
     row_valid: jax.Array           # raw bool mask
     grouping: agg_ops.Grouping
     num_groups_cap: int
+    # per-aggregate row mask precomputed by the executor so the SAME array
+    # object rides the grouping sort as a payload (Grouping.take identity
+    # cache) instead of being recomputed and randomly gathered
+    premask: Optional[jax.Array] = None
 
 
 def _arg_valid(cv: Optional[ColVal], capacity: int):
@@ -53,6 +57,20 @@ def _arg_valid(cv: Optional[ColVal], capacity: int):
     if v.ndim == 0:
         v = jnp.broadcast_to(v, (capacity,))
     return v
+
+
+def compose_row_mask(row_valid: jax.Array, args: List[ColVal],
+                     cond: Optional[jax.Array]) -> jax.Array:
+    """rows an aggregate consumes: valid & arg validities & -If condition."""
+    cap = row_valid.shape[0]
+    m = row_valid
+    for a in args:
+        av = _arg_valid(a, cap)
+        if av is not None:
+            m = m & av
+    if cond is not None:
+        m = m & cond
+    return m
 
 
 class AggregateFunction:
@@ -93,15 +111,9 @@ class AggregateFunction:
     # -- helpers -------------------------------------------------------------
     def _row_mask(self, ctx: GroupContext, args: List[ColVal],
                   cond: Optional[jax.Array]) -> jax.Array:
-        cap = ctx.row_valid.shape[0]
-        m = ctx.row_valid
-        for a in args:
-            av = _arg_valid(a, cap)
-            if av is not None:
-                m = m & av
-        if cond is not None:
-            m = m & cond
-        return m
+        if ctx.premask is not None:
+            return ctx.premask
+        return compose_row_mask(ctx.row_valid, args, cond)
 
     @staticmethod
     def _value(ctx: GroupContext, cv: ColVal) -> jax.Array:
@@ -156,9 +168,11 @@ class SumAgg(AggregateFunction):
 
     def update(self, ctx, args, cond):
         mask = self._row_mask(ctx, args, cond)
-        v = self._value(ctx, args[0]).astype(_sum_state_dtype(self.arg_types[0]))
-        return [ctx.grouping.reduce("sum", v, mask,
-                                    value_bounds=args[0].bounds)]
+        # no pre-cast: reduce upcasts post-permute, so the raw column array
+        # stays identity-matched with the grouping's sorted payload
+        v = self._value(ctx, args[0])
+        s = ctx.grouping.reduce("sum", v, mask, value_bounds=args[0].bounds)
+        return [s.astype(_sum_state_dtype(self.arg_types[0]))]
 
     def finalize(self, states):
         return states[0], None
@@ -226,14 +240,10 @@ class AvgAgg(AggregateFunction):
 
     def update(self, ctx, args, cond):
         mask = self._row_mask(ctx, args, cond)
-        t0 = dt.remove_nullable(self.arg_types[0])
-        if dt.is_float(t0):
-            v = self._value(ctx, args[0]).astype(jnp.float64)
-        else:
-            v = self._value(ctx, args[0]).astype(_sum_state_dtype(t0))
+        v = self._value(ctx, args[0])
         s = ctx.grouping.reduce("sum", v, mask, value_bounds=args[0].bounds)
         c = ctx.grouping.count_rows(mask)
-        return [s.astype(jnp.float64) if not dt.is_float(t0) else s, c]
+        return [s.astype(jnp.float64), c]
 
     def finalize(self, states):
         s, c = states
@@ -390,10 +400,11 @@ class UniqExactAgg(AggregateFunction):
         mask = self._row_mask(ctx, args, cond)
         # masked-out rows sink below valid ones inside each key segment so
         # the first-occurrence chain below only ever sees valid neighbours
+        notm = jnp.logical_not(mask)
         g2 = agg_ops.group_by_sort(ctx.keys, ctx.row_valid,
                                    ctx.num_groups_cap,
-                                   secondary=[jnp.logical_not(mask), value])
-        mask_s = g2.take(mask)
+                                   secondary=[notm, value])
+        mask_s = jnp.logical_not(g2.take(notm))
         v_s = g2.take(value)
         prev_same = jnp.concatenate(
             [jnp.zeros((1,), jnp.bool_),
@@ -430,7 +441,8 @@ class QuantileExactAgg(AggregateFunction):
         # masked-in rows come first in value order, so the q-th element sits
         # at a computable offset from the group start.
         g2 = agg_ops.group_by_sort(ctx.keys, ctx.row_valid,
-                                   ctx.num_groups_cap, secondary=[tok])
+                                   ctx.num_groups_cap, secondary=[tok],
+                                   payloads=[mask, value])
         mask_s = g2.take(mask)
         lens = g2.reduce_sorted("sum", mask_s.astype(jnp.int64), mask_s)
         # compact masked sorted values to rank order (gather-based)

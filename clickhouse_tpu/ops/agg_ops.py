@@ -25,7 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import mxu_segsum, scan_ops
+from . import hash_ops, mxu_segsum, scan_ops
 
 __all__ = ["Grouping", "group_by_sort", "group_by_dense", "group_trivial"]
 
@@ -55,13 +55,43 @@ class Grouping:
     present: Optional[jax.Array] = None    # (cap_g,) bool (dense only)
     # the row_valid the grouping was built with (identity-checked fast paths)
     row_valid_ref: Optional[jax.Array] = None
+    # payload registry: arrays already carried into sorted order (trace-time
+    # identity cache; raw refs are held so ids stay unique)
+    payload_raw: list = dataclasses.field(default_factory=list)
+    payload_sorted: list = dataclasses.field(default_factory=list)
+    _inv_perm: Optional[jax.Array] = None
 
     # -- row-order plumbing --------------------------------------------------
     def take(self, array: jax.Array) -> jax.Array:
-        """Raw row order -> the grouping's working (sorted) order."""
+        """Raw row order -> the grouping's working (sorted) order.
+
+        Registered payloads (carried through the grouping sort) are free;
+        everything else is permuted.  Large arrays permute via a 2-operand
+        sort by the inverse permutation — TPU random gathers cost ~20-35 ns
+        per element, so a streaming sort beats x[perm] from ~2^18 rows.
+        Results are cached by identity (one permute per distinct array).
+        """
         if self.perm is None:
             return array
-        return array[self.perm]
+        for r, s in zip(self.payload_raw, self.payload_sorted):
+            if array is r:
+                return s
+        if array.shape[0] >= (1 << 18):
+            if self._inv_perm is None:
+                cap = self.perm.shape[0]
+                _, self._inv_perm = jax.lax.sort(
+                    [self.perm, jnp.arange(cap, dtype=jnp.int32)],
+                    num_keys=1, is_stable=False)
+            enc, dec = hash_ops.sortable_bits(array)
+            _, s = jax.lax.sort([self._inv_perm, enc], num_keys=1,
+                                is_stable=False)
+            if dec is not None:
+                s = dec(s)
+        else:
+            s = array[self.perm]
+        self.payload_raw.append(array)
+        self.payload_sorted.append(s)
+        return s
 
     def group_valid(self) -> jax.Array:
         if self.present is not None:
@@ -73,8 +103,8 @@ class Grouping:
     def reduce(self, op: str, data_raw: jax.Array, mask_raw: jax.Array,
                value_bounds=None) -> jax.Array:
         """Per-group reduction; data/mask in RAW row order."""
-        return self.reduce_sorted(op, self.take(data_raw),
-                                  self.take(mask_raw), value_bounds)
+        mask = self.take(mask_raw) if mask_raw is not None else None
+        return self.reduce_sorted(op, self.take(data_raw), mask, value_bounds)
 
     def reduce_sorted(self, op: str, data: jax.Array, mask: jax.Array,
                       value_bounds=None) -> jax.Array:
@@ -95,11 +125,13 @@ class Grouping:
             # the grouping already segregated exactly these rows: counts are
             # segment extents — no pass over the data (5.9s -> 0 at 100M)
             return self.ends - self.starts
-        ones = jnp.ones(mask_raw.shape, jnp.int64)
-        return self.reduce("sum", ones, mask_raw)
+        # sum the mask itself (no ones column to permute)
+        return self.reduce_sorted("sum", self.take(mask_raw), None)
 
     def _reduce_trivial(self, op, data, mask):
         cap_g = self.num_groups_cap
+        if mask is None:
+            mask = jnp.ones(data.shape, jnp.bool_)
         if op == "sum":
             acc = data
             if acc.dtype in (jnp.int8, jnp.int16, jnp.int32, jnp.bool_):
@@ -158,26 +190,44 @@ class Grouping:
 
 def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
                   num_groups_cap: int,
-                  secondary: Sequence[jax.Array] = ()) -> Grouping:
+                  secondary: Sequence[jax.Array] = (),
+                  payloads: Sequence[jax.Array] = ()) -> Grouping:
     """Generic grouping via multi-operand sort (scatter-free throughout).
 
     keys      -- storage arrays of the GROUP BY columns
     row_valid -- bool mask (False rows excluded, sink to the end)
     secondary -- extra sort operands ordering rows *within* groups without
                  affecting boundaries (holistic aggregates)
+    payloads  -- arrays carried into sorted order for free (registered so
+                 later Grouping.take of the same array costs nothing; one
+                 extra sort operand beats a 100M random gather ~5x on v5e)
     """
     cap = keys[0].shape[0]
     rowid = jnp.arange(cap, dtype=jnp.int32)
     invalid = jnp.logical_not(row_valid)
-    operands = [invalid] + list(keys) + list(secondary) + [rowid]
-    sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys)
-                              + len(secondary), is_stable=True)
+    # floats enter the sort as bit patterns (raw f64 operands at 100M crash
+    # the TPU compile helper) and are decoded on the way out
+    encoded, decoders = [], []
+    for a in list(keys) + list(secondary) + list(payloads):
+        enc, dec = hash_ops.sortable_bits(a)
+        encoded.append(enc)
+        decoders.append(dec)
+    operands = [invalid] + encoded[:len(keys) + len(secondary)] + [rowid] \
+        + encoded[len(keys) + len(secondary):]
+    nk = 1 + len(keys) + len(secondary)
+    sorted_ops = jax.lax.sort(operands, num_keys=nk, is_stable=True)
     inv_s = sorted_ops[0]
-    keys_s = sorted_ops[1:1 + len(keys)]
-    perm = sorted_ops[-1]
+    perm = sorted_ops[nk]
+    outs = list(sorted_ops[1:nk]) + list(sorted_ops[nk + 1:])
+    outs = [o if d is None else d(o) for o, d in zip(outs, decoders)]
+    keys_s = outs[:len(keys)]
+    payload_raw = [row_valid] + list(secondary) + list(payloads)
+    payload_sorted = [jnp.logical_not(inv_s)] + outs[len(keys):]
 
+    # boundaries compare the ENCODED keys: bit equality is total (NaN keys
+    # form one group; float != would split every NaN into its own group)
     boundary = jnp.zeros(cap, dtype=jnp.bool_).at[0].set(True)
-    for ks in keys_s:
+    for ks in sorted_ops[1:1 + len(keys)]:
         boundary = boundary | jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
     boundary = boundary | jnp.concatenate(
@@ -194,7 +244,8 @@ def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
     return Grouping(kind="sort", group_ids=gid, num_groups=num_groups,
                     unique_keys=unique_keys, num_groups_cap=num_groups_cap,
                     perm=perm, boundary=boundary, starts=starts, ends=ends,
-                    row_valid_ref=row_valid)
+                    row_valid_ref=row_valid, payload_raw=payload_raw,
+                    payload_sorted=payload_sorted)
 
 
 def group_by_dense(keys: Sequence[jax.Array],

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["hash64", "hash_combine", "hash_columns", "bucket_of",
-           "bitcast_f64_to_u64"]
+           "bitcast_f64_to_u64", "bitcast_u64_to_f64", "sortable_bits"]
 
 _M1 = jnp.uint64(0xBF58476D1CE4E5B9)
 _M2 = jnp.uint64(0x94D049BB133111EB)
@@ -42,6 +42,35 @@ def bitcast_f64_to_u64(x: jax.Array) -> jax.Array:
     lo = halves[..., 0].astype(jnp.uint64)
     hi = halves[..., 1].astype(jnp.uint64)
     return (hi << jnp.uint64(32)) | lo
+
+
+def bitcast_u64_to_f64(x: jax.Array) -> jax.Array:
+    """Inverse of bitcast_f64_to_u64 (same u32-halves decomposition)."""
+    lo = x.astype(jnp.uint32)                      # wrapping: low 32 bits
+    hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+    pair = jnp.stack([lo, hi], axis=-1)
+    return jax.lax.bitcast_convert_type(pair, jnp.float64)
+
+
+def _bitcast_u32_to_f32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def sortable_bits(x: jax.Array):
+    """(encoded, decoder) so floats never enter lax.sort as raw operands.
+
+    64-bit float sort operands at ~100M rows crash the TPU compile helper
+    (measured); integer bit patterns sort fine.  The encoding is the exact
+    bit pattern — which is also the reference's float GROUP BY / join-key
+    semantics (hash tables key on the raw 8 bytes: -0.0 and +0.0 are
+    distinct keys, equal-bit NaNs collapse into one).  decoder is None for
+    non-floats.
+    """
+    if x.dtype == jnp.float64:
+        return bitcast_f64_to_u64(x), bitcast_u64_to_f64
+    if x.dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(x, jnp.uint32), _bitcast_u32_to_f32
+    return x, None
 
 
 def _to_u64(x: jax.Array) -> jax.Array:

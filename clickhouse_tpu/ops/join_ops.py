@@ -48,7 +48,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import agg_ops
+from . import agg_ops, hash_ops
 
 __all__ = ["JoinTable", "ProbeResult", "build_join_table",
            "probe_join_table", "expand_matches"]
@@ -98,7 +98,11 @@ def probe_join_table(table: JoinTable, probe_keys: Sequence[jax.Array],
     tbl_invalid = gidx >= table.num_groups      # padding groups sink last
 
     invalid = jnp.concatenate([tbl_invalid, jnp.logical_not(probe_valid)])
-    keys = [jnp.concatenate([tk, pk.astype(tk.dtype)])
+    # float keys sort as bit patterns (raw f64 sort operands crash the TPU
+    # compile helper; bit equality == join-key equality after sortable_bits
+    # normalization)
+    keys = [hash_ops.sortable_bits(
+                jnp.concatenate([tk, pk.astype(tk.dtype)]))[0]
             for tk, pk in zip(table.key_cols, probe_keys)]
     # table entries sort before equal-key probe entries
     is_probe = jnp.concatenate([jnp.zeros((G,), jnp.bool_),

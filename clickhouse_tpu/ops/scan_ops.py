@@ -4,15 +4,21 @@ TPU scatter serializes updates (measured ~85ns/row — 8.5s per 100M-row
 segment_sum), so the engine never scatters on hot paths.  After the rows are
 key-sorted (sort: ~0.5s/100M — cheap), every per-group reduction becomes:
 
-  * segmented associative scan (value carried within segment, reset at
-    boundaries) -> per-group result sits at each segment's last row;
-  * group start positions via vectorized binary search (searchsorted) on the
-    sorted group-id array — gathers only;
-  * gather the per-group results at segment ends.
+  * sums: plain cumsum + boundary differences (exact modulo 2^64 for
+    integers; for floats XLA's native log-depth prefix sum behaves like
+    pairwise summation — per-group error ~log2(n)*eps of the running
+    prefix, far tighter than naive sequential accumulation over 100M rows);
+  * min/max/any: ONE extra sort of (group_id, order_token) pairs, then the
+    per-group extremum sits at the segment head/tail — picked by small
+    gathers at starts/ends;
+  * group start positions via merge-searchsorted on the sorted group-id
+    array (ops/search.py).
 
-Integer sums use plain cumsum + boundary differences (exact modulo 2^64);
-float sums use the segmented scan so accumulation never crosses segment
-boundaries (matches per-group sequential accuracy).
+`lax.associative_scan` is deliberately absent: over ~33M-element operands it
+OOM-kills the XLA compile helper on TPU (measured), so every reduction here
+lowers to native sort/cumsum/cummax primitives only.  (running_reduce — the
+window-function path — still uses associative_scan; window partitions are
+far smaller than GROUP BY inputs.)
 """
 from __future__ import annotations
 
@@ -21,7 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import search
+from . import search, sort_ops
 
 __all__ = ["segment_starts_ends", "seg_reduce_sorted", "running_reduce"]
 
@@ -132,45 +138,54 @@ def seg_reduce_sorted(op: str, data: jax.Array, group_ids_sorted: jax.Array,
         zero = jnp.zeros((), acc.dtype)
         if mask_sorted is not None:
             acc = jnp.where(mask_sorted, acc, zero)
-        if jnp.issubdtype(acc.dtype, jnp.integer):
-            # exact modulo arithmetic: cumsum + boundary difference
-            c = jnp.cumsum(acc)
-            total = c[last]
-            before = jnp.where(starts > 0, c[jnp.maximum(starts - 1, 0)], zero)
-            return jnp.where(have, total - before, zero)
-        seg = _segmented_scan(jnp.add, acc, boundary)
-        return jnp.where(have, seg[last], zero)
+        # cumsum + boundary difference: exact mod 2^64 for integers; for
+        # floats the native log-depth prefix sum keeps per-group error at
+        # ~log2(n)*eps of the prefix magnitude (cf. module docstring)
+        c = jnp.cumsum(acc)
+        total = c[last]
+        before = jnp.where(starts > 0, c[jnp.maximum(starts - 1, 0)], zero)
+        return jnp.where(have, total - before, zero)
 
     if op in ("min", "max"):
-        if jnp.issubdtype(data.dtype, jnp.integer) or data.dtype == jnp.bool_:
-            ident = jnp.iinfo(data.dtype).max if op == "min" \
-                else jnp.iinfo(data.dtype).min
-            ident = jnp.asarray(ident, data.dtype)
-        else:
-            ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf,
-                                data.dtype)
-        acc = data
-        if mask_sorted is not None:
-            acc = jnp.where(mask_sorted, acc, ident)
-        fn = jnp.minimum if op == "min" else jnp.maximum
-        seg = _segmented_scan(fn, acc, boundary)
-        out = seg[last]
-        return jnp.where(have, out, jnp.zeros((), data.dtype))
+        cnt = _masked_counts(mask_sorted, starts, ends, last, have)
+        havem = have & (cnt > 0)
+        # one sort of (gid, order-token) pairs; segment ranges [starts, ends)
+        # are unchanged (gid is the primary key), masked-out rows carry the
+        # token sentinel and sink to each segment's tail.  The data itself
+        # does NOT ride the sort (f64 sort operands break the TPU compile
+        # helper); a position payload + two small gathers fetch the value.
+        tok = sort_ops.order_token(data, validity=mask_sorted)
+        rowpos = jnp.arange(cap, dtype=jnp.int32)
+        _, _, pos2 = jax.lax.sort([group_ids_sorted, tok, rowpos],
+                                  num_keys=2, is_stable=False)
+        at = starts if op == "min" else starts + cnt - 1
+        out = data[pos2[jnp.clip(at, 0, cap - 1)]]
+        return jnp.where(havem, out, jnp.zeros((), data.dtype))
 
     if op == "any":
-        # first masked-in value per segment
-        m = mask_sorted if mask_sorted is not None \
-            else jnp.ones((cap,), jnp.bool_)
-
-        def combine(a, b):
-            av, ah, af = a
-            bv, bh, bf = b
-            v = jnp.where(bf, bv, jnp.where(ah, av, bv))
-            h = jnp.where(bf, bh, ah | bh)
-            return v, h, af | bf
-
-        out, _, _ = jax.lax.associative_scan(
-            combine, (data, m, boundary.astype(jnp.bool_)))
-        return jnp.where(have, out[last], jnp.zeros((), data.dtype))
+        # first masked-in value per segment: masked-in rows sort (stably,
+        # via original position) to the segment head
+        cnt = _masked_counts(mask_sorted, starts, ends, last, have)
+        havem = have & (cnt > 0)
+        if mask_sorted is None:
+            out = data[jnp.clip(starts, 0, cap - 1)]
+            return jnp.where(havem, out, jnp.zeros((), data.dtype))
+        rowpos = jnp.arange(cap, dtype=jnp.int32)
+        notm = jnp.logical_not(mask_sorted)
+        _, _, pos2 = jax.lax.sort([group_ids_sorted, notm, rowpos],
+                                  num_keys=3, is_stable=False)
+        out = data[pos2[jnp.clip(starts, 0, cap - 1)]]
+        return jnp.where(havem, out, jnp.zeros((), data.dtype))
 
     raise ValueError(f"Unknown segmented reduction '{op}'")
+
+
+def _masked_counts(mask_sorted, starts, ends, last, have):
+    """Masked-in rows per segment (int64), no scan beyond a native cumsum."""
+    if mask_sorted is None:
+        return ends - starts
+    mc = jnp.cumsum(mask_sorted.astype(jnp.int64))
+    total = mc[last]
+    before = jnp.where(starts > 0, mc[jnp.maximum(starts - 1, 0)],
+                       jnp.zeros((), jnp.int64))
+    return jnp.where(have, total - before, jnp.zeros((), jnp.int64))
