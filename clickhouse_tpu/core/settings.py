@@ -79,6 +79,8 @@ class Settings:
 
     # -- misc ----------------------------------------------------------------
     readonly: int = 0
+    user_files_path: str = ""          # confinement root for file()/INFILE/
+                                       # OUTFILE/BACKUP ("" = unrestricted)
     empty_result_for_aggregation_by_empty_set: bool = False
 
     # -- API -----------------------------------------------------------------

@@ -151,12 +151,14 @@ class Session:
             return self._run_alter(stmt)
         if isinstance(stmt, ast.BackupRestore):
             from ..storage import backup as bk
+            from ..storage.formats import confine_path
             db = stmt.database or self.catalog.current_database
+            bpath = confine_path(stmt.path, self.settings.user_files_path)
             if stmt.kind == "backup":
                 bk.backup_table(self.catalog.get_table(db, stmt.table),
-                                stmt.path)
+                                bpath)
             else:
-                t = bk.restore_table(stmt.path)
+                t = bk.restore_table(bpath)
                 t.name = stmt.table
                 self.catalog.create_table(db, t)
             return _status_result()
@@ -280,6 +282,8 @@ class Session:
         outfile = getattr(stmt, "outfile", None)
         if outfile:
             from ..storage import formats
+            outfile = formats.confine_path(outfile,
+                                           settings.user_files_path)
             formats.write_file(outfile, cols, types,
                                fmt=getattr(stmt, "format", None))
             return _status_result()
@@ -566,7 +570,9 @@ class Session:
         table = self.catalog.get_table(db, stmt.table)
         if stmt.infile is not None:
             from ..storage import formats
-            data = formats.read_file(stmt.infile, stmt.format)
+            infile = formats.confine_path(stmt.infile,
+                                          self.settings.user_files_path)
+            data = formats.read_file(infile, stmt.format)
             if stmt.columns:
                 data = {k: data[k] for k in stmt.columns}
             aligned = _align_insert(data, table, stmt.columns)

@@ -30,42 +30,47 @@ int chn_lz4_decompress(const uint8_t* src, int src_len,
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_len;
 
+    if (src_len < 0 || dst_len < 0) return -1;
     while (ip < iend) {
         const uint8_t token = *ip++;
-        // literals
-        int lit = token >> 4;
+        // literals (64-bit lengths, compared against *remaining* bytes —
+        // never via `ptr + len` arithmetic, which can wrap)
+        uint64_t lit = token >> 4;
         if (lit == 15) {
             uint8_t b;
             do {
                 if (ip >= iend) return -1;
                 b = *ip++;
                 lit += b;
+                if (lit > static_cast<uint64_t>(dst_len)) return -1;
             } while (b == 255);
         }
-        if (ip + lit > iend || op + lit > oend) return -1;
-        std::memcpy(op, ip, lit);
+        if (lit > static_cast<uint64_t>(iend - ip) ||
+            lit > static_cast<uint64_t>(oend - op)) return -1;
+        std::memcpy(op, ip, static_cast<size_t>(lit));
         ip += lit;
         op += lit;
         if (ip >= iend) break;          // last sequence: literals only
 
         // match
-        if (ip + 2 > iend) return -1;
+        if (iend - ip < 2) return -1;
         const int offset = ip[0] | (ip[1] << 8);
         ip += 2;
         if (offset == 0 || op - dst < offset) return -1;
-        int mlen = (token & 15) + 4;
+        uint64_t mlen = (token & 15) + 4;
         if ((token & 15) == 15) {
             uint8_t b;
             do {
                 if (ip >= iend) return -1;
                 b = *ip++;
                 mlen += b;
+                if (mlen > static_cast<uint64_t>(dst_len)) return -1;
             } while (b == 255);
         }
-        if (op + mlen > oend) return -1;
+        if (mlen > static_cast<uint64_t>(oend - op)) return -1;
         const uint8_t* match = op - offset;
         // overlapping copy must run forward byte-wise
-        for (int i = 0; i < mlen; ++i) op[i] = match[i];
+        for (uint64_t i = 0; i < mlen; ++i) op[i] = match[i];
         op += mlen;
     }
     return static_cast<int>(op - dst);
@@ -216,7 +221,11 @@ long long chn_read_strcol(const uint8_t* src, long long src_len, long long n,
             shift += 7;
             if (shift > 63) return -1;
         }
-        if (ip + len > iend || pos + static_cast<long long>(len) > blob_cap)
+        // compare against remaining bytes — `ip + len` can wrap for huge
+        // varint lengths, defeating the bounds check (OOB read + SIGSEGV)
+        if (len > static_cast<unsigned long long>(iend - ip) ||
+            pos > blob_cap ||
+            len > static_cast<unsigned long long>(blob_cap - pos))
             return -1;
         std::memcpy(blob + pos, ip, len);
         ip += len;

@@ -404,7 +404,8 @@ class Analyzer:
             path = str(fc.args[0].value)
             fmt = str(fc.args[1].value) if len(fc.args) > 1 \
                 and isinstance(fc.args[1], ast.Literal) else None
-            table = self.catalog.file_table(path, fmt)
+            table = self.catalog.file_table(
+                path, fmt, files_root=self.settings.user_files_path)
             fields, names = [], []
             for cname, ctype in table.schema_items():
                 fields.append(self.field(cname, ctype, quals))

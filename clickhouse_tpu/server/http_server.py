@@ -5,10 +5,19 @@ Analog of the reference's HTTP handler (src/Server/HTTPHandler.cpp): accepts
 in the requested format (`FORMAT` clause or `default_format` parameter; TSV
 by default, like the reference).  `/ping` and `/` health endpoints.  Settings
 via query parameters (e.g. `?max_groups=1048576`).
+
+Security model (matching HTTPHandler::authenticateUser + the GET readonly
+rule, src/Server/HTTPHandler.cpp): every request authenticates via the
+`user`/`password` params or `X-ClickHouse-User`/`X-ClickHouse-Key` headers;
+GET requests execute in readonly mode.  The underlying Session is shared, so
+requests are serialized under a lock and session state (user, database,
+settings) is saved/restored per request — the `database` parameter is
+validated as an identifier and applied without SQL interpolation.
 """
 from __future__ import annotations
 
 import json
+import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -16,16 +25,19 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.errors import EngineError
+from ..core.errors import EngineError, UnknownTable
 from ..exec.session import Session
 from ..storage import formats
 
 __all__ = ["serve", "HttpServer"]
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "clickhouse-tpu/0.1"
     session: Session = None          # injected by HttpServer
+    lock: threading.Lock = None      # serializes shared-session access
 
     def log_message(self, fmt, *args):   # quiet by default
         pass
@@ -39,13 +51,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
-    def _handle(self, body: Optional[str]):
+    def _handle(self, body: Optional[str], readonly: bool):
         parsed = urllib.parse.urlparse(self.path)
         params = dict(urllib.parse.parse_qsl(parsed.query))
         query = params.pop("query", "") or (body or "")
         if parsed.path == "/ping" or (parsed.path == "/" and not query.strip()):
             self._send(200, "Ok.\n")
             return
+        user = params.pop("user", None) \
+            or self.headers.get("X-ClickHouse-User") or "default"
+        password = params.pop("password", None) \
+            or self.headers.get("X-ClickHouse-Key") or ""
         default_format = params.pop("default_format", "TSV")
         database = params.pop("database", None)
         settings = {}
@@ -53,9 +69,29 @@ class _Handler(BaseHTTPRequestHandler):
             if k in self.session.settings.as_dict():
                 settings[k] = v
         try:
-            if database:
-                self.session.execute(f"USE {database}")
-            result = self.session.execute(query, settings=settings or None)
+            with self.lock:
+                s = self.session
+                auth_user = s.catalog.access.authenticate(user, password)
+                saved_user = s.current_user
+                saved_db = s.catalog.current_database
+                saved_settings = s.settings
+                try:
+                    s.current_user = auth_user
+                    if readonly or auth_user.readonly:
+                        s.settings = s.settings.copy_with({"readonly": 1})
+                    if database:
+                        if not _IDENT_RE.match(database):
+                            raise EngineError(
+                                f"Invalid database name '{database}'")
+                        if database not in s.catalog.databases:
+                            raise UnknownTable(
+                                f"Unknown database '{database}'")
+                        s.catalog.current_database = database
+                    result = s.execute(query, settings=settings or None)
+                finally:
+                    s.current_user = saved_user
+                    s.catalog.current_database = saved_db
+                    s.settings = saved_settings
             fmt = default_format
             out = formats.format_rows_text(result.columns, fmt) \
                 if result.columns else ""
@@ -67,12 +103,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, f"Code: 1000. Internal error: {e}\n")
 
     def do_GET(self):
-        self._handle(None)
+        # the reference forces readonly for GET (HTTPHandler.cpp): GET must
+        # not run DDL/DML
+        self._handle(None, readonly=True)
 
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(n).decode() if n else ""
-        self._handle(body)
+        self._handle(body, readonly=False)
 
 
 class HttpServer:
@@ -80,7 +118,8 @@ class HttpServer:
                  host: str = "127.0.0.1", port: int = 8123):
         self.session = session or Session()
         handler = type("BoundHandler", (_Handler,),
-                       {"session": self.session})
+                       {"session": self.session,
+                        "lock": threading.Lock()})
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None

@@ -19,11 +19,39 @@ import numpy as np
 from ..core import dtypes as dt
 from ..core.errors import AnalysisError, NotImplementedError_
 
-__all__ = ["read_file", "write_file", "detect_format", "FORMATS",
-           "format_rows_text"]
+__all__ = ["read_file", "write_file", "detect_format", "confine_path",
+           "FORMATS", "format_rows_text"]
 
 FORMATS = ["Parquet", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
            "JSONEachRow", "Native", "Values", "Arrow"]
+
+
+def confine_path(path: str, root: Optional[str]) -> str:
+    """Resolve and confine a user-supplied path to ``root``.
+
+    The user_files_path restriction of the reference
+    (src/Storages/StorageFile.cpp checkCreationIsAllowed): file()/INFILE/
+    OUTFILE/BACKUP paths must stay inside the configured root.  An empty
+    root means unrestricted (clickhouse-local behavior).  Relative paths
+    resolve against the root."""
+    if not root:
+        return path
+    rootr = os.path.realpath(root)
+    cand = path if os.path.isabs(path) else os.path.join(rootr, path)
+    # realpath the deepest existing ancestor so symlink escapes are caught
+    # even for not-yet-existing output files
+    head, tail = cand, ""
+    while head and not os.path.exists(head):
+        head, last = os.path.split(head)
+        tail = os.path.join(last, tail) if tail else last
+        if not last:
+            break
+    resolved = os.path.join(os.path.realpath(head), tail) if tail \
+        else os.path.realpath(cand)
+    if resolved != rootr and not resolved.startswith(rootr + os.sep):
+        raise AnalysisError(
+            f"Path '{path}' is outside the allowed user_files_path")
+    return resolved
 
 
 def detect_format(path: str) -> str:

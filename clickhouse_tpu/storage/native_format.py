@@ -139,8 +139,14 @@ def _read_column_data(inp: BinaryIO, type_name: str, n_rows: int) -> np.ndarray:
             out[i] = inp.read(width).rstrip(b"\0").decode(errors="replace")
         return out
     if type_name.startswith("LowCardinality("):
-        return _read_column_data(inp, type_name[len("LowCardinality("):-1],
-                                 n_rows)
+        # A genuine ClickHouse Native LowCardinality column is a
+        # version-prefixed dictionary stream (SerializationLowCardinality),
+        # not the plain inner column; misparsing it would yield garbage.
+        # Our own writer never emits LowCardinality (it writes the inner
+        # type), so fail cleanly here.
+        raise NotImplementedError_(
+            "Native LowCardinality dictionary streams are not supported; "
+            "re-export the file with a plain column type")
     if type_name.startswith("Enum"):
         raise NotImplementedError_("Enum columns are not supported yet")
     npdt = _NUMERIC.get(type_name)

@@ -242,11 +242,13 @@ class Catalog:
         # extra system.* table providers registered by the session
         self.system_providers: Dict[str, "callable"] = {}
 
-    def file_table(self, path: str, fmt: Optional[str] = None) -> Table:
+    def file_table(self, path: str, fmt: Optional[str] = None,
+                   files_root: Optional[str] = None) -> Table:
         """file() table function backing: read once per (path, mtime)."""
         import os
         from . import formats
         from .table import Table as _T
+        path = formats.confine_path(path, files_root)
         mtime = os.path.getmtime(path)
         key = (path, mtime)
         name = self._file_cache.get(key)

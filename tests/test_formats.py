@@ -104,3 +104,42 @@ class TestFileFormats:
         assert txt == "a,b\n1,x\n2,y\n"
         j = formats.format_rows_text({"a": np.asarray([1])}, "JSONEachRow")
         assert j == '{"a": 1}\n'
+
+
+class TestNativeCodecRobustness:
+    """Malformed input must error cleanly, never read/write out of bounds
+    (ADVICE r1: varint/LZ4 length overflows defeated the bounds checks)."""
+
+    def test_huge_varint_length_rejected(self):
+        from clickhouse_tpu import native as chn
+        # varint encoding of 2^64-1: nine 0xFF bytes + 0x01
+        evil = b"\xff" * 9 + b"\x01" + b"abc"
+        with pytest.raises(ValueError):
+            chn.decode_strings(evil, 1)
+
+    def test_varint_length_beyond_input_rejected(self):
+        from clickhouse_tpu import native as chn
+        # plausible length (1000) but only 3 bytes of payload
+        evil = b"\xe8\x07" + b"abc"
+        with pytest.raises(ValueError):
+            chn.decode_strings(evil, 1)
+
+    def test_lz4_literal_run_overflow_rejected(self):
+        from clickhouse_tpu import native as chn
+        # token=0xF0 (literal run w/ extension), then a long 0xFF run that
+        # would wrap a 32-bit length counter
+        evil = b"\xf0" + b"\xff" * (1 << 15) + b"\x00"
+        with pytest.raises(ValueError):
+            chn.lz4_decompress(evil, 64)
+
+    def test_lz4_match_run_overflow_rejected(self):
+        from clickhouse_tpu import native as chn
+        evil = b"\x1fA\x01\x00" + b"\xff" * (1 << 15) + b"\x00"
+        with pytest.raises(ValueError):
+            chn.lz4_decompress(evil, 64)
+
+    def test_lz4_roundtrip_still_works(self):
+        from clickhouse_tpu import native as chn
+        data = (b"hello world " * 1000) + b"tail"
+        comp = chn.lz4_compress(data)
+        assert chn.lz4_decompress(comp, len(data)) == data

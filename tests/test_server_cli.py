@@ -72,6 +72,43 @@ class TestHttp:
         code, body = _post(server, "SELECT count() FROM t")
         assert body.strip() == "4"
 
+    def test_get_is_readonly(self, server):
+        # the reference forces readonly for GET: DDL/DML must be rejected
+        q = urllib.parse.quote("CREATE TABLE evil (x Int64)")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, f"/?query={q}")
+        assert ei.value.code == 400
+        assert "readonly" in ei.value.read().decode().lower()
+
+    def test_auth_wrong_password(self, server):
+        server.session.execute(
+            "CREATE USER IF NOT EXISTS alice IDENTIFIED BY 'secret'")
+        q = urllib.parse.quote("SELECT 1")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, f"/?query={q}&user=alice&password=wrong")
+        assert ei.value.code == 400
+
+    def test_auth_header(self, server):
+        server.session.execute("GRANT SELECT ON *.* TO alice")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/?query=SELECT%201")
+        req.add_header("X-ClickHouse-User", "alice")
+        req.add_header("X-ClickHouse-Key", "secret")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+
+    def test_bad_database_param(self, server):
+        q = urllib.parse.quote("SELECT 1")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, f"/?query={q}&database=no;DROP")
+        assert ei.value.code == 400
+
+    def test_database_param_not_sticky(self, server):
+        server.session.execute("CREATE DATABASE IF NOT EXISTS otherdb")
+        q = urllib.parse.quote("SELECT 1")
+        _get(server, f"/?query={q}&database=otherdb")
+        assert server.session.catalog.current_database == "default"
+
 
 class TestCli:
     def test_local_query(self, capsys):
