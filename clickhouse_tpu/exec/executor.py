@@ -329,13 +329,19 @@ def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
             arrays.append(v)
             dims.append((0, 2))
             total *= 2
-        arrays.append(data)
         b = None
         if cv.dtype.is_dictionary:
             d = cv.dictionary
             b = (0, max(len(d) - 1, 0)) if d is not None else None
         elif cv.dtype.np_dtype.kind in ("i", "u", "b"):
             b = ranges.infer_bounds(e, ctx.field_bounds)
+        # narrow 64-bit keys to i32 when bounds prove they fit: the grouping
+        # sort runs ~2x faster on 32-bit operands (measured v5e)
+        if b is not None and np.dtype(data.dtype).kind in ("i", "u") \
+                and np.dtype(data.dtype).itemsize == 8 \
+                and -2**31 <= b[0] and b[1] < 2**31:
+            data = data.astype(jnp.int32)
+        arrays.append(data)
         if b is None:
             dense_ok = False
             dims.append(None)
@@ -538,11 +544,16 @@ def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
         if cv.validity is not None:
             uk_validity = unique_keys[ki].astype(jnp.uint8)
             ki += 1
-            cols[f.id] = ColVal(f.dtype, unique_keys[ki], uk_validity,
-                                cv.dictionary)
         else:
-            cols[f.id] = ColVal(f.dtype, unique_keys[ki], None, cv.dictionary)
+            uk_validity = None
+        uk = unique_keys[ki]
         ki += 1
+        want = dt.remove_nullable(f.dtype).jnp_dtype
+        if not f.dtype.is_dictionary and uk.dtype != want \
+                and np.dtype(uk.dtype).kind in ("i", "u") \
+                and np.dtype(want).kind in ("i", "u"):
+            uk = uk.astype(want)     # widen keys narrowed for the sort
+        cols[f.id] = ColVal(f.dtype, uk, uk_validity, cv.dictionary)
     for item, arg_cvs, states in states_per_agg:
         data, validity = item.fn.finalize(states)
         if not isinstance(item.fn, agg_reg.CountAgg):
@@ -946,6 +957,164 @@ def _unify_join_keys(lk: ColVal, rk: ColVal, lcap: int, rcap: int):
     return lk.data.astype(ct), rk.data.astype(ct), lk.validity, rk.validity
 
 
+def _colval_words(cv: ColVal, capacity: int, bounds=None):
+    """Decompose a ColVal into 32-bit words + a reassembler (for carrying
+    build columns through the propagate-join sorts as i32 operands)."""
+    cv = cv.broadcast(capacity)
+    data = cv.data
+    kind = np.dtype(data.dtype).kind
+    itemsize = np.dtype(data.dtype).itemsize
+    words: List[jax.Array] = []
+    if kind in ("i", "u", "b") and itemsize <= 4:
+        words.append(data.astype(jnp.int32))
+
+        def rebuild(ws, dt_=data.dtype):
+            return ws[0].astype(dt_)
+    elif kind in ("i", "u"):
+        if bounds is not None and -2**31 <= bounds[0] and bounds[1] < 2**31:
+            words.append(data.astype(jnp.int32))
+
+            def rebuild(ws, dt_=data.dtype):
+                return ws[0].astype(dt_)
+        else:
+            words.append(data.astype(jnp.uint32).astype(jnp.int32))  # lo
+            words.append((data.astype(jnp.int64)
+                          >> jnp.int64(32)).astype(jnp.int32))       # hi
+
+            def rebuild(ws, dt_=data.dtype):
+                lo = ws[0].astype(jnp.uint32).astype(jnp.uint64)
+                hi = ws[1].astype(jnp.int64).astype(jnp.uint64)
+                return ((hi << jnp.uint64(32)) | lo).astype(dt_)
+    elif data.dtype == jnp.float32:
+        words.append(jax.lax.bitcast_convert_type(data, jnp.int32))
+
+        def rebuild(ws):
+            return jax.lax.bitcast_convert_type(ws[0], jnp.float32)
+    elif data.dtype == jnp.float64:
+        from ..ops.hash_ops import bitcast_f64_to_u64, bitcast_u64_to_f64
+        bits = bitcast_f64_to_u64(data)
+        words.append(bits.astype(jnp.uint32).astype(jnp.int32))
+        words.append((bits >> jnp.uint64(32)).astype(jnp.uint32)
+                     .astype(jnp.int32))
+
+        def rebuild(ws):
+            lo = ws[0].astype(jnp.uint32).astype(jnp.uint64)
+            hi = ws[1].astype(jnp.uint32).astype(jnp.uint64)
+            from ..ops.hash_ops import bitcast_u64_to_f64 as bc
+            return bc((hi << jnp.uint64(32)) | lo)
+    else:
+        return None
+    if cv.validity is not None:
+        words.append(cv.validity.astype(jnp.int32))
+    return words, rebuild
+
+
+def _propagate_ok(node: L.JoinNode, right: ExecBlock) -> bool:
+    """Can this join run on the propagate (no-expansion) path?"""
+    if node.kind == "cross":
+        return False
+    if node.strictness in ("semi", "anti", "any", "asof"):
+        ok_kinds = True
+    elif node.strictness == "all" and node.kind in ("inner", "left") \
+            and node.build_unique:
+        ok_kinds = True
+    else:
+        return False
+    left_ids = {f.id for f in node.left.schema}
+    for f in node.schema:
+        if f.id in left_ids:
+            continue
+        cv = right.cols.get(f.id)
+        if cv is None or cv.dtype.is_array or getattr(
+                cv.data, "ndim", 1) > 1:
+            return False
+    return ok_kinds
+
+
+def _join_propagate(node: L.JoinNode, left: ExecBlock, right: ExecBlock,
+                    lkeys, rkeys, probe_ok, build_ok,
+                    ctx: ExecContext) -> ExecBlock:
+    """Propagate-join execution: output capacity == probe capacity."""
+    s = ctx.settings
+    lcap, rcap = left.capacity, right.capacity
+    # build-side output columns -> 32-bit words
+    left_ids = {f.id for f in node.left.schema}
+    right_fields = [f for f in node.schema if f.id not in left_ids]
+    per_field = []           # (field, cv, n_data_words, rebuild)
+    build_words: List[jax.Array] = []
+    for f in right_fields:
+        cv = right.cols[f.id]
+        dec = _colval_words(cv, rcap, bounds=ctx.field_bounds.get(f.id))
+        assert dec is not None, "checked by _propagate_ok"
+        words, rebuild = dec
+        cvb = cv.broadcast(rcap)
+        n_data = len(words) - (1 if cvb.validity is not None else 0)
+        per_field.append((f, cvb, n_data, rebuild))
+        build_words.extend(words)
+
+    asof_tokens = None
+    asof_strict = False
+    if node.strictness == "asof":
+        lt = evaluate(node.asof_left, left.env()).broadcast(lcap)
+        rt = evaluate(node.asof_right, right.env()).broadcast(rcap)
+        ct = np.promote_types(np.dtype(lt.data.dtype),
+                              np.dtype(rt.data.dtype))
+        # left <= right: candidates have right >= left, best = SMALLEST right
+        # -> descending tokens turn that into "last token <= probe token"
+        desc = node.asof_op in ("<", "<=")
+        bt = sort_ops.order_token(rt.data.astype(ct), descending=desc)
+        pt = sort_ops.order_token(lt.data.astype(ct), descending=desc)
+        asof_tokens = (bt, pt)
+        asof_strict = node.asof_op in ("<", ">")
+        if lt.validity is not None:
+            probe_ok = probe_ok & lt.validity.astype(jnp.bool_)
+        if rt.validity is not None:
+            build_ok = build_ok & rt.validity.astype(jnp.bool_)
+
+    pr = join_ops.propagate_join(rkeys, build_ok, lkeys, probe_ok,
+                                 build_words, asof_tokens=asof_tokens,
+                                 asof_strict=asof_strict)
+
+    if node.strictness in ("semi", "anti"):
+        keep = pr.matched if node.strictness == "semi" else ~pr.matched
+        return ExecBlock(left.cols, left.valid & keep, lcap,
+                         sharded=left.sharded)
+
+    left_outer = node.kind == "left"
+    mmask = pr.matched
+    cols: Dict[str, ColVal] = {}
+    for f in node.schema:
+        if f.id in left_ids:
+            cols[f.id] = left.cols[f.id]
+            continue
+    wi = 0
+    for f, cv, nw, rebuild in per_field:
+        has_v = cv.validity is not None
+        ws = pr.words[wi:wi + nw]
+        wi += nw + (1 if has_v else 0)
+        data = rebuild(ws)
+        validity = (pr.words[wi - 1].astype(jnp.uint8) & jnp.uint8(1)) \
+            if has_v else None
+        if left_outer:
+            if s.join_use_nulls or cv.dtype.nullable:
+                v = validity if validity is not None \
+                    else jnp.ones(data.shape, jnp.uint8)
+                validity = jnp.where(mmask, v, 0).astype(jnp.uint8)
+            else:
+                data = jnp.where(mmask, data, _default_scalar(cv))
+        else:
+            data = jnp.where(mmask, data, jnp.zeros((), data.dtype))
+        cols[f.id] = ColVal(cv.dtype, data, validity, cv.dictionary)
+
+    valid = left.valid if left_outer else (left.valid & mmask)
+    out = ExecBlock(cols, valid, lcap, sharded=left.sharded)
+    if node.residual is not None:
+        pred = evaluate(node.residual, out.env())
+        out = ExecBlock(out.cols, out.valid & _bool_mask(pred, lcap),
+                        lcap, sharded=left.sharded)
+    return out
+
+
 def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
     left = execute_plan(node.left, ctx)
     right = execute_plan(node.right, ctx)
@@ -979,19 +1148,39 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
         probe_ok = left.valid
         build_ok = right.valid
     else:
+        from ..plan import ranges
         lkey_cvs = [evaluate(e, left.env()) for e in node.left_keys]
         rkey_cvs = [evaluate(e, right.env()) for e in node.right_keys]
         lkeys, rkeys = [], []
         probe_ok = left.valid
         build_ok = right.valid
-        for lk_cv, rk_cv in zip(lkey_cvs, rkey_cvs):
+        for le, re_, lk_cv, rk_cv in zip(node.left_keys, node.right_keys,
+                                         lkey_cvs, rkey_cvs):
             la, ra, lv, rv = _unify_join_keys(lk_cv, rk_cv, lcap, rcap)
+            # narrow 64-bit keys to i32 when interval analysis proves both
+            # sides fit: i32 sort operands run ~2x faster on TPU
+            if np.dtype(la.dtype).kind in ("i", "u") \
+                    and np.dtype(la.dtype).itemsize == 8:
+                lb = ranges.infer_bounds(le, ctx.field_bounds)
+                rb = ranges.infer_bounds(re_, ctx.field_bounds)
+                if lb is not None and rb is not None \
+                        and min(lb[0], rb[0]) >= -2**31 \
+                        and max(lb[1], rb[1]) < 2**31:
+                    la = la.astype(jnp.int32)
+                    ra = ra.astype(jnp.int32)
             lkeys.append(la)
             rkeys.append(ra)
             if lv is not None:     # NULL keys never match
                 probe_ok = probe_ok & lv.astype(jnp.bool_)
             if rv is not None:
                 build_ok = build_ok & rv.astype(jnp.bool_)
+
+    if _propagate_ok(node, right):
+        return _join_propagate(node, left, right, lkeys, rkeys,
+                               probe_ok, build_ok, ctx)
+    if node.strictness == "asof":
+        raise NotImplementedError_(
+            "ASOF JOIN with Array-typed right columns is not supported")
 
     cap_g = pad_to(min(rcap, s.max_join_build_rows))
     table = join_ops.build_join_table(rkeys, build_ok, cap_g)

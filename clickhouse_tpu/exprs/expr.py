@@ -72,7 +72,15 @@ class ColVal:
 
 
 def colval_from_column(col: Column) -> ColVal:
-    return ColVal(col.dtype, col.data, col.validity, col.dictionary,
+    data = col.data
+    if not col.dtype.is_dictionary and not col.dtype.is_array:
+        want = dt.remove_nullable(col.dtype).jnp_dtype
+        if data.dtype != want and data.dtype.kind in ("i", "u", "f"):
+            # narrow physical storage (core/column.py narrow_storage): widen
+            # lazily — the cast fuses into consumers, so scans stream the
+            # narrow bytes at HBM roofline
+            data = data.astype(want)
+    return ColVal(col.dtype, data, col.validity, col.dictionary,
                   lengths=col.lengths)
 
 

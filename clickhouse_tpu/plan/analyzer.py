@@ -418,7 +418,8 @@ class Analyzer:
                      ctes, scalar_aliases) -> Tuple[L.PlanNode, Scope]:
         right, rscope = self.analyze_table_expr(join.table, ctes)
         if join.strictness == "asof":
-            raise NotImplementedError_("ASOF JOIN not supported yet")
+            return self._analyze_asof_join(left, lscope, right, rscope, join,
+                                           scalar_aliases)
 
         left_keys: List[BoundExpr] = []
         right_keys: List[BoundExpr] = []
@@ -516,7 +517,92 @@ class Analyzer:
 
         node = L.JoinNode(left, right, kind, strict, left_keys, right_keys,
                           residual, out_fields, join.is_global)
+        node.build_unique = self._build_unique_stat(right, right_keys)
         return node, Scope(out_fields)
+
+    def _analyze_asof_join(self, left, lscope, right, rscope,
+                           join: ast.Join, scalar_aliases):
+        """ASOF JOIN: equalities + exactly one inequality (the asof pair).
+        Reference semantics: src/Interpreters/HashJoin/HashJoin.h:110 ASOF
+        strictness — match the closest build row on the inequality column."""
+        if join.kind not in ("inner", "left"):
+            raise AnalysisError("ASOF JOIN supports INNER/LEFT only")
+        if join.on is None:
+            raise AnalysisError("ASOF JOIN requires ON with an inequality")
+        left_keys: List[BoundExpr] = []
+        right_keys: List[BoundExpr] = []
+        asof = None
+        for c in _split_conjuncts(join.on):
+            pair = self._try_equi_pair(c, lscope, rscope, scalar_aliases)
+            if pair is not None:
+                left_keys.append(pair[0])
+                right_keys.append(pair[1])
+                continue
+            ineq = self._try_ineq_pair(c, lscope, rscope, scalar_aliases)
+            if ineq is None:
+                raise AnalysisError("ASOF JOIN ON supports only equalities "
+                                    "plus one inequality")
+            if asof is not None:
+                raise AnalysisError("ASOF JOIN needs exactly one inequality")
+            asof = ineq
+        if asof is None:
+            raise AnalysisError("ASOF JOIN requires an inequality in ON")
+        if not left_keys:
+            raise AnalysisError("ASOF JOIN requires at least one equality")
+        out_fields = list(left.schema) + list(right.schema)
+        node = L.JoinNode(left, right, join.kind, "asof", left_keys,
+                          right_keys, None, out_fields, join.is_global,
+                          asof_left=asof[0], asof_right=asof[1],
+                          asof_op=asof[2])
+        return node, Scope(out_fields)
+
+    _INEQ_OPS = {"less": "<", "lessOrEquals": "<=",
+                 "greater": ">", "greaterOrEquals": ">="}
+    _INEQ_SWAP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+    def _try_ineq_pair(self, c: ast.Expr, lscope: Scope, rscope: Scope,
+                       scalar_aliases):
+        """-> (left_expr, right_expr, op) with op oriented left OP right."""
+        if not (isinstance(c, ast.FuncCall) and c.name in self._INEQ_OPS
+                and len(c.args) == 2):
+            return None
+        op = self._INEQ_OPS[c.name]
+        a, b = c.args
+        for first, second, cur_op in ((a, b, op),
+                                      (b, a, self._INEQ_SWAP[op])):
+            try:
+                le = self.bind(_expand_aliases(first, scalar_aliases, lscope),
+                               lscope, allow_agg=False)
+                re_ = self.bind(_expand_aliases(second, scalar_aliases,
+                                                rscope),
+                                rscope, allow_agg=False)
+            except (UnknownIdentifier, AnalysisError):
+                continue
+            return (le, re_, cur_op)
+        return None
+
+    def _build_unique_stat(self, right_node, right_keys) -> bool:
+        """True iff the build side's join keys are provably unique (N:1
+        propagate-join eligibility; see storage/table.py column_unique)."""
+        node = right_node
+        while isinstance(node, (L.FilterNode,)):
+            node = node.child
+        if not isinstance(node, L.ScanNode):
+            return False
+        field_to_col = {f.id: n for f, n in zip(node.schema,
+                                                node.column_names)}
+        try:
+            table = self.catalog.get_table(node.database, node.table)
+        except Exception:
+            return False
+        for k in right_keys:
+            if isinstance(k, BoundColumn) and k.name in field_to_col:
+                try:
+                    if table.column_unique(field_to_col[k.name]):
+                        return True
+                except Exception:
+                    return False
+        return False
 
     def _try_equi_pair(self, c: ast.Expr, lscope: Scope, rscope: Scope,
                        scalar_aliases):

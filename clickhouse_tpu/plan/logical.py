@@ -224,6 +224,13 @@ class JoinNode(PlanNode):
     residual: Optional[BoundExpr]
     schema: List[Field]          # left fields then right fields (as exposed)
     is_global: bool = False
+    # planner statistic: the build (right) side's join keys are provably
+    # unique (part-level uniqueness stats) -> N:1 propagate join eligible
+    build_unique: bool = False
+    # ASOF JOIN: inequality pair (left expr OP right expr)
+    asof_left: Optional[BoundExpr] = None
+    asof_right: Optional[BoundExpr] = None
+    asof_op: str = "<="
 
     def children(self):
         return (self.left, self.right)

@@ -170,6 +170,10 @@ def _prune_columns(node: L.PlanNode, needed: Set[str]) -> None:
             expr_column_refs(e, lneed)
         for e in node.right_keys:
             expr_column_refs(e, rneed)
+        if node.asof_left is not None:
+            expr_column_refs(node.asof_left, lneed)
+        if node.asof_right is not None:
+            expr_column_refs(node.asof_right, rneed)
         extra: Set[str] = set(needed)
         if node.residual is not None:
             expr_column_refs(node.residual, extra)
