@@ -41,8 +41,19 @@ class ExecutionError(EngineError):
 
 
 class CapacityError(ExecutionError):
-    """Static capacity exceeded (groups/join matches beyond planned bound)."""
+    """Static capacity exceeded (groups/join matches beyond planned bound).
+
+    Carries the setting that bounds the capacity and the observed need so the
+    session can re-plan at a higher capacity tier (the TPU analog of the
+    reference's single-level -> two-level hash table conversion,
+    src/Interpreters/Aggregator.cpp:91) instead of failing the query.
+    """
     code = 241       # MEMORY_LIMIT_EXCEEDED analog
+
+    def __init__(self, message: str, setting: str = None, needed: int = None):
+        super().__init__(message)
+        self.setting = setting
+        self.needed = needed
 
 
 class NotImplementedError_(EngineError):

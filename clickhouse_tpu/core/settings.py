@@ -46,6 +46,9 @@ class Settings:
     join_use_nulls: bool = False
     max_probe_iterations: int = 64     # linear-probe bound in hash kernels
     max_joined_rows: int = 0           # join output capacity (0 = auto)
+    max_array_join_rows: int = 0       # arrayJoin output capacity (0 = auto)
+    capacity_autotune: bool = True     # re-plan at higher tier on overflow
+    capacity_autotune_max_retries: int = 4
 
     # -- sorting -------------------------------------------------------------
     max_bytes_before_external_sort: int = 0

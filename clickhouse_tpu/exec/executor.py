@@ -61,6 +61,9 @@ class Check:
     value: Any                     # device scalar
     limit: int
     message: str
+    # setting that bounds this capacity: the session's autotuner re-plans
+    # with it raised when the check trips (None = not tunable)
+    setting: Optional[str] = None
 
 
 class ExecContext:
@@ -592,7 +595,8 @@ def _aggregate_local(node: L.AggregateNode, child: ExecBlock, key_cvs,
     if not global_agg and dims is None:
         ctx.checks.append(Check(grouping.num_groups, cap_g,
                                 "GROUP BY cardinality exceeded max_groups; "
-                                "raise the max_groups setting"))
+                                "raise the max_groups setting",
+                                setting="max_groups"))
     return _finalize(node, key_cvs, grouping.unique_keys,
                      grouping.num_groups, group_counts, states_per_agg,
                      cap_g, global_agg, sharded_out, ctx,
@@ -640,7 +644,8 @@ def _aggregate_two_stage(node: L.AggregateNode, child: ExecBlock, key_cvs,
     g2 = agg_ops.group_by_sort(keys_rx, valid_rx, cap_g)
     ctx.checks.append(Check(g2.num_groups, cap_g,
                             "GROUP BY cardinality exceeded max_groups; "
-                            "raise the max_groups setting"))
+                            "raise the max_groups setting",
+                            setting="max_groups"))
     merged_counts = g2.reduce("sum", states_rx[0], valid_rx)
     i = 1
     merged_per_agg = []
@@ -730,9 +735,13 @@ def _exec_array_join(node: L.ArrayJoinNode, ctx: ExecContext) -> ExecBlock:
     first = cum - lens
     total = cum[-1]
     max_len = arr.data.shape[-1]
-    out_cap = pad_to(min(cap * max_len, max(cap * 4, 1 << 16)))
+    if ctx.settings.max_array_join_rows > 0:
+        out_cap = pad_to(ctx.settings.max_array_join_rows)
+    else:
+        out_cap = pad_to(min(cap * max_len, max(cap * 4, 1 << 16)))
     ctx.checks.append(Check(total, out_cap,
-                            "arrayJoin expansion exceeded capacity"))
+                            "arrayJoin expansion exceeded capacity",
+                            setting="max_array_join_rows"))
     j = jnp.arange(out_cap, dtype=jnp.int64)
     row = jnp.clip(search_ops.searchsorted(cum, j, side="right"), 0, cap - 1) \
         .astype(jnp.int32)
@@ -927,7 +936,8 @@ def _exec_distinct(node: L.DistinctNode, ctx: ExecContext) -> ExecBlock:
     cap_g = pad_to(min(cap, ctx.settings.max_groups))
     g = agg_ops.group_by_sort(key_arrays, child.valid, cap_g)
     ctx.checks.append(Check(g.num_groups, cap_g,
-                            "DISTINCT cardinality exceeded max_groups"))
+                            "DISTINCT cardinality exceeded max_groups",
+                            setting="max_groups"))
     cols = {}
     ki = 0
     for f, cv in zip(node.schema, cvs):
@@ -1203,7 +1213,8 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
         pr, left.valid, out_cap, left=left_outer, any_join=any_join)
     ctx.checks.append(Check(out_count, out_cap,
                             "JOIN result exceeded the output capacity; raise "
-                            "max_block_size / join capacity settings"))
+                            "the max_joined_rows setting",
+                            setting="max_joined_rows"))
 
     # b_pos addresses the KEY-SORTED build order: pre-permute each build
     # column once (build-sized gather), then one output-sized gather —
@@ -1337,7 +1348,8 @@ def materialize(block: ExecBlock, schema: List[L.Field],
         actual = int(jax.device_get(check.value))
         if actual > check.limit:
             raise CapacityError(f"{check.message} (needed {actual}, "
-                                f"capacity {check.limit})")
+                                f"capacity {check.limit})",
+                                setting=check.setting, needed=actual)
     out: Dict[str, np.ndarray] = {}
     used = {}
     for f in schema:

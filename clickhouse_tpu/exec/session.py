@@ -245,7 +245,37 @@ class Session:
 
     def _run_select(self, stmt, overrides: Dict[str, Any],
                     sql: str = "") -> Result:
+        """SELECT with capacity autotuning: a CapacityError carrying a
+        tunable setting re-plans the query at a higher capacity tier (the
+        compile cache is keyed by settings, so each tier compiles once) —
+        the reference's single->two-level conversion and spill decisions
+        (src/Interpreters/Aggregator.cpp:91) recast as re-planning."""
         settings = self._query_settings(stmt, overrides)
+        hints = getattr(self, "_capacity_hints", None)
+        if hints is None:
+            hints = self._capacity_hints = {}
+        for name, val in hints.get(sql, {}).items():
+            if getattr(settings, name) < val:
+                settings = settings.copy_with({name: val})
+        from ..core.column import pad_to as _pad
+        from ..core.errors import CapacityError
+        retries = settings.capacity_autotune_max_retries \
+            if settings.capacity_autotune else 0
+        for attempt in range(retries + 1):
+            try:
+                return self._run_select_once(stmt, settings, sql)
+            except CapacityError as e:
+                if attempt >= retries or not e.setting or e.needed is None:
+                    raise
+                cur = getattr(settings, e.setting)
+                new = max(_pad(int(e.needed * 5 // 4) + 1), cur * 2)
+                settings = settings.copy_with({e.setting: new})
+                hints.setdefault(sql, {})[e.setting] = new
+                self.profile_events["CapacityRetunes"] = \
+                    self.profile_events.get("CapacityRetunes", 0) + 1
+
+    def _run_select_once(self, stmt, settings: Settings,
+                         sql: str = "") -> Result:
         if settings.use_query_cache and sql:
             # QueryResultCache analog: materialized results keyed by query
             # text + settings + table versions
@@ -399,7 +429,8 @@ class Session:
                     length_leaves[f.id] = cv.lengths
                 dicts[f.id] = cv.dictionary
             struct["dicts"] = dicts                 # trace-time capture
-            struct["checks"] = [(c.limit, c.message) for c in ctx.checks]
+            struct["checks"] = [(c.limit, c.message, c.setting)
+                                for c in ctx.checks]
             struct["capacity"] = out.capacity
             leaves = {"valid": out.valid, "data": data_leaves,
                       "validity": validity_leaves,
@@ -445,8 +476,9 @@ class Session:
         from ..exprs.expr import ColVal
         from .executor import Check, ExecBlock
         ctx = ExecContext({}, settings)
-        for val, (limit, msg) in zip(leaves["checks"], struct["checks"]):
-            ctx.checks.append(Check(val, limit, msg))
+        for val, (limit, msg, setting) in zip(leaves["checks"],
+                                              struct["checks"]):
+            ctx.checks.append(Check(val, limit, msg, setting))
         cols = {}
         for f in plan.schema:
             cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],

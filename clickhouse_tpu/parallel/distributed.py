@@ -257,7 +257,8 @@ class DistributedSession(Session):
                     length_leaves[f.id] = cv.lengths
                 dicts[f.id] = cv.dictionary
             struct["dicts"] = dicts
-            struct["checks"] = [(c.limit, c.message) for c in ctx.checks]
+            struct["checks"] = [(c.limit, c.message, c.setting)
+                                for c in ctx.checks]
             struct["capacity"] = out.capacity
             checks = [jax.lax.pmax(jnp.asarray(c.value), axis)
                       for c in ctx.checks]
@@ -270,8 +271,9 @@ class DistributedSession(Session):
         leaves = jax.jit(mapped)(args)
 
         ctx2 = ExecContext({}, settings)
-        for val, (limit, msg) in zip(leaves["checks"], struct["checks"]):
-            ctx2.checks.append(Check(val, limit, msg))
+        for val, (limit, msg, setting) in zip(leaves["checks"],
+                                              struct["checks"]):
+            ctx2.checks.append(Check(val, limit, msg, setting))
         cols = {}
         for f in plan.schema:
             cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],

@@ -448,11 +448,21 @@ class TestSystem:
         assert "Aggregate" in text and "Scan" in text
 
     def test_settings_clause(self, session):
-        # max_groups too small -> capacity error surfaces
+        # max_groups too small -> capacity error surfaces when autotune is off
         from clickhouse_tpu.core.errors import CapacityError
         with pytest.raises(CapacityError):
             session.execute("SELECT id FROM events GROUP BY id LIMIT 1 "
-                            "SETTINGS max_groups = 1024")
+                            "SETTINGS max_groups = 1024, "
+                            "capacity_autotune = 0")
+
+    def test_capacity_autotune(self, session):
+        # with autotune on (default), the same query re-plans at a higher
+        # capacity tier and succeeds (reference: single->two-level hash
+        # table conversion, src/Interpreters/Aggregator.cpp:91)
+        r = q(session, "SELECT count() FROM (SELECT id FROM events "
+                       "GROUP BY id) SETTINGS max_groups = 1024")
+        assert r.scalar() == 5000
+        assert session.profile_events.get("CapacityRetunes", 0) >= 1
 
 
 class TestStringFunctions:
