@@ -64,6 +64,14 @@ class Settings:
     deterministic_float_aggregation: bool = True
     cast_to_float32_for_speed: bool = False
 
+    # -- out-of-core streaming (external aggregation analog) -----------------
+    # scans larger than this stream through the engine chunk by chunk with
+    # mergeable aggregation states carried across chunks (the TPU translation
+    # of the reference's external aggregation, Aggregator.h writeToTemporaryFile)
+    max_device_block_bytes: int = 2 << 30
+    stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
+    stream_chunk_rows: int = 0         # explicit chunk row count (0 = auto)
+
     # -- storage / scan ------------------------------------------------------
     system_numbers_limit: int = 1 << 21   # cap for the virtual system.numbers
     index_granularity: int = 8192
@@ -136,3 +144,8 @@ _doc("num_exchange_buckets", "Bucket fan-out for two-level aggregation state exc
      "(matches the reference's 256-bucket convention, TwoLevelHashTable.h:32).")
 _doc("skew_salt_factor", "Heavy-hitter keys are split across this many salted "
      "sub-keys before repartitioning shuffles.")
+_doc("max_device_block_bytes", "Tables above this physical size stream through "
+     "the engine chunk by chunk instead of as one device block.")
+_doc("stream_chunk_bytes", "Target physical bytes per chunk when streaming.")
+_doc("max_bytes_before_external_group_by", "When > 0, aggregation queries over "
+     "tables above this size run in streaming (out-of-core) mode.")

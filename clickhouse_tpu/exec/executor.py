@@ -85,6 +85,8 @@ class ExecContext:
         # interval-analysis facts: field id -> (lo, hi), filled at scans from
         # part minmax stats and propagated through projections
         self.field_bounds: Dict[str, Tuple[int, int]] = {}
+        # blocks injected by the streaming driver (BlockSourceNode)
+        self.injected: Dict[str, "ExecBlock"] = {}
 
     @property
     def distributed(self) -> bool:
@@ -206,6 +208,10 @@ def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
             data = sums[gid_c].astype(cv.data.dtype)
             cols[f.id] = ColVal(cv.dtype, data, cv.validity, cv.dictionary)
     return ExecBlock(cols, eb.valid & keep, cap, sharded=eb.sharded)
+
+
+def _exec_blocksource(node: L.BlockSourceNode, ctx: ExecContext) -> ExecBlock:
+    return ctx.injected[node.key]
 
 
 def _exec_onerow(node: L.OneRowNode, ctx: ExecContext) -> ExecBlock:
@@ -1322,6 +1328,7 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext) -> ExecBlock:
 
 _DISPATCH: Dict[type, Callable] = {
     L.ScanNode: _exec_scan,
+    L.BlockSourceNode: _exec_blocksource,
     L.OneRowNode: _exec_onerow,
     L.NumbersNode: _exec_numbers,
     L.FilterNode: _exec_filter,

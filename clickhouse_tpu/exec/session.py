@@ -39,6 +39,10 @@ class QueryLogEntry:
 
 
 class Session:
+    # out-of-core streaming applies to local sessions; the distributed
+    # session shards the data across the mesh instead
+    _streaming_enabled = True
+
     def __init__(self, settings: Optional[Settings] = None,
                  catalog: Optional[Catalog] = None):
         self.settings = settings or Settings()
@@ -303,7 +307,15 @@ class Session:
             self.profile_events["QueryCacheMisses"] = \
                 self.profile_events.get("QueryCacheMisses", 0) + 1
             return res
-        if settings.compile_queries and sql:
+        streamed = None
+        if settings.compile_queries and self._streaming_enabled:
+            from .streaming import try_streaming
+            streamed = try_streaming(self, stmt, settings, sql)
+        if streamed is not None:
+            plan, cols, ctx = streamed
+            self.profile_events["StreamedQueries"] = \
+                self.profile_events.get("StreamedQueries", 0) + 1
+        elif settings.compile_queries and sql:
             plan, cols, ctx = self._execute_compiled(stmt, settings, sql)
         else:
             plan = self._plan(stmt, settings)

@@ -136,6 +136,8 @@ def _splitmix64_np(x: np.ndarray) -> np.ndarray:
 class DistributedSession(Session):
     """Session whose Distributed-engine tables are sharded over a mesh."""
 
+    _streaming_enabled = False     # sharding, not chunking, scales this path
+
     def __init__(self, mesh: Optional[Mesh] = None,
                  settings: Optional[Settings] = None, **kw):
         super().__init__(settings=settings, **kw)

@@ -66,6 +66,19 @@ class ScanNode(PlanNode):
 
 
 @dataclasses.dataclass
+class BlockSourceNode(PlanNode):
+    """A pre-computed block injected by the driver (streaming execution:
+    the merged aggregation state of all scanned chunks re-enters the plan
+    here; the reference's analog is a pipeline reading from a temporary
+    stream, src/Interpreters/TemporaryDataOnDisk.h)."""
+    schema: List[Field]
+    key: str = "__stream__"
+
+    def label(self):
+        return f"BlockSource {self.key}"
+
+
+@dataclasses.dataclass
 class OneRowNode(PlanNode):
     """SELECT without FROM: one synthetic row (system.one analog)."""
     schema: List[Field]

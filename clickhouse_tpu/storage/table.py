@@ -52,6 +52,22 @@ class Part:
         self._unique[name] = u
         return u
 
+    def f32_lossless(self, name: str) -> bool:
+        """True iff this part's float64 column round-trips through float32
+        (narrow-storage eligibility; lazy, cached)."""
+        cache = getattr(self, "_f32_ok", None)
+        if cache is None:
+            cache = self._f32_ok = {}
+        if name in cache:
+            return cache[name]
+        v = self.columns.get(name)
+        ok = False
+        if v is not None and v.dtype == np.float64:
+            ok = bool(np.array_equal(v.astype(np.float32).astype(np.float64),
+                                     v, equal_nan=True))
+        cache[name] = ok
+        return ok
+
     @staticmethod
     def from_pydict(data: Dict[str, np.ndarray], schema) -> "Part":
         n = len(next(iter(data.values()))) if data else 0
@@ -201,6 +217,41 @@ class Table:
         """Per-part minmax for scan pruning."""
         return [(p.num_rows, p.minmax) for p in self.parts]
 
+    # -- chunked (out-of-core) reads ------------------------------------------
+    def chunk_source(self, columns: Sequence[str],
+                     chunk_rows: int) -> "ChunkSource":
+        """Chunked read plan: fixed-capacity host chunks with table-wide
+        consistent physical dtypes and global dictionaries, so one compiled
+        per-chunk XLA program serves every chunk (the streaming analog of the
+        reference's MergeTreeReadPool, src/Storages/MergeTree/
+        MergeTreeReadPool.h:22)."""
+        key = (self.version, tuple(sorted(columns)), chunk_rows)
+        cached = getattr(self, "_chunk_source_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        src = ChunkSource(self, list(columns), chunk_rows)
+        self._chunk_source_cache = (key, src)
+        return src
+
+    def physical_bytes(self, columns: Optional[Sequence[str]] = None) -> int:
+        """Estimated device bytes of a full-table scan (narrow storage)."""
+        n = self.num_rows
+        total = 0
+        for name, t in self.schema.items():
+            if columns is not None and name not in columns:
+                continue
+            if t.is_dictionary:
+                total += 4 * n
+            elif t.is_array:
+                total += 8 * n * 8      # rough: 8-wide padded matrix
+            else:
+                b = self.column_bounds(name)
+                if b is not None:
+                    total += _narrow_itemsize(t.np_dtype, b) * n
+                else:
+                    total += t.np_dtype.itemsize * n
+        return total
+
     def column_unique(self, name: str) -> bool:
         """Whole-table uniqueness of a column: every part unique AND part
         minmax ranges pairwise disjoint (cheap conservative check)."""
@@ -239,6 +290,147 @@ class Table:
         if lo is None:
             return None
         return (int(lo), int(hi))
+
+
+def _pick_narrow_int(base: np.dtype, bounds: Tuple[int, int]):
+    """Narrowest exact integer dtype for the proven [lo, hi] interval
+    (table-wide analog of core/column.py narrow_storage)."""
+    lo, hi = bounds
+    if base.kind == "i":
+        for cand in (np.int8, np.int16, np.int32):
+            info = np.iinfo(cand)
+            if cand().itemsize < base.itemsize \
+                    and info.min <= lo and hi <= info.max:
+                return cand
+    elif base.kind == "u":
+        for cand in (np.uint8, np.uint16, np.uint32):
+            if cand().itemsize < base.itemsize \
+                    and hi <= np.iinfo(cand).max:
+                return cand
+    return base.type
+
+
+def _narrow_itemsize(np_dtype: np.dtype, bounds: Tuple[int, int]) -> int:
+    return np.dtype(_pick_narrow_int(np_dtype, bounds)).itemsize
+
+
+class ChunkSource:
+    """Chunked host reads with chunk-invariant physical layout.
+
+    The whole-table read path narrows dtypes and builds dictionaries per
+    block; a streaming scan must instead fix ONE physical dtype and ONE
+    dictionary per column across every chunk, or each chunk would need its
+    own XLA program.  Table-wide decisions are made here once (narrowing from
+    part minmax stats, global dictionaries via one unique pass) and cached on
+    the table."""
+
+    def __init__(self, table: Table, columns: List[str], chunk_rows: int):
+        self.table = table
+        self.columns = columns
+        self.chunk_rows = chunk_rows
+        self.total_rows = table.num_rows
+        self.num_chunks = max(
+            1, -(-self.total_rows // chunk_rows))  # ceil div
+        self.storage: Dict[str, np.dtype] = {}
+        self.dictionaries: Dict[str, "Dictionary"] = {}
+        self._sorted_dict_values: Dict[str, np.ndarray] = {}
+        self.nullable: Dict[str, bool] = {}
+        for name in columns:
+            t = table.schema[name]
+            if t.is_array:
+                raise NotStreamable(f"Array column '{name}'")
+            parts = [p for p in table.parts if p.num_rows]
+            obj_parts = [p for p in parts
+                         if p.columns[name].dtype == object]
+            self.nullable[name] = bool(t.nullable) or bool(obj_parts)
+            if t.is_dictionary:
+                vals = [np.asarray(p.columns[name], object) for p in parts]
+                flat = np.concatenate(vals) if vals \
+                    else np.zeros(0, object)
+                non_null = flat[np.asarray(
+                    [v is not None for v in flat], bool)] \
+                    if self.nullable[name] else flat
+                uniq = np.unique(non_null.astype(str)) if len(non_null) \
+                    else np.zeros(0, str)
+                self._sorted_dict_values[name] = uniq
+                self.dictionaries[name] = Dictionary(uniq.astype(object))
+                self.storage[name] = np.dtype(np.int32)
+                continue
+            base = t.np_dtype
+            if obj_parts:
+                self.storage[name] = base     # no narrowing for ragged parts
+                continue
+            if base.kind in ("i", "u"):
+                b = table.column_bounds(name)
+                if b is not None:
+                    self.storage[name] = np.dtype(
+                        _pick_narrow_int(base, b))
+                else:
+                    self.storage[name] = base
+            elif base == np.float64:
+                lossless = all(p.f32_lossless(name) for p in parts)
+                self.storage[name] = np.dtype(np.float32) if lossless \
+                    else base
+            else:
+                self.storage[name] = base
+
+    def chunk(self, i: int):
+        """-> ({name: (data_np(cap,), validity_np or None)}, num_rows)."""
+        lo = i * self.chunk_rows
+        hi = min(lo + self.chunk_rows, self.total_rows)
+        n = max(hi - lo, 0)
+        cap = self.chunk_rows
+        out = {}
+        for name in self.columns:
+            raw = self._slice_column(name, lo, hi)
+            t = self.table.schema[name]
+            storage = self.storage[name]
+            validity = None
+            if self.nullable[name] and raw.dtype == object:
+                none_mask = np.asarray([v is None for v in raw], bool)
+                validity = np.zeros(cap, np.uint8)
+                validity[:n] = ~none_mask
+                raw = raw.copy()
+                if t.is_dictionary:
+                    raw[none_mask] = ""
+                else:
+                    raw[none_mask] = 0
+            elif self.nullable[name]:
+                validity = np.zeros(cap, np.uint8)
+                validity[:n] = 1
+            if t.is_dictionary:
+                data = np.zeros(cap, np.int32)
+                if n:
+                    data[:n] = np.searchsorted(
+                        self._sorted_dict_values[name], raw.astype(str)
+                    ).astype(np.int32)
+            else:
+                data = np.zeros(cap, storage)
+                if n:
+                    data[:n] = np.asarray(raw).astype(storage, copy=False)
+            out[name] = (data, validity)
+        return out, n
+
+    def _slice_column(self, name: str, lo: int, hi: int) -> np.ndarray:
+        pieces = []
+        off = 0
+        for p in self.table.parts:
+            p_lo, p_hi = off, off + p.num_rows
+            off = p_hi
+            if p_hi <= lo or p_lo >= hi:
+                continue
+            a, b = max(lo - p_lo, 0), min(hi - p_lo, p.num_rows)
+            pieces.append(p.columns[name][a:b])
+        if not pieces:
+            t = self.table.schema[name]
+            return np.zeros(0, object if t.is_dictionary else t.np_dtype)
+        if len(pieces) == 1:
+            return pieces[0]
+        return np.concatenate(pieces)
+
+
+class NotStreamable(Exception):
+    """This plan/table cannot run in streaming mode (driver falls back)."""
 
 
 @dataclasses.dataclass

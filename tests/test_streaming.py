@@ -1,0 +1,231 @@
+"""Out-of-core streaming execution: chunked scans with mergeable aggregation
+states carried across chunks (exec/streaming.py).
+
+Every test runs the same SQL twice — once whole-block, once with thresholds
+forcing streaming over many small chunks — and demands identical results
+(the reference validates external aggregation the same way: same answer
+with and without max_bytes_before_external_group_by)."""
+import numpy as np
+import pytest
+
+import clickhouse_tpu as ch
+
+# thresholds that force streaming on tiny test tables: every table is "big",
+# chunks are one pad unit (1024 rows) -> ~10 chunks for the fixture
+STREAM = {"max_device_block_bytes": 1, "stream_chunk_rows": 1024}
+
+N = 10_000
+
+
+@pytest.fixture(scope="module")
+def session():
+    s = ch.connect()
+    s.execute("""
+        CREATE TABLE big (
+            id Int64, k Int64, kw Int64, v Float64,
+            cat String, nv Nullable(Int64)
+        )
+    """)
+    rng = np.random.default_rng(7)
+    ids = np.arange(N, dtype=np.int64)
+    k = (ids % 97).astype(np.int64)
+    kw = rng.integers(0, 3000, N).astype(np.int64) * 1_000_003
+    v = rng.normal(100.0, 10.0, N).round(3)
+    cat = np.asarray([f"c{i % 13}" for i in range(N)], object)
+    nv = np.asarray([None if i % 11 == 0 else int(i % 7)
+                     for i in range(N)], object)
+    # several inserts -> several parts (chunks cross part boundaries)
+    for lo in range(0, N, 3_000):
+        hi = min(lo + 3_000, N)
+        s.insert_pydict("big", {
+            "id": ids[lo:hi], "k": k[lo:hi], "kw": kw[lo:hi],
+            "v": v[lo:hi], "cat": cat[lo:hi], "nv": nv[lo:hi]})
+    s.execute("CREATE TABLE dim (k Int64, name String)")
+    s.insert_pydict("dim", {
+        "k": np.arange(97, dtype=np.int64),
+        "name": np.asarray([f"name{i}" for i in range(97)], object)})
+    return s
+
+
+def both(session, sql):
+    """(plain rows, streamed rows); asserts streaming actually engaged."""
+    plain = session.execute(sql).rows()
+    before = session.profile_events.get("StreamedQueries", 0)
+    streamed = session.execute(sql, settings=STREAM).rows()
+    after = session.profile_events.get("StreamedQueries", 0)
+    assert after == before + 1, f"did not stream: {sql}"
+    return plain, streamed
+
+
+class TestStreamingAggregation:
+    def test_global_aggregates(self, session):
+        p, s = both(session,
+                    "SELECT count(), sum(v), min(v), max(v), avg(v), "
+                    "sum(k * 2 + 1) FROM big")
+        assert len(s) == 1
+        for a, b in zip(p[0], s[0]):
+            assert a == pytest.approx(b, rel=1e-9)
+
+    def test_global_with_filter(self, session):
+        p, s = both(session,
+                    "SELECT count(), sum(v) FROM big WHERE k < 40 AND v > 95")
+        assert p[0][0] == s[0][0]
+        assert p[0][1] == pytest.approx(s[0][1], rel=1e-9)
+
+    def test_group_by_int(self, session):
+        p, s = both(session,
+                    "SELECT k, count(), sum(v), min(id), max(id) FROM big "
+                    "GROUP BY k ORDER BY k")
+        assert len(s) == 97
+        for rp, rs in zip(p, s):
+            assert rp[0] == rs[0] and rp[1] == rs[1]
+            assert rp[2] == pytest.approx(rs[2], rel=1e-9)
+            assert rp[3:] == rs[3:]
+
+    def test_group_by_wide_key(self, session):
+        # ~3000 distinct sparse keys spread over 10 chunks
+        p, s = both(session,
+                    "SELECT kw, count() AS c FROM big GROUP BY kw "
+                    "ORDER BY c DESC, kw LIMIT 20")
+        assert p == s
+
+    def test_group_by_string(self, session):
+        p, s = both(session,
+                    "SELECT cat, count(), avg(v) FROM big "
+                    "GROUP BY cat ORDER BY cat")
+        assert len(s) == 13
+        for rp, rs in zip(p, s):
+            assert rp[0] == rs[0] and rp[1] == rs[1]
+            assert rp[2] == pytest.approx(rs[2], rel=1e-9)
+
+    def test_group_by_nullable_key(self, session):
+        p, s = both(session,
+                    "SELECT nv, count() FROM big GROUP BY nv ORDER BY nv")
+        assert p == s
+        assert any(r[0] is None for r in s)
+
+    def test_conditional_and_arg_aggregates(self, session):
+        p, s = both(session,
+                    "SELECT countIf(v > 100), sumIf(v, k = 5), "
+                    "argMax(id, v), any(k) FROM big")
+        assert p[0][0] == s[0][0]
+        assert p[0][1] == pytest.approx(s[0][1], rel=1e-9)
+        assert p[0][2] == s[0][2]
+
+    def test_having_order_limit(self, session):
+        p, s = both(session,
+                    "SELECT k, count() AS c, sum(v) AS sv FROM big GROUP BY k "
+                    "HAVING c > 100 ORDER BY sv DESC LIMIT 5")
+        for rp, rs in zip(p, s):
+            assert rp[0] == rs[0] and rp[1] == rs[1]
+            assert rp[2] == pytest.approx(rs[2], rel=1e-9)
+
+    def test_expression_keys(self, session):
+        p, s = both(session,
+                    "SELECT k % 10 AS b, intDiv(k, 10) AS h, count() "
+                    "FROM big GROUP BY b, h ORDER BY b, h")
+        assert p == s
+
+    def test_var_stddev(self, session):
+        p, s = both(session,
+                    "SELECT k, varSamp(v), stddevPop(v) FROM big "
+                    "WHERE k < 5 GROUP BY k ORDER BY k")
+        for rp, rs in zip(p, s):
+            assert rp[0] == rs[0]
+            assert rp[1] == pytest.approx(rs[1], rel=1e-6)
+            assert rp[2] == pytest.approx(rs[2], rel=1e-6)
+
+    def test_empty_result(self, session):
+        p, s = both(session,
+                    "SELECT k, count() FROM big WHERE v > 1e9 GROUP BY k")
+        assert p == s == []
+
+    def test_subquery_over_streamed_agg(self, session):
+        p, s = both(session,
+                    "SELECT count() FROM "
+                    "(SELECT k FROM big GROUP BY k HAVING count() > 0)")
+        assert p == s == [(97,)]
+
+
+class TestStreamingJoin:
+    def test_probe_side_join(self, session):
+        p, s = both(session,
+                    "SELECT name, count(), sum(v) FROM big "
+                    "INNER JOIN dim ON big.k = dim.k "
+                    "GROUP BY name ORDER BY name")
+        assert len(s) == 97
+        for rp, rs in zip(p, s):
+            assert rp[0] == rs[0] and rp[1] == rs[1]
+            assert rp[2] == pytest.approx(rs[2], rel=1e-9)
+
+    def test_left_join_grouped(self, session):
+        p, s = both(session,
+                    "SELECT count() FROM big "
+                    "LEFT JOIN dim ON big.k = dim.k WHERE dim.k >= 0")
+        assert p == s
+
+
+class TestStreamingMechanics:
+    def test_autotune_rescues_chunk_overflow(self, session):
+        # 3000 distinct kw values, chunk capacity 1024 -> the per-chunk
+        # grouping cap (max_groups=512) overflows; the capacity autotuner
+        # must re-plan instead of failing
+        r = session.execute(
+            "SELECT count() FROM (SELECT kw FROM big GROUP BY kw)",
+            settings={**STREAM, "max_groups": 512})
+        plain = session.execute(
+            "SELECT count() FROM (SELECT kw FROM big GROUP BY kw)")
+        assert r.rows() == plain.rows()
+
+    def test_capacity_error_when_autotune_off(self, session):
+        from clickhouse_tpu.core.errors import CapacityError
+        with pytest.raises(CapacityError):
+            session.execute(
+                "SELECT kw, count() FROM big GROUP BY kw",
+                settings={**STREAM, "max_groups": 512,
+                          "capacity_autotune": 0})
+
+    def test_stream_cache_reuse(self, session):
+        sql = "SELECT k, sum(v) FROM big GROUP BY k ORDER BY k LIMIT 3"
+        r1 = session.execute(sql, settings=STREAM).rows()
+        cache_size = len(session._stream_cache)
+        r2 = session.execute(sql, settings=STREAM).rows()
+        assert r1 == r2
+        assert len(session._stream_cache) == cache_size
+
+    def test_insert_invalidates_stream_cache(self, session):
+        s = ch.connect()
+        s.execute("CREATE TABLE inc (k Int64, v Int64)")
+        s.insert_pydict("inc", {"k": np.zeros(2048, np.int64),
+                                "v": np.ones(2048, np.int64)})
+        sql = "SELECT sum(v) FROM inc"
+        assert s.execute(sql, settings=STREAM).rows() == [(2048,)]
+        s.insert_pydict("inc", {"k": np.zeros(10, np.int64),
+                                "v": np.full(10, 5, np.int64)})
+        assert s.execute(sql, settings=STREAM).rows() == [(2098,)]
+
+    def test_uneven_final_chunk(self, session):
+        s = ch.connect()
+        s.execute("CREATE TABLE odd (x Int64)")
+        s.insert_pydict("odd", {"x": np.arange(2500, dtype=np.int64)})
+        r = s.execute("SELECT count(), sum(x), max(x) FROM odd",
+                      settings=STREAM)
+        assert r.rows() == [(2500, 2500 * 2499 // 2, 2499)]
+
+    def test_external_group_by_setting_triggers(self, session):
+        # the reference's spill threshold setting engages streaming here
+        before = session.profile_events.get("StreamedQueries", 0)
+        r = session.execute(
+            "SELECT count() FROM big",
+            settings={"max_bytes_before_external_group_by": 1,
+                      "stream_chunk_rows": 2048})
+        assert r.rows() == [(N,)]
+        assert session.profile_events.get("StreamedQueries", 0) == before + 1
+
+    def test_not_streamable_falls_back(self, session):
+        # holistic aggregate (quantileExact) needs raw rows -> whole-block
+        before = session.profile_events.get("StreamedQueries", 0)
+        r = session.execute("SELECT quantileExact(0.5)(v) FROM big",
+                            settings=STREAM)
+        assert session.profile_events.get("StreamedQueries", 0) == before
+        assert 95 < r.scalar() < 105
