@@ -39,6 +39,7 @@ class Settings:
     group_by_algorithm: str = "auto"   # auto | sort | hash
     max_bytes_before_external_group_by: int = 0  # spill threshold (0 = off)
     totals_mode: str = "after_having_exclusive"
+    group_array_max_size: int = 256    # unbounded groupArray width (autotuned)
 
     # -- joins ---------------------------------------------------------------
     join_algorithm: str = "hash"       # hash | broadcast | shuffle | sort_merge

@@ -467,7 +467,8 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         grouping = agg_ops.group_by_sort(key_arrays, child.valid, cap_g,
                                          payloads=payloads)
     gctx = agg_reg.GroupContext(keys=key_arrays, row_valid=child.valid,
-                                grouping=grouping, num_groups_cap=cap_g)
+                                grouping=grouping, num_groups_cap=cap_g,
+                                checks=ctx.checks, settings=ctx.settings)
 
     if grouping.kind == "dense":
         group_counts, states_per_agg = _dense_stage1(
@@ -564,14 +565,22 @@ def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
             uk = uk.astype(want)     # widen keys narrowed for the sort
         cols[f.id] = ColVal(f.dtype, uk, uk_validity, cv.dictionary)
     for item, arg_cvs, states in states_per_agg:
-        data, validity = item.fn.finalize(states)
+        out = item.fn.finalize(states)
+        data, validity = out[0], out[1]
+        lengths = out[2] if len(out) > 2 else None
         if not isinstance(item.fn, agg_reg.CountAgg):
             zero = jnp.zeros((), data.dtype)
-            data = jnp.where(group_counts > 0, data, zero)
+            if data.ndim == 2:      # Array-valued aggregate (groupArray &c.)
+                data = jnp.where((group_counts > 0)[:, None], data, zero)
+                lengths = jnp.where(group_counts > 0, lengths,
+                                    jnp.zeros((), lengths.dtype))
+            else:
+                data = jnp.where(group_counts > 0, data, zero)
         dict_ = arg_cvs[0].dictionary if (item.args
                                           and item.field.dtype.is_dictionary) \
             else None
-        cols[item.field.id] = ColVal(item.field.dtype, data, validity, dict_)
+        cols[item.field.id] = ColVal(item.field.dtype, data, validity, dict_,
+                                     lengths=lengths)
     if group_valid is None:
         if global_agg:
             num_groups = jnp.maximum(num_groups, 1)
@@ -1007,8 +1016,8 @@ def _colval_words(cv: ColVal, capacity: int, bounds=None):
         def rebuild(ws):
             return jax.lax.bitcast_convert_type(ws[0], jnp.float32)
     elif data.dtype == jnp.float64:
-        from ..ops.hash_ops import bitcast_f64_to_u64, bitcast_u64_to_f64
-        bits = bitcast_f64_to_u64(data)
+        from ..ops.hash_ops import f64_from_token, f64_token
+        bits = f64_token(data)
         words.append(bits.astype(jnp.uint32).astype(jnp.int32))
         words.append((bits >> jnp.uint64(32)).astype(jnp.uint32)
                      .astype(jnp.int32))
@@ -1016,8 +1025,7 @@ def _colval_words(cv: ColVal, capacity: int, bounds=None):
         def rebuild(ws):
             lo = ws[0].astype(jnp.uint32).astype(jnp.uint64)
             hi = ws[1].astype(jnp.uint32).astype(jnp.uint64)
-            from ..ops.hash_ops import bitcast_u64_to_f64 as bc
-            return bc((hi << jnp.uint64(32)) | lo)
+            return f64_from_token((hi << jnp.uint64(32)) | lo)
     else:
         return None
     if cv.validity is not None:

@@ -48,6 +48,10 @@ class GroupContext:
     # object rides the grouping sort as a payload (Grouping.take identity
     # cache) instead of being recomputed and randomly gathered
     premask: Optional[jax.Array] = None
+    # executor capacity-check sink + active settings (for size-bounded
+    # aggregates like groupArray to report truncation for autotuning)
+    checks: Optional[list] = None
+    settings: Optional[object] = None
 
 
 def _arg_valid(cv: Optional[ColVal], capacity: int):
@@ -417,16 +421,21 @@ class UniqExactAgg(AggregateFunction):
 
 
 class QuantileExactAgg(AggregateFunction):
-    """quantileExact(q)(x) — holistic; group-locally sorts values."""
+    """quantileExact(q)(x) — holistic; group-locally sorts values.
+
+    With ``qs`` set (quantiles(q1, q2, ...)(x)), produces an Array result of
+    all requested quantiles from the same single segment sort."""
     name = "quantileExact"
     holistic = True
 
-    def __init__(self, arg_types, q: float = 0.5):
+    def __init__(self, arg_types, q: float = 0.5, qs=None):
         super().__init__(arg_types)
         self.q = q
+        self.qs = list(qs) if qs is not None else None
 
     def result_type(self):
-        return dt.remove_nullable(self.arg_types[0])
+        base = dt.remove_nullable(self.arg_types[0])
+        return dt.Array(base) if self.qs is not None else base
 
     def state_ops(self):
         raise TypeError_("quantileExact states cannot be merged; "
@@ -451,16 +460,25 @@ class QuantileExactAgg(AggregateFunction):
         compacted, _ = filter_ops.compact_arrays([v_s], mask_s)
         # start of each group within the compacted array
         starts_c = jnp.cumsum(lens) - lens
-        pick = starts_c + jnp.clip(
-            jnp.floor(self.q * (lens - 1).astype(jnp.float64)).astype(jnp.int64),
-            0, jnp.maximum(lens - 1, 0))
-        data = compacted[0][jnp.clip(pick, 0, cap - 1)]
-        return [data]
+
+        def pick_at(q):
+            pick = starts_c + jnp.clip(
+                jnp.floor(q * (lens - 1).astype(jnp.float64)).astype(jnp.int64),
+                0, jnp.maximum(lens - 1, 0))
+            return compacted[0][jnp.clip(pick, 0, cap - 1)]
+
+        if self.qs is not None:
+            mat = jnp.stack([pick_at(q) for q in self.qs], axis=1)
+            lens_out = jnp.full(lens.shape, len(self.qs), jnp.int32)
+            return [mat, lens_out]
+        return [pick_at(self.q)]
 
     def merge(self, states, grouping, mask_raw):
         raise TypeError_("quantileExact cannot merge partial states")
 
     def finalize(self, states):
+        if self.qs is not None:
+            return states[0], None, states[1]
         return states[0], None
 
 
@@ -471,21 +489,249 @@ class MedianAgg(QuantileExactAgg):
         super().__init__(arg_types, q=0.5)
 
 
+class CovarAgg(AggregateFunction):
+    """covarPop/covarSamp(x, y) — mergeable states [sxy, sx, sy, n].
+
+    Reference: src/AggregateFunctions/AggregateFunctionStatisticsSimple.h
+    (CovarMoments) — the same sums-of-products algebra, evaluated as
+    whole-column segmented reductions."""
+    sample = False
+
+    def result_type(self):
+        return dt.Float64
+
+    def state_ops(self):
+        return ["sum", "sum", "sum", "sum"]
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        x = self._value(ctx, args[0]).astype(jnp.float64)
+        y = self._value(ctx, args[1]).astype(jnp.float64)
+        g = ctx.grouping
+        return [g.reduce("sum", x * y, mask), g.reduce("sum", x, mask),
+                g.reduce("sum", y, mask), g.count_rows(mask)]
+
+    def finalize(self, states):
+        sxy, sx, sy, n = states
+        nf = n.astype(jnp.float64)
+        safe = jnp.maximum(nf, 1.0)
+        cov = sxy / safe - (sx / safe) * (sy / safe)
+        if self.sample:
+            cov = jnp.where(n > 1, cov * nf / (nf - 1.0), jnp.nan)
+        return cov, None
+
+
+class CovarPopAgg(CovarAgg):
+    name, sample = "covarPop", False
+
+
+class CovarSampAgg(CovarAgg):
+    name, sample = "covarSamp", True
+
+
+class CorrAgg(AggregateFunction):
+    """corr(x, y) — states [sxy, sx, sy, sxx, syy, n]."""
+    name = "corr"
+
+    def result_type(self):
+        return dt.Float64
+
+    def state_ops(self):
+        return ["sum"] * 6
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        x = self._value(ctx, args[0]).astype(jnp.float64)
+        y = self._value(ctx, args[1]).astype(jnp.float64)
+        g = ctx.grouping
+        return [g.reduce("sum", x * y, mask), g.reduce("sum", x, mask),
+                g.reduce("sum", y, mask), g.reduce("sum", x * x, mask),
+                g.reduce("sum", y * y, mask), g.count_rows(mask)]
+
+    def finalize(self, states):
+        sxy, sx, sy, sxx, syy, n = states
+        nf = jnp.maximum(n.astype(jnp.float64), 1.0)
+        num = sxy - sx * sy / nf
+        den = jnp.sqrt(jnp.maximum(sxx - sx * sx / nf, 0.0)
+                       * jnp.maximum(syy - sy * sy / nf, 0.0))
+        return jnp.where(den > 0, num / den, jnp.nan), None
+
+
+class MomentsAgg(AggregateFunction):
+    """Base for skewness/kurtosis: states [s1, s2, s3, s4, n]."""
+
+    def result_type(self):
+        return dt.Float64
+
+    def state_ops(self):
+        return ["sum"] * 5
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        x = self._value(ctx, args[0]).astype(jnp.float64)
+        x2 = x * x
+        g = ctx.grouping
+        return [g.reduce("sum", x, mask), g.reduce("sum", x2, mask),
+                g.reduce("sum", x2 * x, mask), g.reduce("sum", x2 * x2, mask),
+                g.count_rows(mask)]
+
+    def _central(self, states):
+        s1, s2, s3, s4, n = states
+        nf = jnp.maximum(n.astype(jnp.float64), 1.0)
+        m = s1 / nf
+        m2 = s2 / nf - m * m
+        m3 = s3 / nf - 3 * m * s2 / nf + 2 * m ** 3
+        m4 = s4 / nf - 4 * m * s3 / nf + 6 * m * m * s2 / nf - 3 * m ** 4
+        var_samp = jnp.where(n > 1, m2 * nf / (nf - 1.0), jnp.nan)
+        return jnp.maximum(m2, 0.0), m3, m4, var_samp, n
+
+
+class SkewPopAgg(MomentsAgg):
+    name = "skewPop"
+
+    def finalize(self, states):
+        m2, m3, _, _, n = self._central(states)
+        return jnp.where(m2 > 0, m3 / m2 ** 1.5, jnp.nan), None
+
+
+class SkewSampAgg(MomentsAgg):
+    name = "skewSamp"
+
+    def finalize(self, states):
+        _, m3, _, vs, n = self._central(states)
+        return jnp.where(vs > 0, m3 / vs ** 1.5, jnp.nan), None
+
+
+class KurtPopAgg(MomentsAgg):
+    name = "kurtPop"
+
+    def finalize(self, states):
+        m2, _, m4, _, n = self._central(states)
+        return jnp.where(m2 > 0, m4 / (m2 * m2), jnp.nan), None
+
+
+class KurtSampAgg(MomentsAgg):
+    name = "kurtSamp"
+
+    def finalize(self, states):
+        _, _, m4, vs, n = self._central(states)
+        return jnp.where(vs > 0, m4 / (vs * vs), jnp.nan), None
+
+
+class AvgWeightedAgg(AggregateFunction):
+    """avgWeighted(x, w) — states [sum(x*w), sum(w)]."""
+    name = "avgWeighted"
+
+    def result_type(self):
+        return dt.Float64
+
+    def state_ops(self):
+        return ["sum", "sum"]
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        x = self._value(ctx, args[0]).astype(jnp.float64)
+        w = self._value(ctx, args[1]).astype(jnp.float64)
+        g = ctx.grouping
+        return [g.reduce("sum", x * w, mask), g.reduce("sum", w, mask)]
+
+    def finalize(self, states):
+        s, w = states
+        return jnp.where(w != 0, s / w, jnp.nan), None
+
+
+class SumWithOverflowAgg(SumAgg):
+    """sum that keeps the argument type (wrapping), like the reference's
+    sumWithOverflow (src/AggregateFunctions/AggregateFunctionSum.h)."""
+    name = "sumWithOverflow"
+
+    def result_type(self):
+        return dt.remove_nullable(self.arg_types[0])
+
+    def finalize(self, states):
+        want = dt.remove_nullable(self.arg_types[0]).jnp_dtype
+        return states[0].astype(want), None
+
+
+class GroupBitAgg(AggregateFunction):
+    """groupBitAnd/Or/Xor — bitwise reductions over integer columns.
+
+    Reference: src/AggregateFunctions/AggregateFunctionBitwise.h.  Runs on
+    the sort grouping via segmented bitwise scans (scan_ops)."""
+    bit_op = "bor"
+
+    def result_type(self):
+        t0 = dt.remove_nullable(self.arg_types[0])
+        if not dt.is_integer(t0):
+            raise TypeError_(f"{self.name} requires an integer argument")
+        return t0
+
+    def state_ops(self):
+        return [self.bit_op]
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        v = self._value(ctx, args[0])
+        return [ctx.grouping.reduce(self.bit_op, v, mask)]
+
+    def finalize(self, states):
+        want = dt.remove_nullable(self.arg_types[0]).jnp_dtype
+        return states[0].astype(want), None
+
+
+class GroupBitAndAgg(GroupBitAgg):
+    name, bit_op = "groupBitAnd", "band"
+
+
+class GroupBitOrAgg(GroupBitAgg):
+    name, bit_op = "groupBitOr", "bor"
+
+
+class GroupBitXorAgg(GroupBitAgg):
+    name, bit_op = "groupBitXor", "bxor"
+
+
 # -- registry ----------------------------------------------------------------
 
-_BASE: Dict[str, type] = {}
-for _cls in [CountAgg, SumAgg, MinAgg, MaxAgg, AvgAgg, AnyAgg, VarPopAgg,
-             VarSampAgg, StddevPopAgg, StddevSampAgg, ArgMinAgg, ArgMaxAgg,
-             UniqExactAgg, MedianAgg]:
-    _BASE[_cls.name.lower()] = _cls
-_BASE["anylast"] = AnyAgg
-_BASE["uniq"] = UniqExactAgg          # exact fallback; HLL sketch is a TODO
-_BASE["countdistinct"] = UniqExactAgg
-_BASE["var_pop"] = VarPopAgg
-_BASE["var_samp"] = VarSampAgg
-_BASE["stddev_pop"] = StddevPopAgg
-_BASE["stddev_samp"] = StddevSampAgg
+def _register_base() -> Dict[str, type]:
+    from . import agg_sketch as sk
+    base: Dict[str, type] = {}
+    for _cls in [CountAgg, SumAgg, MinAgg, MaxAgg, AvgAgg, AnyAgg, VarPopAgg,
+                 VarSampAgg, StddevPopAgg, StddevSampAgg, ArgMinAgg,
+                 ArgMaxAgg, UniqExactAgg, MedianAgg, CovarPopAgg,
+                 CovarSampAgg, CorrAgg, SkewPopAgg, SkewSampAgg, KurtPopAgg,
+                 KurtSampAgg, AvgWeightedAgg, SumWithOverflowAgg,
+                 GroupBitAndAgg, GroupBitOrAgg, GroupBitXorAgg,
+                 sk.GroupArrayAgg, sk.GroupUniqArrayAgg, sk.TopKAgg,
+                 sk.EntropyAgg, sk.HLLUniqAgg]:
+        base[_cls.name.lower()] = _cls
+    base["anylast"] = AnyAgg
+    base["countdistinct"] = UniqExactAgg
+    base["var_pop"] = VarPopAgg
+    base["var_samp"] = VarSampAgg
+    base["stddev_pop"] = StddevPopAgg
+    base["stddev_samp"] = StddevSampAgg
+    base["covar_pop"] = CovarPopAgg
+    base["covar_samp"] = CovarSampAgg
+    base["sumkahan"] = SumAgg           # segmented f64 sums are pairwise-exact
+    base["anyheavy"] = AnyAgg           # heavy-hitter approximation
+    base["uniqcombined"] = sk.HLLUniqAgg
+    base["uniqcombined64"] = sk.HLLUniqAgg
+    base["uniqhll12"] = sk.HLLUniqAgg
+    base["grouparraydistinct"] = sk.GroupUniqArrayAgg
+    base["quantile"] = QuantileExactAgg
+    base["quantileexact"] = QuantileExactAgg
+    base["quantileexactlow"] = QuantileExactAgg
+    base["quantiletdigest"] = QuantileExactAgg
+    base["quantiledeterministic"] = QuantileExactAgg
+    base["quantiles"] = QuantileExactAgg
+    base["quantilesexact"] = QuantileExactAgg
+    return base
 
+
+_BASE: Dict[str, type] = _register_base()
+_MULTI_Q = {"quantiles", "quantilesexact"}
+_SIZED = {"grouparray", "groupuniqarray", "grouparraydistinct", "topk"}
 
 AGGREGATES = _BASE
 
@@ -510,13 +756,18 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
     if lname not in _BASE:
         raise UnknownFunction(f"Unknown aggregate function '{name}'")
     cls = _BASE[lname]
-    if cls is QuantileExactAgg or lname.startswith("quantile"):
+    if lname in _MULTI_Q:
+        qs = [float(p) for p in params] if params else [0.5]
+        inst = QuantileExactAgg(arg_types, qs=qs)
+    elif cls is QuantileExactAgg:
         q = float(params[0]) if params else 0.5
         inst = QuantileExactAgg(arg_types, q)
+    elif lname in _SIZED:
+        size = int(params[0]) if params else None
+        if lname == "topk":
+            inst = cls(arg_types, size or 10)
+        else:
+            inst = cls(arg_types, size)
     else:
         inst = cls(arg_types)
     return inst, has_if
-
-
-AGGREGATES["quantile"] = QuantileExactAgg
-AGGREGATES["quantileexact"] = QuantileExactAgg

@@ -158,6 +158,15 @@ class Grouping:
             idx = jnp.argmax(mask)
             v = jnp.where(jnp.any(mask), data[idx],
                           jnp.zeros((), data.dtype))
+        elif op in ("bor", "band", "bxor"):
+            fn = {"bor": jnp.bitwise_or, "band": jnp.bitwise_and,
+                  "bxor": jnp.bitwise_xor}[op]
+            ident = jnp.zeros((), data.dtype)
+            if op == "band":
+                ident = ~ident
+            acc = jnp.where(mask, data, ident)
+            v = jax.lax.reduce(acc, ident, fn, (0,))
+            v = jnp.where(jnp.any(mask), v, jnp.zeros((), data.dtype))
         else:
             raise ValueError(op)
         out = jnp.zeros((cap_g,), v.dtype)

@@ -177,7 +177,75 @@ def seg_reduce_sorted(op: str, data: jax.Array, group_ids_sorted: jax.Array,
         out = data[pos2[jnp.clip(starts, 0, cap - 1)]]
         return jnp.where(havem, out, jnp.zeros((), data.dtype))
 
+    if op in ("bor", "band", "bxor", "bytemax"):
+        # bitwise aggregates (reference: AggregateFunctionBitwise.h).  These
+        # are associative+commutative but not order statistics, so the sort
+        # trick doesn't apply; a segmented associative_scan + end-gather is
+        # used instead.  groupBit* inputs are modest in practice; the scan is
+        # a single fixed-width operand (the 33M-tuple compile blowup recorded
+        # in the module docstring was for multi-operand tuples).
+        fn = {"bor": jnp.bitwise_or, "band": jnp.bitwise_and,
+              "bxor": jnp.bitwise_xor, "bytemax": bytewise_max}[op]
+        ident = jnp.zeros((), data.dtype)
+        if op == "band":
+            ident = (~ident if jnp.issubdtype(data.dtype, jnp.integer)
+                     else ident)
+        acc = jnp.where(mask_sorted, data, ident) \
+            if mask_sorted is not None else data
+        scanned = _segmented_scan(fn, acc, boundary)
+        out = scanned[last]
+        cnt = _masked_counts(mask_sorted, starts, ends, last, have)
+        return jnp.where(have & (cnt > 0), out, jnp.zeros((), data.dtype))
+
     raise ValueError(f"Unknown segmented reduction '{op}'")
+
+
+def bytewise_max(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-byte max of two uint64 arrays (HLL register-limb merge).
+
+    8 registers pack into each u64 limb; two limb sets merge by taking the
+    larger byte lane-wise.  SIMD trick (no unpacking): a byte of `a` wins
+    where it is >= the corresponding byte of `b`, detected via a borrow-free
+    per-byte compare using the high-bit technique.
+    """
+    assert a.dtype == jnp.uint64 and b.dtype == jnp.uint64
+    H = jnp.uint64(0x8080808080808080)
+    L = jnp.uint64(0x7F7F7F7F7F7F7F7F)
+    # low-7-bit compare: (a|H) has every byte >= 0x80 and (b&L) <= 0x7F, so
+    # the subtraction never borrows across byte lanes; the high bit of each
+    # result byte is set iff a7 >= b7 for that lane
+    ge7 = ((a | H) - (b & L)) & H
+    ah, bh = a & H, b & H
+    # full unsigned per-byte >=: high bits decide, ties fall back to low 7
+    ge = (ah & ~bh) | (~(ah ^ bh) & ge7)
+    sel = (ge >> jnp.uint64(7)) * jnp.uint64(0xFF)   # 0xFF where a wins
+    return (a & sel) | (b & ~sel)
+
+
+def seg_reduce_2d(op: str, data2d: jax.Array, boundary: jax.Array,
+                  starts: jax.Array, ends: jax.Array) -> jax.Array:
+    """Per-group elementwise reduction over a (rows, width) state matrix.
+
+    Used to merge fixed-width sketch states (HLL register limbs, reservoir
+    tags) that were concatenated row-wise from multiple sources (shards or
+    stream chunks).  Row counts here are small (num_groups_cap * n_sources),
+    so an associative_scan is safe.
+    """
+    fn = {"bor": jnp.bitwise_or, "max": jnp.maximum, "min": jnp.minimum,
+          "sum": jnp.add, "bytemax": bytewise_max}[op]
+    flags = boundary.astype(jnp.bool_)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        v = jnp.where(bf[:, None], bv, fn(av, bv))
+        return v, af | bf
+
+    out, _ = jax.lax.associative_scan(combine, (data2d, flags))
+    last = jnp.maximum(ends - 1, 0)
+    res = out[last]
+    have = (ends > starts)[:, None]
+    return jnp.where(have, res, jnp.zeros((), data2d.dtype))
 
 
 def _masked_counts(mask_sorted, starts, ends, last, have):

@@ -37,13 +37,10 @@ def order_token(x: jax.Array, *, descending: bool = False,
         x = rank
     dt = x.dtype
     if dt in (jnp.float64, jnp.float32):
-        if dt == jnp.float32:
-            x = x.astype(jnp.float64)
-        from .hash_ops import bitcast_f64_to_u64
-        bits = bitcast_f64_to_u64(x)
-        sign = bits >> jnp.uint64(63)
-        # IEEE754 total order: negative -> flip all bits, positive -> set sign.
-        tok = jnp.where(sign == 1, ~bits, bits | jnp.uint64(1 << 63))
+        # f64_token/f32_token are total-order maps already (IEEE bit trick
+        # on CPU, lexicographic double-float pair on TPU).
+        from .hash_ops import f32_token, f64_token
+        tok = f64_token(x) if dt == jnp.float64 else f32_token(x)
     elif dt == jnp.uint64:
         tok = x
     elif dt == jnp.bool_:

@@ -61,9 +61,10 @@ def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
 
     def pack(arr):
         src = arr[row_s][src_idx]
-        src = jnp.where(slot_live, src, jnp.zeros((), src.dtype)) \
-            if src.ndim == 1 else src
-        return src.reshape(n_shards, send_capacity)
+        live = slot_live if src.ndim == 1 else slot_live[:, None]
+        src = jnp.where(live, src, jnp.zeros((), src.dtype))
+        # trailing state-width axes (2D sketch states) ride along untouched
+        return src.reshape((n_shards, send_capacity) + src.shape[1:])
 
     sent_valid = slot_live.reshape(n_shards, send_capacity)
 
@@ -75,7 +76,8 @@ def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
                                   tiled=False)
 
     keys_rx = [a2a(k).reshape(flat_cap) for k in keys_tx]
-    payloads_rx = [a2a(p).reshape(flat_cap) for p in payloads_tx]
+    payloads_rx = [a2a(p).reshape((flat_cap,) + p.shape[2:])
+                   for p in payloads_tx]
     valid_rx = a2a(sent_valid).reshape(flat_cap)
     return keys_rx, payloads_rx, valid_rx, overflow
 
