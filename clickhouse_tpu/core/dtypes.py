@@ -25,9 +25,11 @@ __all__ = [
     "UInt8", "UInt16", "UInt32", "UInt64",
     "Float32", "Float64",
     "Boolean", "String", "Date", "DateTime", "Nothing",
+    "Decimal", "DateTime64", "Enum8", "Enum16", "FixedString",
+    "UUID", "IPv4", "IPv6",
     "Nullable", "make_nullable", "remove_nullable",
     "parse_type_name", "common_supertype", "is_numeric", "is_integer",
-    "is_float", "is_string", "NUMERIC_ORDER",
+    "is_float", "is_string", "is_decimal", "is_enum", "NUMERIC_ORDER",
 ]
 
 
@@ -50,6 +52,16 @@ class DType:
     nullable: bool = False
     is_dictionary: bool = False
     is_array: bool = False
+    # Decimal(P, S) / DateTime64(S): device holds int64 scaled by 10^S
+    # (reference: src/DataTypes/DataTypeDecimalBase.h — same scaled-integer
+    # representation; we cap at Decimal64 range, see Decimal())
+    decimal_scale: Optional[int] = None
+    decimal_prec: Optional[int] = None
+    # Enum8/Enum16: device holds the numeric code; names map on the host
+    # (reference: src/DataTypes/DataTypeEnum.h)
+    enum_values: Optional[tuple] = None     # ((name, value), ...)
+    # FixedString(N)
+    fixed_len: Optional[int] = None
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -105,6 +117,77 @@ _BY_NAME = {
 }
 
 
+def Decimal(precision: int, scale: int) -> DType:
+    """Decimal(P, S): scaled int64 on device.
+
+    Reference: src/DataTypes/DataTypesDecimal.h.  All precisions share the
+    int64 physical type (Decimal128/256 values beyond ~1.8e18 scaled units
+    are out of range — a documented cap; the reference's wide-decimal limbs
+    do not map to TPU-efficient layouts).
+    """
+    if not (0 <= scale <= precision):
+        raise ValueError(f"Invalid Decimal scale {scale} for precision "
+                         f"{precision}")
+    return DType(f"Decimal({precision}, {scale})", "int64",
+                 decimal_scale=scale, decimal_prec=precision)
+
+
+def DateTime64(scale: int = 3) -> DType:
+    """DateTime64(S): int64 ticks of 10^-S seconds since epoch."""
+    return DType(f"DateTime64({scale})", "int64", decimal_scale=scale)
+
+
+def Enum8(values) -> DType:
+    vals = tuple((str(k), int(v)) for k, v in values)
+    body = ", ".join(f"'{k}' = {v}" for k, v in vals)
+    return DType(f"Enum8({body})", "int8", enum_values=vals)
+
+
+def Enum16(values) -> DType:
+    vals = tuple((str(k), int(v)) for k, v in values)
+    body = ", ".join(f"'{k}' = {v}" for k, v in vals)
+    return DType(f"Enum16({body})", "int16", enum_values=vals)
+
+
+def FixedString(n: int) -> DType:
+    """FixedString(N): dictionary-encoded like String; values are exactly
+    N bytes, zero-padded (reference: src/Columns/ColumnFixedString.h)."""
+    return DType(f"FixedString({n})", "int32", is_dictionary=True,
+                 fixed_len=int(n))
+
+
+# UUID / IPv6: 128-bit identity types; equality/grouping/sorting dominate
+# their usage, so the dictionary-code layout (device int32 codes, canonical
+# text on host) serves them like String.  IPv4 is a true u32.
+UUID = DType("UUID", "int32", is_dictionary=True)
+IPv6 = DType("IPv6", "int32", is_dictionary=True)
+IPv4 = DType("IPv4", "uint32")
+
+
+_BY_NAME["UUID"] = UUID
+_BY_NAME["IPv4"] = IPv4
+_BY_NAME["IPv6"] = IPv6
+
+
+def is_decimal(t: DType) -> bool:
+    return t.decimal_scale is not None and t.name.startswith("Decimal")
+
+
+def is_datetime64(t: DType) -> bool:
+    return t.name.startswith("DateTime64")
+
+
+def is_enum(t: DType) -> bool:
+    return t.enum_values is not None
+
+
+def enum_name_to_value(t: DType, name: str) -> int:
+    for k, v in t.enum_values:
+        if k == name:
+            return v
+    raise ValueError(f"Unknown element '{name}' of {t.name}")
+
+
 def is_interval(t: DType) -> bool:
     return t.name.startswith("Interval")
 
@@ -140,18 +223,106 @@ def array_inner(t: DType) -> DType:
     return parse_type_name(t.name[len("Array("):-1])
 
 
+def _strip_call(name: str, *heads: str):
+    """If name is Head(args) for one of heads (case-insensitive), return the
+    inner args text, else None."""
+    for h in heads:
+        if name[:len(h)].lower() == h.lower() and len(name) > len(h) \
+                and name[len(h)] == "(" and name.endswith(")"):
+            return name[len(h) + 1:-1]
+    return None
+
+
+def _parse_enum_body(body: str):
+    """'a' = 1, 'b' = 2  ->  (("a", 1), ("b", 2)); values optional."""
+    out = []
+    i, n = 0, len(body)
+    nxt = 1          # reference auto-assign starts at 1 (DataTypeEnum.cpp:207)
+    while i < n:
+        while i < n and body[i] in " ,":
+            i += 1
+        if i >= n:
+            break
+        if body[i] != "'":
+            raise ValueError(f"Bad Enum element at {body[i:]!r}")
+        j = i + 1
+        buf = []
+        while j < n:
+            if body[j] == "\\" and j + 1 < n:
+                buf.append(body[j + 1])
+                j += 2
+            elif body[j] == "'":
+                break
+            else:
+                buf.append(body[j])
+                j += 1
+        name = "".join(buf)
+        i = j + 1
+        while i < n and body[i] == " ":
+            i += 1
+        if i < n and body[i] == "=":
+            i += 1
+            j = i
+            while j < n and body[j] not in ",":
+                j += 1
+            val = int(body[i:j].strip())
+            i = j
+        else:
+            val = nxt
+        nxt = val + 1
+        out.append((name, val))
+    return tuple(out)
+
+
 def parse_type_name(name: str) -> DType:
-    """Parse ``Int64``, ``Nullable(Float64)``, ``LowCardinality(String)``."""
+    """Parse ``Int64``, ``Nullable(Float64)``, ``Decimal(18, 4)``,
+    ``Enum8('a' = 1)``, ``FixedString(16)``, ``LowCardinality(String)``."""
     name = name.strip()
-    if name.startswith("Nullable(") and name.endswith(")"):
-        return make_nullable(parse_type_name(name[len("Nullable("):-1]))
-    if name.startswith("LowCardinality(") and name.endswith(")"):
+    for head in ("Nullable",):
+        inner = _strip_call(name, head)
+        if inner is not None:
+            return make_nullable(parse_type_name(inner))
+    inner = _strip_call(name, "LowCardinality")
+    if inner is not None:
         # Dictionary encoding is our default physical layout already.
-        return parse_type_name(name[len("LowCardinality("):-1])
-    if name.startswith("Array(") and name.endswith(")"):
-        return Array(parse_type_name(name[len("Array("):-1]))
+        return parse_type_name(inner)
+    inner = _strip_call(name, "Array")
+    if inner is not None:
+        return Array(parse_type_name(inner))
+    inner = _strip_call(name, "Decimal", "Dec", "Numeric", "Fixed")
+    if inner is not None:
+        parts = [x.strip() for x in inner.split(",")]
+        p = int(parts[0])
+        s = int(parts[1]) if len(parts) > 1 else 0
+        return Decimal(p, s)
+    for head, prec in (("Decimal32", 9), ("Decimal64", 18),
+                       ("Decimal128", 38), ("Decimal256", 76)):
+        inner = _strip_call(name, head)
+        if inner is not None:
+            return Decimal(prec, int(inner.strip()))
+    inner = _strip_call(name, "DateTime64")
+    if inner is not None:
+        scale = inner.split(",")[0].strip()   # ignore timezone argument
+        return DateTime64(int(scale))
+    inner = _strip_call(name, "DateTime")
+    if inner is not None:
+        return DateTime                       # DateTime('tz'): tz ignored
+    inner = _strip_call(name, "FixedString")
+    if inner is not None:
+        return FixedString(int(inner.strip()))
+    inner = _strip_call(name, "Enum8")
+    if inner is not None:
+        return Enum8(_parse_enum_body(inner))
+    inner = _strip_call(name, "Enum16", "Enum")
+    if inner is not None:
+        return Enum16(_parse_enum_body(inner))
     if name in _BY_NAME:
         return _BY_NAME[name]
+    lowered = {k.lower(): v for k, v in _BY_NAME.items()}
+    if name.lower() in lowered:
+        return lowered[name.lower()]
+    if name.lower() in ("decimal", "dec", "numeric"):
+        return Decimal(10, 0)       # bare DECIMAL defaults to (10, 0)
     raise ValueError(f"Unknown data type: {name!r}")
 
 
@@ -161,7 +332,12 @@ def is_numeric(t: DType) -> bool:
 
 
 def is_integer(t: DType) -> bool:
-    return t.np_dtype.kind in ("i", "u") and not t.is_dictionary
+    """Semantically integer (not merely integer-backed: Date/DateTime/
+    Decimal/Enum/Interval store ints but are not Int types)."""
+    return t.np_dtype.kind in ("i", "u") and not t.is_dictionary \
+        and t.decimal_scale is None and t.enum_values is None \
+        and not is_datetime_like(t) and not t.name.startswith("Interval") \
+        and not is_datetime64(t)
 
 
 def is_float(t: DType) -> bool:
@@ -189,6 +365,24 @@ def common_supertype(a: DType, b: DType) -> DType:
     a0, b0 = remove_nullable(a), remove_nullable(b)
     if a0 == b0:
         out = a0
+    elif is_decimal(a0) or is_decimal(b0):
+        if is_float(a0) or is_float(b0):
+            out = Float64            # Decimal op Float -> Float64
+        elif is_decimal(a0) and is_decimal(b0):
+            out = Decimal(max(a0.decimal_prec, b0.decimal_prec),
+                          max(a0.decimal_scale, b0.decimal_scale))
+        elif is_integer(a0) or is_integer(b0):
+            d = a0 if is_decimal(a0) else b0
+            out = Decimal(max(d.decimal_prec, 18), d.decimal_scale)
+        else:
+            raise TypeError(f"No common supertype of {a0} and {b0}")
+    elif is_enum(a0) or is_enum(b0):
+        e = a0 if is_enum(a0) else b0
+        o = b0 if is_enum(a0) else a0
+        if is_string(o) or is_enum(o):
+            out = e
+        else:
+            raise TypeError(f"No common supertype of {a0} and {b0}")
     elif is_string(a0) or is_string(b0):
         if is_string(a0) and is_string(b0):
             out = String

@@ -91,6 +91,8 @@ class Settings:
 
     # -- misc ----------------------------------------------------------------
     readonly: int = 0
+    ignore_unknown_settings: bool = False   # tolerate foreign settings names
+                                            # (reference-test compat mode)
     user_files_path: str = ""          # confinement root for file()/INFILE/
                                        # OUTFILE/BACKUP ("" = unrestricted)
     empty_result_for_aggregation_by_empty_set: bool = False
@@ -101,8 +103,12 @@ class Settings:
             return dataclasses.replace(self)
         fields = {f.name: f for f in dataclasses.fields(self)}
         kwargs = {}
+        lenient = self.ignore_unknown_settings \
+            or bool(overrides.get("ignore_unknown_settings"))
         for key, value in overrides.items():
             if key not in fields:
+                if lenient:
+                    continue
                 raise SettingsConstraintError(f"Unknown setting '{key}'")
             ftype = fields[key].type
             current = getattr(self, key)

@@ -1,0 +1,233 @@
+"""Host-boundary codecs for logical types with non-trivial text forms.
+
+The device only ever sees fixed-width integers (dtypes.py); this module is
+the single place where those integers meet their human/storage
+representations: Decimal scaled ints <-> decimal.Decimal, Date/DateTime
+epochs <-> datetime objects, Enum codes <-> names, IPv4 <-> dotted quads.
+
+Role of the reference's per-type text serializations
+(src/DataTypes/Serializations/SerializationDecimal.cpp,
+SerializationDate.cpp, SerializationEnum.cpp) — applied at the
+materialize/ingest boundary instead of per-stream.
+"""
+from __future__ import annotations
+
+import datetime
+import decimal
+from typing import Any
+
+import numpy as np
+
+from . import dtypes as dt
+
+__all__ = ["decode_for_display", "encode_for_storage", "format_value",
+           "needs_decode"]
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+def needs_decode(t: dt.DType) -> bool:
+    t = dt.remove_nullable(t)
+    return (dt.is_decimal(t) or dt.is_enum(t) or t.name == "Date"
+            or t.name == "DateTime" or dt.is_datetime64(t)
+            or t.name == "IPv4")
+
+
+def decode_for_display(t: dt.DType, data: np.ndarray) -> np.ndarray:
+    """Storage integers -> python display objects (object ndarray).
+
+    Rows that are None (already masked NULL) pass through.
+    """
+    t = dt.remove_nullable(t)
+    if not needs_decode(t):
+        return data
+    out = np.empty(len(data), object)
+    if dt.is_decimal(t) and not dt.is_datetime64(t):
+        s = t.decimal_scale
+        for i, v in enumerate(data):
+            out[i] = None if v is None else \
+                decimal.Decimal(int(v)).scaleb(-s)
+        return out
+    if t.name == "Date":
+        base = np.asarray([v if v is not None else 0 for v in data],
+                          np.int64)
+        dates = base.astype("datetime64[D]").tolist()
+        for i, v in enumerate(data):
+            out[i] = None if v is None else dates[i]
+        return out
+    if t.name == "DateTime":
+        base = np.asarray([v if v is not None else 0 for v in data],
+                          np.int64)
+        dts = base.astype("datetime64[s]").tolist()
+        for i, v in enumerate(data):
+            out[i] = None if v is None else dts[i]
+        return out
+    if dt.is_datetime64(t):
+        s = t.decimal_scale
+        for i, v in enumerate(data):
+            if v is None:
+                out[i] = None
+                continue
+            v = int(v)
+            sec, frac = divmod(v, 10 ** s)
+            ts = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(seconds=sec))
+            text = ts.strftime("%Y-%m-%d %H:%M:%S")
+            if s > 0:
+                text += "." + str(frac).rjust(s, "0")
+            out[i] = text
+        return out
+    if dt.is_enum(t):
+        names = dict((v, k) for k, v in t.enum_values)
+        for i, v in enumerate(data):
+            out[i] = None if v is None else names.get(int(v), str(v))
+        return out
+    if t.name == "IPv4":
+        for i, v in enumerate(data):
+            if v is None:
+                out[i] = None
+            else:
+                v = int(v) & 0xFFFFFFFF
+                out[i] = f"{v >> 24}.{(v >> 16) & 255}.{(v >> 8) & 255}" \
+                         f".{v & 255}"
+        return out
+    return data
+
+
+def _parse_date(v: Any) -> int:
+    if isinstance(v, datetime.datetime):
+        return (v.date() - _EPOCH).days
+    if isinstance(v, datetime.date):
+        return (v - _EPOCH).days
+    if isinstance(v, str):
+        return (datetime.date.fromisoformat(v[:10]) - _EPOCH).days
+    return int(v)
+
+
+def _parse_datetime(v: Any) -> int:
+    if isinstance(v, datetime.datetime):
+        return int((v - datetime.datetime(1970, 1, 1)).total_seconds())
+    if isinstance(v, datetime.date):
+        return (v - _EPOCH).days * 86400
+    if isinstance(v, str):
+        v = v.strip()
+        if len(v) <= 10:
+            return (datetime.date.fromisoformat(v) - _EPOCH).days * 86400
+        d = datetime.datetime.fromisoformat(v.replace("T", " ")[:19])
+        return int((d - datetime.datetime(1970, 1, 1)).total_seconds())
+    return int(v)
+
+
+def _parse_datetime64(v: Any, scale: int) -> int:
+    m = 10 ** scale
+    if isinstance(v, str):
+        v = v.strip().replace("T", " ")
+        frac = 0
+        if "." in v:
+            body, f = v.split(".", 1)
+            f = "".join(c for c in f if c.isdigit())
+            frac = int((f + "0" * scale)[:scale]) if f else 0
+            v = body
+        return _parse_datetime(v) * m + frac
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return _parse_datetime(v) * m
+    if isinstance(v, float):
+        return int(round(v * m))
+    return int(v) * m if abs(int(v)) < 10 ** 10 else int(v)
+
+
+def decimal_to_int(v: Any, scale: int) -> int:
+    m = decimal.Decimal(10) ** scale
+    if isinstance(v, decimal.Decimal):
+        r = int((v * m).to_integral_value(decimal.ROUND_HALF_UP))
+    elif isinstance(v, str):
+        r = int((decimal.Decimal(v) * m)
+                .to_integral_value(decimal.ROUND_HALF_UP))
+    elif isinstance(v, float):
+        # float -> decimal via repr round-trip (the reference converts
+        # through the shortest decimal representation too)
+        r = int((decimal.Decimal(repr(v)) * m)
+                .to_integral_value(decimal.ROUND_HALF_UP))
+    else:
+        r = int(v) * 10 ** scale
+    # saturate at the Decimal64 physical range (wide decimals beyond int64
+    # are a documented cap — see dtypes.Decimal)
+    return max(-(2 ** 63) + 1, min(2 ** 63 - 1, r))
+
+
+def _parse_ipv4(v: Any) -> int:
+    if isinstance(v, str):
+        parts = v.split(".")
+        if len(parts) != 4:
+            return 0
+        n = 0
+        for p in parts:
+            n = (n << 8) | (int(p) & 255)
+        return n
+    return int(v) & 0xFFFFFFFF
+
+
+def encode_for_storage(t: dt.DType, values: np.ndarray) -> np.ndarray:
+    """Python/user values -> storage integer ndarray (None -> 0, the
+    validity mask carries nullness)."""
+    t0 = dt.remove_nullable(t)
+    if not needs_decode(t0):
+        return values
+    vals = np.asarray(values, object) if np.asarray(values).dtype == object \
+        else np.asarray(values)
+    out = np.zeros(len(vals), t0.np_dtype)
+    if dt.is_enum(t0):
+        by_name = dict(t0.enum_values)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            out[i] = by_name[v] if isinstance(v, str) else int(v)
+        return out
+    if dt.is_datetime64(t0):
+        s = t0.decimal_scale
+        for i, v in enumerate(vals):
+            if v is not None:
+                out[i] = _parse_datetime64(v, s)
+        return out
+    if dt.is_decimal(t0):
+        s = t0.decimal_scale
+        for i, v in enumerate(vals):
+            if v is not None:
+                out[i] = decimal_to_int(v, s)
+        return out
+    if t0.name == "Date":
+        if vals.dtype != object and vals.dtype.kind in ("i", "u", "f"):
+            return vals.astype(np.int32)
+        for i, v in enumerate(vals):
+            if v is not None:
+                out[i] = _parse_date(v)
+        return out
+    if t0.name == "DateTime":
+        if vals.dtype != object and vals.dtype.kind in ("i", "u", "f"):
+            return vals.astype(np.int64)
+        for i, v in enumerate(vals):
+            if v is not None:
+                out[i] = _parse_datetime(v)
+        return out
+    if t0.name == "IPv4":
+        if vals.dtype != object and vals.dtype.kind in ("i", "u"):
+            return vals.astype(np.uint32)
+        for i, v in enumerate(vals):
+            if v is not None:
+                out[i] = _parse_ipv4(v)
+        return out
+    return values
+
+
+def format_value(v: Any) -> str:
+    """ClickHouse TabSeparated text for a decoded python value."""
+    if isinstance(v, decimal.Decimal):
+        text = format(v, "f")
+        if "." in text:
+            text = text.rstrip("0").rstrip(".")
+        return text or "0"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)

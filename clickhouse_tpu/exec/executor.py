@@ -241,9 +241,13 @@ def _exec_filter(node: L.FilterNode, ctx: ExecContext) -> ExecBlock:
 def _exec_project(node: L.ProjectNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
     from ..plan import ranges
+    env = child.env()
+    for name, cv0 in env.items():   # expose interval analysis to functions
+        if cv0.bounds is None and name in ctx.field_bounds:
+            cv0.bounds = ctx.field_bounds[name]
     cols = {}
     for f, e in zip(node.schema, node.exprs):
-        cv = evaluate(e, child.env())
+        cv = evaluate(e, env)
         cols[f.id] = cv.broadcast(child.capacity)
         b = ranges.infer_bounds(e, ctx.field_bounds)
         if b is not None:
@@ -1374,11 +1378,20 @@ def materialize(block: ExecBlock, schema: List[L.Field],
             lens = np.asarray(jax.device_get(cv.lengths))[valid_np]
             d = cv.dictionary
             rows = np.empty(len(data), object)
+            from ..core import typed
+            try:
+                inner = dt.array_inner(cv.dtype)
+            except ValueError:
+                inner = None
             for i in range(len(data)):
                 elems = data[i][:lens[i]]
                 if cv.dtype.is_dictionary and d is not None:
                     rows[i] = [str(d.values[c]) if 0 <= c < len(d) else ""
                                for c in elems]
+                elif inner is not None and typed.needs_decode(inner):
+                    rows[i] = list(typed.decode_for_display(
+                        inner, np.asarray([x.item() for x in elems],
+                                          object)))
                 else:
                     rows[i] = [x.item() for x in elems]
             name = f.display
@@ -1400,6 +1413,9 @@ def materialize(block: ExecBlock, schema: List[L.Field],
             else:
                 data = data.copy()
             data[v == 0] = None
+        from ..core import typed
+        if typed.needs_decode(cv.dtype):
+            data = typed.decode_for_display(cv.dtype, data)
         name = f.display
         if name in out:   # duplicate display names: disambiguate
             k = 1

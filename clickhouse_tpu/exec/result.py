@@ -85,4 +85,5 @@ def _fmt(x) -> str:
         return "ᴺᵁᴸᴸ"
     if isinstance(x, float):
         return repr(round(x, 10))
-    return str(x)
+    from ..core.typed import format_value
+    return format_value(x)

@@ -15,6 +15,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..core import dtypes as dt
+from ..core import typed
 from ..core.errors import (AnalysisError, EngineError, NotImplementedError_,
                            UnknownTable)
 from ..core.settings import Settings
@@ -879,7 +880,23 @@ def _align_insert(data: Dict[str, np.ndarray], table: Table,
         ctype = table.schema[name]
         v = np.asarray(vals)
         if ctype.is_dictionary:
-            out[name] = v.astype(object)
+            v = v.astype(object)
+            n = dt.remove_nullable(ctype).fixed_len
+            if n is not None:       # FixedString: zero-pad to width
+                v = np.asarray(
+                    [x if x is None else str(x) + "\x00" * (n - len(str(x)))
+                     for x in v], object)
+            out[name] = v
+        elif typed.needs_decode(ctype) and not ctype.is_array:
+            enc = typed.encode_for_storage(
+                ctype, v if v.dtype == object else v)
+            if v.dtype == object and any(x is None for x in v):
+                res = np.empty(len(v), object)   # keep NULL markers
+                for i, x in enumerate(v):
+                    res[i] = None if x is None else enc[i]
+                out[name] = res
+            else:
+                out[name] = enc
         elif v.dtype == object:
             has_none = any(x is None for x in v)
             if has_none:

@@ -163,6 +163,8 @@ class SumAgg(AggregateFunction):
 
     def result_type(self):
         t0 = dt.remove_nullable(self.arg_types[0])
+        if dt.is_decimal(t0):
+            return dt.Decimal(38, t0.decimal_scale)   # sum widens precision
         if dt.is_float(t0):
             return dt.Float64
         return dt.UInt64 if t0.np_dtype.kind == "u" else dt.Int64
@@ -252,7 +254,11 @@ class AvgAgg(AggregateFunction):
     def finalize(self, states):
         s, c = states
         safe = jnp.maximum(c, 1)
-        return s.astype(jnp.float64) / safe.astype(jnp.float64), None
+        out = s.astype(jnp.float64) / safe.astype(jnp.float64)
+        t0 = dt.remove_nullable(self.arg_types[0])
+        if dt.is_decimal(t0):
+            out = out / float(10 ** t0.decimal_scale)
+        return out, None
 
 
 class AnyAgg(AggregateFunction):

@@ -228,9 +228,18 @@ def _evaluate_in_list(expr: "BoundInList", env: Dict[str, ColVal]) -> ColVal:
         set_arr = jnp.asarray(np.asarray(codes, np.int32)) if codes else None
         data = arg.data
     else:
-        st = dt.remove_nullable(arg.dtype).np_dtype
+        t0 = dt.remove_nullable(arg.dtype)
         clean = [v for v in vals if v is not None]
-        set_arr = jnp.asarray(np.asarray(clean).astype(st)) if clean else None
+        if clean:
+            from ..core import typed
+            if typed.needs_decode(t0):
+                enc = typed.encode_for_storage(
+                    t0, np.asarray(clean, object))
+                set_arr = jnp.asarray(enc)
+            else:
+                set_arr = jnp.asarray(np.asarray(clean).astype(t0.np_dtype))
+        else:
+            set_arr = None
         data = arg.data
     if set_arr is None:
         member = jnp.zeros(getattr(data, "shape", (1,)), jnp.bool_)

@@ -163,7 +163,8 @@ def _resolve_plusminus(ts):
         if dt.is_datetime_like(x) and (dt.is_interval(y) or dt.is_integer(y)):
             return x.with_nullable(nullable)
     if dt.is_datetime_like(a0) and dt.is_datetime_like(b0):
-        return dt.Int64.with_nullable(nullable)      # date difference
+        return dt.Int32.with_nullable(nullable)      # date difference (ref:
+        # DateTime - DateTime = Int32, src/Functions/FunctionBinaryArithmetic.h)
     return None
 
 
@@ -217,6 +218,43 @@ def _days_in_month(y, m):
     return jnp.where((m == 2) & leap, 29, d)
 
 
+
+def _p10i(n) -> "jnp.ndarray":
+    """10^n as int64, saturated at 10^18 (the Decimal64 physical cap)."""
+    return jnp.int64(10 ** min(max(int(n), 0), 18))
+
+def _dec_prep(args, out_dtype):
+    """Rescale decimal operands for arithmetic with result type out_dtype.
+
+    Decimal result: every operand becomes the result-scale int64 (decimal
+    rescaled by 10^dS, integers scaled up).  Float result: decimals become
+    f64 values.  Reference scale rules: src/Functions/
+    FunctionBinaryArithmetic.h DecimalBinaryOperation.
+    """
+    out0 = dt.remove_nullable(out_dtype)
+    prepped = []
+    for a in args:
+        a0 = dt.remove_nullable(a.dtype)
+        if dt.is_decimal(out0):
+            s_out = out0.decimal_scale
+            if dt.is_decimal(a0):
+                d = s_out - a0.decimal_scale
+                data = a.data.astype(jnp.int64) * _p10i(d)
+            else:
+                data = a.data.astype(jnp.int64) * _p10i(s_out)
+        elif dt.is_decimal(a0):
+            data = (a.data.astype(jnp.float64)
+                    / float(10 ** a0.decimal_scale))
+        else:
+            data = a.data
+        prepped.append(ColVal(a.dtype, data, a.validity))
+    return prepped
+
+
+def _has_decimal(*ts):
+    return any(dt.is_decimal(dt.remove_nullable(t)) for t in ts)
+
+
 def _plus_exec(args, out_dtype):
     a, b = args
     a0 = dt.remove_nullable(a.dtype)
@@ -225,6 +263,9 @@ def _plus_exec(args, out_dtype):
             or (dt.is_datetime_like(b0) and (dt.is_interval(a0)
                                              or dt.is_integer(a0))):
         return _datetime_arith(1)(args, out_dtype)
+    if _has_decimal(a0, b0):
+        x, y = _dec_prep(args, out_dtype)
+        return ColVal(out_dtype, x.data + y.data, _and_validity(args))
     return _binary_numeric(jnp.add)(args, out_dtype)
 
 
@@ -234,9 +275,13 @@ def _minus_exec(args, out_dtype):
     b0 = dt.remove_nullable(b.dtype)
     if dt.is_datetime_like(a0) and dt.is_datetime_like(b0):
         data = a.data.astype(jnp.int64) - b.data.astype(jnp.int64)
+        data = data.astype(dt.remove_nullable(out_dtype).jnp_dtype)
         return ColVal(out_dtype, data, _and_validity(args))
     if dt.is_datetime_like(a0) and (dt.is_interval(b0) or dt.is_integer(b0)):
         return _datetime_arith(-1)(args, out_dtype)
+    if _has_decimal(a0, b0):
+        x, y = _dec_prep(args, out_dtype)
+        return ColVal(out_dtype, x.data - y.data, _and_validity(args))
     return _binary_numeric(jnp.subtract)(args, out_dtype)
 
 
@@ -251,9 +296,38 @@ def _resolve_arith_dates(promote=None):
     return r
 
 
+def _resolve_multiply(ts):
+    a0, b0 = (dt.remove_nullable(t) for t in ts)
+    nullable = any(t.nullable for t in ts)
+    if dt.is_decimal(a0) and dt.is_decimal(b0):
+        # multiply adds scales (reference: DecimalBinaryOperation)
+        return dt.Decimal(min(a0.decimal_prec + b0.decimal_prec, 76),
+                          a0.decimal_scale + b0.decimal_scale) \
+            .with_nullable(nullable)
+    return _resolve_arith()(ts)
+
+
+def _multiply_exec(args, out_dtype):
+    a0 = dt.remove_nullable(args[0].dtype)
+    b0 = dt.remove_nullable(args[1].dtype)
+    if _has_decimal(a0, b0):
+        out0 = dt.remove_nullable(out_dtype)
+        if dt.is_decimal(out0):
+            # scaled ints multiply raw: scales add; int operands need no
+            # scaling when the other operand already carries the out scale
+            xs = []
+            for a in args:
+                t = dt.remove_nullable(a.dtype)
+                xs.append(a.data.astype(jnp.int64))
+            return ColVal(out_dtype, xs[0] * xs[1], _and_validity(args))
+        x, y = _dec_prep(args, out_dtype)   # float result
+        return _binary_numeric(jnp.multiply)([x, y], out_dtype)
+    return _binary_numeric(jnp.multiply)(args, out_dtype)
+
+
 register("plus", _resolve_arith_dates(), _plus_exec)
 register("minus", _resolve_arith_dates(lambda t: _signed(t)), _minus_exec)
-register("multiply", _resolve_arith(), _binary_numeric(jnp.multiply))
+register("multiply", _resolve_multiply, _multiply_exec)
 
 
 def _signed(t: dt.DType) -> dt.DType:
@@ -265,14 +339,48 @@ def _signed(t: dt.DType) -> dt.DType:
 
 def _div_exec(args, out_dtype):
     a, b = args
+    out0 = dt.remove_nullable(out_dtype)
+    if dt.is_decimal(out0):
+        # (a/10^Sa) / (b/10^Sb) at result scale Sa:
+        # raw = a * 10^Sb / b, truncated toward zero (reference semantics)
+        a0 = dt.remove_nullable(a.dtype)
+        b0 = dt.remove_nullable(b.dtype)
+        sa = a0.decimal_scale if dt.is_decimal(a0) else 0
+        sb = b0.decimal_scale if dt.is_decimal(b0) else 0
+        x = a.data.astype(jnp.int64) * _p10i(sb)
+        x = x * _p10i(out0.decimal_scale - sa)
+        y = b.data.astype(jnp.int64)
+        safe = jnp.where(y == 0, jnp.ones_like(y), y)
+        q = jax.lax.div(x, safe)
+        data = jnp.where(y == 0, jnp.zeros_like(q), q)
+        v = _and_validity(args)
+        zero = (y == 0)
+        v = jnp.logical_and(v, ~zero) if v is not None else ~zero
+        return ColVal(out_dtype.with_nullable(True), data, v)
     x = _numeric_data(a).astype(jnp.float64)
     y = _numeric_data(b).astype(jnp.float64)
+    if dt.is_decimal(dt.remove_nullable(a.dtype)):
+        x = x / float(10 ** dt.remove_nullable(a.dtype).decimal_scale)
+    if dt.is_decimal(dt.remove_nullable(b.dtype)):
+        y = y / float(10 ** dt.remove_nullable(b.dtype).decimal_scale)
     data = x / y  # inf/nan on zero divide, like the reference's Float division
     return ColVal(out_dtype, data.astype(dt.remove_nullable(out_dtype).jnp_dtype),
                   _and_validity(args))
 
 
-register("divide", _resolve_float, _div_exec)
+def _resolve_divide(ts):
+    a0, b0 = (dt.remove_nullable(t) for t in ts)
+    nullable = any(t.nullable for t in ts)
+    if (dt.is_decimal(a0) or dt.is_decimal(b0)) \
+            and not (dt.is_float(a0) or dt.is_float(b0)):
+        # result scale = dividend's scale (reference divide rule)
+        sa = a0.decimal_scale if dt.is_decimal(a0) else 0
+        prec = a0.decimal_prec if dt.is_decimal(a0) else 18
+        return dt.Decimal(prec, sa).with_nullable(nullable)
+    return _resolve_float(ts)
+
+
+register("divide", _resolve_divide, _div_exec)
 
 
 def _const_nonzero(b: ColVal) -> bool:
@@ -316,6 +424,22 @@ def _resolve_intdiv(ts):
 register("intDiv", _resolve_intdiv, _intdiv_exec)
 
 
+def _or_zero(base_exec):
+    """xOrZero variants: zero result (and valid) where the divisor is 0."""
+    def ex(args, out_dtype):
+        out = base_exec(args, out_dtype)
+        y = args[1].data
+        zero = (y == 0)
+        v = _and_validity(args)
+        data = jnp.where(zero, jnp.zeros((), out.data.dtype), out.data)
+        return ColVal(dt.remove_nullable(out.dtype).with_nullable(
+            any(a.dtype.nullable for a in args)), data, v)
+    return ex
+
+
+register("intDivOrZero", _resolve_intdiv, _or_zero(_intdiv_exec))
+
+
 def _mod_exec(args, out_dtype):
     a, b = args
     st = dt.remove_nullable(out_dtype).jnp_dtype
@@ -334,6 +458,7 @@ def _mod_exec(args, out_dtype):
 
 
 register("modulo", _resolve_intdiv, _mod_exec)
+register("moduloOrZero", _resolve_intdiv, _or_zero(_mod_exec))
 register("negate", lambda ts: _signed(_resolve_arith()(ts)),
          _unary_numeric(jnp.negative))
 register("abs", _resolve_arith(), _unary_numeric(jnp.abs), case_insensitive=True)
@@ -367,8 +492,8 @@ register("greatest", _resolve_arith(), _minmax2(jnp.maximum), case_insensitive=T
 def _resolve_cmp(ts):
     a, b = ts
     a0, b0 = dt.remove_nullable(a), dt.remove_nullable(b)
-    if a0.is_dictionary != b0.is_dictionary:
-        raise TypeError_(f"Cannot compare {a0} with {b0}")
+    # String vs non-String: allowed — the string side converts to the other
+    # side's domain at execution (enum name table, date/decimal parse LUT)
     return dt.UInt8.with_nullable(a.nullable or b.nullable)
 
 
@@ -409,8 +534,45 @@ def _cmp_exec(op, code_op=None):
                 else:
                     data = op(rank[jnp.maximum(ca, 0)], rank[jnp.maximum(cb, 0)])
             return ColVal(out_dtype, data.astype(jnp.uint8), _and_validity(args))
-        x = _numeric_data(a)
-        y = _numeric_data(b)
+        a0 = dt.remove_nullable(a.dtype)
+        b0 = dt.remove_nullable(b.dtype)
+        if a0.is_dictionary != b0.is_dictionary \
+                and not (dt.is_enum(a0) or dt.is_enum(b0)):
+            # String vs Date/DateTime/Decimal/IPv4: parse the string side
+            # into the typed side's domain (reference: comparing with a
+            # constant string converts the string, FunctionsComparison.h)
+            from .conv import cast_exec
+            o = b0 if a0.is_dictionary else a0
+            if a0.is_dictionary:
+                a = cast_exec([a], o.with_nullable(a.dtype.nullable))
+                a0 = o
+            else:
+                b = cast_exec([b], o.with_nullable(b.dtype.nullable))
+                b0 = o
+        if dt.is_enum(a0) != dt.is_enum(b0) \
+                and (a0.is_dictionary or b0.is_dictionary):
+            # Enum vs String: map strings to enum codes via the name table
+            from .conv import cast_exec
+            e = a0 if dt.is_enum(a0) else b0
+            if a0.is_dictionary:
+                a = cast_exec([a], e.with_nullable(a.dtype.nullable))
+            else:
+                b = cast_exec([b], e.with_nullable(b.dtype.nullable))
+            a0 = b0 = e
+        if _has_decimal(a0, b0):
+            sa = a0.decimal_scale if dt.is_decimal(a0) else 0
+            sb = b0.decimal_scale if dt.is_decimal(b0) else 0
+            if dt.is_float(a0) or dt.is_float(b0):
+                x = a.data.astype(jnp.float64) / float(10 ** sa)
+                y = b.data.astype(jnp.float64) / float(10 ** sb)
+            else:
+                s = max(sa, sb)
+                x = a.data.astype(jnp.int64) * _p10i(s - sa)
+                y = b.data.astype(jnp.int64) * _p10i(s - sb)
+            return ColVal(out_dtype, op(x, y).astype(jnp.uint8),
+                          _and_validity(args))
+        x = a.data if dt.is_enum(a0) else _numeric_data(a)
+        y = b.data if dt.is_enum(b0) else _numeric_data(b)
         ct = np.promote_types(x.dtype, y.dtype)
         data = op(x.astype(ct), y.astype(ct))
         return ColVal(out_dtype, data.astype(jnp.uint8), _and_validity(args))
@@ -607,9 +769,14 @@ def _float_unary(op):
 for _n, _op in [
     ("sqrt", jnp.sqrt), ("cbrt", jnp.cbrt), ("exp", jnp.exp), ("log", jnp.log),
     ("ln", jnp.log), ("exp2", jnp.exp2), ("log2", jnp.log2),
+    ("exp10", lambda x: jnp.power(10.0, x)),
     ("log10", jnp.log10), ("sin", jnp.sin), ("cos", jnp.cos), ("tan", jnp.tan),
     ("asin", jnp.arcsin), ("acos", jnp.arccos), ("atan", jnp.arctan),
     ("sigmoid", jax.nn.sigmoid), ("tanh", jnp.tanh), ("erf", jax.lax.erf),
+    ("erfc", lambda x: 1.0 - jax.lax.erf(x)),
+    ("lgamma", jax.lax.lgamma),
+    ("tgamma", lambda x: jnp.where(x > 0, jnp.exp(jax.lax.lgamma(x)),
+                                   jnp.nan)),
 ]:
     register(_n, _resolve_float, _float_unary(_op), case_insensitive=True)
 
@@ -642,15 +809,44 @@ def _resolve_rounding(ts):
 def _round_exec(kind):
     def ex(args, out_dtype):
         x = _numeric_data(args[0])
-        if dt.is_integer(dt.remove_nullable(out_dtype)) and len(args) < 2:
+        out0 = dt.remove_nullable(out_dtype)
+        if dt.is_decimal(out0):
+            # exact integer rounding on the scaled representation
+            # (reference: src/Functions/FunctionsRound.h DecimalRoundingImpl);
+            # q = 10^(S-N) clipped to 1 when N >= S (identity)
+            s = out0.decimal_scale
+            n = args[1].data.astype(jnp.int64) if len(args) >= 2 \
+                else jnp.int64(0)
+            q = jnp.power(jnp.int64(10), jnp.clip(s - n, 0, 18))
+            xi = x.astype(jnp.int64)
+            ax = jnp.abs(xi)
+            if kind is jnp.trunc:
+                data = jnp.sign(xi) * (ax // q) * q
+            elif kind is jnp.floor:
+                data = jnp.where(xi >= 0, (ax // q) * q,
+                                 -((ax + q - 1) // q) * q)
+            elif kind is jnp.ceil:
+                data = jnp.where(xi >= 0, ((ax + q - 1) // q) * q,
+                                 -(ax // q) * q)
+            elif kind == "bankers":   # round half to even
+                base = ax // q
+                rem = ax - base * q
+                half = q // 2
+                up = (2 * rem > q) | ((2 * rem == q) & (base % 2 == 1))
+                data = jnp.sign(xi) * (base + up.astype(jnp.int64)) * q
+            else:   # round half away from zero (reference decimal rule)
+                data = jnp.sign(xi) * ((ax + q // 2) // q) * q
+            return ColVal(out_dtype, data, _and_validity(args))
+        if dt.is_integer(out0) and len(args) < 2:
             return ColVal(out_dtype, x, _and_validity(args))
+        k = jnp.round if kind == "bankers" else kind   # jnp.round is half-even
         xf = x.astype(jnp.float64)
         if len(args) >= 2:
             # round to N decimal places
             scale = jnp.power(10.0, _numeric_data(args[1]).astype(jnp.float64))
-            data = kind(xf * scale) / scale
+            data = k(xf * scale) / scale
         else:
-            data = kind(xf)
+            data = k(xf)
         return ColVal(out_dtype, data.astype(dt.remove_nullable(out_dtype).jnp_dtype),
                       _and_validity(args))
     return ex
@@ -663,6 +859,7 @@ register("round", _resolve_rounding,
          _round_exec(lambda x: jnp.round(x)), case_insensitive=True)
 register("trunc", _resolve_rounding, _round_exec(jnp.trunc), case_insensitive=True)
 register("truncate", _resolve_rounding, _round_exec(jnp.trunc), case_insensitive=True)
+register("roundBankers", _resolve_rounding, _round_exec("bankers"))
 register("sign", lambda ts: dt.Int8.with_nullable(any(t.nullable for t in ts)),
          _unary_numeric(lambda x: jnp.sign(x.astype(jnp.float64))),
          case_insensitive=True)
@@ -687,21 +884,10 @@ def _conv(name, target: dt.DType):
         return target.with_nullable(ts[0].nullable)
 
     def ex(args, out_dtype):
-        a = args[0]
-        if a.dtype.is_dictionary:
-            # parse strings on the host dictionary at trace time
-            vals = a.dictionary.values if a.dictionary else np.asarray([], object)
-            parsed = np.zeros(max(len(vals), 1), target.np_dtype)
-            for i, v in enumerate(vals):
-                try:
-                    parsed[i] = target.np_dtype.type(float(v)) \
-                        if target.np_dtype.kind == "f" else target.np_dtype.type(int(float(v)))
-                except (ValueError, TypeError):
-                    parsed[i] = 0
-            lut = jnp.asarray(parsed)
-            data = lut[jnp.maximum(a.data, 0)]
-            return ColVal(out_dtype, data, _and_validity(args))
-        return ColVal(out_dtype, a.data.astype(target.jnp_dtype), _and_validity(args))
+        # unified cast machine (conv.py) — covers string parse LUTs,
+        # decimal rescale, date/enum conversions
+        from .conv import cast_exec
+        return cast_exec(args[:1], out_dtype)
 
     register(name, resolve, ex)
 
@@ -718,8 +904,8 @@ def _to_string_exec(args, out_dtype):
     a = args[0]
     if a.dtype.is_dictionary:
         return ColVal(out_dtype, a.data, a.validity, a.dictionary)
-    raise TypeError_("toString of non-constant numeric columns requires "
-                     "materialization; use it at the top level of SELECT")
+    from .conv import cast_exec
+    return cast_exec(args[:1], out_dtype)   # enums, constants
 
 
 register("toString", lambda ts: dt.String.with_nullable(ts[0].nullable),
@@ -819,6 +1005,27 @@ def _yyyymmdd_exec(args, out_dtype):
 
 register("toYYYYMM", lambda ts: dt.UInt32.with_nullable(ts[0].nullable), _yyyymm_exec)
 register("toYYYYMMDD", lambda ts: dt.UInt32.with_nullable(ts[0].nullable), _yyyymmdd_exec)
+
+
+def _yyyymmddhhmmss_exec(args, out_dtype):
+    a = args[0]
+    secs = a.data.astype(jnp.int64)
+    if dt.remove_nullable(a.dtype).name == "Date":
+        secs = secs * 86400
+    days = jnp.floor_divide(secs, 86400)
+    rem = secs - days * 86400
+    y, m, d = _civil_from_days(days)
+    hh = jnp.floor_divide(rem, 3600)
+    mm = jnp.mod(jnp.floor_divide(rem, 60), 60)
+    ss = jnp.mod(rem, 60)
+    data = ((y * 10000 + m * 100 + d).astype(jnp.uint64) * 1000000
+            + (hh * 10000 + mm * 100 + ss).astype(jnp.uint64))
+    return ColVal(out_dtype, data, _and_validity(args))
+
+
+register("toYYYYMMDDhhmmss",
+         lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _yyyymmddhhmmss_exec)
 
 
 def _start_of(period):
@@ -1318,3 +1525,9 @@ for _n, _op, _ot in [("arraySum", "sum",
 register("emptyArrayInt64", lambda ts: dt.Array(dt.Int64),
          lambda args, t: ColVal(t, jnp.zeros((8,), jnp.int64), None, None,
                                 lengths=jnp.asarray(0, jnp.int32)))
+
+
+# Unified CAST machine + parametric constructors (registers _cast, toDate,
+# toDateTime, toUUID, toIPv4/6, IPv4 helpers) — keep last so it can reuse
+# everything above.
+from . import conv as _conv_module  # noqa: E402,F401

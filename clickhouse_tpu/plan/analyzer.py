@@ -901,6 +901,20 @@ class Analyzer:
         raise AnalysisError(f"Cannot bind expression {e!r}")
 
     def _bind_call(self, e: ast.FuncCall, args: List[BoundExpr]) -> BoundExpr:
+        if e.name.lower() == "totypename":
+            return BoundLiteral(str(args[0].dtype), dt.String)
+        if e.name.lower() == "currentdatabase":
+            return BoundLiteral(self.catalog.current_database, dt.String)
+        # literal-parameterized type constructors (toDecimal32(x, S), ...)
+        # become `_cast` calls whose result dtype carries the parameters
+        from ..exprs.conv import literal_typed_target
+        literals = [a.value if isinstance(a, BoundLiteral) else None
+                    for a in args]
+        target = literal_typed_target(e.name, [a.dtype for a in args],
+                                      literals)
+        if target is not None:
+            return BoundCall("_cast", [args[0]],
+                             target.with_nullable(args[0].dtype.nullable))
         name = fn_reg.canonical_name(e.name)
         fn = fn_reg.get(name)
         out = fn.resolve([a.dtype for a in args])
@@ -911,7 +925,12 @@ class Analyzer:
                 and args[1].value not in (0, None) \
                 and not args[0].dtype.nullable:
             out = dt.remove_nullable(out)
-        return BoundCall(name, args, out)
+        bc = BoundCall(name, args, out)
+        if name in ("toString", "_cast") and out.is_dictionary:
+            folded = _fold_const_string(bc)
+            if folded is not None:
+                return folded
+        return bc
 
     def _bind_cast(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
         arg = self.bind(e.args[0], scope, allow_agg=False)
@@ -923,10 +942,13 @@ class Analyzer:
         conv_name = f"to{base.name}"
         if base.name == "String":
             conv_name = "toString"
-        if not fn_reg.exists(conv_name):
-            raise NotImplementedError_(f"CAST to {target} not supported")
-        out = fn_reg.get(conv_name).resolve([arg.dtype])
-        bc = BoundCall(fn_reg.canonical_name(conv_name), [arg], out)
+        if fn_reg.exists(conv_name):
+            out = fn_reg.get(conv_name).resolve([arg.dtype])
+            bc = BoundCall(fn_reg.canonical_name(conv_name), [arg], out)
+        else:
+            # parametric / long-tail targets: the unified cast machine
+            out = target.with_nullable(target.nullable or arg.dtype.nullable)
+            bc = BoundCall("_cast", [arg], out)
         if target.nullable and not out.nullable:
             return BoundCall("toNullable", [bc], dt.make_nullable(out))
         return bc
@@ -1062,6 +1084,8 @@ def _bind_literal(e: ast.Literal) -> BoundLiteral:
     if isinstance(v, bool):
         return BoundLiteral(int(v), dt.UInt8)
     if isinstance(v, int):
+        if v > 2**64 - 1 or v < -(2**63):
+            return BoundLiteral(float(v), dt.Float64)   # beyond 64-bit range
         if v > 2**63 - 1:
             return BoundLiteral(v, dt.UInt64)
         return BoundLiteral(v, dt.Int64)
@@ -1079,6 +1103,34 @@ def _const_int(e) -> int:
             and isinstance(e.args[0], ast.Literal):
         return -e.args[0].value
     raise AnalysisError("Expected a constant integer")
+
+
+def _bound_has_columns(be: BoundExpr) -> bool:
+    if isinstance(be, BoundColumn):
+        return True
+    return any(_bound_has_columns(c) for c in be.children())
+
+
+def _fold_const_string(bc: BoundCall):
+    """Bind-time evaluation of a column-free string cast so
+    toString(toDecimal32(1.5, 2)) becomes a plain string literal — outside
+    jit the chain runs eagerly on concrete values, which the trace-time
+    const-fold in conv.cast_exec cannot do (literals trace as Tracers)."""
+    if _bound_has_columns(bc):
+        return None
+    from ..exprs.expr import evaluate
+    try:
+        cv = evaluate(bc, {})
+    except Exception:
+        return None
+    if not (cv.dtype.is_dictionary and cv.dictionary is not None
+            and cv.is_const):
+        return None
+    code = int(np.asarray(cv.data))
+    if not (0 <= code < len(cv.dictionary)):
+        return None
+    return BoundLiteral(str(cv.dictionary.values[code]),
+                        dt.String.with_nullable(bc.dtype.nullable))
 
 
 def _ast_children(e: ast.Expr):

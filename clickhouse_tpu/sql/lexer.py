@@ -51,12 +51,14 @@ def tokenize(sql: str) -> List[Token]:
             continue
         # strings
         if c == "'":
+            start = i
             text, i = _read_quoted(sql, i, "'")
-            tokens.append(Token("string", text, i))
+            tokens.append(Token("string", text, start))
             continue
         if c == "`" or c == '"':
+            start = i
             text, i = _read_quoted(sql, i, c)
-            tokens.append(Token("word", text, i))
+            tokens.append(Token("word", text, start))
             continue
         # numbers
         if c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):

@@ -556,7 +556,11 @@ class Parser:
             parts = [name]
             while True:
                 t = self.advance()
-                parts.append(t.text)
+                if t.kind == "string":   # Enum8('a' = 1): keep the quotes
+                    parts.append("'" + t.text.replace("\\", "\\\\")
+                                 .replace("'", "\\'") + "'")
+                else:
+                    parts.append(t.text)
                 if t.kind == "op" and t.text == "(":
                     depth += 1
                 elif t.kind == "op" and t.text == ")":

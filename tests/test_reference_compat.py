@@ -6,6 +6,8 @@ the reference's own primary test tier (SURVEY.md §4).
 Only a curated subset runs (features we implement, deterministic results).
 Growing this list is the parity metric across rounds.
 """
+import datetime
+import decimal
 import math
 import os
 
@@ -141,38 +143,59 @@ CASES = [
     "02316_literal_no_octal",
     "02321_nested_short_circuit_functions",
     "02364_window_case",
+    # round 2: Decimal / FixedString / Date / Enum types
+    "00700_decimal_in_keys",
+    "00700_decimal_with_default_precision_and_scale",
+    "00045_sorting_by_fixed_string_descending",
+    "00060_date_lut",
+    "00128_group_by_number_and_fixed_string",
+    "00134_aggregation_by_fixed_string_of_size_1_2_4_8",
+    "00436_fixed_string_16_comparisons",
+    "00439_fixed_string_filter",
+    "00479_date_and_datetime_to_number",
+    "00069_date_arithmetic",
+    "00173_compare_date_time_with_constant_string",
+    "00174_compare_date_time_with_constant_string_in_in",
 ]
 
 SKIP: set = set()
 
 
 def split_statements(sql_text: str):
+    """-> [(stmt_text, tokens, expects_error)]; expects_error is True when
+    the reference annotates the statement with -- { serverError ... } /
+    { clientError ... } (the reference runner's error-expectation syntax,
+    tests/clickhouse-test)."""
     toks = tokenize(sql_text)
-    stmts = []
-    start = 0
+    stmts = []           # (tokens, end_pos) — end_pos = the ';' position
     buf_tokens = []
     for t in toks:
         if t.kind == "end":
+            if buf_tokens:
+                stmts.append((buf_tokens, t.pos))
             break
         if t.kind == "op" and t.text == ";":
             if buf_tokens:
-                stmts.append(buf_tokens)
+                stmts.append((buf_tokens, t.pos))
                 buf_tokens = []
         else:
             buf_tokens.append(t)
-    if buf_tokens:
-        stmts.append(buf_tokens)
     out = []
-    for ts in stmts:
+    for k, (ts, hi) in enumerate(stmts):
         lo = ts[0].pos
-        hi = ts[-1].pos + len(ts[-1].text) + 2
-        out.append((sql_text[lo:hi].rstrip(";").strip(), ts))
+        nxt = stmts[k + 1][0][0].pos if k + 1 < len(stmts) else len(sql_text)
+        tail = sql_text[hi:nxt]
+        expects_error = ("serverError" in tail or "clientError" in tail)
+        out.append((sql_text[lo:hi].strip(), ts, expects_error))
     return out
 
 
 def fmt_value(v):
     if v is None:
         return r"\N"
+    if isinstance(v, (decimal.Decimal, datetime.date, datetime.datetime)):
+        from clickhouse_tpu.core.typed import format_value
+        return format_value(v)
     if isinstance(v, float):
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
@@ -185,32 +208,45 @@ def fmt_value(v):
         return str(int(v))
     if isinstance(v, list):
         return "[" + ",".join(fmt_array_elem(x) for x in v) + "]"
+    if isinstance(v, str):
+        # TabSeparated escaping (reference: SerializationString escapeString)
+        return (v.replace("\\", "\\\\").replace("\t", "\\t")
+                .replace("\n", "\\n").replace("\r", "\\r")
+                .replace("\x00", "\\0"))
     return str(v)
 
 
 def fmt_array_elem(x):
     if isinstance(x, str):
-        return "'" + x + "'"
+        return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
     return fmt_value(x)
 
 
 def run_case(name: str) -> None:
     sql_path = os.path.join(REF_DIR, name + ".sql")
     ref_path = os.path.join(REF_DIR, name + ".reference")
-    with open(sql_path) as f:
+    with open(sql_path, encoding="utf-8", errors="surrogateescape") as f:
         sql_text = f.read()
-    with open(ref_path) as f:
+    with open(ref_path, encoding="utf-8", errors="surrogateescape") as f:
         expected = f.read()
+    sql_text = sql_text.replace("{CLICKHOUSE_DATABASE}", "default")
 
     s = ch.connect()
+    s.execute("SET ignore_unknown_settings = 1")
     out_lines = []
-    for stmt_text, toks in split_statements(sql_text):
+    for stmt_text, toks, expects_error in split_statements(sql_text):
         first = toks[0]
         if first.is_kw("SET"):
             try:
                 s.execute(stmt_text)
             except Exception:
                 pass             # unknown reference settings: ignore
+            continue
+        if expects_error:
+            try:
+                s.execute(stmt_text)
+            except Exception:
+                pass             # error expected by the reference test
             continue
         res = s.execute(stmt_text)
         if res.column_names:
