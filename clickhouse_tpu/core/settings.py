@@ -59,7 +59,7 @@ class Settings:
     num_exchange_buckets: int = 256    # two-level bucket fan-out (reference: 256)
     distributed_group_by_no_merge: bool = False
     prefer_global_in_and_join: bool = False
-    skew_salt_factor: int = 8          # salted-key splitting for heavy hitters
+    skew_salt_factor: int = 4          # salted-key splitting for heavy hitters
 
     # -- precision / determinism --------------------------------------------
     deterministic_float_aggregation: bool = True

@@ -284,10 +284,14 @@ def _gather_block(eb: ExecBlock, ctx: ExecContext) -> ExecBlock:
 
 
 def _repartition_block(eb: ExecBlock, key_arrays: List[jax.Array],
-                       ctx: ExecContext) -> ExecBlock:
+                       ctx: ExecContext, salt: Optional[jax.Array] = None,
+                       salt_mod: int = 1) -> ExecBlock:
     """Exchange raw rows across shards by key hash (each key ends up wholly
     on one shard — the reference's partition-parallel aggregation route,
-    useDataParallelAggregation.cpp, used for holistic aggregates)."""
+    useDataParallelAggregation.cpp, used for holistic aggregates).
+
+    With salt/salt_mod, a key's rows spread over salt_mod shards of its hash
+    group (heavy-hitter splitting; see exchange_by_key)."""
     from ..parallel import exchange as ex
     cap = eb.capacity
     fids = list(eb.cols.keys())
@@ -302,7 +306,8 @@ def _repartition_block(eb: ExecBlock, key_arrays: List[jax.Array],
         else:
             layout.append((fid, False))
     keys_rx, payloads_rx, valid_rx, overflow = ex.exchange_by_key(
-        key_arrays, payloads, eb.valid, ctx.axis_name, ctx.n_shards, cap)
+        key_arrays, payloads, eb.valid, ctx.axis_name, ctx.n_shards, cap,
+        salt=salt, salt_mod=salt_mod)
     ctx.checks.append(Check(overflow, cap,
                             "repartition shuffle overflowed per-shard "
                             "capacity (skewed keys); raise capacity"))
@@ -318,6 +323,23 @@ def _repartition_block(eb: ExecBlock, key_arrays: List[jax.Array],
             i += 1
         cols[fid] = ColVal(cv.dtype, data, validity, cv.dictionary)
     return ExecBlock(cols, valid_rx, valid_rx.shape[0], sharded=True)
+
+
+def _tile_block(eb: ExecBlock, key_arrays: List[jax.Array], times: int
+                ) -> Tuple[ExecBlock, List[jax.Array]]:
+    """Replicate every row `times` times (row i of replica r at r*cap + i).
+    Used to fan a join build side out to all salts of its shard group."""
+    def t(a):
+        reps = (times,) + (1,) * (a.ndim - 1)
+        return jnp.tile(a, reps)
+    cap = eb.capacity
+    cols = {}
+    for fid, cv in eb.cols.items():
+        cv = cv.broadcast(cap)
+        validity = t(cv.validity) if cv.validity is not None else None
+        cols[fid] = ColVal(cv.dtype, t(cv.data), validity, cv.dictionary)
+    return (ExecBlock(cols, t(eb.valid), cap * times, sharded=eb.sharded),
+            [t(k) for k in key_arrays])
 
 
 def _agg_key_arrays(node: L.AggregateNode, child: ExecBlock,
@@ -942,13 +964,22 @@ def _exec_distinct(node: L.DistinctNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
     sharded_out = False
     if child.sharded and ctx.distributed:
-        # distribute DISTINCT like a keyed aggregation: repartition by row
-        # hash so equal rows co-locate, then local dedup (output stays
+        # distribute DISTINCT like a keyed aggregation: LOCAL dedup first
+        # (each shard then sends at most one row per distinct key, so a
+        # heavy-hitter row costs n_shards received copies instead of all of
+        # them — the skew answer for DISTINCT), then repartition by row hash
+        # so equal rows co-locate, then a second local dedup (output stays
         # sharded and globally distinct)
+        child = _local_distinct(node, child, ctx, sharded=True)
         cvs0 = [child.cols[f.id] for f in node.schema]
         keys0, _ = _key_arrays(cvs0, child.capacity)
         child = _repartition_block(child, keys0, ctx)
         sharded_out = True
+    return _local_distinct(node, child, ctx, sharded=sharded_out)
+
+
+def _local_distinct(node: L.DistinctNode, child: ExecBlock,
+                    ctx: ExecContext, sharded: bool) -> ExecBlock:
     cap = child.capacity
     cvs = [child.cols[f.id] for f in node.schema]
     key_arrays, _ = _key_arrays(cvs, cap)
@@ -971,7 +1002,7 @@ def _exec_distinct(node: L.DistinctNode, ctx: ExecContext) -> ExecBlock:
                                 cv_b.dictionary)
         ki += 1
     valid = jnp.arange(cap_g, dtype=jnp.int64) < g.num_groups
-    return ExecBlock(cols, valid, cap_g, sharded=sharded_out)
+    return ExecBlock(cols, valid, cap_g, sharded=sharded)
 
 
 def _unify_join_keys(lk: ColVal, rk: ColVal, lcap: int, rcap: int):
@@ -1165,8 +1196,31 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
                                                 left.capacity, right.capacity)
                 lroute.append(la)
                 rroute.append(ra)
-            left = _repartition_block(left, lroute, ctx)
-            right = _repartition_block(right, rroute, ctx)
+            # Salted-key skew splitting (BASELINE requirement): spread each
+            # probe key's rows over S shards of its hash group (salt =
+            # rowid % S) and replicate each build row to all S salts, so a
+            # heavy-hitter join key no longer serializes one shard.  Only
+            # probe-outer kinds: replicating build rows would duplicate
+            # RIGHT/FULL unmatched-build output.  S = n_shards degenerates
+            # to a broadcast join; S = 1 is the plain shuffle.
+            S = 1
+            if node.kind in ("inner", "left") \
+                    and node.strictness in ("all", "any", "semi", "anti"):
+                S = max(1, min(ctx.settings.skew_salt_factor, ctx.n_shards))
+                while ctx.n_shards % S:
+                    S -= 1
+            if S > 1:
+                psalt = jnp.arange(left.capacity, dtype=jnp.int32) % S
+                left = _repartition_block(left, lroute, ctx,
+                                          salt=psalt, salt_mod=S)
+                right, rroute = _tile_block(right, rroute, S)
+                bsalt = (jnp.arange(right.capacity, dtype=jnp.int32)
+                         // (right.capacity // S))
+                right = _repartition_block(right, rroute, ctx,
+                                           salt=bsalt, salt_mod=S)
+            else:
+                left = _repartition_block(left, lroute, ctx)
+                right = _repartition_block(right, rroute, ctx)
     lcap, rcap = left.capacity, right.capacity
     s = ctx.settings
 

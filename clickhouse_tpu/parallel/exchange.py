@@ -23,7 +23,8 @@ __all__ = ["exchange_by_key", "all_gather_rows", "psum_scalar"]
 
 def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
                     valid: jax.Array, axis_name: str, n_shards: int,
-                    send_capacity: int
+                    send_capacity: int,
+                    salt: Optional[jax.Array] = None, salt_mod: int = 1
                     ) -> Tuple[List[jax.Array], List[jax.Array], jax.Array,
                                jax.Array]:
     """Route rows to shards by key hash; returns received rows.
@@ -31,6 +32,13 @@ def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
     keys/payloads -- per-row arrays (local capacity,)
     valid         -- bool mask of live local rows
     send_capacity -- max rows this shard may send to ONE destination
+    salt/salt_mod -- salted-key skew splitting (BASELINE requirement; the
+        reference's heavy-hitter answer is two-level bucketed state,
+        src/Common/HashTable/TwoLevelHashTable.h:32).  With salt_mod = S
+        (must divide n_shards), the key hash picks one of n_shards/S shard
+        GROUPS and the per-row ``salt`` (in 0..S-1) picks the shard within
+        the group — a hot key's rows spread across S shards instead of
+        serializing on one.
 
     Returns (keys_rx, payloads_rx, valid_rx, overflow) where the received
     arrays have capacity n_shards*send_capacity and overflow is a device
@@ -38,7 +46,13 @@ def exchange_by_key(keys: Sequence[jax.Array], payloads: Sequence[jax.Array],
     """
     cap = keys[0].shape[0]
     h = hash_ops.hash_columns(list(keys))
-    dest = (h % jnp.uint64(n_shards)).astype(jnp.int32)
+    if salt_mod > 1 and salt is not None:
+        assert n_shards % salt_mod == 0, "salt_mod must divide n_shards"
+        groups = n_shards // salt_mod
+        base = (h % jnp.uint64(groups)).astype(jnp.int32) * salt_mod
+        dest = base + (salt.astype(jnp.int32) % salt_mod)
+    else:
+        dest = (h % jnp.uint64(n_shards)).astype(jnp.int32)
     dest = jnp.where(valid, dest, n_shards)          # padding -> dropped
 
     # Stable-sort rows by destination, then fill each destination's block of

@@ -350,6 +350,17 @@ class Parser:
             self.accept_kw("OUTER")
         elif self.accept_kw("CROSS"):
             kind = "cross"
+        # strictness may also follow the kind: LEFT SEMI JOIN, LEFT ANY JOIN
+        # (the reference's documented order, ParserJoin)
+        if strictness == "all" and kind in ("left", "right", "inner"):
+            if self.accept_kw("SEMI"):
+                strictness = "semi"
+            elif self.accept_kw("ANTI"):
+                strictness = "anti"
+            elif self.accept_kw("ANY"):
+                strictness = "any"
+            elif self.accept_kw("ASOF"):
+                strictness = "asof"
         if not self.accept_kw("JOIN"):
             if kind is None and strictness == "all" and not is_global:
                 self.i = save

@@ -104,6 +104,82 @@ def test_shuffle_join_matches(sessions):
     assert got == exp
 
 
+def _make_skewed_sessions():
+    """Heavy-hitter data: zipf(1.5) keys — the top key covers ~45% of rows
+    (BASELINE requires skewed-key GROUP BY and join)."""
+    rng = np.random.default_rng(11)
+    n = 40000
+    k = np.minimum(rng.zipf(1.5, n), 1000).astype(np.int64)
+    data = {"k": k, "v": rng.integers(-50, 50, n).astype(np.int64)}
+    dim = {"k": np.arange(1, 800, dtype=np.int64),
+           "w": (np.arange(1, 800, dtype=np.int64) * 3) % 101}
+    local = ch.connect()
+    local.execute("CREATE TABLE zt (k Int64, v Int64)")
+    local.insert_pydict("zt", data)
+    local.execute("CREATE TABLE zd (k Int64, w Int64)")
+    local.insert_pydict("zd", dim)
+    dist = DistributedSession(mesh=make_mesh(N_DEV))
+    dist.execute("CREATE TABLE zt (k Int64, v Int64) "
+                 "ENGINE = Distributed ORDER BY k")
+    dist.insert_pydict("zt", data)
+    dist.execute("CREATE TABLE zd (k Int64, w Int64) "
+                 "ENGINE = Distributed ORDER BY k")
+    dist.insert_pydict("zd", dim)
+    return local, dist
+
+
+@pytest.fixture(scope="module")
+def skewed():
+    assert len(jax.devices()) >= N_DEV
+    return _make_skewed_sessions()
+
+
+SKEW_QUERIES = [
+    # heavy-hitter GROUP BY (mergeable -> two-stage state exchange)
+    "SELECT k, count() AS c, sum(v) AS s FROM zt GROUP BY k "
+    "ORDER BY c DESC, k LIMIT 10",
+    # heavy-hitter holistic aggregate (row repartition)
+    "SELECT k, median(v) AS m FROM zt GROUP BY k ORDER BY k LIMIT 10",
+    # DISTINCT over skewed keys (local pre-dedup bounds the exchange)
+    "SELECT DISTINCT k FROM zt ORDER BY k LIMIT 20",
+]
+
+
+@pytest.mark.parametrize("sql", SKEW_QUERIES)
+def test_skewed_distributed_matches_local(skewed, sql):
+    local, dist = skewed
+    assert dist.execute(sql).rows() == local.execute(sql).rows()
+
+
+@pytest.mark.parametrize("salt", [1, 2, 4, 8])
+def test_skewed_shuffle_join_salted(skewed, salt):
+    """Salted-key splitting (exchange_by_key salt_mod): every salt factor
+    must give the same answer; S = n_shards degenerates to broadcast."""
+    local, dist = skewed
+    exp = local.execute("SELECT count(), sum(v), sum(w) FROM zt "
+                        "INNER JOIN zd ON zt.k = zd.k").rows()
+    got = dist.execute(
+        "SELECT count(), sum(v), sum(w) FROM zt INNER JOIN zd ON zt.k = zd.k "
+        f"SETTINGS join_algorithm = 'shuffle', skew_salt_factor = {salt}"
+    ).rows()
+    assert got == exp
+
+
+@pytest.mark.parametrize("kind,agg", [
+    ("LEFT", "count(), countIf(w > 0)"),
+    ("LEFT SEMI", "count()"),
+    ("LEFT ANTI", "count()"),
+])
+def test_skewed_shuffle_join_kinds(skewed, kind, agg):
+    local, dist = skewed
+    exp = local.execute(
+        f"SELECT {agg} FROM zt {kind} JOIN zd ON zt.k = zd.k").rows()
+    got = dist.execute(
+        f"SELECT {agg} FROM zt {kind} JOIN zd ON zt.k = zd.k "
+        "SETTINGS join_algorithm = 'shuffle', skew_salt_factor = 4").rows()
+    assert got == exp
+
+
 def test_scaling_smoke(sessions):
     """Distributed execution actually uses the mesh (sharded input)."""
     _, dist = sessions
