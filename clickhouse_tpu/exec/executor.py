@@ -796,6 +796,205 @@ def _exec_array_join(node: L.ArrayJoinNode, ctx: ExecContext) -> ExecBlock:
     return ExecBlock(cols, valid, out_cap, sharded=child.sharded)
 
 
+def _window_frame_agg(item: L.WindowItem, fn: str, child: ExecBlock,
+                      g, gid: jax.Array, pb: jax.Array,
+                      tokens: List[jax.Array], mask_s: jax.Array,
+                      argmask_s: jax.Array, v_s: Optional[jax.Array],
+                      cap: int, ctx: ExecContext):
+    """Aggregate window functions over an arbitrary frame, evaluated in
+    SORTED partition order (WindowTransform analog,
+    src/Processors/Transforms/WindowTransform.cpp:695 — the reference walks
+    frame boundaries row by row; here every row's [lo, hi] frame indices are
+    computed at once and aggregates become prefix/suffix scans, index
+    gathers, or a sparse range-min table).
+
+    Frames: "running" = RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers of the
+    current row included, the SQL default), "full", or ("rows"|"range", lo,
+    hi) with lo/hi None = unbounded / 0 = current row / signed offset.
+    """
+    from ..ops import scan_ops
+    from ..ops import search as search_ops
+    frame = item.frame
+    if frame == "full":
+        mode, lo, hi = "rows", None, None
+    elif frame == "running":
+        mode, lo, hi = "range", None, 0
+    else:
+        mode, lo, hi = frame
+    if mode == "range" and (lo not in (None, 0) or hi not in (None, 0)):
+        if len(item.order_by) != 1:
+            raise ExecutionError("RANGE OFFSET frames require exactly one "
+                                 "ORDER BY expression")
+        if item.order_by and evaluate(item.order_by[0].expr,
+                                      child.env()).dtype.is_dictionary:
+            raise ExecutionError("RANGE OFFSET frames require a numeric "
+                                 "ORDER BY expression")
+
+    i_arr = jnp.arange(cap, dtype=jnp.int64)
+    s_row = jnp.clip(g.starts, 0, cap - 1)[gid].astype(jnp.int64)
+    e_row = jnp.clip(g.ends - 1, 0, cap - 1)[gid].astype(jnp.int64)
+
+    def tie_bounds():
+        tie_b = pb
+        for t in tokens:
+            ts = g.take(t)
+            tie_b = tie_b | jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), ts[1:] != ts[:-1]])
+        r = jnp.cumsum(tie_b.astype(jnp.int32)) - 1
+        rs, re2 = scan_ops.segment_starts_ends(r, cap)
+        return (jnp.clip(rs, 0, cap - 1)[r].astype(jnp.int64),
+                (jnp.clip(re2, 1, cap) - 1)[r].astype(jnp.int64))
+
+    def range_edge(off: int, side: str) -> jax.Array:
+        """Sorted index of the first/last row whose ORDER BY value is within
+        `off` of the current row's (RANGE OFFSET bound, one merge sort)."""
+        si = item.order_by[0]
+        cv = evaluate(si.expr, child.env()).broadcast(cap)
+        delta = off if not si.descending else -off
+        data = cv.data
+        if jnp.issubdtype(data.dtype, jnp.integer):
+            info = jnp.iinfo(data.dtype)
+            d = jnp.asarray(delta, data.dtype)
+            if delta >= 0:
+                sh = jnp.where(data > info.max - d, info.max, data + d)
+            else:
+                sh = jnp.where(data < info.min - d, info.min, data + d)
+        else:
+            sh = data + delta
+        qtok = _token_for_sort(ColVal(cv.dtype, sh, cv.validity,
+                                      cv.dictionary), si, cap)
+        pos = search_ops.searchsorted_seg(
+            g.group_ids, g.take(tokens[0]), g.group_ids, g.take(qtok),
+            side=side).astype(jnp.int64)
+        return pos if side == "left" else pos - 1
+
+    tie_first = tie_last = None
+    if mode == "range" and (0 in (lo, hi)):
+        tie_first, tie_last = tie_bounds()
+    if mode == "rows":
+        lo0 = s_row if lo is None else i_arr + lo
+        hi0 = e_row if hi is None else i_arr + hi
+    else:
+        lo0 = s_row if lo is None else (
+            tie_first if lo == 0 else range_edge(lo, "left"))
+        hi0 = e_row if hi is None else (
+            tie_last if hi == 0 else range_edge(hi, "right"))
+    nonempty = (lo0 <= hi0) & (lo0 <= e_row) & (hi0 >= s_row)
+    lo_idx = jnp.clip(jnp.maximum(lo0, s_row), 0, cap - 1)
+    hi_idx = jnp.clip(jnp.minimum(hi0, e_row), 0, cap - 1)
+    lo_prev = jnp.maximum(lo_idx - 1, 0)
+
+    def frame_sum(acc: jax.Array, m: Optional[jax.Array]) -> jax.Array:
+        """Per-partition inclusive prefix scan, differenced at the frame
+        edges (exact for UNBOUNDED PRECEDING frames: no subtraction)."""
+        pre = scan_ops.running_reduce("sum", acc, pb, m)
+        prev = jnp.where(lo_idx > s_row, pre[lo_prev],
+                         jnp.zeros((), pre.dtype))
+        return jnp.where(nonempty, pre[hi_idx] - prev,
+                         jnp.zeros((), pre.dtype))
+
+    fcnt = frame_sum(argmask_s.astype(jnp.int64), None)
+
+    validity_out = None
+    dict_ = None
+    if fn == "count":
+        return fcnt, None, None
+
+    cv0 = evaluate(item.args[0], child.env())
+    if fn in ("sum", "avg"):
+        st = dt.remove_nullable(item.field.dtype).jnp_dtype
+        acc = v_s.astype(jnp.float64 if fn == "avg"
+                         or jnp.issubdtype(st, jnp.floating)
+                         else (jnp.uint64 if jnp.issubdtype(
+                             v_s.dtype, jnp.unsignedinteger)
+                             else jnp.int64))
+        out_s = frame_sum(acc, argmask_s)
+        if fn == "avg":
+            out_s = jnp.where(
+                fcnt > 0,
+                out_s.astype(jnp.float64)
+                / jnp.maximum(fcnt, 1).astype(jnp.float64),
+                jnp.nan)
+        return out_s, None, None
+
+    rev_pb = jnp.concatenate([pb[1:], jnp.ones((1,), jnp.bool_)])[::-1]
+
+    def suffix_scan(op: str, data: jax.Array, m: Optional[jax.Array]
+                    ) -> jax.Array:
+        rm = m[::-1] if m is not None else None
+        return scan_ops.running_reduce(op, data[::-1], rev_pb, rm)[::-1]
+
+    if fn in ("min", "max"):
+        dict_ = cv0.dictionary
+        if lo is None:
+            out_s = scan_ops.running_reduce(fn, v_s, pb, argmask_s)[hi_idx]
+        elif hi is None:
+            out_s = suffix_scan(fn, v_s, argmask_s)[lo_idx]
+        else:
+            # both edges move: sparse range-min table, ceil(log2(W))+1
+            # doubling levels; per-row level pick covers [lo, hi] with two
+            # overlapping power-of-two spans
+            if mode == "rows":
+                W = hi - lo + 1
+            else:
+                W = cap
+            if jnp.issubdtype(v_s.dtype, jnp.integer) \
+                    or v_s.dtype == jnp.bool_:
+                base = v_s.astype(jnp.int64) if v_s.dtype == jnp.bool_ \
+                    else v_s
+                ident = jnp.asarray(jnp.iinfo(base.dtype).max if fn == "min"
+                                    else jnp.iinfo(base.dtype).min,
+                                    base.dtype)
+            else:
+                base = v_s
+                ident = jnp.asarray(jnp.inf if fn == "min" else -jnp.inf,
+                                    base.dtype)
+            fnop = jnp.minimum if fn == "min" else jnp.maximum
+            m0 = jnp.where(argmask_s, base, ident)
+            levels = [m0]
+            K = max(1, int(W).bit_length())
+            for k in range(1, K):
+                step = 1 << (k - 1)
+                prev_l = levels[-1]
+                shifted = jnp.concatenate(
+                    [prev_l[step:], jnp.full((step,), ident, prev_l.dtype)])
+                levels.append(fnop(prev_l, shifted))
+            M = jnp.stack(levels).reshape(-1)
+            length = jnp.maximum(hi_idx - lo_idx + 1, 1)
+            kk = jnp.clip(jnp.floor(jnp.log2(length.astype(jnp.float64)))
+                          .astype(jnp.int64), 0, K - 1)
+            pw = jnp.int64(1) << kk
+            a1 = M[kk * cap + lo_idx]
+            a2 = M[kk * cap + jnp.maximum(hi_idx - pw + 1, lo_idx)]
+            out_s = fnop(a1, a2).astype(v_s.dtype)
+        out_s = jnp.where(nonempty & (fcnt > 0), out_s,
+                          jnp.zeros((), out_s.dtype))
+        return out_s, None, dict_
+
+    if fn in ("any", "first_value", "last_value"):
+        dict_ = cv0.dictionary
+        argv = g.take(cv0.validity.astype(jnp.bool_)) \
+            if cv0.validity is not None else None
+        if fn == "any":
+            # first NON-NULL value in the frame (AggregateFunctionAny)
+            nxt = suffix_scan("min",
+                              jnp.where(argmask_s, i_arr, jnp.int64(cap)),
+                              None)
+            idx0 = jnp.clip(nxt[lo_idx], 0, cap - 1)
+            ok = nonempty & (nxt[lo_idx] <= hi_idx)
+        else:
+            idx0 = lo_idx if fn == "first_value" else hi_idx
+            ok = nonempty
+            if argv is not None:
+                ok = ok & argv[idx0]
+        out_s = jnp.where(ok, v_s[idx0], jnp.zeros((), v_s.dtype))
+        if argv is not None or item.field.dtype.nullable:
+            validity_out = ok.astype(jnp.uint8)
+        return out_s, validity_out, dict_
+
+    raise NotImplementedError_(f"window function '{fn}'")
+
+
 def _exec_window(node: L.WindowNode, ctx: ExecContext) -> ExecBlock:
     """Window functions over sorted partitions (WindowTransform analog):
     partition = sort grouping with the ORDER BY tokens as secondary sort;
@@ -867,51 +1066,11 @@ def _exec_window(node: L.WindowNode, ctx: ExecContext) -> ExecBlock:
             validity_out = ok.astype(jnp.uint8)
             cv0 = evaluate(item.args[0], child.env())
             dict_ = cv0.dictionary
-        elif fn == "count":
-            if item.frame == "running":
-                out_s = scan_ops.running_reduce(
-                    "sum", argmask_s.astype(jnp.int64), pb, mask_s)
-            else:
-                red = g.reduce_sorted("sum", argmask_s.astype(jnp.int64),
-                                      argmask_s)
-                out_s = red[gid]
-        elif fn in ("sum", "avg", "min", "max"):
-            acc = v_s
-            if fn in ("sum", "avg"):
-                acc = acc.astype(jnp.float64 if fn == "avg"
-                                 or jnp.issubdtype(st, jnp.floating)
-                                 else (jnp.uint64 if jnp.issubdtype(
-                                     acc.dtype, jnp.unsignedinteger)
-                                     else jnp.int64))
-            op = "sum" if fn in ("sum", "avg") else fn
-            if item.frame == "running":
-                out_s = scan_ops.running_reduce(op, acc, pb, argmask_s)
-                cnt = scan_ops.running_reduce(
-                    "sum", argmask_s.astype(jnp.int64), pb, mask_s)
-            else:
-                out_s = g.reduce_sorted(op, acc, argmask_s)[gid]
-                cnt = g.reduce_sorted("sum", argmask_s.astype(jnp.int64),
-                                      argmask_s)[gid]
-            if fn == "avg":
-                out_s = out_s.astype(jnp.float64) \
-                    / jnp.maximum(cnt, 1).astype(jnp.float64)
-            cv0 = evaluate(item.args[0], child.env())
-            if fn in ("min", "max"):
-                dict_ = cv0.dictionary
-        elif fn in ("any", "first_value", "last_value"):
-            which = "last" if fn == "last_value" else "first"
-            if item.frame == "running":
-                out_s = scan_ops.running_reduce(which, v_s, pb, argmask_s)
-            else:
-                red_op = "any" if which == "first" else "any"
-                if which == "first":
-                    out_s = g.reduce_sorted("any", v_s, argmask_s)[gid]
-                else:
-                    # last of partition: value at the partition's last row
-                    last = jnp.clip(g.ends - 1, 0, cap - 1)
-                    out_s = v_s[last[gid]]
-            cv0 = evaluate(item.args[0], child.env())
-            dict_ = cv0.dictionary
+        elif fn in ("count", "sum", "avg", "min", "max",
+                    "any", "first_value", "last_value"):
+            out_s, validity_out, dict_ = _window_frame_agg(
+                item, fn, child, g, gid, pb, tokens, mask_s, argmask_s,
+                v_s, cap, ctx)
         else:
             raise NotImplementedError_(f"window function '{fn}'")
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["searchsorted", "searchsorted_via_sort"]
+__all__ = ["searchsorted", "searchsorted_via_sort", "searchsorted_seg"]
 
 # Below this many queries the O(N log G) binary search wins (sort cost is
 # O(N + G) but with a bigger constant and a compile-time hit).
@@ -45,6 +45,31 @@ def searchsorted_via_sort(a: jax.Array, v: jax.Array, side: str = "left"
     _, _, idx_s = jax.lax.sort([key, flag, idx], num_keys=2, is_stable=False)
     is_table = (idx_s < G).astype(jnp.int32)
     before = jnp.cumsum(is_table) - is_table          # exclusive count
+    _, res = jax.lax.sort([idx_s, before], num_keys=1, is_stable=False)
+    return res[G:]
+
+
+def searchsorted_seg(seg: jax.Array, key: jax.Array, qseg: jax.Array,
+                     qkey: jax.Array, side: str = "left") -> jax.Array:
+    """Two-key merge searchsorted: position of each (qseg, qkey) query in an
+    array sorted lexicographically by (seg, key).  Returns the GLOBAL index
+    (int32) — for segmented data the result lands inside the query's
+    segment.  Used by RANGE OFFSET window frames (the reference walks peers
+    sequentially, src/Processors/Transforms/WindowTransform.cpp:695; here
+    every row's frame boundary is found in one merge)."""
+    G = seg.shape[0]
+    N = qseg.shape[0]
+    sd = jnp.promote_types(seg.dtype, qseg.dtype)
+    kd = jnp.promote_types(key.dtype, qkey.dtype)
+    s = jnp.concatenate([seg.astype(sd), qseg.astype(sd)])
+    k = jnp.concatenate([key.astype(kd), qkey.astype(kd)])
+    tflag = jnp.bool_(side == "left")
+    flag = jnp.concatenate([jnp.full((G,), tflag), jnp.full((N,), ~tflag)])
+    idx = jnp.arange(G + N, dtype=jnp.int32)
+    _, _, _, idx_s = jax.lax.sort([s, k, flag, idx], num_keys=3,
+                                  is_stable=False)
+    is_table = (idx_s < G).astype(jnp.int32)
+    before = jnp.cumsum(is_table) - is_table
     _, res = jax.lax.sort([idx_s, before], num_keys=1, is_stable=False)
     return res[G:]
 

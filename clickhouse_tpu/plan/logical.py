@@ -170,7 +170,7 @@ class WindowItem:
     args: List[BoundExpr]
     partition_by: List[BoundExpr]
     order_by: List[SortItem]
-    frame: str                    # running | full
+    frame: object                 # running | full | ("rows"|"range", lo, hi)
     shift: int = 1                # lag/lead offset
 
 

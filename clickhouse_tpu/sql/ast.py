@@ -48,7 +48,10 @@ class Star(Expr):
 class WindowSpec:
     partition_by: List["Expr"] = dataclasses.field(default_factory=list)
     order_by: List["OrderItem"] = dataclasses.field(default_factory=list)
-    frame: Optional[str] = None            # None|"running"|"full"
+    # None | "running" (RANGE UNBOUNDED PRECEDING..CURRENT ROW, peers) |
+    # "full" | ("rows"|"range", lo, hi) with lo/hi: None = unbounded,
+    # 0 = current row, signed int = offset (negative PRECEDING)
+    frame: object = None
 
 
 @dataclasses.dataclass

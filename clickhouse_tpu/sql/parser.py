@@ -1009,28 +1009,39 @@ class Parser:
         else:
             spec.frame = "full"
         if self.tok.is_kw("ROWS", "RANGE"):
+            mode = self.tok.text.lower()
             self.advance()
-            self.expect_kw("BETWEEN")
-            lo = self._parse_frame_bound()
-            self.expect_kw("AND")
-            hi = self._parse_frame_bound()
-            if lo == "unbounded_preceding" and hi == "current_row":
-                spec.frame = "running"
-            elif lo == "unbounded_preceding" and hi == "unbounded_following":
+            if self.accept_kw("BETWEEN"):
+                lo = self._parse_frame_bound(is_start=True)
+                self.expect_kw("AND")
+                hi = self._parse_frame_bound(is_start=False)
+            else:                       # short form: frame start only
+                lo = self._parse_frame_bound(is_start=True)
+                hi = 0                  # .. AND CURRENT ROW
+            if lo is None and hi is None:
                 spec.frame = "full"
+            elif mode == "range" and lo is None and hi == 0:
+                spec.frame = "running"  # the SQL default (peers included)
             else:
-                raise ParseError("Only UNBOUNDED PRECEDING .. CURRENT ROW / "
-                                 "UNBOUNDED FOLLOWING frames are supported")
+                spec.frame = (mode, lo, hi)
         self.expect_op(")")
         return spec
 
-    def _parse_frame_bound(self) -> str:
+    def _parse_frame_bound(self, is_start: bool):
+        """-> None (unbounded), 0 (current row), or a signed row/value
+        offset (negative = PRECEDING, positive = FOLLOWING)."""
         if self.accept_kw("UNBOUNDED"):
-            kw = self.expect_kw("PRECEDING", "FOLLOWING")
-            return f"unbounded_{kw.text.lower()}"
+            self.expect_kw("PRECEDING" if is_start else "FOLLOWING")
+            return None
         if self.accept_kw("CURRENT"):
             self.expect_kw("ROW")
-            return "current_row"
+            return 0
+        t = self.tok
+        if t.kind == "number":
+            self.advance()
+            n = int(t.text)
+            kw = self.expect_kw("PRECEDING", "FOLLOWING")
+            return -n if kw.text.upper() == "PRECEDING" else n
         raise ParseError(f"Unsupported frame bound at {self.tok.pos}")
 
     def parse_case(self) -> ast.Expr:

@@ -128,3 +128,120 @@ class TestWindow:
         got = r.rows()
         assert [row[1] for row in got] == exp["mn"].tolist()
         assert [row[2] for row in got] == exp["mx"].tolist()
+
+
+class TestWindowFrames:
+    """ROWS/RANGE frame tests vs brute-force golden results."""
+
+    def _golden(self, session, fn, mode, lo, hi, col="x"):
+        """Brute-force frame aggregate over (PARTITION BY g ORDER BY id)."""
+        df = session._df.sort_values(["g", "id"]).reset_index(drop=True)
+        out = []
+        for _, part in df.groupby("g", sort=False):
+            vals = part[col].to_numpy()
+            ids = part["id"].to_numpy()
+            n = len(vals)
+            for i in range(n):
+                if mode == "rows":
+                    a = 0 if lo is None else i + lo
+                    b = n - 1 if hi is None else i + hi
+                else:  # range over id values
+                    a_val = ids[i] + (lo if lo is not None else -10**18)
+                    b_val = ids[i] + (hi if hi is not None else 10**18)
+                    a = np.searchsorted(ids, a_val, side="left")
+                    b = np.searchsorted(ids, b_val, side="right") - 1
+                a, b = max(a, 0), min(b, n - 1)
+                w = vals[a:b + 1] if a <= b else vals[:0]
+                if fn == "sum":
+                    out.append(int(w.sum()) if len(w) else 0)
+                elif fn == "count":
+                    out.append(len(w))
+                elif fn == "min":
+                    out.append(int(w.min()) if len(w) else 0)
+                elif fn == "max":
+                    out.append(int(w.max()) if len(w) else 0)
+                elif fn == "first":
+                    out.append(int(w[0]) if len(w) else 0)
+                elif fn == "last":
+                    out.append(int(w[-1]) if len(w) else 0)
+        order = df.sort_values(["g", "id"]).index
+        return pd.Series(out, index=order).tolist()
+
+    @pytest.mark.parametrize("spec,mode,lo,hi", [
+        ("ROWS BETWEEN 3 PRECEDING AND CURRENT ROW", "rows", -3, 0),
+        ("ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING", "rows", -2, 2),
+        ("ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING", "rows", 0, 4),
+        ("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING", "rows", None, 1),
+        ("ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING", "rows", -1, None),
+        ("ROWS BETWEEN 2 FOLLOWING AND 5 FOLLOWING", "rows", 2, 5),
+        ("ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING", "rows", -5, -2),
+        ("ROWS 4 PRECEDING", "rows", -4, 0),
+    ])
+    @pytest.mark.parametrize("fn", ["sum", "count", "min", "max"])
+    def test_rows_frames(self, session, spec, mode, lo, hi, fn):
+        call = f"{fn}(x)" if fn != "count" else "count()"
+        r = session.execute(
+            f"SELECT {call} OVER (PARTITION BY g ORDER BY id {spec}) "
+            "FROM w ORDER BY g, id")
+        exp = self._golden(session, fn, mode, lo, hi)
+        assert [row[0] for row in r.rows()] == exp
+
+    @pytest.mark.parametrize("spec,lo,hi", [
+        ("RANGE BETWEEN 30 PRECEDING AND CURRENT ROW", -30, 0),
+        ("RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING", -10, 10),
+        ("RANGE BETWEEN CURRENT ROW AND 50 FOLLOWING", 0, 50),
+        ("RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING", None, 5),
+    ])
+    def test_range_offset_frames(self, session, spec, lo, hi):
+        r = session.execute(
+            f"SELECT sum(x) OVER (PARTITION BY g ORDER BY id {spec}) "
+            "FROM w ORDER BY g, id")
+        exp = self._golden(session, "sum", "range", lo, hi)
+        assert [row[0] for row in r.rows()] == exp
+
+    def test_default_frame_includes_peers(self, session):
+        """The SQL default frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+        tied ORDER BY rows share one frame (reference WindowTransform)."""
+        s = ch.connect()
+        s.execute("CREATE TABLE peers (k Int64, v Int64)")
+        s.insert_pydict("peers", {
+            "k": np.array([1, 1, 2, 2, 3], np.int64),
+            "v": np.array([10, 20, 30, 40, 50], np.int64)})
+        r = s.execute("SELECT sum(v) OVER (ORDER BY k) FROM peers ORDER BY k, v")
+        assert [row[0] for row in r.rows()] == [30, 30, 100, 100, 150]
+
+    def test_rows_current_row_excludes_peers(self, session):
+        s = ch.connect()
+        s.execute("CREATE TABLE peers2 (k Int64, v Int64)")
+        s.insert_pydict("peers2", {
+            "k": np.array([1, 1, 2], np.int64),
+            "v": np.array([10, 20, 30], np.int64)})
+        r = s.execute(
+            "SELECT sum(v) OVER (ORDER BY k "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "FROM peers2 ORDER BY k, v")
+        assert [row[0] for row in r.rows()] == [10, 30, 60]
+
+    def test_first_last_value_frames(self, session):
+        r = session.execute(
+            "SELECT first_value(x) OVER (PARTITION BY g ORDER BY id "
+            "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS f, "
+            "last_value(x) OVER (PARTITION BY g ORDER BY id "
+            "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS l "
+            "FROM w ORDER BY g, id")
+        expf = self._golden(session, "first", "rows", -2, 1)
+        expl = self._golden(session, "last", "rows", -2, 1)
+        got = r.rows()
+        assert [row[0] for row in got] == expf
+        assert [row[1] for row in got] == expl
+
+    def test_avg_over_empty_frame_is_nan(self, session):
+        s = ch.connect()
+        s.execute("CREATE TABLE ef (v Int64)")
+        s.insert_pydict("ef", {"v": np.array([1, 2, 3], np.int64)})
+        r = s.execute(
+            "SELECT avg(v) OVER (ORDER BY v "
+            "ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) FROM ef ORDER BY v")
+        rows = [row[0] for row in r.rows()]
+        assert rows[0] == 3.0
+        assert np.isnan(rows[1]) and np.isnan(rows[2])
