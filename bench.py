@@ -151,8 +151,26 @@ def main():
         t_join = bench_query(
             s2, "SELECT count(), sum(label) FROM fact "
                 "INNER JOIN dim ON fact.fk = dim.k", reps=5)
+        # probe/gather roofline (BASELINE: join target is probe-bound): the
+        # irreducible per-row random access, measured as one raw gather of
+        # n_fact indices from an HBM-resident table on this same chip
+        import jax
+        import jax.numpy as jnp
+        idx_d = jnp.asarray((np.arange(n_fact, dtype=np.int64) * 40503)
+                            % n_dim, jnp.int32)
+        tbl_d = jnp.arange(n_dim, dtype=jnp.int32)
+        gfn = jax.jit(lambda t, i: t[i].astype(jnp.int64).sum())
+        jax.block_until_ready(gfn(tbl_d, idx_d))
+        tg = []
+        for _ in range(3):
+            t0g = time.perf_counter()
+            jax.block_until_ready(gfn(tbl_d, idx_d))
+            tg.append(time.perf_counter() - t0g)
+        t_gather = float(np.min(tg))
+        frac_j = t_gather / t_join
         log(f"Q4 join {n_fact/1e6:.0f}M x 1M: {t_join*1e3:.1f} ms "
-            f"({n_fact/t_join/1e9:.2f} G rows/s)")
+            f"({n_fact/t_join/1e9:.2f} G rows/s); probe roofline "
+            f"{t_gather*1e3:.1f} ms -> fraction {frac_j:.3f}")
     except Exception as e:
         log(f"Q4 failed: {e}")
 

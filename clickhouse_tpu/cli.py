@@ -70,8 +70,16 @@ def cmd_local(args):
 
 
 def cmd_server(args):
-    from .server.http_server import serve
-    serve(args.host, args.port)
+    from .exec.session import Session
+    from .server.http_server import HttpServer
+    from .server.tcp_server import TcpServer
+    session = Session()
+    tcp = TcpServer(session=session, host=args.host, port=args.tcp_port)
+    tcp.start_background()
+    print(f"native TCP protocol on {args.host}:{tcp.port}", flush=True)
+    print(f"HTTP on {args.host}:{args.port}", flush=True)
+    HttpServer(session=session, host=args.host,
+               port=args.port).serve_forever()
     return 0
 
 
@@ -123,9 +131,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_local.add_argument("--format", default=None)
     p_local.set_defaults(fn=cmd_local)
 
-    p_server = sub.add_parser("server", help="HTTP server")
+    p_server = sub.add_parser("server", help="HTTP + native TCP server")
     p_server.add_argument("--host", default="127.0.0.1")
     p_server.add_argument("--port", type=int, default=8123)
+    p_server.add_argument("--tcp-port", type=int, default=9000)
     p_server.set_defaults(fn=cmd_server)
 
     p_client = sub.add_parser("client", help="HTTP client")

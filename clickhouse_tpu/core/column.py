@@ -194,6 +194,21 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
     n = len(values)
     cap = capacity or pad_to(n)
 
+    # AggregateFunction(...): object array of bytes -> (cap, B) uint8
+    if dtype is not None and dtype.agg_state is not None:
+        widths = [len(v) for v in values if isinstance(v, (bytes, bytearray))]
+        if widths:
+            B = max(widths)
+        else:
+            from ..exprs.aggregates import make_merge_for_dtype
+            from ..exprs.aggregates import state_width_bytes
+            B = state_width_bytes(make_merge_for_dtype(dtype).spec)
+        mat = np.zeros((cap, B), np.uint8)
+        for i, v in enumerate(values):
+            if isinstance(v, (bytes, bytearray)):
+                mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
+        return Column(dtype, jnp.asarray(mat), None)
+
     # Array(T): object array of python lists -> (cap, max_len) + lengths
     if (dtype is not None and dtype.is_array) or (
             values.dtype == object and n > 0

@@ -62,6 +62,12 @@ class DType:
     enum_values: Optional[tuple] = None     # ((name, value), ...)
     # FixedString(N)
     fixed_len: Optional[int] = None
+    # AggregateFunction(fn, T...): device holds a (rows, state_bytes) uint8
+    # matrix of packed mergeable state (the reference's
+    # ColumnAggregateFunction, src/Columns/ColumnAggregateFunction.h — its
+    # arena-allocated variable states become fixed-width byte rows here).
+    # (fn_name, (arg type names...), (params...))
+    agg_state: Optional[tuple] = None
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -164,9 +170,28 @@ IPv6 = DType("IPv6", "int32", is_dictionary=True)
 IPv4 = DType("IPv4", "uint32")
 
 
+_BY_NAME["Date32"] = Date
 _BY_NAME["UUID"] = UUID
 _BY_NAME["IPv4"] = IPv4
 _BY_NAME["IPv6"] = IPv6
+
+
+def AggregateState(fn_name: str, arg_types, params=()) -> DType:
+    """AggregateFunction(fn, T...): packed mergeable-state bytes."""
+    arg_names = tuple(str(t) for t in arg_types)
+    if params:
+        ptxt = ", ".join(repr(p) if isinstance(p, str) else str(p)
+                         for p in params)
+        head = f"{fn_name}({ptxt})"
+    else:
+        head = fn_name
+    body = ", ".join([head] + list(arg_names))
+    return DType(f"AggregateFunction({body})", "uint8",
+                 agg_state=(fn_name, arg_names, tuple(params or ())))
+
+
+def is_agg_state(t: DType) -> bool:
+    return t.agg_state is not None
 
 
 def is_decimal(t: DType) -> bool:
@@ -274,6 +299,24 @@ def _parse_enum_body(body: str):
     return tuple(out)
 
 
+def _split_args(text: str):
+    """Split 'a, b(c, d), e' on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def parse_type_name(name: str) -> DType:
     """Parse ``Int64``, ``Nullable(Float64)``, ``Decimal(18, 4)``,
     ``Enum8('a' = 1)``, ``FixedString(16)``, ``LowCardinality(String)``."""
@@ -289,6 +332,20 @@ def parse_type_name(name: str) -> DType:
     inner = _strip_call(name, "Array")
     if inner is not None:
         return Array(parse_type_name(inner))
+    inner = _strip_call(name, "AggregateFunction")
+    if inner is not None:
+        parts = _split_args(inner)
+        head = parts[0].strip()
+        params: tuple = ()
+        if "(" in head and head.endswith(")"):
+            fn_name, ptxt = head[:-1].split("(", 1)
+            params = tuple(
+                p.strip().strip("'") for p in ptxt.split(",") if p.strip())
+        else:
+            fn_name = head
+        return AggregateState(fn_name,
+                              [parse_type_name(p) for p in parts[1:]],
+                              params)
     inner = _strip_call(name, "Decimal", "Dec", "Numeric", "Fixed")
     if inner is not None:
         parts = [x.strip() for x in inner.split(",")]

@@ -43,6 +43,9 @@ class Settings:
 
     # -- joins ---------------------------------------------------------------
     join_algorithm: str = "hash"       # hash | broadcast | shuffle | sort_merge
+    join_dense_gather: bool = True     # direct-address join for proven-dense keys
+    join_dense_table_entries: int = 8 << 20   # max dense join table slots
+    join_dense_gather_max_words: int = 2      # widest payload for gather path
     max_join_build_rows: int = 1 << 26
     join_use_nulls: bool = False
     max_probe_iterations: int = 64     # linear-probe bound in hash kernels
@@ -59,6 +62,7 @@ class Settings:
     num_exchange_buckets: int = 256    # two-level bucket fan-out (reference: 256)
     distributed_group_by_no_merge: bool = False
     prefer_global_in_and_join: bool = False
+    fill_max_rows: int = 8192          # WITH FILL generated-row capacity
     skew_salt_factor: int = 4          # salted-key splitting for heavy hitters
 
     # -- precision / determinism --------------------------------------------

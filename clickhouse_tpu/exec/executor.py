@@ -27,7 +27,7 @@ from ..core.column import Column, Dictionary, pad_to
 from ..core.errors import (CapacityError, ExecutionError, NotImplementedError_)
 from ..core.settings import Settings
 from ..exprs import aggregates as agg_reg
-from ..exprs.expr import ColVal, colval_from_column, evaluate
+from ..exprs.expr import (BoundColumn, ColVal, colval_from_column, evaluate)
 from ..exprs.functions import _string_codes_common
 from ..ops import agg_ops, filter_ops, join_ops, sort_ops
 from ..ops import search as search_ops
@@ -174,8 +174,8 @@ def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
     reference's merge-algorithm family applied on SELECT
     (Replacing/Summing *SortedAlgorithm.cpp; SURVEY.md §2.5)."""
     engine = node.engine.lower()
-    if engine not in ("replacingmergetree", "summingmergetree") \
-            or not node.order_by_cols:
+    if engine not in ("replacingmergetree", "summingmergetree",
+                      "aggregatingmergetree") or not node.order_by_cols:
         return eb
     cap = eb.capacity
     key_ids = [f.id for f, n in zip(node.schema, node.column_names)
@@ -207,6 +207,21 @@ def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
             sums = g.reduce("sum", cv.data, eb.valid)
             data = sums[gid_c].astype(cv.data.dtype)
             cols[f.id] = ColVal(cv.dtype, data, cv.validity, cv.dictionary)
+    elif engine == "aggregatingmergetree":
+        # fold AggregateFunction columns by merging their states per sort
+        # key (reference: AggregatingSortedAlgorithm.cpp)
+        gid_raw = g.group_ids[inv]
+        gid_c = jnp.minimum(gid_raw, cap_g - 1)
+        cols = dict(eb.cols)
+        for f in node.schema:
+            if f.id in key_ids or f.dtype.agg_state is None:
+                continue
+            m = agg_reg.make_merge_for_dtype(f.dtype)
+            cv = cols[f.id].broadcast(cap)
+            states = agg_reg.unpack_state_columns(cv.data, m.spec)
+            merged = m.inner.merge(states, g, eb.valid)
+            packed_g = agg_reg.pack_state_columns(merged)   # (cap_g, B)
+            cols[f.id] = ColVal(cv.dtype, packed_g[gid_c], None)
     return ExecBlock(cols, eb.valid & keep, cap, sharded=eb.sharded)
 
 
@@ -227,7 +242,9 @@ def _exec_numbers(node: L.NumbersNode, ctx: ExecContext) -> ExecBlock:
     f = node.schema[0]
     data = (jnp.arange(cap, dtype=jnp.uint64) + jnp.uint64(node.start))
     valid = jnp.arange(cap) < node.count
-    return ExecBlock({f.id: ColVal(f.dtype, data)}, valid, cap)
+    b = (node.start, node.start + max(node.count - 1, 0))
+    ctx.field_bounds[f.id] = b
+    return ExecBlock({f.id: ColVal(f.dtype, data, bounds=b)}, valid, cap)
 
 
 def _exec_filter(node: L.FilterNode, ctx: ExecContext) -> ExecBlock:
@@ -596,10 +613,11 @@ def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
         lengths = out[2] if len(out) > 2 else None
         if not isinstance(item.fn, agg_reg.CountAgg):
             zero = jnp.zeros((), data.dtype)
-            if data.ndim == 2:      # Array-valued aggregate (groupArray &c.)
+            if data.ndim == 2:      # Array-valued aggregate / packed -State
                 data = jnp.where((group_counts > 0)[:, None], data, zero)
-                lengths = jnp.where(group_counts > 0, lengths,
-                                    jnp.zeros((), lengths.dtype))
+                if lengths is not None:
+                    lengths = jnp.where(group_counts > 0, lengths,
+                                        jnp.zeros((), lengths.dtype))
             else:
                 data = jnp.where(group_counts > 0, data, zero)
         dict_ = arg_cvs[0].dictionary if (item.args
@@ -725,6 +743,10 @@ def _token_for_sort(cv: ColVal, item: L.SortItem, capacity: int) -> jax.Array:
 
 def _exec_sort(node: L.SortNode, ctx: ExecContext) -> ExecBlock:
     child = execute_plan(node.child, ctx)
+    if any(i.fill is not None for i in node.items):
+        if child.sharded and ctx.distributed:
+            child = _gather_block(child, ctx)
+        return _sort_with_fill(node, child, ctx)
     if child.sharded and ctx.distributed:
         # Distributed sort/top-N (reference: shard-local sort + initiator
         # k-way merge, SortingStep.cpp:339): shrink locally via top-k when a
@@ -735,6 +757,102 @@ def _exec_sort(node: L.SortNode, ctx: ExecContext) -> ExecBlock:
             child = _sort_block(node, child, ctx)     # local top-k shrink
         child = _gather_block(child, ctx)
     return _sort_block(node, child, ctx)
+
+
+def _sort_with_fill(node: L.SortNode, child: ExecBlock, ctx: ExecContext
+                    ) -> ExecBlock:
+    """ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]: append a grid of
+    generated rows (other columns take default values), sort everything
+    together, and drop grid points that collide with existing rows —
+    the reference's FillingTransform
+    (src/Processors/Transforms/FillingTransform.cpp) as one concat + sort."""
+    item = node.items[0]
+    if item.fill is None or any(i.fill is not None for i in node.items[1:]):
+        raise NotImplementedError_(
+            "WITH FILL is supported on the primary ORDER BY key only")
+    if not isinstance(item.expr, BoundColumn):
+        raise NotImplementedError_(
+            "WITH FILL requires a plain column ORDER BY key")
+    cap = child.capacity
+    cv = evaluate(item.expr, child.env()).broadcast(cap)
+    if cv.dtype.is_dictionary or cv.dtype.is_array:
+        raise NotImplementedError_("WITH FILL requires a numeric key")
+    f_from, f_to, f_step = item.fill
+    desc = item.descending
+    step = f_step if f_step is not None else (-1 if desc else 1)
+    capf = pad_to(ctx.settings.fill_max_rows)
+    is_f = jnp.issubdtype(cv.data.dtype, jnp.floating)
+    wt = cv.data.dtype if is_f else jnp.int64
+    data = cv.data.astype(wt)
+    dvalid = child.valid if cv.validity is None \
+        else child.valid & cv.validity.astype(jnp.bool_)
+    big = jnp.asarray(jnp.inf if is_f else jnp.iinfo(jnp.int64).max, wt)
+    vmin = jnp.min(jnp.where(dvalid, data, big))
+    vmax = jnp.max(jnp.where(dvalid, data, -big))
+    any_row = jnp.any(dvalid)
+    lo = jnp.asarray(f_from, wt) if f_from is not None \
+        else (vmax if desc else vmin)
+    series = lo + jnp.arange(capf, dtype=wt) * jnp.asarray(step, wt)
+    if desc:
+        ok = (series > jnp.asarray(f_to, wt)) if f_to is not None \
+            else (series >= vmin)
+        ok = ok & (series <= lo)
+    else:
+        ok = (series < jnp.asarray(f_to, wt)) if f_to is not None \
+            else (series <= vmax)
+        ok = ok & (series >= lo)
+    if f_from is None or f_to is None:
+        ok = ok & any_row
+    # extended block: original rows then the grid
+    fill_fid = item.expr.name
+    cols = {}
+    for fid, c in child.cols.items():
+        c = c.broadcast(cap)
+        if fid == fill_fid:
+            fdata = jnp.concatenate(
+                [c.data, series.astype(c.data.dtype)])
+            fv = None if c.validity is None else jnp.concatenate(
+                [c.validity, jnp.ones((capf,), jnp.uint8)])
+            cols[fid] = ColVal(c.dtype, fdata, fv, c.dictionary)
+        else:
+            pad_data = jnp.zeros((capf,) + c.data.shape[1:], c.data.dtype)
+            fdata = jnp.concatenate([c.data, pad_data])
+            if c.dtype.nullable:
+                v0 = c.validity if c.validity is not None \
+                    else jnp.ones((cap,), jnp.uint8)
+                fv = jnp.concatenate([v0, jnp.zeros((capf,), jnp.uint8)])
+            elif c.validity is not None:
+                fv = jnp.concatenate([c.validity,
+                                      jnp.ones((capf,), jnp.uint8)])
+            else:
+                fv = None
+            lens = None
+            if c.lengths is not None:
+                l0 = c.lengths if getattr(c.lengths, "ndim", 0) == 1 \
+                    else jnp.broadcast_to(c.lengths, (cap,))
+                lens = jnp.concatenate([l0, jnp.zeros((capf,), l0.dtype)])
+            cols[fid] = ColVal(c.dtype, fdata, fv, c.dictionary,
+                               lengths=lens)
+    ext_cap = cap + capf
+    valid = jnp.concatenate([child.valid, ok])
+    is_fill = jnp.concatenate([jnp.zeros((cap,), jnp.bool_),
+                               jnp.ones((capf,), jnp.bool_)])
+    eb = ExecBlock(cols, valid, ext_cap)
+
+    tokens = [_token_for_sort(evaluate(i.expr, eb.env()), i, ext_cap)
+              for i in node.items]
+    tokens.append(is_fill.astype(jnp.uint8))    # originals first at ties
+    perm = sort_ops.sort_permutation(tokens, valid)
+    out_cols = {fid: _gather_colval(c, perm, ext_cap)
+                for fid, c in eb.cols.items()}
+    n_valid = jnp.sum(valid.astype(jnp.int64))
+    in_range = jnp.arange(ext_cap, dtype=jnp.int64) < n_valid
+    # drop grid points equal to an existing row (sorted adjacency)
+    kv = out_cols[fill_fid].data
+    isf_s = is_fill[perm]
+    dup = isf_s & jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), kv[1:] == kv[:-1]])
+    return ExecBlock(out_cols, in_range & jnp.logical_not(dup), ext_cap)
 
 
 def _sort_block(node: L.SortNode, child: ExecBlock, ctx: ExecContext
@@ -1289,9 +1407,27 @@ def _join_propagate(node: L.JoinNode, left: ExecBlock, right: ExecBlock,
         if rt.validity is not None:
             build_ok = build_ok & rt.validity.astype(jnp.bool_)
 
-    pr = join_ops.propagate_join(rkeys, build_ok, lkeys, probe_ok,
-                                 build_words, asof_tokens=asof_tokens,
-                                 asof_strict=asof_strict)
+    # Dense direct-address fast path: unique build keys in a small proven
+    # range turn the join into one scatter + one gather per word pair
+    # (probe-latency bound — the v5e speed-of-light for random probes).
+    pr = None
+    if (asof_tokens is None and len(rkeys) == 1
+            and s.join_dense_gather
+            and (node.build_unique or node.strictness in ("semi", "anti"))
+            and np.dtype(rkeys[0].dtype).kind in ("i", "u")
+            and len(build_words) <= s.join_dense_gather_max_words):
+        from ..plan import ranges
+        rb = ranges.infer_bounds(node.right_keys[0], ctx.field_bounds)
+        if rb is not None \
+                and rb[1] - rb[0] + 1 <= s.join_dense_table_entries:
+            ctx.count("DenseGatherJoins")
+            pr = join_ops.dense_gather_join(rkeys[0], build_ok, lkeys[0],
+                                            probe_ok, build_words,
+                                            rb[0], rb[1])
+    if pr is None:
+        pr = join_ops.propagate_join(rkeys, build_ok, lkeys, probe_ok,
+                                     build_words, asof_tokens=asof_tokens,
+                                     asof_strict=asof_strict)
 
     if node.strictness in ("semi", "anti"):
         keep = pr.matched if node.strictness == "semi" else ~pr.matched
@@ -1500,8 +1636,10 @@ def _default_scalar(cv: ColVal):
     return jnp.zeros((), cv.data.dtype)
 
 
-def _exec_union(node: L.UnionNode, ctx: ExecContext) -> ExecBlock:
-    blocks = [execute_plan(c, ctx) for c in node.inputs]
+def _exec_union(node: L.UnionNode, ctx: ExecContext,
+                _blocks=None) -> ExecBlock:
+    blocks = _blocks if _blocks is not None \
+        else [execute_plan(c, ctx) for c in node.inputs]
     if ctx.distributed and any(b.sharded for b in blocks) \
             and not all(b.sharded for b in blocks):
         # mixed shardedness: replicate everything (sharded ∪ sharded keeps
@@ -1551,6 +1689,57 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext) -> ExecBlock:
                      sharded=any(b.sharded for b in blocks))
 
 
+def _exec_setop(node: L.SetOpNode, ctx: ExecContext) -> ExecBlock:
+    """INTERSECT / EXCEPT with multiset (ALL) or DISTINCT semantics.
+
+    The reference counts rows in a hash table per side
+    (src/Processors/Transforms/IntersectOrExceptTransform.cpp); here ONE
+    sort co-locates identical rows of both sides, then the i-th left
+    occurrence of a value survives iff i < right-count (INTERSECT ALL) /
+    i >= right-count (EXCEPT ALL)."""
+    left = execute_plan(node.left, ctx)
+    right = execute_plan(node.right, ctx)
+    if ctx.distributed and (left.sharded or right.sharded):
+        # set membership needs the global row multiset on both sides
+        left = _gather_block(left, ctx)
+        right = _gather_block(right, ctx)
+    u = L.UnionNode([node.left, node.right], node.schema)
+    eb = _exec_union(u, ctx, _blocks=[left, right])
+    cap = eb.capacity
+    is_left = jnp.arange(cap) < left.capacity
+    cvs = [eb.cols[f.id] for f in node.schema]
+    keys, _ = _key_arrays(cvs, cap)
+    cap_g = pad_to(min(cap, ctx.settings.max_groups))
+    g = agg_ops.group_by_sort(keys, eb.valid, cap_g)
+    ctx.checks.append(Check(g.num_groups, cap_g,
+                            f"{node.op.upper()} cardinality exceeded "
+                            "max_groups", setting="max_groups"))
+    mask_s = g.take(eb.valid)
+    left_s = g.take(is_left)
+    gid = jnp.minimum(g.group_ids, cap_g - 1)
+    cnt_b = g.reduce("sum", jnp.logical_not(is_left).astype(jnp.int64),
+                     eb.valid)[gid]
+    # 0-based occurrence index of each LEFT row within its value group
+    la = mask_s & left_s
+    c = jnp.cumsum(la.astype(jnp.int64))
+    before = jnp.where(g.starts > 0, c[jnp.maximum(g.starts - 1, 0)], 0)
+    pos = c - 1 - before[gid]
+    if node.distinct:
+        first = pos == 0
+        keep_s = la & first & ((cnt_b > 0) if node.op == "intersect"
+                               else (cnt_b == 0))
+    elif node.op == "intersect":
+        keep_s = la & (pos < cnt_b)
+    else:
+        keep_s = la & (pos >= cnt_b)
+    inv = jnp.argsort(g.perm)
+    keep = keep_s[inv]
+    cols = {}
+    for f, lf in zip(node.schema, node.left.schema):
+        cols[f.id] = eb.cols[f.id]
+    return ExecBlock(cols, eb.valid & is_left & keep, cap)
+
+
 _DISPATCH: Dict[type, Callable] = {
     L.ScanNode: _exec_scan,
     L.BlockSourceNode: _exec_blocksource,
@@ -1567,6 +1756,7 @@ _DISPATCH: Dict[type, Callable] = {
     L.DistinctNode: _exec_distinct,
     L.JoinNode: _exec_join,
     L.UnionNode: _exec_union,
+    L.SetOpNode: _exec_setop,
 }
 
 
@@ -1587,6 +1777,18 @@ def materialize(block: ExecBlock, schema: List[L.Field],
     for f in schema:
         cv = block.cols[f.id].broadcast(block.capacity)
         data = np.asarray(jax.device_get(cv.data))[valid_np]
+        if cv.dtype.agg_state is not None:
+            rows = np.empty(len(data), object)
+            for i in range(len(data)):
+                rows[i] = data[i].astype(np.uint8).tobytes()
+            name = f.display
+            if name in out:
+                k = 1
+                while f"{name}_{k}" in out:
+                    k += 1
+                name = f"{name}_{k}"
+            out[name] = rows
+            continue
         if cv.dtype.is_array:
             lens = np.asarray(jax.device_get(cv.lengths))[valid_np]
             d = cv.dictionary

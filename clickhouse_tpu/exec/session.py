@@ -39,6 +39,21 @@ class QueryLogEntry:
     error: str = ""
 
 
+@dataclasses.dataclass
+class Span:
+    """OpenTelemetry-style span (reference: OpenTelemetrySpanLogElement,
+    src/Interpreters/OpenTelemetrySpanLog.h) — recorded per query phase
+    and exported via system.opentelemetry_span_log."""
+    trace_id: str
+    span_id: str
+    parent_span_id: str
+    operation_name: str
+    start_time_us: int
+    finish_time_us: int
+    attribute_names: tuple = ()
+    attribute_values: tuple = ()
+
+
 class Session:
     # out-of-core streaming applies to local sessions; the distributed
     # session shards the data across the mesh instead
@@ -60,6 +75,9 @@ class Session:
         if not hasattr(self.catalog, "access"):
             self.catalog.access = AccessControl()
         self.current_user = self.catalog.access.users["default"]
+        # OpenTelemetry analog: per-query phase spans + inherited context
+        self.span_log: List[Span] = []
+        self.trace_context: Optional[Tuple[str, str]] = None  # (trace, span)
 
     def login(self, user: str, password: str = "") -> None:
         self.current_user = self.catalog.access.authenticate(user, password)
@@ -68,8 +86,10 @@ class Session:
     def execute(self, sql: str, settings: Optional[Dict[str, Any]] = None
                 ) -> Result:
         t0 = time.monotonic()
+        root = self._begin_span("query", attrs=(("db.statement", sql),))
         try:
-            stmt = parse(sql)
+            with self._span("parse"):
+                stmt = parse(sql)
             res = self._dispatch(stmt, settings or {}, sql)
             res.elapsed_s = time.monotonic() - t0
             if self.settings.log_queries:
@@ -81,6 +101,46 @@ class Session:
                 self.query_log.append(QueryLogEntry(
                     sql, time.monotonic() - t0, 0, "Error", str(e)))
             raise
+        finally:
+            self._end_span(root)
+
+    # -- tracing (OpenTelemetrySpanLog analog) -------------------------------
+    def _begin_span(self, name: str, attrs=()):
+        import secrets
+        if self.trace_context is None:
+            self._owns_trace = True
+            trace_id = secrets.token_hex(16)
+            parent = ""
+        else:
+            self._owns_trace = False
+            trace_id, parent = self.trace_context
+        span_id = secrets.token_hex(8)
+        s = Span(trace_id, span_id, parent, name,
+                 int(time.time() * 1e6), 0,
+                 tuple(k for k, _ in attrs), tuple(v for _, v in attrs))
+        prev = self.trace_context
+        self.trace_context = (trace_id, span_id)
+        return (s, prev)
+
+    def _end_span(self, token):
+        s, prev = token
+        s.finish_time_us = int(time.time() * 1e6)
+        self.span_log.append(s)
+        if len(self.span_log) > 10000:
+            del self.span_log[:5000]
+        self.trace_context = prev
+
+    def _span(self, name: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            tok = self._begin_span(name)
+            try:
+                yield
+            finally:
+                self._end_span(tok)
+        return cm()
 
     def query(self, sql: str) -> Result:
         return self.execute(sql)
@@ -89,8 +149,9 @@ class Session:
     def _dispatch(self, stmt, overrides: Dict[str, Any],
                   sql: str = "") -> Result:
         if self.settings.readonly and not isinstance(
-                stmt, (ast.Select, ast.Union, ast.Explain, ast.Describe,
-                       ast.ShowTables, ast.Use)):
+                stmt, (ast.Select, ast.Union, ast.SetOp, ast.Explain,
+                       ast.Describe,
+                       ast.ShowTables, ast.Use, ast.SystemCommand)):
             raise AnalysisError("Cannot execute a write statement in "
                                 "readonly mode")
         self._check_access(stmt)
@@ -108,7 +169,7 @@ class Session:
                 else:
                     self.catalog.access.revoke(stmt.user, p, stmt.target)
             return _status_result()
-        if isinstance(stmt, (ast.Select, ast.Union)):
+        if isinstance(stmt, (ast.Select, ast.Union, ast.SetOp)):
             return self._run_select(stmt, overrides, sql)
         if isinstance(stmt, ast.Explain):
             return self._run_explain(stmt, overrides)
@@ -174,6 +235,14 @@ class Session:
         if isinstance(stmt, ast.SetStatement):
             self.settings = self.settings.copy_with(stmt.changes)
             return _status_result()
+        if isinstance(stmt, ast.SystemCommand):
+            cmd = stmt.command.lower()
+            if cmd.startswith("reload dictionar"):
+                for dbo in self.catalog.databases.values():
+                    for d in getattr(dbo, "dictionaries", {}).values():
+                        if hasattr(d, "invalidate"):
+                            d.invalidate()
+            return _status_result()   # background machinery is synchronous
         if isinstance(stmt, ast.Use):
             self.catalog.get_table  # noqa — validate below
             if stmt.database not in self.catalog.databases:
@@ -193,7 +262,7 @@ class Session:
             db = getattr(s, "database", None) or self.catalog.current_database
             return db, getattr(s, "table", "*")
 
-        if isinstance(stmt, (ast.Select, ast.Union, ast.Explain)):
+        if isinstance(stmt, (ast.Select, ast.Union, ast.SetOp, ast.Explain)):
             ref = getattr(stmt, "from_", None)
             if isinstance(ref, ast.TableRef):
                 acc.check(user, "select",
@@ -216,11 +285,13 @@ class Session:
 
     # -- SELECT --------------------------------------------------------------
     def _plan(self, stmt, settings: Settings):
-        analyzer = Analyzer(self.catalog, settings,
-                            subquery_executor=self._subquery_executor(settings))
-        plan = analyzer.analyze(stmt)
-        plan = optimize_plan(plan, settings)
-        return plan
+        with self._span("analyze"):
+            analyzer = Analyzer(
+                self.catalog, settings,
+                subquery_executor=self._subquery_executor(settings))
+            plan = analyzer.analyze(stmt)
+            plan = optimize_plan(plan, settings)
+            return plan
 
     def _subquery_executor(self, settings: Settings):
         def run(sel_ast) -> Dict[str, np.ndarray]:
@@ -409,6 +480,10 @@ class Session:
         return plan_c, cols, ctx
 
     def _compile_plan(self, plan, blocks, settings: Settings):
+        with self._span("compile"):
+            return self._compile_plan_traced(plan, blocks, settings)
+
+    def _compile_plan_traced(self, plan, blocks, settings: Settings):
         import jax
         import jax.numpy as jnp
         from ..core.block import Block
@@ -444,6 +519,8 @@ class Session:
             struct["dicts"] = dicts                 # trace-time capture
             struct["checks"] = [(c.limit, c.message, c.setting)
                                 for c in ctx.checks]
+            struct["static_events"] = {
+                k: v for k, v in ctx.profile.items() if k != "rows_scanned"}
             struct["capacity"] = out.capacity
             leaves = {"valid": out.valid, "data": data_leaves,
                       "validity": validity_leaves,
@@ -489,6 +566,8 @@ class Session:
         from ..exprs.expr import ColVal
         from .executor import Check, ExecBlock
         ctx = ExecContext({}, settings)
+        for k, v in struct.get("static_events", {}).items():
+            self.profile_events[k] = self.profile_events.get(k, 0) + v
         for val, (limit, msg, setting) in zip(leaves["checks"],
                                               struct["checks"]):
             ctx.checks.append(Check(val, limit, msg, setting))
@@ -836,9 +915,35 @@ class Session:
                 "rows": np.asarray([r[3] for r in rows], np.uint64)})
             return t
 
+        def span_log_table():
+            t = Table("opentelemetry_span_log",
+                      [("trace_id", dtm.String), ("span_id", dtm.String),
+                       ("parent_span_id", dtm.String),
+                       ("operation_name", dtm.String),
+                       ("start_time_us", dtm.UInt64),
+                       ("finish_time_us", dtm.UInt64),
+                       ("duration_us", dtm.UInt64)])
+            spans = list(self.span_log)
+            t.insert_pydict({
+                "trace_id": np.asarray([s.trace_id for s in spans], object),
+                "span_id": np.asarray([s.span_id for s in spans], object),
+                "parent_span_id": np.asarray(
+                    [s.parent_span_id for s in spans], object),
+                "operation_name": np.asarray(
+                    [s.operation_name for s in spans], object),
+                "start_time_us": np.asarray(
+                    [s.start_time_us for s in spans], np.uint64),
+                "finish_time_us": np.asarray(
+                    [s.finish_time_us for s in spans], np.uint64),
+                "duration_us": np.asarray(
+                    [max(s.finish_time_us - s.start_time_us, 0)
+                     for s in spans], np.uint64)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
                 "functions": functions_table, "events": events_table,
-                "columns": columns_table, "parts": parts_table}
+                "columns": columns_table, "parts": parts_table,
+                "opentelemetry_span_log": span_log_table}
 
     # -- convenience ---------------------------------------------------------
     def insert_pydict(self, table: str, data: Dict[str, np.ndarray],
@@ -867,6 +972,10 @@ def _literal_value(e: ast.Expr):
     if isinstance(e, ast.FuncCall) and e.name == "negate" \
             and isinstance(e.args[0], ast.Literal):
         return -e.args[0].value
+    if isinstance(e, ast.FuncCall) and e.name == "array":
+        return [_literal_value(x) for x in e.args]
+    if isinstance(e, ast.Tuple_):
+        return tuple(_literal_value(x) for x in e.items)
     raise AnalysisError("INSERT VALUES must be literals")
 
 
@@ -879,7 +988,9 @@ def _align_insert(data: Dict[str, np.ndarray], table: Table,
             raise AnalysisError(f"Unknown column '{name}' in INSERT")
         ctype = table.schema[name]
         v = np.asarray(vals)
-        if ctype.is_dictionary:
+        if ctype.agg_state is not None:
+            out[name] = v.astype(object)
+        elif ctype.is_dictionary:
             v = v.astype(object)
             n = dt.remove_nullable(ctype).fixed_len
             if n is not None:       # FixedString: zero-pad to width
@@ -897,6 +1008,12 @@ def _align_insert(data: Dict[str, np.ndarray], table: Table,
                 out[name] = res
             else:
                 out[name] = enc
+        elif ctype.is_array:
+            av = np.empty(len(v), object)
+            for i, x in enumerate(v):
+                av[i] = list(x) if isinstance(x, (list, tuple,
+                                                  np.ndarray)) else x
+            out[name] = av
         elif v.dtype == object:
             has_none = any(x is None for x in v)
             if has_none:

@@ -262,6 +262,15 @@ class HLLUniqAgg(AggregateFunction):
     # total (groups x registers) assembly budget: keeps the limb-index
     # searchsorted and the dense state matrix bounded
     PAIR_BUDGET = 1 << 23
+    # storable -State layout: fixed register count regardless of capacity
+    STATE_M = 4096
+
+    def __init__(self, arg_types):
+        super().__init__(arg_types)
+        self.fixed_m: Optional[int] = None
+
+    def pin_state_layout(self):
+        self.fixed_m = self.STATE_M
 
     def result_type(self):
         return dt.UInt64
@@ -269,8 +278,9 @@ class HLLUniqAgg(AggregateFunction):
     def state_ops(self):
         return ["bytemax"]
 
-    @staticmethod
-    def _m_for_cap(cap_g: int) -> int:
+    def _m_for_cap(self, cap_g: int) -> int:
+        if self.fixed_m is not None:
+            return self.fixed_m
         m = 4096
         while m > 64 and cap_g * m > HLLUniqAgg.PAIR_BUDGET:
             m //= 2

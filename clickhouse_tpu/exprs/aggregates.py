@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import dtypes as dt
-from ..core.errors import TypeError_, UnknownFunction
+from ..core.errors import NotImplementedError_, TypeError_, UnknownFunction
 from ..ops import agg_ops, sort_ops
 from .expr import ColVal
 
@@ -111,6 +111,12 @@ class AggregateFunction:
                  ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """-> (data, validity or None), each (num_groups_cap,)."""
         raise NotImplementedError
+
+    def pin_state_layout(self) -> None:
+        """Make the state layout context-independent (required before the
+        state is stored as a column value: -State/-Merge).  Functions whose
+        state width adapts to the grouping capacity (HLL register count)
+        override this to pin a fixed width."""
 
     # -- helpers -------------------------------------------------------------
     def _row_mask(self, ctx: GroupContext, args: List[ColVal],
@@ -744,23 +750,220 @@ AGGREGATES = _BASE
 
 def is_aggregate_name(name: str) -> bool:
     base = name.lower()
-    if base.endswith("if"):
-        base = base[:-2]
-    return base in _BASE or name.lower() in _BASE
+    if base in _BASE:
+        return True
+    changed = True
+    while changed and base not in _BASE:
+        changed = False
+        for suf in ("if", "state", "merge"):
+            if base.endswith(suf) and len(base) > len(suf):
+                base = base[:-len(suf)]
+                changed = True
+                break
+    return base in _BASE
+
+
+# -- -State / -Merge combinators ---------------------------------------------
+# The reference stores partial aggregation states as first-class column
+# values (src/Columns/ColumnAggregateFunction.h, -State/-Merge in
+# AggregateFunctionCombinatorFactory).  Here a state is the function's
+# mergeable state columns packed byte-wise into a fixed-width (rows, B)
+# uint8 matrix — ordinary block data, so states flow through joins, storage,
+# the Native format, and the distributed exchange unchanged.
+
+_STATE_SPEC_CACHE: Dict[tuple, list] = {}
+
+
+def state_spec(inst: AggregateFunction) -> list:
+    """[(np.dtype, width)] layout of the state columns, via shape-only
+    tracing of update() (jax.eval_shape — no device compute)."""
+    extra = tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in inst.__dict__.items()
+        if k != "arg_types" and isinstance(v, (int, float, str, bool,
+                                               tuple, list, type(None)))))
+    key = (type(inst).__name__, tuple(str(t) for t in inst.arg_types), extra)
+    hit = _STATE_SPEC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..core.settings import Settings
+
+    def probe():
+        cap = 8
+        rv = jnp.ones((cap,), jnp.bool_)
+        g = agg_ops.group_by_sort([jnp.zeros((cap,), jnp.int32)], rv, cap)
+        ctx = GroupContext([jnp.zeros((cap,), jnp.int32)], rv, g, cap,
+                           checks=[], settings=Settings())
+        args = [ColVal(t, jnp.zeros((cap,),
+                                    dt.remove_nullable(t).jnp_dtype),
+                       None, None) for t in inst.arg_types]
+        return tuple(inst.update(ctx, args, None))
+
+    shapes = jax.eval_shape(probe)
+    spec = []
+    for s in shapes:
+        d = np.dtype(s.dtype) if s.dtype != jnp.bool_ else np.dtype("uint8")
+        spec.append((d, 1 if len(s.shape) == 1 else int(s.shape[1])))
+    _STATE_SPEC_CACHE[key] = spec
+    return spec
+
+
+def state_width_bytes(spec) -> int:
+    return sum(d.itemsize * w for d, w in spec)
+
+
+def pack_state_columns(states: Sequence[jax.Array]) -> jax.Array:
+    """State columns -> (rows, B) uint8 byte matrix (little-endian limbs)."""
+    cap = states[0].shape[0]
+    parts = []
+    for s in states:
+        if s.dtype == jnp.bool_:
+            s = s.astype(jnp.uint8)
+        s2 = s[:, None] if s.ndim == 1 else s
+        if s2.dtype == jnp.uint8:
+            parts.append(s2)
+        else:
+            parts.append(jax.lax.bitcast_convert_type(s2, jnp.uint8)
+                         .reshape(cap, -1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def unpack_state_columns(packed: jax.Array, spec) -> List[jax.Array]:
+    cap = packed.shape[0]
+    out, off = [], 0
+    for d, w in spec:
+        nb = d.itemsize * w
+        chunk = packed[:, off:off + nb]
+        off += nb
+        if d.itemsize == 1:
+            arr = chunk if w > 1 else chunk[:, 0].astype(jnp.dtype(d))
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                chunk.reshape(cap, w, d.itemsize), jnp.dtype(d))
+            if w == 1:
+                arr = arr[:, 0]
+        out.append(arr)
+    return out
+
+
+class StateAgg(AggregateFunction):
+    """-State: aggregate normally but emit the packed state, not the value."""
+
+    def __init__(self, inner: AggregateFunction, params=()):
+        super().__init__(list(inner.arg_types))
+        inner.pin_state_layout()
+        self.inner = inner
+        self.name = inner.name + "State"
+        self.holistic = inner.holistic
+        self._params = tuple(params or ())
+
+    @property
+    def sum_only(self):
+        return False          # dense/MXU stage cannot pack states
+
+    def result_type(self):
+        return dt.AggregateState(self.inner.name, self.inner.arg_types,
+                                 self._params)
+
+    def state_ops(self):
+        return self.inner.state_ops()
+
+    def update(self, ctx, args, cond):
+        return self.inner.update(ctx, args, cond)
+
+    def merge(self, states, grouping, mask_raw):
+        return self.inner.merge(states, grouping, mask_raw)
+
+    def finalize(self, states):
+        return pack_state_columns(states), None
+
+
+class MergeAgg(AggregateFunction):
+    """-Merge: rows carry packed states of the inner function; update()
+    unpacks and merges them by group."""
+
+    def __init__(self, inner: AggregateFunction, spec,
+                 arg_types: List[dt.DType]):
+        super().__init__(arg_types)
+        inner.pin_state_layout()
+        self.inner = inner
+        self.spec = spec
+        self.name = inner.name + "Merge"
+        self.holistic = inner.holistic
+
+    def result_type(self):
+        return self.inner.result_type()
+
+    def state_ops(self):
+        return self.inner.state_ops()
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        packed = args[0].broadcast(ctx.row_valid.shape[0]).data
+        states = unpack_state_columns(packed, self.spec)
+        return self.inner.merge(states, ctx.grouping, mask)
+
+    def merge(self, states, grouping, mask_raw):
+        return self.inner.merge(states, grouping, mask_raw)
+
+    def finalize(self, states):
+        return self.inner.finalize(states)
+
+
+def make_merge_for_dtype(state_dtype: dt.DType) -> "MergeAgg":
+    """Instantiate the -Merge aggregate for an AggregateFunction(...) column
+    dtype (used by AggregatingMergeTree FINAL folds and finalizeAggregation)."""
+    st = dt.remove_nullable(state_dtype)
+    fn_name, arg_names, sparams = st.agg_state
+    inner_args = [dt.parse_type_name(a) for a in arg_names]
+    inner, _ = get_aggregate(fn_name, inner_args,
+                             list(sparams) if sparams else None)
+    inner.pin_state_layout()
+    return MergeAgg(inner, state_spec(inner), [state_dtype])
 
 
 def get_aggregate(name: str, arg_types: List[dt.DType],
                   params: Optional[list] = None
                   ) -> Tuple[AggregateFunction, bool]:
-    """-> (instance, has_if_combinator).  Raises UnknownFunction."""
+    """-> (instance, has_if_combinator).  Raises UnknownFunction.
+
+    Combinator suffixes peel right-to-left: -If, -State, -Merge
+    (AggregateFunctionCombinatorFactory analog)."""
     lname = name.lower()
     has_if = False
-    if lname not in _BASE and lname.endswith("if") and lname[:-2] in _BASE:
-        lname = lname[:-2]
-        has_if = True
+    mode = None
+    while lname not in _BASE:
+        if lname.endswith("if") and len(lname) > 2:
+            has_if = True
+            lname = lname[:-2]
+        elif lname.endswith("state") and mode is None and len(lname) > 5:
+            mode = "state"
+            lname = lname[:-5]
+        elif lname.endswith("merge") and mode is None and len(lname) > 5:
+            mode = "merge"
+            lname = lname[:-5]
+        else:
+            break
+    if has_if:
         arg_types = arg_types[:-1]  # last arg is the condition
     if lname not in _BASE:
         raise UnknownFunction(f"Unknown aggregate function '{name}'")
+    if mode == "merge":
+        st = dt.remove_nullable(arg_types[0]) if arg_types else None
+        if st is None or not dt.is_agg_state(st):
+            raise TypeError_(
+                f"{name} requires an AggregateFunction(...) argument, got "
+                f"{arg_types[0] if arg_types else 'none'}")
+        fn_name, arg_names, sparams = st.agg_state
+        if fn_name.lower() != lname:
+            raise TypeError_(
+                f"{name} cannot merge a state of '{fn_name}'")
+        inner_args = [dt.parse_type_name(a) for a in arg_names]
+        inner, _ = get_aggregate(fn_name, inner_args,
+                                 list(sparams) if sparams else None)
+        inner.state_ops()      # raises TypeError_ for non-mergeable states
+        inner.pin_state_layout()
+        return MergeAgg(inner, state_spec(inner), list(arg_types)), has_if
     cls = _BASE[lname]
     if lname in _MULTI_Q:
         qs = [float(p) for p in params] if params else [0.5]
@@ -776,4 +979,12 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
             inst = cls(arg_types, size)
     else:
         inst = cls(arg_types)
+    if mode == "state":
+        inst.state_ops()       # raises TypeError_ for non-mergeable states
+        for t in arg_types:
+            if dt.remove_nullable(t).is_dictionary:
+                raise NotImplementedError_(
+                    f"{name}: -State over String/dictionary arguments is "
+                    "not supported yet")
+        inst = StateAgg(inst, params)
     return inst, has_if

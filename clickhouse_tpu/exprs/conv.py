@@ -331,7 +331,8 @@ def _conv_to(target: dt.DType, case_insensitive=False):
     return resolve, ex
 
 
-for _name, _t in [("toDate", dt.Date), ("toDateTime", dt.DateTime),
+for _name, _t in [("toDate", dt.Date), ("toDate32", dt.Date),
+                  ("toDateTime", dt.DateTime),
                   ("toUUID", dt.UUID), ("toIPv4", dt.IPv4),
                   ("toIPv6", dt.IPv6)]:
     _res, _ex = _conv_to(_t)

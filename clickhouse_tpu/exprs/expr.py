@@ -43,6 +43,9 @@ class ColVal:
     bounds: Optional[tuple] = None
     # Array(T): per-row element counts ((cap,) int32)
     lengths: Optional[Any] = None
+    # host-side python value(s) for constants (set for literals so trace-time
+    # consumers — transform, IN, range — can read them under jit)
+    host: Any = None
 
     @property
     def is_const(self) -> bool:
@@ -177,6 +180,132 @@ def _evaluate_dict_get(expr: "BoundDictGet", env) -> ColVal:
 
 
 @dataclasses.dataclass
+class BoundArrayLambda(BoundExpr):
+    """Higher-order array function: arrayMap/Filter/Exists/All/Count/Sum...
+
+    The lambda body is an ordinary bound expression evaluated ONCE over the
+    whole (rows, max_len) element matrix — the TPU translation of the
+    reference's per-row lambda loop (src/Functions/array/FunctionArrayMapped.h):
+    element-wise jnp ops broadcast over the matrix, outer row columns enter
+    as (rows, 1) so they broadcast across elements.
+    """
+    op: str                          # map|filter|exists|all|count|sum|avg|min|max|first|first_index
+    param_ids: List[str]             # generated field ids of lambda params
+    body: BoundExpr
+    arrays: List[BoundExpr]
+    dtype: dt.DType
+
+    def children(self):
+        return [self.body] + list(self.arrays)
+
+
+def _evaluate_array_lambda(expr: "BoundArrayLambda",
+                           env: Dict[str, ColVal]) -> ColVal:
+    arrs = [evaluate(a, env) for a in expr.arrays]
+    # row capacity: from the first non-const array, else any block column
+    cap = None
+    for a in arrs:
+        if not a.is_const:
+            cap = a.data.shape[0]
+            break
+    if cap is None:
+        for cv in env.values():
+            if getattr(cv.data, "ndim", 0) == 1:
+                cap = cv.data.shape[0]
+                break
+    const_out = cap is None
+    if const_out:
+        cap = 1
+    L = max(a.data.shape[-1] for a in arrs)
+    mats = []
+    for a in arrs:
+        m = a.data
+        if m.ndim == 1:
+            m = jnp.broadcast_to(m[None, :], (cap, m.shape[0]))
+        if m.shape[-1] < L:
+            m = jnp.pad(m, ((0, 0), (0, L - m.shape[-1])))
+        mats.append(m)
+    lengths = arrs[0].lengths
+    if lengths is None:
+        lengths = jnp.full((cap,), arrs[0].data.shape[-1], jnp.int32)
+    if getattr(lengths, "ndim", 0) == 0:
+        lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (cap,))
+    elem_ok = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+
+    env2: Dict[str, ColVal] = {}
+    for k, cv in env.items():
+        nd = getattr(cv.data, "ndim", 0)
+        if nd == 1:       # outer row column -> broadcast across elements
+            v2 = cv.validity[:, None] if cv.validity is not None else None
+            env2[k] = ColVal(cv.dtype, cv.data[:, None], v2, cv.dictionary,
+                             cv.bounds)
+        else:
+            env2[k] = cv
+    for pid, a, m in zip(expr.param_ids, arrs, mats):
+        inner = dt.array_inner(a.dtype) if a.dtype.is_array else a.dtype
+        env2[pid] = ColVal(inner, m, None, a.dictionary)
+    out = evaluate(expr.body, env2)
+    odata = out.data
+    if getattr(odata, "ndim", 0) < 2:     # element-independent body
+        odata = jnp.broadcast_to(jnp.asarray(odata), (cap, L)) \
+            if getattr(odata, "ndim", 0) == 0 \
+            else jnp.broadcast_to(odata[:, None], (cap, L))
+
+    def finish(cv: ColVal) -> ColVal:
+        if not const_out:
+            return cv
+        if cv.dtype.is_array:      # constant array result: 1D + scalar len
+            return ColVal(cv.dtype, cv.data[0], cv.validity, cv.dictionary,
+                          lengths=cv.lengths[0])
+        return ColVal(cv.dtype, cv.data[0], cv.validity, cv.dictionary)
+
+    op = expr.op
+    if op == "map":
+        return finish(ColVal(expr.dtype,
+                             jnp.where(elem_ok, odata,
+                                       jnp.zeros((), odata.dtype)),
+                             None, out.dictionary, lengths=lengths))
+    if op == "filter":
+        keep = elem_ok & (odata != 0)
+        src = mats[0]
+        # stable per-row compaction: sort each row by drop-flag (kept
+        # elements first, original order preserved)
+        drop = jnp.logical_not(keep).astype(jnp.int32)
+        _, compact = jax.lax.sort([drop, src], num_keys=1, is_stable=True,
+                                  dimension=-1)
+        new_len = jnp.sum(keep, axis=-1).astype(jnp.int32)
+        zero = jnp.zeros((), compact.dtype)
+        compact = jnp.where(
+            jnp.arange(L, dtype=jnp.int32)[None, :] < new_len[:, None],
+            compact, zero)
+        return finish(ColVal(expr.dtype, compact, None,
+                             arrs[0].dictionary, lengths=new_len))
+    pred = elem_ok & (odata != 0)
+    if op == "exists":
+        return finish(ColVal(expr.dtype,
+                             jnp.any(pred, axis=-1).astype(jnp.uint8), None))
+    if op == "all":
+        ok = jnp.all(jnp.logical_not(elem_ok) | (odata != 0), axis=-1)
+        return finish(ColVal(expr.dtype, ok.astype(jnp.uint8), None))
+    if op == "count":
+        return finish(ColVal(expr.dtype,
+                             jnp.sum(pred, axis=-1).astype(jnp.uint64),
+                             None))
+    if op == "sum":
+        acc = odata.astype(expr.dtype.jnp_dtype)
+        s = jnp.sum(jnp.where(elem_ok, acc, jnp.zeros((), acc.dtype)),
+                    axis=-1)
+        return finish(ColVal(expr.dtype, s, None))
+    if op == "first_index":
+        idx = jnp.argmax(pred, axis=-1).astype(jnp.uint32) + 1
+        has = jnp.any(pred, axis=-1)
+        return finish(ColVal(expr.dtype,
+                             jnp.where(has, idx, 0).astype(jnp.uint32),
+                             None))
+    raise TypeError_(f"Unknown array lambda op '{op}'")
+
+
+@dataclasses.dataclass
 class BoundInList(BoundExpr):
     """expr IN (v1, v2, ...) with a materialized host-side value set.
 
@@ -215,6 +344,8 @@ def evaluate(expr: BoundExpr, env: Dict[str, ColVal]) -> ColVal:
         return _evaluate_in_list(expr, env)
     if isinstance(expr, BoundDictGet):
         return _evaluate_dict_get(expr, env)
+    if isinstance(expr, BoundArrayLambda):
+        return _evaluate_array_lambda(expr, env)
     raise TypeError_(f"Cannot evaluate expression node {expr!r}")
 
 
@@ -260,5 +391,9 @@ def _literal_colval(expr: BoundLiteral) -> ColVal:
         return ColVal(t, jnp.zeros((), t.jnp_dtype), jnp.zeros((), jnp.uint8))
     if t.is_dictionary:
         d = Dictionary(np.asarray([v], dtype=object))
-        return ColVal(t, jnp.zeros((), jnp.int32), None, d)
-    return ColVal(t, jnp.asarray(v, t.jnp_dtype))
+        # np-backed concrete zero (jnp.zeros would trace under jit and hide
+        # the constant from trace-time consumers)
+        return ColVal(t, jnp.asarray(np.int32(0)), None, d, host=v)
+    bounds = (int(v), int(v)) if isinstance(v, (int, np.integer)) \
+        and not isinstance(v, bool) else None
+    return ColVal(t, jnp.asarray(v, t.jnp_dtype), bounds=bounds, host=v)

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..core import dtypes as dt
 from ..core.column import Dictionary
-from ..core.errors import TypeError_, UnknownFunction
+from ..core.errors import NotImplementedError_, TypeError_, UnknownFunction
 from .expr import ColVal
 
 __all__ = ["get", "exists", "register", "ScalarFunction", "FUNCTIONS",
@@ -1362,6 +1362,40 @@ def _array_ctor_exec(args, out_dtype):
         # 1-D data marks an array constant (broadcast tiles it per row)
         return ColVal(out_dtype, jnp.zeros((8,), inner.jnp_dtype), None,
                       None, lengths=jnp.zeros((), jnp.int32))
+    if not inner.is_dictionary and all(a.is_const for a in args):
+        # literal element lists stay HOST-concrete so consumers that need
+        # the values at trace time (transform, IN, range) can read them
+        vals = [_const_int(a) if not dt.is_float(inner)
+                else (a.host if a.host is not None else None)
+                for a in args]
+        host = np.asarray(vals, inner.np_dtype) \
+            if all(v is not None for v in vals) else None
+        if host is not None:
+            ml = max(((k + 7) // 8) * 8, 8)
+            data = np.zeros((ml,), inner.np_dtype)
+            data[:k] = host
+            return ColVal(out_dtype, jnp.asarray(data), _and_validity(args),
+                          None, lengths=jnp.asarray(k, jnp.int32),
+                          host=list(host))
+    if inner.is_dictionary and all(a.is_const and a.dictionary is not None
+                                   for a in args):
+        try:
+            texts = [str(a.host) if a.host is not None
+                     else str(a.dictionary.values[
+                         int(np.asarray(jax.device_get(a.data)).item())])
+                     for a in args]
+        except Exception:
+            texts = None
+        if texts is not None:
+            uniq, codes = np.unique(np.asarray(texts, object).astype(str),
+                                    return_inverse=True)
+            ml = max(((k + 7) // 8) * 8, 8)
+            data = np.zeros((ml,), np.int32)
+            data[:k] = codes.astype(np.int32)
+            return ColVal(out_dtype, jnp.asarray(data), _and_validity(args),
+                          Dictionary(uniq.astype(object)),
+                          lengths=jnp.asarray(k, jnp.int32),
+                          host=list(codes))
     if inner.is_dictionary:
         # unify element dictionaries pairwise
         merged = args[0].dictionary or Dictionary(np.asarray([], object))
@@ -1525,6 +1559,216 @@ for _n, _op, _ot in [("arraySum", "sum",
 register("emptyArrayInt64", lambda ts: dt.Array(dt.Int64),
          lambda args, t: ColVal(t, jnp.zeros((8,), jnp.int64), None, None,
                                 lengths=jnp.asarray(0, jnp.int32)))
+
+
+# -- hex / unhex / repeat / range / transform --------------------------------
+
+
+def _const_int(cv) -> "Optional[int]":
+    """Host value of a constant ColVal, or None when it's a traced const."""
+    if cv.host is not None and not isinstance(cv.host, (list, tuple, str)):
+        return int(cv.host)
+    try:
+        return int(np.asarray(jax.device_get(cv.data)).item())
+    except Exception:
+        return None
+
+
+def _hex_host(v, src_t: dt.DType) -> str:
+    """Reference hex(): full-width big-endian for ints, raw bytes for
+    strings (src/Functions/FunctionsCoding.h)."""
+    if isinstance(v, str):
+        return v.encode("utf-8", "surrogateescape").hex().upper()
+    n = int(v)
+    w = dt.remove_nullable(src_t).itemsize
+    return n.to_bytes(w, "big", signed=n < 0).hex().upper()
+
+
+def _exec_hex(args, out_dtype):
+    a = args[0]
+    if a.dtype.is_dictionary:
+        return _string_fn_lut(
+            lambda s: _hex_host(s, dt.String), object)(args, out_dtype)
+    src = dt.remove_nullable(a.dtype)
+    if a.is_const:
+        try:
+            v = int(np.asarray(jax.device_get(a.data)).item())
+        except Exception:        # traced const (under jit): use bounds
+            v = None
+        if v is not None:
+            s = _hex_host(v, src)
+            return ColVal(out_dtype, jnp.zeros((), jnp.int32), a.validity,
+                          Dictionary(np.asarray([s], object)))
+    if a.bounds is not None and (a.bounds[1] - a.bounds[0]) < (1 << 16):
+        lo, hi = int(a.bounds[0]), int(a.bounds[1])
+        texts = np.asarray([_hex_host(x, src) for x in range(lo, hi + 1)],
+                           object)
+        uniq, codes = np.unique(texts.astype(str), return_inverse=True)
+        idx = jnp.clip(a.data.astype(jnp.int64) - lo, 0, hi - lo)
+        lut = jnp.asarray(codes.astype(np.int32))
+        return ColVal(out_dtype, lut[idx], a.validity,
+                      Dictionary(uniq.astype(object)))
+    raise NotImplementedError_("hex of unbounded numeric columns requires "
+                               "materialization")
+
+
+register("hex", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _exec_hex, case_insensitive=True)
+register("unhex",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         lambda args, t: _string_fn_lut(
+             lambda s: bytes.fromhex(s).decode("utf-8", "surrogateescape")
+             if s else "", object)(args, t),
+         case_insensitive=True)
+register("bin", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         lambda args, t: _string_fn_lut(
+             lambda s: "".join(
+                 f"{b:08b}" for b in s.encode("utf-8", "surrogateescape")),
+             object)(args, t),
+         case_insensitive=True)
+
+
+def _exec_repeat(args, out_dtype):
+    n_cv = args[1]
+    n = _const_int(n_cv) if n_cv.is_const else None
+    if n is None:
+        raise NotImplementedError_("repeat() requires a constant count")
+    return _string_fn_lut(lambda s: s * max(n, 0), object)(args[:1],
+                                                           out_dtype)
+
+
+register("repeat", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _exec_repeat, case_insensitive=True)
+
+
+def _resolve_range(ts):
+    return dt.Array(dt.UInt64)
+
+
+def _exec_range(args, out_dtype):
+    a = args[0]
+    if len(args) > 1:
+        raise NotImplementedError_("range(start, end[, step]) with multiple "
+                                   "arguments is not supported yet")
+    hi = None
+    if a.is_const:
+        hi = _const_int(a)
+    if hi is None and a.bounds is not None:
+        hi = int(a.bounds[1])
+    if hi is None or hi > (1 << 16):
+        raise NotImplementedError_("range() needs a bounded length")
+    L = max(hi, 1)
+    n = a.data.astype(jnp.int32)
+    elems = jnp.arange(L, dtype=jnp.uint64)
+    if a.is_const:
+        return ColVal(out_dtype, elems[:max(hi, 0)], None,
+                      lengths=jnp.asarray(max(hi, 0), jnp.int32))
+    cap = a.data.shape[0]
+    mat = jnp.broadcast_to(elems[None, :], (cap, L))
+    lens = jnp.clip(n, 0, L)
+    mat = jnp.where(jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None],
+                    mat, jnp.uint64(0))
+    return ColVal(out_dtype, mat, a.validity, lengths=lens)
+
+
+register("range", _resolve_range, _exec_range, case_insensitive=True)
+
+
+def _exec_transform(args, out_dtype):
+    """transform(x, [from...], [to...], default) — literal arrays become a
+    chain of where()s (src/Functions/transform.cpp)."""
+    x, frm, to = args[0], args[1], args[2]
+    dflt = args[3] if len(args) > 3 else None
+    if not (frm.is_const and to.is_const):
+        raise NotImplementedError_("transform() requires constant arrays")
+
+    def host_elems(cv):
+        if isinstance(cv.host, list):
+            return cv.host
+        return list(np.asarray(jax.device_get(cv.data))[
+            :int(jax.device_get(cv.lengths))])
+    f_np = host_elems(frm)
+    t_np = host_elems(to)
+    if x.dtype.is_dictionary:
+        # from-values are strings: translate them into x's dictionary codes
+        # (codes absent from x never match)
+        if frm.dictionary is None:
+            raise TypeError_("transform() from-array must be strings for a "
+                             "String first argument")
+        fstr = [str(frm.dictionary.values[int(c)]) for c in f_np]
+        xd = x.dictionary
+        f_np = [xd.lookup(s) if xd is not None else -1 for s in fstr]
+    if to.dictionary is not None:
+        t_vals = [str(to.dictionary.values[int(c)]) for c in t_np]
+    else:
+        t_vals = list(t_np)
+    if out_dtype.is_dictionary:
+        d_val = ""
+        if dflt is not None and dflt.host is not None:
+            d_val = str(dflt.host)
+        elif dflt is not None and dflt.dictionary is not None:
+            d_val = str(dflt.dictionary.values[int(jax.device_get(
+                dflt.data))])
+        uniq, codes = np.unique(np.asarray([str(v) for v in t_vals]
+                                           + [d_val], object).astype(str),
+                                return_inverse=True)
+        out = jnp.full(x.data.shape, int(codes[-1]), jnp.int32)
+        for fv, c in zip(f_np, codes[:-1]):
+            out = jnp.where(x.data == jnp.asarray(fv, x.data.dtype),
+                            jnp.int32(int(c)), out)
+        return ColVal(out_dtype, out, x.validity,
+                      Dictionary(uniq.astype(object)))
+    dv = dflt.data if dflt is not None else x.data
+    out = jnp.asarray(dv, out_dtype.jnp_dtype) if dflt is not None \
+        and dflt.is_const else dv.astype(out_dtype.jnp_dtype)
+    if getattr(out, "ndim", 0) == 0:
+        out = jnp.full(x.data.shape, out, out_dtype.jnp_dtype)
+    for fv, tv in zip(f_np, t_np):
+        out = jnp.where(x.data == jnp.asarray(fv, x.data.dtype),
+                        jnp.asarray(tv, out_dtype.jnp_dtype), out)
+    return ColVal(out_dtype, out, x.validity)
+
+
+def _resolve_transform(ts):
+    to_t = ts[2]
+    inner = dt.parse_type_name(to_t.name[len("Array("):-1]) \
+        if to_t.is_array else to_t
+    return inner.with_nullable(ts[0].nullable)
+
+
+register("transform", _resolve_transform, _exec_transform,
+         case_insensitive=True)
+
+
+def _resolve_finalize_agg(ts):
+    st = dt.remove_nullable(ts[0])
+    if not dt.is_agg_state(st):
+        raise TypeError_("finalizeAggregation expects an "
+                         "AggregateFunction(...) argument")
+    from .aggregates import make_merge_for_dtype
+    return make_merge_for_dtype(st).result_type()
+
+
+def _exec_finalize_agg(args, out_dtype):
+    """Per-row state -> value (each row is its own group; finalize is
+    elementwise over state columns).  Reference:
+    src/Functions/finalizeAggregation.cpp."""
+    a = args[0]
+    st = dt.remove_nullable(a.dtype)
+    from .aggregates import make_merge_for_dtype, unpack_state_columns
+    m = make_merge_for_dtype(st)
+    states = unpack_state_columns(a.data, m.spec)
+    res = m.finalize(states)
+    data, validity = res[0], res[1]
+    if a.validity is not None:
+        av = a.validity.astype(jnp.uint8)
+        validity = av if validity is None \
+            else (validity.astype(jnp.uint8) & av)
+    return ColVal(out_dtype, data, validity, None)
+
+
+register("finalizeAggregation", _resolve_finalize_agg, _exec_finalize_agg,
+         case_insensitive=True)
 
 
 # Unified CAST machine + parametric constructors (registers _cast, toDate,

@@ -23,8 +23,8 @@ from ..core.errors import (AnalysisError, NotImplementedError_, TypeError_,
 from ..core.settings import Settings
 from ..exprs import aggregates as agg_reg
 from ..exprs import functions as fn_reg
-from ..exprs.expr import (BoundCall, BoundColumn, BoundExpr, BoundInList,
-                          BoundLiteral)
+from ..exprs.expr import (BoundArrayLambda, BoundCall, BoundColumn,
+                          BoundExpr, BoundInList, BoundLiteral)
 from ..sql import ast
 from . import logical as L
 
@@ -83,11 +83,31 @@ class Analyzer:
             return self.analyze_select(stmt, {})
         if isinstance(stmt, ast.Union):
             return self.analyze_union(stmt, {})
+        if isinstance(stmt, ast.SetOp):
+            return self.analyze_setop(stmt, {})
         raise NotImplementedError_(f"Cannot plan statement {type(stmt).__name__}")
 
+    def _analyze_any_select(self, s, ctes) -> L.PlanNode:
+        if isinstance(s, ast.Select):
+            return self.analyze_select(s, dict(ctes))
+        if isinstance(s, ast.SetOp):
+            return self.analyze_setop(s, dict(ctes))
+        return self.analyze_union(s, dict(ctes))
+
+    def analyze_setop(self, s: ast.SetOp, ctes) -> L.PlanNode:
+        left = self._analyze_any_select(s.left, ctes)
+        right = self._analyze_any_select(s.right, ctes)
+        if len(left.schema) != len(right.schema):
+            raise AnalysisError(f"{s.op.upper()} inputs have different "
+                                "column counts")
+        out_fields = [self.field(f.display,
+                                 _union_type([left.schema[i].dtype,
+                                              right.schema[i].dtype]))
+                      for i, f in enumerate(left.schema)]
+        return L.SetOpNode(left, right, s.op, s.distinct, out_fields)
+
     def analyze_union(self, u: ast.Union, ctes) -> L.PlanNode:
-        plans = [self.analyze_select(s, dict(ctes)) if isinstance(s, ast.Select)
-                 else self.analyze_union(s, dict(ctes)) for s in u.selects]
+        plans = [self._analyze_any_select(s, ctes) for s in u.selects]
         base = plans[0].schema
         for p in plans[1:]:
             if len(p.schema) != len(base):
@@ -274,7 +294,8 @@ class Analyzer:
                 proj_scope_fields.append(hf)
                 be = BoundColumn(hf.id, hf.dtype)
             nl = oi.nulls_last if oi.nulls_last is not None else True
-            bound_order.append(L.SortItem(be, oi.descending, nl))
+            bound_order.append(L.SortItem(be, oi.descending, nl,
+                                          fill=self._bind_fill(oi)))
 
         plan = L.ProjectNode(plan, proj_exprs, proj_scope_fields)
 
@@ -893,12 +914,82 @@ class Analyzer:
                 return self._bind_cast(e, scope)
             if e.name.lower() == "exists":
                 return self._execute_exists(e)
+            if any(isinstance(a, ast.Lambda) for a in e.args):
+                return self._bind_array_lambda(e, scope)
             args = [self.bind(a, scope, allow_agg) for a in e.args]
             return self._bind_call(e, args)
         if isinstance(e, ast.Tuple_):
             raise NotImplementedError_("Tuple expressions are not supported "
                                        "outside IN")
         raise AnalysisError(f"Cannot bind expression {e!r}")
+
+    _HIGHER_ORDER = {
+        "arraymap": ("map", None), "arrayfilter": ("filter", None),
+        "arrayexists": ("exists", None), "arrayall": ("all", None),
+        "arraycount": ("count", None), "arraysum": ("sum", None),
+        "arrayfirstindex": ("first_index", None),
+    }
+
+    def _bind_array_lambda(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
+        """Higher-order array functions (FunctionArrayMapped analog)."""
+        key = e.name.lower()
+        if key not in self._HIGHER_ORDER:
+            raise NotImplementedError_(
+                f"Higher-order function '{e.name}' is not supported")
+        op, _ = self._HIGHER_ORDER[key]
+        lam = e.args[0]
+        if not isinstance(lam, ast.Lambda):
+            raise AnalysisError(f"{e.name} expects a lambda first argument")
+        arrays = [self.bind(a, scope, allow_agg=False) for a in e.args[1:]]
+        if not arrays:
+            raise AnalysisError(f"{e.name} needs an array argument")
+        for a in arrays:
+            if not a.dtype.is_array:
+                raise TypeError_(
+                    f"{e.name} arguments after the lambda must be arrays")
+        if len(lam.params) != len(arrays):
+            raise AnalysisError(
+                f"{e.name}: lambda takes {len(lam.params)} parameters but "
+                f"{len(arrays)} arrays were given")
+        pfields = [self.field(p, dt.array_inner(a.dtype))
+                   for p, a in zip(lam.params, arrays)]
+        shadowed = set(lam.params)
+        inner_scope = Scope(pfields + [f for f in scope.fields
+                                       if f.display not in shadowed])
+        body = self.bind(lam.body, inner_scope, allow_agg=False)
+        if op == "map":
+            out_t = dt.Array(dt.remove_nullable(body.dtype))
+        elif op == "filter":
+            out_t = arrays[0].dtype
+        elif op == "sum":
+            bt = dt.remove_nullable(body.dtype)
+            out_t = dt.Float64 if dt.is_float(bt) else (
+                dt.UInt64 if bt.np_dtype.kind == "u" else dt.Int64)
+        elif op == "count":
+            out_t = dt.UInt64
+        elif op == "first_index":
+            out_t = dt.UInt32
+        else:
+            out_t = dt.UInt8
+        return BoundArrayLambda(op, [f.id for f in pfields], body, arrays,
+                                out_t)
+
+    def _bind_fill(self, oi: ast.OrderItem):
+        """ORDER BY ... WITH FILL literal bounds -> (from, to, step)."""
+        if getattr(oi, "fill", None) is None:
+            return None
+        out = []
+        for e in oi.fill:
+            if e is None:
+                out.append(None)
+                continue
+            b = self.bind(e, Scope([]), allow_agg=False)
+            if not isinstance(b, BoundLiteral) \
+                    or not isinstance(b.value, (int, float)):
+                raise NotImplementedError_(
+                    "WITH FILL FROM/TO/STEP must be numeric literals")
+            out.append(b.value)
+        return tuple(out)
 
     def _bind_call(self, e: ast.FuncCall, args: List[BoundExpr]) -> BoundExpr:
         if e.name.lower() == "totypename":
@@ -926,7 +1017,8 @@ class Analyzer:
                 and not args[0].dtype.nullable:
             out = dt.remove_nullable(out)
         bc = BoundCall(name, args, out)
-        if name in ("toString", "_cast") and out.is_dictionary:
+        if out.is_dictionary and name in ("toString", "_cast", "hex",
+                                          "unhex", "bin", "repeat"):
             folded = _fold_const_string(bc)
             if folded is not None:
                 return folded

@@ -20,6 +20,7 @@ __all__ = [
     "FilterNode", "ProjectNode", "AggregateItem", "AggregateNode",
     "SortItem", "SortNode", "WindowItem", "WindowNode", "ArrayJoinNode",
     "LimitNode", "LimitByNode", "JoinNode", "DistinctNode", "UnionNode",
+    "SetOpNode",
     "explain_plan",
 ]
 
@@ -148,6 +149,8 @@ class SortItem:
     expr: BoundExpr
     descending: bool = False
     nulls_last: bool = True
+    # ORDER BY ... WITH FILL: (from, to, step) literal values or None each
+    fill: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -269,6 +272,19 @@ class UnionNode(PlanNode):
 
     def children(self):
         return tuple(self.inputs)
+
+
+@dataclasses.dataclass
+class SetOpNode(PlanNode):
+    """INTERSECT / EXCEPT (IntersectOrExceptTransform analog)."""
+    left: PlanNode
+    right: PlanNode
+    op: str                        # intersect | except
+    distinct: bool
+    schema: List[Field]
+
+    def children(self):
+        return (self.left, self.right)
 
 
 def explain_plan(node: PlanNode, indent: int = 0) -> str:

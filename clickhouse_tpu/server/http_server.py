@@ -58,6 +58,18 @@ class _Handler(BaseHTTPRequestHandler):
         if parsed.path == "/ping" or (parsed.path == "/" and not query.strip()):
             self._send(200, "Ok.\n")
             return
+        if parsed.path == "/metrics":
+            self._send(200, self._prometheus_metrics(),
+                       ctype="text/plain; version=0.0.4; charset=utf-8")
+            return
+        # W3C traceparent header -> query spans join the caller's trace
+        # (reference: OpenTelemetryTraceContext propagation over HTTP)
+        traceparent = self.headers.get("traceparent")
+        trace_ctx = None
+        if traceparent:
+            parts = traceparent.split("-")
+            if len(parts) >= 3:
+                trace_ctx = (parts[1], parts[2])
         user = params.pop("user", None) \
             or self.headers.get("X-ClickHouse-User") or "default"
         password = params.pop("password", None) \
@@ -87,7 +99,12 @@ class _Handler(BaseHTTPRequestHandler):
                             raise UnknownTable(
                                 f"Unknown database '{database}'")
                         s.catalog.current_database = database
-                    result = s.execute(query, settings=settings or None)
+                    saved_trace = s.trace_context
+                    s.trace_context = trace_ctx or saved_trace
+                    try:
+                        result = s.execute(query, settings=settings or None)
+                    finally:
+                        s.trace_context = saved_trace
                 finally:
                     s.current_user = saved_user
                     s.catalog.current_database = saved_db
@@ -101,6 +118,22 @@ class _Handler(BaseHTTPRequestHandler):
                             f"DB::Exception: {e}\n")
         except Exception as e:        # pragma: no cover
             self._send(500, f"Code: 1000. Internal error: {e}\n")
+
+    def _prometheus_metrics(self) -> str:
+        """Prometheus exposition of ProfileEvents + basic gauges
+        (reference: src/Server/PrometheusRequestHandler.cpp)."""
+        s = self.session
+        lines = []
+        for name, val in sorted(s.profile_events.items()):
+            lines.append(f"# TYPE clickhouse_tpu_events_{name} counter")
+            lines.append(f"clickhouse_tpu_events_{name} {val}")
+        lines.append("# TYPE clickhouse_tpu_queries_logged gauge")
+        lines.append(f"clickhouse_tpu_queries_logged {len(s.query_log)}")
+        n_tables = sum(len(db.tables)
+                       for db in s.catalog.databases.values())
+        lines.append("# TYPE clickhouse_tpu_tables gauge")
+        lines.append(f"clickhouse_tpu_tables {n_tables}")
+        return "\n".join(lines) + "\n"
 
     def do_GET(self):
         # the reference forces readonly for GET (HTTPHandler.cpp): GET must

@@ -69,6 +69,13 @@ class Tuple_(Expr):
 
 
 @dataclasses.dataclass
+class Lambda(Expr):
+    """x -> expr / (x, y) -> expr — higher-order function argument."""
+    params: List[str]
+    body: Expr
+
+
+@dataclasses.dataclass
 class Subquery(Expr):
     query: "Select"
 
@@ -116,6 +123,8 @@ class OrderItem:
     expr: Expr
     descending: bool = False
     nulls_last: Optional[bool] = None   # None = dialect default
+    # WITH FILL [FROM e] [TO e] [STEP e]: (from, to, step) exprs or None
+    fill: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -151,6 +160,15 @@ class Select:
 class Union:
     selects: List[Union["Select", "Union"]]
     mode: str = "all"              # all|distinct
+
+
+@dataclasses.dataclass
+class SetOp:
+    """INTERSECT / EXCEPT (reference: ASTSelectIntersectExceptQuery)."""
+    left: object                   # Select | Union | SetOp
+    right: object
+    op: str                        # intersect | except
+    distinct: bool = False         # ALL (default) keeps multiset counts
 
 
 # -- DDL / DML ---------------------------------------------------------------
@@ -294,6 +312,14 @@ class Explain:
 @dataclasses.dataclass
 class SetStatement:
     changes: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class SystemCommand:
+    """SYSTEM <command> — accepted for reference compatibility; commands
+    that manage background machinery (FLUSH LOGS, STOP MERGES, SYNC
+    REPLICA...) are no-ops in this engine's synchronous model."""
+    command: str
 
 
 @dataclasses.dataclass

@@ -23,6 +23,7 @@ RESERVED = {
     "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
     "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "ROLLUP", "CUBE",
     "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE", "OVER",
+    "INTERSECT", "EXCEPT",
 }
 
 
@@ -137,21 +138,45 @@ class Parser:
         if t.is_kw("USE"):
             self.advance()
             return ast.Use(self.expect_word())
+        if t.is_kw("SYSTEM"):
+            words = [self.advance().text]
+            while self.tok.kind in ("word", "number", "string") \
+                    or (self.tok.kind == "op" and self.tok.text == "."):
+                words.append(self.advance().text)
+            return ast.SystemCommand(" ".join(words[1:]))
         raise ParseError(f"Unknown statement start {t.text!r} at {t.pos}")
 
     def parse_select_union(self):
-        first = self.parse_select()
-        selects = [first]
-        mode = "all"
-        while self.accept_kw("UNION"):
-            if self.accept_kw("DISTINCT"):
-                mode = "distinct"
-            else:
+        left = self._parse_intersect_chain()
+        while True:
+            if self.accept_kw("UNION"):
+                mode = "all"
+                if self.accept_kw("DISTINCT"):
+                    mode = "distinct"
+                else:
+                    self.accept_kw("ALL")
+                right = self._parse_intersect_chain()
+                # flatten consecutive same-mode unions
+                if isinstance(left, ast.Union) and left.mode == mode:
+                    left.selects.append(right)
+                else:
+                    left = ast.Union([left, right], mode)
+            elif self.accept_kw("EXCEPT"):
+                distinct = bool(self.accept_kw("DISTINCT"))
                 self.accept_kw("ALL")
-            selects.append(self.parse_select())
-        if len(selects) == 1:
-            return first
-        return ast.Union(selects, mode)
+                right = self._parse_intersect_chain()
+                left = ast.SetOp(left, right, "except", distinct)
+            else:
+                return left
+
+    def _parse_intersect_chain(self):
+        left = self.parse_select()
+        while self.accept_kw("INTERSECT"):
+            distinct = bool(self.accept_kw("DISTINCT"))
+            self.accept_kw("ALL")
+            right = self.parse_select()
+            left = ast.SetOp(left, right, "intersect", distinct)
+        return left
 
     def parse_select(self) -> ast.Select:
         ctes: List[ast.CTE] = []
@@ -285,7 +310,21 @@ class Parser:
         if self.accept_kw("NULLS"):
             kw = self.expect_kw("FIRST", "LAST")
             nulls_last = kw.text.upper() == "LAST"
-        return ast.OrderItem(e, desc, nulls_last)
+        fill = None
+        if self.accept_kw("WITH"):
+            self.expect_kw("FILL")
+            f_from = f_to = f_step = None
+            while True:
+                if self.accept_kw("FROM"):
+                    f_from = self.parse_expr()
+                elif self.accept_kw("TO"):
+                    f_to = self.parse_expr()
+                elif self.accept_kw("STEP"):
+                    f_step = self.parse_expr()
+                else:
+                    break
+            fill = (f_from, f_to, f_step)
+        return ast.OrderItem(e, desc, nulls_last, fill)
 
     def parse_table_name(self) -> Tuple[Optional[str], str]:
         a = self.expect_word()
@@ -467,6 +506,7 @@ class Parser:
             return ast.CreateDictionary(db, name, cols, pk, src_table)
         self.accept_kw("OR")  # CREATE OR REPLACE
         self.accept_kw("REPLACE")
+        temporary = bool(self.accept_kw("TEMPORARY"))
         materialized = bool(self.accept_kw("MATERIALIZED"))
         if self.accept_kw("VIEW"):
             ine = self._if_not_exists()
@@ -487,6 +527,18 @@ class Parser:
         cols: List[ast.ColumnDef] = []
         if self.accept_op("("):
             while True:
+                if self.accept_kw("INDEX"):
+                    # skip index: INDEX name expr TYPE kind(...) GRANULARITY n
+                    while self.tok.kind != "end" \
+                            and not (self.tok.kind == "op"
+                                     and self.tok.text in (",", ")")):
+                        if self.tok.kind == "op" and self.tok.text == "(":
+                            self._skim_parens()
+                        else:
+                            self.advance()
+                    if not self.accept_op(","):
+                        break
+                    continue
                 cname = self.expect_word()
                 ctype = self.parse_type_name()
                 default = None
@@ -494,33 +546,28 @@ class Parser:
                     default = self.parse_expr()
                 self.accept_kw("CODEC")  # ignore codec specs
                 if self.tok.kind == "op" and self.tok.text == "(":
-                    depth = 0
-                    while True:
-                        if self.accept_op("("):
-                            depth += 1
-                        elif self.accept_op(")"):
-                            depth -= 1
-                            if depth == 0:
-                                break
-                        else:
-                            self.advance()
+                    self._skim_parens()
+                if self.accept_kw("TTL"):
+                    self.parse_expr()
+                if self.accept_kw("COMMENT") and self.tok.kind == "string":
+                    self.advance()
                 cols.append(ast.ColumnDef(cname, ctype, default))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
         ct = ast.CreateTable(db, tbl, cols, if_not_exists=ine)
+        if temporary:
+            ct.engine = "Memory"
         if self.accept_kw("ENGINE"):
-            self.expect_op("=")
-            ct.engine = self.expect_word()
-            if self.accept_op("("):  # engine args: skim over
-                depth = 1
-                while depth:
-                    if self.accept_op("("):
-                        depth += 1
-                    elif self.accept_op(")"):
-                        depth -= 1
-                    else:
-                        self.advance()
+            self.accept_op("=")          # ENGINE MergeTree == ENGINE = ...
+            engine = self.expect_word()
+            # Replicated* engines: coordination args are skimmed; the local
+            # merge semantics are the base engine's
+            if engine.startswith("Replicated"):
+                engine = engine[len("Replicated"):] or "MergeTree"
+            ct.engine = engine
+            if self.tok.kind == "op" and self.tok.text == "(":
+                self._skim_parens()      # engine args
         while True:
             if self.accept_kw("ORDER"):
                 self.expect_kw("BY")
@@ -531,6 +578,14 @@ class Parser:
             elif self.accept_kw("PRIMARY"):
                 self.expect_kw("KEY")
                 ct.primary_key = self._parse_key_list()
+            elif self.accept_kw("SAMPLE"):
+                self.expect_kw("BY")
+                self.parse_expr()        # sampling keys: accepted, unused
+            elif self.accept_kw("TTL"):
+                self.parse_expr()
+            elif self.accept_kw("COMMENT"):
+                if self.tok.kind == "string":
+                    self.advance()
             elif self.accept_kw("SETTINGS"):
                 ct.settings = self.parse_settings_list()
             else:
@@ -538,6 +593,21 @@ class Parser:
         if self.accept_kw("AS"):
             ct.as_select = self.parse_select_union()
         return ct
+
+    def _skim_parens(self) -> None:
+        """Consume a balanced (...) group starting at the current '('."""
+        depth = 0
+        while True:
+            if self.accept_op("("):
+                depth += 1
+            elif self.accept_op(")"):
+                depth -= 1
+                if depth == 0:
+                    return
+            else:
+                if self.tok.kind == "end":
+                    raise ParseError("Unbalanced parentheses")
+                self.advance()
 
     def _parse_key_list(self) -> List[ast.Expr]:
         if self.accept_op("("):
@@ -616,16 +686,23 @@ class Parser:
                     row.append(self.parse_expr())
                 self.expect_op(")")
                 rows.append(row)
-                if not self.accept_op(","):
-                    break
+                self.accept_op(",")   # tuple separator comma is optional
             return ast.Insert(db, tbl, columns, values=rows)
         if self.tok.is_kw("SELECT", "WITH"):
             return ast.Insert(db, tbl, columns, select=self.parse_select_union())
+        if self.accept_kw("FORMAT"):
+            # INSERT INTO t FORMAT X / bare INSERT INTO t: data arrives
+            # out-of-band (native TCP Data packets / client streams)
+            return ast.Insert(db, tbl, columns, format=self.expect_word())
+        if self.tok.kind == "end" or (self.tok.kind == "op"
+                                      and self.tok.text == ";"):
+            return ast.Insert(db, tbl, columns)
         raise ParseError(f"Expected VALUES, SELECT or FROM INFILE at "
                          f"{self.tok.pos}")
 
     def parse_drop(self):
         self.advance()
+        self.accept_kw("TEMPORARY")
         if self.accept_kw("USER"):
             ie = self._if_exists()
             return ast.DropUser(self.expect_word(), ie)
@@ -738,7 +815,21 @@ class Parser:
 
     # -- expressions ---------------------------------------------------------
     def parse_expr(self) -> ast.Expr:
-        return self.parse_ternary()
+        e = self.parse_ternary()
+        if self.tok.kind == "op" and self.tok.text == "->":
+            params = None
+            if isinstance(e, ast.Identifier):
+                params = [e.name]
+            elif isinstance(e, ast.Tuple_) and all(
+                    isinstance(i, ast.Identifier) for i in e.items):
+                params = [i.name for i in e.items]
+            elif isinstance(e, ast.FuncCall) and e.name == "tuple" and all(
+                    isinstance(i, ast.Identifier) for i in e.args):
+                params = [i.name for i in e.args]
+            if params is not None:
+                self.advance()
+                return ast.Lambda(params, self.parse_expr())
+        return e
 
     def parse_ternary(self) -> ast.Expr:
         cond = self.parse_or()

@@ -121,16 +121,23 @@ def _read_column_data(inp: BinaryIO, type_name: str, n_rows: int) -> np.ndarray:
         out[nulls == 1] = None
         return out
     if type_name == "String":
+        if n_rows == 0:
+            return np.asarray([], object)
+        if not inp.seekable():
+            # socket streams (native TCP protocol): read per-row frames —
+            # a read-ahead would block on the live connection
+            out = np.empty(n_rows, object)
+            for i in range(n_rows):
+                ln = _read_varuint(inp)
+                out[i] = inp.read(ln).decode(errors="replace")
+            return out
         from .. import native as chnative
         # Read the remaining stream window and let the C++ codec consume
         # exactly the column's bytes, then rewind the extra.
-        here = inp.tell() if inp.seekable() else None
+        here = inp.tell()
         data = inp.read()
         out, consumed = chnative.decode_strings(data, n_rows)
-        if here is not None:
-            inp.seek(here + consumed)
-        elif consumed != len(data):
-            raise ValueError("non-seekable stream with trailing data")
+        inp.seek(here + consumed)
         return out
     if type_name.startswith("FixedString(") and type_name.endswith(")"):
         width = int(type_name[len("FixedString("):-1])

@@ -177,3 +177,45 @@ def test_nullable_keys_never_match(s):
     assert len(d) == 5
     vs = sorted(int(x) for x in d["v"])
     assert vs == [0, 0, 10, 20, 30]
+
+
+class TestDenseGatherJoin:
+    """Dense direct-address join path (ops/join_ops.py dense_gather_join):
+    must match the sort-merge propagate path exactly."""
+
+    @pytest.fixture()
+    def sess(self):
+        import numpy as np
+        s = ch.connect()
+        rng = np.random.default_rng(9)
+        n = 30000
+        s.execute("CREATE TABLE fact (fk Int64, w Int64)")
+        s.insert_pydict("fact", {
+            "fk": rng.integers(0, 1500, n).astype(np.int64),
+            "w": rng.integers(-10, 10, n).astype(np.int64)})
+        s.execute("CREATE TABLE dim (k Int64, lab Int64, nm String)")
+        s.insert_pydict("dim", {
+            "k": np.arange(0, 1000, dtype=np.int64),
+            "lab": (np.arange(0, 1000, dtype=np.int64) * 3) % 17,
+            "nm": np.asarray([f"n{i%5}" for i in range(1000)], object)})
+        return s
+
+    @pytest.mark.parametrize("sql", [
+        "SELECT count(), sum(w), sum(lab) FROM fact "
+        "INNER JOIN dim ON fact.fk = dim.k",
+        "SELECT count(), sum(lab) FROM fact LEFT JOIN dim ON fact.fk = dim.k",
+        "SELECT count() FROM fact LEFT SEMI JOIN dim ON fact.fk = dim.k",
+        "SELECT count() FROM fact LEFT ANTI JOIN dim ON fact.fk = dim.k",
+        "SELECT nm, count() AS c FROM fact INNER JOIN dim "
+        "ON fact.fk = dim.k GROUP BY nm ORDER BY nm",
+    ])
+    def test_matches_propagate_path(self, sess, sql):
+        fast = sess.execute(sql).rows()
+        slow = sess.execute(
+            sql + " SETTINGS join_dense_gather = 0").rows()
+        assert fast == slow
+
+    def test_dense_path_taken(self, sess):
+        sess.execute("SELECT count(), sum(lab) FROM fact "
+                     "INNER JOIN dim ON fact.fk = dim.k")
+        assert sess.profile_events.get("DenseGatherJoins", 0) >= 1

@@ -167,3 +167,55 @@ class TestAccessControl:
         session.execute("INSERT INTO secure_t VALUES (2)")
         assert session.execute("SELECT count() FROM secure_t").scalar() == 2
         session.login("default")
+
+
+class TestTracing:
+    """OpenTelemetry span log + Prometheus endpoint (reference:
+    OpenTelemetrySpanLog.h, PrometheusRequestHandler.cpp)."""
+
+    def test_span_phases_recorded(self):
+        s = ch.connect()
+        s.execute("SELECT count() FROM numbers(10)")
+        ops = {sp.operation_name for sp in s.span_log}
+        assert {"query", "parse", "analyze", "compile"} <= ops
+        root = [sp for sp in s.span_log if sp.operation_name == "query"][-1]
+        children = [sp for sp in s.span_log
+                    if sp.parent_span_id == root.span_id]
+        assert children, "phase spans must parent to the query span"
+        assert all(sp.trace_id == root.trace_id for sp in children)
+
+    def test_span_log_system_table(self):
+        s = ch.connect()
+        s.execute("SELECT 1")
+        r = s.execute("SELECT count() FROM system.opentelemetry_span_log "
+                      "WHERE operation_name = 'query'")
+        assert r.scalar() >= 1
+
+    def test_traceparent_propagation_http(self):
+        import urllib.request
+        from clickhouse_tpu.server.http_server import HttpServer
+        s = ch.connect()
+        srv = HttpServer(session=s, port=0).start_background()
+        try:
+            tid = "4bf92f3577b34da6a3ce929d0e0e4736"
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/?query=SELECT+1")
+            req.add_header("traceparent", f"00-{tid}-00f067aa0ba902b7-01")
+            urllib.request.urlopen(req).read()
+            assert any(sp.trace_id == tid for sp in s.span_log)
+        finally:
+            srv.shutdown()
+
+    def test_prometheus_metrics(self):
+        import urllib.request
+        from clickhouse_tpu.server.http_server import HttpServer
+        s = ch.connect()
+        s.execute("SELECT 1")
+        srv = HttpServer(session=s, port=0).start_background()
+        try:
+            body = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/metrics").read().decode()
+            assert "clickhouse_tpu_events_Query" in body
+            assert "clickhouse_tpu_tables" in body
+        finally:
+            srv.shutdown()

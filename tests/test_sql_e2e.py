@@ -538,3 +538,87 @@ class TestOuterJoins:
         assert (1, 10, 0, 0) in rows           # left-only row, defaults right
         assert (2, 20, 2, 200) in rows and (3, 30, 3, 300) in rows
         assert len(rows) == 4
+
+
+class TestSetOps:
+    """INTERSECT / EXCEPT (IntersectOrExceptTransform analog)."""
+
+    def test_intersect_all_multiset(self):
+        s = ch.connect()
+        # A = 0,0,1,1,2 ; B = 0,1,1,1 -> min counts = 0,1,1
+        got = sorted(s.execute(
+            "SELECT intDiv(number, 2) FROM numbers(5) "
+            "INTERSECT SELECT if(number = 0, 0, 1) FROM numbers(4)").rows())
+        assert got == [(0,), (1,), (1,)]
+
+    def test_except_all_multiset(self):
+        s = ch.connect()
+        got = sorted(s.execute(
+            "SELECT intDiv(number, 2) FROM numbers(5) "
+            "EXCEPT SELECT if(number = 0, 0, 1) FROM numbers(4)").rows())
+        assert got == [(0,), (2,)]
+
+    def test_intersect_distinct(self):
+        s = ch.connect()
+        got = s.execute("SELECT number % 3 FROM numbers(10) "
+                        "INTERSECT DISTINCT SELECT 1").rows()
+        assert got == [(1,)]
+
+    def test_except_distinct(self):
+        s = ch.connect()
+        got = sorted(s.execute("SELECT number % 3 FROM numbers(10) "
+                               "EXCEPT DISTINCT SELECT 1").rows())
+        assert got == [(0,), (2,)]
+
+    def test_precedence_intersect_tighter_than_union(self):
+        s = ch.connect()
+        # UNION ALL (INTERSECT) — intersect binds first
+        got = sorted(s.execute(
+            "SELECT 9 UNION ALL SELECT number FROM numbers(3) "
+            "INTERSECT SELECT number + 1 FROM numbers(3)").rows())
+        assert got == [(1,), (2,), (9,)]
+
+    def test_chained_except(self):
+        s = ch.connect()
+        got = sorted(s.execute(
+            "SELECT number FROM numbers(6) EXCEPT SELECT 1 "
+            "EXCEPT SELECT 4").rows())
+        assert got == [(0,), (2,), (3,), (5,)]
+
+
+class TestWithFill:
+    """ORDER BY ... WITH FILL (FillingTransform analog)."""
+
+    def _mk(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE wf (x Int64, v Int64)")
+        s.execute("INSERT INTO wf VALUES (1, 10), (4, 40), (7, 70)")
+        return s
+
+    def test_fill_basic(self):
+        s = self._mk()
+        got = s.execute("SELECT x, v FROM wf ORDER BY x WITH FILL").rows()
+        assert got == [(1, 10), (2, 0), (3, 0), (4, 40), (5, 0), (6, 0),
+                       (7, 70)]
+
+    def test_fill_from_to(self):
+        s = self._mk()
+        got = s.execute(
+            "SELECT x FROM wf ORDER BY x WITH FILL FROM 0 TO 10").rows()
+        assert [r[0] for r in got] == list(range(10))
+
+    def test_fill_step(self):
+        s = self._mk()
+        got = s.execute(
+            "SELECT x FROM wf ORDER BY x WITH FILL STEP 2").rows()
+        assert [r[0] for r in got] == [1, 3, 4, 5, 7]
+
+    def test_fill_desc(self):
+        s = self._mk()
+        got = s.execute("SELECT x FROM wf ORDER BY x DESC WITH FILL").rows()
+        assert [r[0] for r in got] == [7, 6, 5, 4, 3, 2, 1]
+
+    def test_fill_empty_table_no_bounds(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE e (x Int64)")
+        assert s.execute("SELECT x FROM e ORDER BY x WITH FILL").rows() == []
