@@ -43,6 +43,44 @@ def bench_query(session, sql, reps=REPS):
     return float(np.min(times))
 
 
+def device_time_repeat(s, sql, k_lo=4, k_hi=36):
+    """Isolate DEVICE time of a compiled query from the ~50 ms per-call
+    dispatch overhead of the dev tunnel: run the query body k times inside
+    ONE dispatch (optimization_barrier threads each iteration's input
+    through the previous accumulator so XLA can neither hoist nor CSE the
+    copies), then difference two repeat counts."""
+    import jax
+    import jax.numpy as jnp
+    s.execute(sql)                      # compile + cache
+    key = next(k2 for k2 in s._jit_cache if k2[0] == sql)
+    fn = s._jit_cache[key][0]
+    plan_c = s._jit_cache[key][1]
+    blocks = s._collect_table_blocks(plan_c)
+    args = s._block_args(blocks)
+
+    def make(k):
+        def rep(a):
+            acc = jnp.int64(0)
+            for _ in range(k):
+                a, acc = jax.lax.optimization_barrier((a, acc))
+                leaves = fn(a)
+                acc = acc + leaves["valid"].astype(jnp.int64).sum()
+            return acc
+        return jax.jit(rep)
+
+    out = []
+    for k in (k_lo, k_hi):
+        f = make(k)
+        jax.block_until_ready(f(args))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(args))
+            ts.append(time.perf_counter() - t0)
+        out.append(min(ts))
+    return max((out[1] - out[0]) / (k_hi - k_lo), 1e-6)
+
+
 def main():
     import jax
     import clickhouse_tpu as ch
@@ -65,13 +103,11 @@ def main():
     t_med = bench_query(s, sql)
     rows_s = N_ROWS / t_med
 
-    # Fixed per-query overhead (host orchestration + the dev tunnel's round
-    # trip): the same query over a tiny table; min-of-reps on both sides
-    # makes the subtraction stable (see bench_query).
-    s.execute("CREATE TABLE tiny (x Int64)")
-    s.insert_pydict("tiny", {"x": np.arange(1024, dtype=np.int64)})
-    t_null = bench_query(s, "SELECT count() FROM tiny WHERE x > 500000")
-    t_dev = max(t_med - t_null, 1e-5)
+    # DEVICE time isolated by in-dispatch repetition (see
+    # device_time_repeat): robust against the dev tunnel's several-ms
+    # jitter, which an overhead-subtraction estimator is not.
+    t_dev = device_time_repeat(s, sql)
+    t_null = t_med - t_dev
     dev_rows_s = N_ROWS / t_dev
     # Physical bytes per row: narrow storage (core/column.py narrow_storage)
     # keeps this Int64 column as i32 on device, so a roofline-speed scan

@@ -1,0 +1,209 @@
+"""In-process coordination service — the Keeper analog.
+
+The reference coordinates replicas through (Zoo)Keeper: a hierarchical
+znode tree with versioned compare-and-swap writes, sequential nodes,
+ephemerals, and watches (src/Coordination/KeeperStateMachine.h:23).  For
+single-process multi-replica operation — exactly the reference's own
+TestKeeper strategy (src/Common/ZooKeeper/TestKeeper.h:35, used by its unit
+and integration tests) — we implement the same contract in memory with a
+lock.  The replication layer (storage/replication.py) is written purely
+against this interface, so a networked Keeper client can replace it without
+touching the replication logic.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+__all__ = ["Keeper", "KeeperError", "NoNodeError", "NodeExistsError",
+           "BadVersionError", "get_keeper", "reset_keepers"]
+
+
+class KeeperError(Exception):
+    pass
+
+
+class NoNodeError(KeeperError):
+    pass
+
+
+class NodeExistsError(KeeperError):
+    pass
+
+
+class BadVersionError(KeeperError):
+    pass
+
+
+class _Node:
+    __slots__ = ("data", "version", "children", "seq_counter", "ephemeral")
+
+    def __init__(self, data: Any = b"", ephemeral: Optional[str] = None):
+        self.data = data
+        self.version = 0
+        self.children: Dict[str, _Node] = {}
+        self.seq_counter = 0
+        self.ephemeral = ephemeral     # owner session id, or None
+
+
+class Keeper:
+    """Hierarchical versioned KV store with sequential nodes and watches."""
+
+    def __init__(self):
+        self._root = _Node()
+        self._lock = threading.RLock()
+        self._watches: Dict[str, List[Callable[[str], None]]] = {}
+
+    # -- path plumbing -------------------------------------------------------
+    @staticmethod
+    def _parts(path: str) -> List[str]:
+        return [p for p in path.split("/") if p]
+
+    def _find(self, path: str) -> _Node:
+        node = self._root
+        for p in self._parts(path):
+            if p not in node.children:
+                raise NoNodeError(path)
+            node = node.children[p]
+        return node
+
+    # -- operations (ZooKeeper-style) ---------------------------------------
+    def create(self, path: str, data: Any = b"", sequential: bool = False,
+               ephemeral_owner: Optional[str] = None,
+               make_parents: bool = False) -> str:
+        with self._lock:
+            parts = self._parts(path)
+            node = self._root
+            for p in parts[:-1]:
+                if p not in node.children:
+                    if not make_parents:
+                        raise NoNodeError(path)
+                    node.children[p] = _Node()
+                node = node.children[p]
+            name = parts[-1]
+            if sequential:
+                name = f"{name}{node.seq_counter:010d}"
+                node.seq_counter += 1
+            elif name in node.children:
+                raise NodeExistsError(path)
+            node.children[name] = _Node(data, ephemeral_owner)
+            node.version += 1
+            full = "/" + "/".join(parts[:-1] + [name])
+            self._fire(full)
+            return full
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            try:
+                self._find(path)
+                return True
+            except NoNodeError:
+                return False
+
+    def get(self, path: str) -> Tuple[Any, int]:
+        with self._lock:
+            n = self._find(path)
+            return n.data, n.version
+
+    def set(self, path: str, data: Any, version: int = -1) -> int:
+        """CAS write: version -1 = unconditional."""
+        with self._lock:
+            n = self._find(path)
+            if version >= 0 and n.version != version:
+                raise BadVersionError(f"{path}: have {n.version}, "
+                                      f"expected {version}")
+            n.data = data
+            n.version += 1
+            self._fire(path)
+            return n.version
+
+    def get_children(self, path: str) -> List[str]:
+        with self._lock:
+            return sorted(self._find(path).children.keys())
+
+    def remove(self, path: str, version: int = -1) -> None:
+        with self._lock:
+            parts = self._parts(path)
+            parent = self._root
+            for p in parts[:-1]:
+                if p not in parent.children:
+                    raise NoNodeError(path)
+                parent = parent.children[p]
+            name = parts[-1]
+            n = parent.children.get(name)
+            if n is None:
+                raise NoNodeError(path)
+            if version >= 0 and n.version != version:
+                raise BadVersionError(path)
+            if n.children:
+                raise KeeperError(f"{path} has children")
+            del parent.children[name]
+            parent.version += 1
+            self._fire(path)
+
+    def remove_recursive(self, path: str) -> None:
+        with self._lock:
+            for c in list(self.get_children(path)):
+                self.remove_recursive(f"{path}/{c}")
+            self.remove(path)
+
+    def remove_ephemerals(self, owner: str, path: str = "/") -> None:
+        """Session teardown: drop all ephemerals owned by `owner`."""
+        with self._lock:
+            node = self._find(path) if path != "/" else self._root
+            for name in list(node.children):
+                child = node.children[name]
+                sub = path.rstrip("/") + "/" + name
+                self.remove_ephemerals(owner, sub)
+                if child.ephemeral == owner and not child.children:
+                    del node.children[name]
+                    node.version += 1
+                    self._fire(sub)
+
+    def create_if_missing(self, path: str, data: Any = b"") -> None:
+        with self._lock:
+            if not self.exists(path):
+                self.create(path, data, make_parents=True)
+
+    def try_create(self, path: str, data: Any = b"") -> bool:
+        """Leader-election / lock primitive: True iff we created it."""
+        with self._lock:
+            try:
+                self.create(path, data, make_parents=True)
+                return True
+            except NodeExistsError:
+                return False
+
+    # -- watches -------------------------------------------------------------
+    def watch(self, path: str, cb: Callable[[str], None]) -> None:
+        with self._lock:
+            self._watches.setdefault(path, []).append(cb)
+
+    def _fire(self, path: str) -> None:
+        for prefix, cbs in list(self._watches.items()):
+            if path == prefix or path.startswith(prefix.rstrip("/") + "/"):
+                for cb in list(cbs):
+                    try:
+                        cb(path)
+                    except Exception:       # noqa: BLE001 — watcher bugs
+                        pass                # must not break the write path
+
+
+# -- named keeper registry (cluster name -> shared instance) -----------------
+
+_KEEPERS: Dict[str, Keeper] = {}
+_KLOCK = threading.Lock()
+
+
+def get_keeper(cluster: str = "default") -> Keeper:
+    with _KLOCK:
+        k = _KEEPERS.get(cluster)
+        if k is None:
+            k = _KEEPERS[cluster] = Keeper()
+        return k
+
+
+def reset_keepers() -> None:
+    """Test isolation helper."""
+    with _KLOCK:
+        _KEEPERS.clear()

@@ -45,7 +45,8 @@ class Settings:
     join_algorithm: str = "hash"       # hash | broadcast | shuffle | sort_merge
     join_dense_gather: bool = True     # direct-address join for proven-dense keys
     join_dense_table_entries: int = 8 << 20   # max dense join table slots
-    join_dense_gather_max_words: int = 2      # widest payload for gather path
+    join_dense_gather_max_words: int = 1      # widest payload for gather path
+    # (each word = one ~8ns/row gather; at >=2 the sort-merge path wins)
     max_join_build_rows: int = 1 << 26
     join_use_nulls: bool = False
     max_probe_iterations: int = 64     # linear-probe bound in hash kernels

@@ -173,7 +173,8 @@ def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
     """FINAL read: fold rows with equal sort key at read time — the
     reference's merge-algorithm family applied on SELECT
     (Replacing/Summing *SortedAlgorithm.cpp; SURVEY.md §2.5)."""
-    engine = node.engine.lower()
+    from ..storage.table import base_engine
+    engine = base_engine(node.engine).lower()
     if engine not in ("replacingmergetree", "summingmergetree",
                       "aggregatingmergetree") or not node.order_by_cols:
         return eb
@@ -1408,21 +1409,58 @@ def _join_propagate(node: L.JoinNode, left: ExecBlock, right: ExecBlock,
             build_ok = build_ok & rt.validity.astype(jnp.bool_)
 
     # Dense direct-address fast path: unique build keys in a small proven
-    # range turn the join into one scatter + one gather per word pair
-    # (probe-latency bound — the v5e speed-of-light for random probes).
+    # range turn the join into one scatter + ONE int32 gather per payload
+    # word (probe-latency bound — the v5e speed-of-light for random
+    # probes).  Each word needs a sentinel value outside its proven range.
     pr = None
     if (asof_tokens is None and len(rkeys) == 1
             and s.join_dense_gather
             and (node.build_unique or node.strictness in ("semi", "anti"))
-            and np.dtype(rkeys[0].dtype).kind in ("i", "u")
-            and len(build_words) <= s.join_dense_gather_max_words):
+            and np.dtype(rkeys[0].dtype).kind in ("i", "u")):
         from ..plan import ranges
         rb = ranges.infer_bounds(node.right_keys[0], ctx.field_bounds)
+        dense_words = None
+        key_field = node.right_keys[0].name \
+            if isinstance(node.right_keys[0], BoundColumn) else None
         if rb is not None \
                 and rb[1] - rb[0] + 1 <= s.join_dense_table_entries:
+            dense_words = []
+            n_gathers = 0
+            wi = 0
+            for f, cvb, n_data, rebuild in per_field:
+                fb = ctx.field_bounds.get(f.id)
+                has_v = cvb.validity is not None
+                n_words = n_data + (1 if has_v else 0)
+                fws = build_words[wi:wi + n_words]
+                wi += n_words
+                is_key = f.id == key_field and n_data == 1
+                for j, w in enumerate(fws):
+                    if dense_words is None:
+                        continue
+                    if is_key:                    # value == probe key: free
+                        dense_words.append(("key",) if j < n_data
+                                           else ("keyvalid",))
+                    elif j >= n_data:             # validity word in {0, 1}
+                        dense_words.append(("word", w, 2))
+                        n_gathers += 1
+                    elif n_data == 1 and fb is not None:
+                        lo_, hi_ = int(fb[0]), int(fb[1])
+                        if lo_ > -(2 ** 31) + 1:
+                            dense_words.append(("word", w, lo_ - 1))
+                        elif hi_ < 2 ** 31 - 2:
+                            dense_words.append(("word", w, hi_ + 1))
+                        else:
+                            dense_words = None    # no sentinel available
+                        n_gathers += 1
+                    else:
+                        dense_words = None        # unbounded / multi-word
+            if dense_words is not None \
+                    and n_gathers > s.join_dense_gather_max_words:
+                dense_words = None
+        if dense_words is not None:
             ctx.count("DenseGatherJoins")
             pr = join_ops.dense_gather_join(rkeys[0], build_ok, lkeys[0],
-                                            probe_ok, build_words,
+                                            probe_ok, dense_words,
                                             rb[0], rb[1])
     if pr is None:
         pr = join_ops.propagate_join(rkeys, build_ok, lkeys, probe_ok,

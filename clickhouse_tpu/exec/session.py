@@ -237,6 +237,13 @@ class Session:
             return _status_result()
         if isinstance(stmt, ast.SystemCommand):
             cmd = stmt.command.lower()
+            if cmd.startswith("sync replica"):
+                name = stmt.command.split()[-1]
+                db = self.catalog.current_database
+                if "." in name:
+                    db, name = name.split(".", 1)
+                self.catalog.get_table(db, name).sync()
+                return _status_result()
             if cmd.startswith("reload dictionar"):
                 for dbo in self.catalog.databases.values():
                     for d in getattr(dbo, "dictionaries", {}).values():
@@ -626,12 +633,37 @@ class Session:
                   order_by=[ast.format_expr(e) for e in (stmt.order_by or [])],
                   partition_by=(ast.format_expr(stmt.partition_by)
                                 if stmt.partition_by is not None else None))
+        for c in stmt.columns:
+            if getattr(c, "codec", None):
+                from ..storage.codecs import parse_codec_spec
+                t.codecs[c.name] = ", ".join(parse_codec_spec(c.codec))
+        if stmt.engine.startswith("Replicated"):
+            self._attach_replication(t, db, stmt)
         self.catalog.create_table(db, t, stmt.if_not_exists)
         if stmt.as_select is not None:
             data = self._execute_to_pydict(
                 self._plan(stmt.as_select, self.settings), self.settings)
             t.insert_pydict(_align_insert(data, t, None))
         return _status_result()
+
+    def _attach_replication(self, t: Table, db: str,
+                            stmt: ast.CreateTable) -> None:
+        """ENGINE = Replicated*('zk_path', 'replica'): register the table
+        with the in-process Keeper (storage/replication.py)."""
+        from ..storage.replication import Replication
+        args = list(getattr(stmt, "engine_args", []) or [])
+        macros = {"database": db, "table": stmt.table,
+                  "replica": getattr(self, "replica_name", "r1"),
+                  "shard": "1", "uuid": f"{db}.{stmt.table}"}
+
+        def expand(s: str) -> str:
+            for k, v in macros.items():
+                s = s.replace("{" + k + "}", str(v))
+            return s
+        zk_path = expand(args[0]) if args \
+            else f"/clickhouse/tables/{db}/{stmt.table}"
+        replica = expand(args[1]) if len(args) > 1 else macros["replica"]
+        t.replication = Replication(t, zk_path, replica)
 
     def _run_create_view(self, stmt: ast.CreateView) -> Result:
         from ..storage.table import ViewDef

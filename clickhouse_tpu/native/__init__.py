@@ -19,7 +19,9 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 __all__ = ["HAVE_NATIVE", "lz4_compress", "lz4_decompress",
-           "encode_strings", "decode_strings", "hash64_np"]
+           "encode_strings", "decode_strings", "hash64_np",
+           "delta_encode", "delta_decode", "dd_encode", "dd_decode",
+           "gorilla_encode", "gorilla_decode", "t64_encode", "t64_decode"]
 
 _lib = None
 HAVE_NATIVE = False
@@ -50,6 +52,21 @@ def _load():
         lib.chn_hash64.restype = None
         lib.chn_hash64.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
                                    ctypes.c_void_p]
+        for nm in ("chn_delta_encode", "chn_delta_decode"):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+                           ctypes.c_void_p]
+        for nm in ("chn_dd_encode", "chn_gorilla_encode", "chn_t64_encode"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_longlong
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                           ctypes.c_void_p]
+        for nm in ("chn_dd_decode", "chn_gorilla_decode", "chn_t64_decode"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_longlong
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                           ctypes.c_longlong, ctypes.c_void_p]
         _lib = lib
         HAVE_NATIVE = True
     except Exception:
@@ -215,3 +232,98 @@ def _py_lz4_decompress(data: bytes, size: int) -> bytes:
     if len(out) != size:
         raise ValueError("decompressed size mismatch")
     return bytes(out)
+
+
+# -- codec family (Delta / DoubleDelta / Gorilla / T64) ----------------------
+# C++ hot loops with numpy fallbacks; formats documented in chnative.cpp.
+
+def delta_encode(v: "np.ndarray") -> bytes:
+    v = np.ascontiguousarray(v)
+    lib = _load()
+    if lib:
+        out = np.empty(v.nbytes, np.uint8)
+        lib.chn_delta_encode(v.ctypes.data, len(v), v.itemsize,
+                             out.ctypes.data)
+        return out.tobytes()
+    d = np.empty_like(v)
+    d[0:1] = v[0:1]
+    d[1:] = v[1:] - v[:-1]
+    return d.tobytes()
+
+
+def delta_decode(b: bytes, dtype, n: int) -> "np.ndarray":
+    src = np.frombuffer(b, np.uint8).copy()
+    out = np.empty(n, dtype)
+    lib = _load()
+    if lib:
+        lib.chn_delta_decode(src.ctypes.data, n, out.itemsize,
+                             out.ctypes.data)
+        return out
+    return np.cumsum(np.frombuffer(b, dtype), dtype=dtype)
+
+
+def dd_encode(v: "np.ndarray") -> bytes:
+    v = np.ascontiguousarray(v, np.int64)
+    lib = _load()
+    out = np.empty(v.nbytes + 10 * len(v) + 64, np.uint8)
+    if lib:
+        n = lib.chn_dd_encode(v.ctypes.data, len(v), out.ctypes.data)
+        return out[:n].tobytes()
+    raise RuntimeError("DoubleDelta requires the native library")
+
+
+def dd_decode(b: bytes, n: int) -> "np.ndarray":
+    src = np.frombuffer(b, np.uint8).copy()
+    out = np.empty(n, np.int64)
+    lib = _load()
+    if lib:
+        r = lib.chn_dd_decode(src.ctypes.data, len(src), n, out.ctypes.data)
+        if r < 0:
+            raise ValueError("corrupt DoubleDelta stream")
+        return out
+    raise RuntimeError("DoubleDelta requires the native library")
+
+
+def gorilla_encode(v: "np.ndarray") -> bytes:
+    v = np.ascontiguousarray(v).view(np.uint64)
+    lib = _load()
+    out = np.empty(v.nbytes + 2 * len(v) + 64, np.uint8)
+    if lib:
+        n = lib.chn_gorilla_encode(v.ctypes.data, len(v), out.ctypes.data)
+        return out[:n].tobytes()
+    raise RuntimeError("Gorilla requires the native library")
+
+
+def gorilla_decode(b: bytes, n: int) -> "np.ndarray":
+    src = np.frombuffer(b, np.uint8).copy()
+    out = np.empty(n, np.uint64)
+    lib = _load()
+    if lib:
+        r = lib.chn_gorilla_decode(src.ctypes.data, len(src), n,
+                                   out.ctypes.data)
+        if r < 0:
+            raise ValueError("corrupt Gorilla stream")
+        return out
+    raise RuntimeError("Gorilla requires the native library")
+
+
+def t64_encode(v: "np.ndarray") -> bytes:
+    v = np.ascontiguousarray(v, np.int64)
+    lib = _load()
+    out = np.empty(v.nbytes + 16 * (len(v) // 64 + 2), np.uint8)
+    if lib:
+        n = lib.chn_t64_encode(v.ctypes.data, len(v), out.ctypes.data)
+        return out[:n].tobytes()
+    raise RuntimeError("T64 requires the native library")
+
+
+def t64_decode(b: bytes, n: int) -> "np.ndarray":
+    src = np.frombuffer(b, np.uint8).copy()
+    out = np.empty(n, np.int64)
+    lib = _load()
+    if lib:
+        r = lib.chn_t64_decode(src.ctypes.data, len(src), n, out.ctypes.data)
+        if r < 0:
+            raise ValueError("corrupt T64 stream")
+        return out
+    raise RuntimeError("T64 requires the native library")

@@ -246,4 +246,233 @@ void chn_hash64(const uint64_t* src, long long n, uint64_t* dst) {
     }
 }
 
+
+// ----------------------------------------------------------- codec family
+// Self-designed TPU-engine formats covering the reference codec set
+// (src/Compression/CompressionCodecDelta.cpp, ...DoubleDelta.cpp,
+// ...Gorilla.cpp, ...T64.cpp).  Formats are byte-exact round-trip codecs,
+// not the reference's wire formats.
+
+// ---- Delta: out[i] = in[i] - in[i-1] over fixed-width elements ----------
+
+void chn_delta_encode(const uint8_t* src, long long n, int width,
+                      uint8_t* dst) {
+    if (width == 8) {
+        const uint64_t* s = (const uint64_t*)src; uint64_t* d = (uint64_t*)dst;
+        uint64_t prev = 0;
+        for (long long i = 0; i < n; ++i) { d[i] = s[i] - prev; prev = s[i]; }
+    } else if (width == 4) {
+        const uint32_t* s = (const uint32_t*)src; uint32_t* d = (uint32_t*)dst;
+        uint32_t prev = 0;
+        for (long long i = 0; i < n; ++i) { d[i] = s[i] - prev; prev = s[i]; }
+    } else if (width == 2) {
+        const uint16_t* s = (const uint16_t*)src; uint16_t* d = (uint16_t*)dst;
+        uint16_t prev = 0;
+        for (long long i = 0; i < n; ++i) { d[i] = (uint16_t)(s[i] - prev); prev = s[i]; }
+    } else {
+        uint8_t prev = 0;
+        for (long long i = 0; i < n; ++i) { dst[i] = (uint8_t)(src[i] - prev); prev = src[i]; }
+    }
+}
+
+void chn_delta_decode(const uint8_t* src, long long n, int width,
+                      uint8_t* dst) {
+    if (width == 8) {
+        const uint64_t* s = (const uint64_t*)src; uint64_t* d = (uint64_t*)dst;
+        uint64_t acc = 0;
+        for (long long i = 0; i < n; ++i) { acc += s[i]; d[i] = acc; }
+    } else if (width == 4) {
+        const uint32_t* s = (const uint32_t*)src; uint32_t* d = (uint32_t*)dst;
+        uint32_t acc = 0;
+        for (long long i = 0; i < n; ++i) { acc += s[i]; d[i] = acc; }
+    } else if (width == 2) {
+        const uint16_t* s = (const uint16_t*)src; uint16_t* d = (uint16_t*)dst;
+        uint16_t acc = 0;
+        for (long long i = 0; i < n; ++i) { acc = (uint16_t)(acc + s[i]); d[i] = acc; }
+    } else {
+        uint8_t acc = 0;
+        for (long long i = 0; i < n; ++i) { acc = (uint8_t)(acc + src[i]); dst[i] = acc; }
+    }
+}
+
+// ---- varint/zigzag helpers ----------------------------------------------
+
+static inline uint8_t* zz_write(uint8_t* p, long long v) {
+    uint64_t u = ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
+    while (u >= 0x80) { *p++ = (uint8_t)(u | 0x80); u >>= 7; }
+    *p++ = (uint8_t)u;
+    return p;
+}
+
+static inline const uint8_t* zz_read(const uint8_t* p, const uint8_t* end,
+                                     long long* out) {
+    uint64_t u = 0; int shift = 0;
+    while (p < end) {
+        uint8_t b = *p++;
+        u |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) { *out = (long long)(u >> 1) ^ -(long long)(u & 1); return p; }
+        shift += 7;
+        if (shift > 63) return nullptr;
+    }
+    return nullptr;
+}
+
+// ---- DoubleDelta: first value raw, then zigzag varints of delta-of-delta
+
+long long chn_dd_encode(const int64_t* src, long long n, uint8_t* dst) {
+    uint8_t* p = dst;
+    if (n == 0) return 0;
+    std::memcpy(p, &src[0], 8); p += 8;
+    long long prev_delta = 0;
+    for (long long i = 1; i < n; ++i) {
+        long long delta = (long long)((uint64_t)src[i] - (uint64_t)src[i-1]);
+        p = zz_write(p, delta - prev_delta);
+        prev_delta = delta;
+    }
+    return p - dst;
+}
+
+long long chn_dd_decode(const uint8_t* src, long long src_len, long long n,
+                        int64_t* dst) {
+    const uint8_t* p = src; const uint8_t* end = src + src_len;
+    if (n == 0) return 0;
+    if (end - p < 8) return -1;
+    std::memcpy(&dst[0], p, 8); p += 8;
+    long long prev_delta = 0;
+    for (long long i = 1; i < n; ++i) {
+        long long dod;
+        p = zz_read(p, end, &dod);
+        if (!p) return -1;
+        prev_delta += dod;
+        dst[i] = (int64_t)((uint64_t)dst[i-1] + (uint64_t)prev_delta);
+    }
+    return p - src;
+}
+
+// ---- Gorilla: XOR-with-previous, bit-packed leading/meaningful windows --
+
+struct BitWriter {
+    uint8_t* p; uint64_t acc; int nbits;
+    explicit BitWriter(uint8_t* out) : p(out), acc(0), nbits(0) {}
+    void put(uint64_t bits, int k) {            // k <= 57
+        if (k < 64) bits &= (1ull << k) - 1;
+        acc |= bits << nbits;
+        nbits += k;
+        while (nbits >= 8) { *p++ = (uint8_t)acc; acc >>= 8; nbits -= 8; }
+    }
+    uint8_t* flush() { if (nbits) { *p++ = (uint8_t)acc; acc = 0; nbits = 0; } return p; }
+};
+
+struct BitReader {
+    const uint8_t* p; const uint8_t* end; uint64_t acc; int nbits;
+    BitReader(const uint8_t* src, const uint8_t* e)
+        : p(src), end(e), acc(0), nbits(0) {}
+    uint64_t get(int k) {                        // k <= 57
+        while (nbits < k && p < end) { acc |= (uint64_t)(*p++) << nbits; nbits += 8; }
+        uint64_t v = acc & ((k == 64) ? ~0ull : ((1ull << k) - 1));
+        acc >>= k; nbits -= k;
+        return v;
+    }
+};
+
+long long chn_gorilla_encode(const uint64_t* src, long long n, uint8_t* dst) {
+    if (n == 0) return 0;
+    std::memcpy(dst, &src[0], 8);
+    BitWriter w(dst + 8);
+    int prev_lead = -1, prev_len = 0;
+    for (long long i = 1; i < n; ++i) {
+        uint64_t x = src[i] ^ src[i-1];
+        if (x == 0) { w.put(0, 1); continue; }
+        int lead = __builtin_clzll(x), trail = __builtin_ctzll(x);
+        if (lead > 31) lead = 31;
+        int len = 64 - lead - trail;
+        if (prev_lead >= 0 && lead >= prev_lead
+            && lead + len <= prev_lead + prev_len) {
+            w.put(1, 1); w.put(0, 1);            // '10': reuse window
+            w.put(x >> (64 - prev_lead - prev_len), prev_len > 57 ? 57 : prev_len);
+            if (prev_len > 57)
+                w.put((x >> (64 - prev_lead - prev_len)) >> 57, prev_len - 57);
+        } else {
+            w.put(1, 1); w.put(1, 1);            // '11': new window
+            w.put((uint64_t)lead, 5);
+            w.put((uint64_t)(len - 1), 6);
+            uint64_t bits = x >> trail;
+            if (len > 57) { w.put(bits, 57); w.put(bits >> 57, len - 57); }
+            else w.put(bits, len);
+            prev_lead = lead; prev_len = len;
+        }
+    }
+    return w.flush() - dst;
+}
+
+long long chn_gorilla_decode(const uint8_t* src, long long src_len,
+                             long long n, uint64_t* dst) {
+    if (n == 0) return 0;
+    if (src_len < 8) return -1;
+    std::memcpy(&dst[0], src, 8);
+    BitReader r(src + 8, src + src_len);
+    int lead = 0, len = 0;
+    for (long long i = 1; i < n; ++i) {
+        uint64_t prev = dst[i-1];
+        if (r.get(1) == 0) { dst[i] = prev; continue; }
+        if (r.get(1)) {                          // new window
+            lead = (int)r.get(5);
+            len = (int)r.get(6) + 1;
+        }
+        uint64_t bits;
+        if (len > 57) { bits = r.get(57); bits |= r.get(len - 57) << 57; }
+        else bits = r.get(len);
+        int trail = 64 - lead - len;
+        dst[i] = prev ^ (bits << trail);
+    }
+    return 1;
+}
+
+// ---- T64: 64-value blocks, min-subtracted, bit-plane transposed ---------
+
+long long chn_t64_encode(const int64_t* src, long long n, uint8_t* dst) {
+    uint8_t* p = dst;
+    for (long long b = 0; b < n; b += 64) {
+        long long m = (n - b < 64) ? (n - b) : 64;
+        int64_t mn = src[b];
+        for (long long i = 1; i < m; ++i) if (src[b+i] < mn) mn = src[b+i];
+        uint64_t mx = 0;
+        for (long long i = 0; i < m; ++i) {
+            uint64_t v = (uint64_t)(src[b+i] - mn);
+            if (v > mx) mx = v;
+        }
+        int w = 0; while (mx >> w) ++w;
+        std::memcpy(p, &mn, 8); p += 8;
+        *p++ = (uint8_t)w;
+        // bit-plane transpose: plane k = one u64 with bit i = bit k of v_i
+        for (int k = 0; k < w; ++k) {
+            uint64_t plane = 0;
+            for (long long i = 0; i < m; ++i)
+                plane |= (((uint64_t)(src[b+i] - mn) >> k) & 1ull) << i;
+            std::memcpy(p, &plane, 8); p += 8;
+        }
+    }
+    return p - dst;
+}
+
+long long chn_t64_decode(const uint8_t* src, long long src_len, long long n,
+                         int64_t* dst) {
+    const uint8_t* p = src; const uint8_t* end = src + src_len;
+    for (long long b = 0; b < n; b += 64) {
+        long long m = (n - b < 64) ? (n - b) : 64;
+        if (end - p < 9) return -1;
+        int64_t mn; std::memcpy(&mn, p, 8); p += 8;
+        int w = *p++;
+        if (w > 64 || end - p < 8 * w) return -1;
+        uint64_t planes[64];
+        for (int k = 0; k < w; ++k) { std::memcpy(&planes[k], p, 8); p += 8; }
+        for (long long i = 0; i < m; ++i) {
+            uint64_t v = 0;
+            for (int k = 0; k < w; ++k) v |= ((planes[k] >> i) & 1ull) << k;
+            dst[b+i] = mn + (int64_t)v;
+        }
+    }
+    return p - src;
+}
+
 }  // extern "C"

@@ -64,7 +64,7 @@ class PropagateResult:
 
 def dense_gather_join(build_key: jax.Array, build_valid: jax.Array,
                       probe_key: jax.Array, probe_valid: jax.Array,
-                      build_words: Sequence[jax.Array],
+                      build_words: Sequence,
                       lo: int, hi: int) -> PropagateResult:
     """N:1 join against a DENSE direct-address table — the TPU hash join.
 
@@ -80,6 +80,9 @@ def dense_gather_join(build_key: jax.Array, build_valid: jax.Array,
 
     Requires unique build keys (or no words: semi/anti presence checks) —
     duplicate scatter slots would be nondeterministic.
+
+    build_words -- [(int32 word array, sentinel int)]: per output word, the
+        sentinel is provably outside the word's value range.
     """
     R = int(hi) - int(lo) + 1
     bidx = jnp.where(build_valid,
@@ -89,38 +92,39 @@ def dense_gather_join(build_key: jax.Array, build_valid: jax.Array,
     inb = probe_valid & (pidx0 >= 0) & (pidx0 < R)
     pidx = jnp.clip(pidx0, 0, R - 1).astype(jnp.int32)
 
-    words_out: List[jax.Array] = []
-    matched = None
     ws = list(build_words)
-    if not ws:
+    # one int32 gather per real word: slots not owned by a build row hold a
+    # SENTINEL proven (by interval analysis) to be outside the word's value
+    # range, so presence costs no extra gather and everything stays 4-byte
+    # (an int64 packed table measured ~2x the i32 gather wall on v5e).
+    # The join-key output column costs NOTHING: on a match its value equals
+    # the probe key ("key"/"keyvalid" entries are synthesized, not gathered).
+    matched = None
+    gathered = {}
+    for i, e in enumerate(ws):
+        if e[0] != "word":
+            continue
+        _, w, sent = e
+        s32 = jnp.int32(sent)
+        t = jnp.full((R + 1,), s32, jnp.int32).at[bidx].set(
+            w.astype(jnp.int32))[:R]
+        g = t[pidx]
+        if matched is None:
+            matched = inb & (g != s32)
+        gathered[i] = g
+    if matched is None:
         pres = jnp.zeros((R + 1,), jnp.uint8).at[bidx].set(1)[:R]
-        return PropagateResult(matched=inb & (pres[pidx] > 0), words=[])
-    # first gather carries [present:1 | w0:32]; later words ride in pairs
-    w0u = ws[0].astype(jnp.uint32).astype(jnp.int64)
-    t0 = jnp.zeros((R + 1,), jnp.int64).at[bidx].set(
-        (jnp.int64(1) << 32) | w0u)[:R]
-    g0 = t0[pidx]
-    matched = inb & ((g0 >> 32) > 0)
-    words_out.append(g0.astype(jnp.uint32).astype(jnp.int32))
-    k = 1
-    while k < len(ws):
-        a = ws[k].astype(jnp.uint32).astype(jnp.int64)
-        if k + 1 < len(ws):
-            b = ws[k + 1].astype(jnp.uint32).astype(jnp.int64)
-            packed = (a << 32) | b
-            t = jnp.zeros((R + 1,), jnp.int64).at[bidx].set(packed)[:R]
-            g = t[pidx]
-            words_out.append((g >> 32).astype(jnp.uint32)
-                             .astype(jnp.int32))
-            words_out.append(g.astype(jnp.uint32).astype(jnp.int32))
-            k += 2
-        else:
-            t = jnp.zeros((R + 1,), jnp.int32).at[bidx].set(ws[k]
-                                                            .astype(jnp.int32))[:R]
-            words_out.append(t[pidx])
-            k += 1
+        matched = inb & (pres[pidx] > 0)
+    words_out: List[jax.Array] = []
     zero = jnp.int32(0)
-    words_out = [jnp.where(matched, w, zero) for w in words_out]
+    for i, e in enumerate(ws):
+        if e[0] == "word":
+            words_out.append(jnp.where(matched, gathered[i], zero))
+        elif e[0] == "key":
+            words_out.append(jnp.where(matched,
+                                       probe_key.astype(jnp.int32), zero))
+        else:                                  # "keyvalid"
+            words_out.append(matched.astype(jnp.int32))
     return PropagateResult(matched=matched, words=words_out)
 
 

@@ -178,6 +178,7 @@ class ColumnDef:
     name: str
     type_name: str
     default: Optional[Expr] = None
+    codec: Optional[str] = None        # 'Delta, LZ4' codec chain
 
 
 @dataclasses.dataclass
@@ -186,6 +187,7 @@ class CreateTable:
     table: str
     columns: List[ColumnDef]
     engine: str = "Memory"
+    engine_args: List[str] = dataclasses.field(default_factory=list)
     order_by: Optional[List[Expr]] = None
     partition_by: Optional[Expr] = None
     primary_key: Optional[List[Expr]] = None

@@ -544,14 +544,33 @@ class Parser:
                 default = None
                 if self.accept_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
                     default = self.parse_expr()
-                self.accept_kw("CODEC")  # ignore codec specs
-                if self.tok.kind == "op" and self.tok.text == "(":
+                codec = None
+                if self.accept_kw("CODEC") and self.tok.kind == "op" \
+                        and self.tok.text == "(":
+                    depth, names = 0, []
+                    while True:
+                        t = self.tok
+                        if t.kind == "op" and t.text == "(":
+                            depth += 1
+                            self.advance()
+                        elif t.kind == "op" and t.text == ")":
+                            depth -= 1
+                            self.advance()
+                            if depth == 0:
+                                break
+                        else:
+                            if t.kind == "word" and depth == 1:
+                                names.append(t.text)
+                            self.advance()
+                    codec = ", ".join(names) if names else None
+                elif self.tok.kind == "op" and self.tok.text == "(":
                     self._skim_parens()
                 if self.accept_kw("TTL"):
                     self.parse_expr()
                 if self.accept_kw("COMMENT") and self.tok.kind == "string":
                     self.advance()
-                cols.append(ast.ColumnDef(cname, ctype, default))
+                cols.append(ast.ColumnDef(cname, ctype, default,
+                                          codec=codec))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
@@ -560,14 +579,26 @@ class Parser:
             ct.engine = "Memory"
         if self.accept_kw("ENGINE"):
             self.accept_op("=")          # ENGINE MergeTree == ENGINE = ...
-            engine = self.expect_word()
-            # Replicated* engines: coordination args are skimmed; the local
-            # merge semantics are the base engine's
-            if engine.startswith("Replicated"):
-                engine = engine[len("Replicated"):] or "MergeTree"
-            ct.engine = engine
+            ct.engine = self.expect_word()
             if self.tok.kind == "op" and self.tok.text == "(":
-                self._skim_parens()      # engine args
+                # capture string-literal engine args (ReplicatedMergeTree
+                # zk path + replica name); other tokens are skimmed
+                depth, args = 0, []
+                while True:
+                    t = self.tok
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                        self.advance()
+                    elif t.kind == "op" and t.text == ")":
+                        depth -= 1
+                        self.advance()
+                        if depth == 0:
+                            break
+                    else:
+                        if t.kind == "string" and depth == 1:
+                            args.append(t.text)
+                        self.advance()
+                ct.engine_args = args
         while True:
             if self.accept_kw("ORDER"):
                 self.expect_kw("BY")

@@ -37,14 +37,35 @@ def backup_table(table: Table, path: str) -> None:
         else:
             cols[name] = np.concatenate(pieces) if pieces else \
                 np.zeros(0, table.schema[name].np_dtype)
+    # columns with a declared CODEC chain are stored as codec frames
+    # (storage/codecs.py); the rest travel in the Native block
+    codec_frames = {}
+    codecs = dict(getattr(table, "codecs", {}) or {})
+    for name in list(cols.keys()):
+        chain_txt = codecs.get(name)
+        if chain_txt and not table.schema[name].is_dictionary:
+            from .codecs import compress_column, parse_codec_spec
+            codec_frames[name] = compress_column(
+                cols.pop(name), parse_codec_spec(chain_txt))
     buf = io.BytesIO()
     write_native(buf, cols)
+    native_bytes = buf.tell()
+    for name, frame in codec_frames.items():
+        buf.write(b"CODC")
+        nb = name.encode()
+        buf.write(struct.pack("<I", len(nb)))
+        buf.write(nb)
+        buf.write(struct.pack("<Q", len(frame)))
+        buf.write(frame)
     payload = buf.getvalue()
     header = json.dumps({
         "table": table.name,
         "engine": table.engine,
         "order_by": table.order_by,
         "schema": [(n, str(t)) for n, t in table.schema_items()],
+        "codecs": codecs,
+        "codec_columns": sorted(codec_frames.keys()),
+        "native_bytes": native_bytes,
         "rows": table.num_rows,
     }).encode()
     with open(path, "wb") as f:
@@ -72,10 +93,25 @@ def restore_table(path: str) -> Table:
             clen, rlen = struct.unpack("<II", frame_hdr)
             payload.write(chnative.lz4_decompress(f.read(clen), rlen))
     payload.seek(0)
-    data, _types = read_native(payload)
+    raw = payload.getvalue()
+    nb = header.get("native_bytes", len(raw))
+    data, _types = read_native(io.BytesIO(raw[:nb]))
+    payload.seek(nb)
+    for _ in header.get("codec_columns", []):
+        from .codecs import decompress_column
+        magic = payload.read(4)
+        if magic != b"CODC":
+            raise ValueError("corrupt codec frame")
+        (nlen,) = struct.unpack("<I", payload.read(4))
+        name = payload.read(nlen).decode()
+        (flen,) = struct.unpack("<Q", payload.read(8))
+        data[name] = decompress_column(payload.read(flen))
     schema = [(n, dt.parse_type_name(t)) for n, t in header["schema"]]
     t = Table(header["table"], schema, header.get("engine", "Memory"),
               order_by=header.get("order_by") or [])
+    t.codecs = dict(header.get("codecs", {}) or {})
     if data:
+        # preserve declared column order
+        data = {n: data[n] for n, _ in schema if n in data}
         t.insert_pydict(data)
     return t

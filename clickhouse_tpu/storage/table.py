@@ -79,6 +79,13 @@ class Part:
         return Part({k: np.asarray(v) for k, v in data.items()}, n, minmax)
 
 
+def base_engine(name: str) -> str:
+    """Replicated<X> merges like <X> locally (coordination is orthogonal)."""
+    if name.startswith("Replicated"):
+        return name[len("Replicated"):] or "MergeTree"
+    return name
+
+
 class Table:
     """A named table: schema + list of parts + device cache."""
 
@@ -92,20 +99,51 @@ class Table:
         self.order_by = order_by or []
         self.partition_by = partition_by
         self.parts: List[Part] = []
-        self.version = 0
+        self.codecs: Dict[str, str] = {}   # column -> codec chain text
+        self._version = 0
         self._device_cache: Optional[Block] = None
         self._lock = threading.Lock()
+        # replication state machine (storage/replication.py) for
+        # Replicated* engines; None for local tables
+        self.replication = None
 
     # -- metadata ------------------------------------------------------------
+    @property
+    def version(self) -> int:
+        # replicated tables pull pending log entries before any versioned
+        # read (lazy sync; SYSTEM SYNC REPLICA forces it eagerly)
+        if self.replication is not None:
+            self.replication.pull()
+        return self._version
+
+    @version.setter
+    def version(self, v: int) -> None:
+        self._version = v
+
+    def sync(self) -> None:
+        if self.replication is not None:
+            self.replication.pull()
+
     def schema_items(self) -> List[Tuple[str, dt.DType]]:
         return list(self.schema.items())
 
     @property
     def num_rows(self) -> int:
+        self.sync()
         return sum(p.num_rows for p in self.parts)
 
     # -- writes --------------------------------------------------------------
     def insert_pydict(self, data: Dict[str, np.ndarray]):
+        if self.replication is not None:
+            bid = self.replication.begin_insert(data)
+            if bid is None:
+                return                    # deduplicated retry
+            self._insert_local(data)
+            self.replication.log_insert(data, bid)
+            return
+        self._insert_local(data)
+
+    def _insert_local(self, data: Dict[str, np.ndarray]):
         cols = {}
         n = None
         for name, ctype in self.schema.items():
@@ -130,13 +168,13 @@ class Table:
             cols[name] = v
         with self._lock:
             self.parts.append(Part.from_pydict(cols, self.schema))
-            self.version += 1
+            self._version += 1
             self._device_cache = None
 
     def truncate(self):
         with self._lock:
             self.parts = []
-            self.version += 1
+            self._version += 1
             self._device_cache = None
 
     def optimize(self, final: bool = False):
@@ -154,7 +192,7 @@ class Table:
                         [np.asarray(p, object) for p in pieces])
                 else:
                     cols[name] = np.concatenate(pieces)
-            engine = self.engine.lower()
+            engine = base_engine(self.engine).lower()
             keys = [k for k in self.order_by if k in cols]
             if keys and engine == "replacingmergetree":
                 df = pd.DataFrame(cols)
@@ -183,12 +221,13 @@ class Table:
                             if self.schema[k].is_dictionary
                             else df[k].to_numpy()) for k in cols}
             self.parts = [Part.from_pydict(cols, self.schema)]
-            self.version += 1
+            self._version += 1
             self._device_cache = None
 
     # -- reads ---------------------------------------------------------------
     def read_block(self, columns: Optional[Sequence[str]] = None) -> Block:
         """Whole-table device block (concatenated parts, padded)."""
+        self.sync()
         with self._lock:
             if self._device_cache is None:
                 self._device_cache = self._build_device_block()
