@@ -71,11 +71,11 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=36):
     out = []
     for k in (k_lo, k_hi):
         f = make(k)
-        jax.block_until_ready(f(args))
-        ts = []
-        for _ in range(3):
+        int(f(args))                 # warm; VALUE fetch forces completion
+        ts = []                      # (block_until_ready returns early for
+        for _ in range(3):           # x64 scalars on the axon platform)
             t0 = time.perf_counter()
-            jax.block_until_ready(f(args))
+            int(f(args))
             ts.append(time.perf_counter() - t0)
         out.append(min(ts))
     return max((out[1] - out[0]) / (k_hi - k_lo), 1e-6)

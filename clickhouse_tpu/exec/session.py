@@ -88,9 +88,12 @@ class Session:
         t0 = time.monotonic()
         root = self._begin_span("query", attrs=(("db.statement", sql),))
         try:
+            self.catalog.access.check_quota(self.current_user, time.time())
             with self._span("parse"):
                 stmt = parse(sql)
             res = self._dispatch(stmt, settings or {}, sql)
+            self.catalog.access.account_query(self.current_user, time.time(),
+                                              res.row_count)
             res.elapsed_s = time.monotonic() - t0
             if self.settings.log_queries:
                 self.query_log.append(QueryLogEntry(
@@ -162,9 +165,41 @@ class Session:
         if isinstance(stmt, ast.DropUser):
             self.catalog.access.drop_user(stmt.name, stmt.if_exists)
             return _status_result()
+        if isinstance(stmt, ast.CreateRole):
+            self.catalog.access.create_role(stmt.name, stmt.if_not_exists)
+            return _status_result()
+        if isinstance(stmt, ast.CreateQuota):
+            from ..core.access import Quota
+            self.catalog.access.create_quota(Quota(
+                stmt.name, stmt.duration_s,
+                max_queries=stmt.maxes.get("queries"),
+                max_result_rows=stmt.maxes.get("result_rows"),
+                users=set(stmt.users)), stmt.if_not_exists)
+            return _status_result()
+        if isinstance(stmt, ast.CreateRowPolicy):
+            from ..core.access import RowPolicy
+            db = stmt.database or self.catalog.current_database
+            self.catalog.access.create_row_policy(RowPolicy(
+                stmt.name, db, stmt.table, stmt.using_text,
+                users=set(stmt.users)), stmt.if_not_exists)
+            return _status_result()
+        if isinstance(stmt, ast.DropAccessEntity):
+            acc = self.catalog.access
+            if stmt.kind == "role":
+                acc.drop_role(stmt.name, stmt.if_exists)
+            elif stmt.kind == "quota":
+                acc.drop_quota(stmt.name, stmt.if_exists)
+            else:
+                acc.drop_row_policy(stmt.name, stmt.if_exists)
+            return _status_result()
         if isinstance(stmt, ast.GrantRevoke):
             for p in stmt.privileges:
-                if stmt.kind == "grant":
+                if stmt.target == "__role__":
+                    if stmt.kind == "grant":
+                        self.catalog.access.grant_role(stmt.user, p)
+                    else:
+                        self.catalog.access.revoke(stmt.user, p, "")
+                elif stmt.kind == "grant":
                     self.catalog.access.grant(stmt.user, p, stmt.target)
                 else:
                     self.catalog.access.revoke(stmt.user, p, stmt.target)
@@ -295,7 +330,8 @@ class Session:
         with self._span("analyze"):
             analyzer = Analyzer(
                 self.catalog, settings,
-                subquery_executor=self._subquery_executor(settings))
+                subquery_executor=self._subquery_executor(settings),
+                user_name=getattr(self.current_user, "name", None))
             plan = analyzer.analyze(stmt)
             plan = optimize_plan(plan, settings)
             return plan
@@ -366,6 +402,7 @@ class Session:
             import json as _json
             ckey = (sql, _json.dumps(settings.as_dict(), sort_keys=True,
                                      default=str),
+                    getattr(self.current_user, "name", "default"),
                     self._table_versions_sig(plan0))
             cache = getattr(self, "_result_cache", None)
             if cache is None:
@@ -450,8 +487,10 @@ class Session:
     def _execute_compiled(self, stmt, settings: Settings, sql: str):
         import json
 
+        # cache key includes the USER: row policies make plans per-user
         skey = json.dumps(settings.as_dict(), sort_keys=True, default=str) \
-            + "@" + self.catalog.current_database
+            + "@" + self.catalog.current_database \
+            + "@" + getattr(self.current_user, "name", "default")
         low = sql.lower()
         nondet = any(t in low for t in ("now(", "today(", "yesterday(",
                                         "rand("))

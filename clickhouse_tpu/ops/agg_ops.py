@@ -247,7 +247,7 @@ def group_by_sort(keys: Sequence[jax.Array], row_valid: jax.Array,
     num_groups = jnp.max(jnp.where(valid_s, gid, -1)).astype(jnp.int64) + 1
     gid = jnp.where(valid_s, gid, num_groups_cap)
 
-    starts, ends = scan_ops.segment_starts_ends(gid, num_groups_cap)
+    starts, ends = scan_ops.segment_starts_ends_dense(gid, num_groups_cap)
     first_row = jnp.clip(starts, 0, cap - 1)
     unique_keys = [ks[first_row] for ks in keys_s]
     return Grouping(kind="sort", group_ids=gid, num_groups=num_groups,

