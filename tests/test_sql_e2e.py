@@ -622,3 +622,26 @@ class TestWithFill:
         s = ch.connect()
         s.execute("CREATE TABLE e (x Int64)")
         assert s.execute("SELECT x FROM e ORDER BY x WITH FILL").rows() == []
+
+
+class TestHighCardinalityStrings:
+    """String functions over high-distinct dictionaries run vectorized
+    (VERDICT item 5: no per-value host loops at scale)."""
+
+    def test_functions_at_200k_distinct(self):
+        import time
+        s = ch.connect()
+        n = 200_000
+        vals = np.asarray([f"user_{i}@example.com" for i in range(n)],
+                          object)
+        s.execute("CREATE TABLE hc (s String)")
+        s.insert_pydict("hc", {"s": vals})
+        t0 = time.time()
+        assert s.execute("SELECT count() FROM hc "
+                         "WHERE startsWith(s, 'user_1')").scalar() == 111111
+        assert s.execute("SELECT max(length(s)) FROM hc").scalar() == 23
+        assert s.execute("SELECT countIf(upper(s) LIKE 'USER_19%') "
+                         "FROM hc").scalar() == 11111
+        assert s.execute("SELECT count() FROM hc "
+                         "WHERE s LIKE '%@example.com'").scalar() == n
+        assert time.time() - t0 < 60
