@@ -246,7 +246,14 @@ class Session:
             return _status_result()
         if isinstance(stmt, ast.OptimizeTable):
             db = stmt.database or self.catalog.current_database
-            self.catalog.get_table(db, stmt.table).optimize(stmt.final)
+            t = self.catalog.get_table(db, stmt.table)
+            ttl = getattr(t, "ttl_text", None)
+            if ttl:
+                # TTL enforcement rides the mutation machinery (the
+                # reference applies TTL during merges, TTLTransform)
+                self.execute(f"ALTER TABLE {db}.{stmt.table} DELETE "
+                             f"WHERE ({ttl}) <= now()")
+            t.optimize(stmt.final)
             return _status_result()
         if isinstance(stmt, ast.AlterTable):
             return self._run_alter(stmt)
@@ -672,6 +679,7 @@ class Session:
                   order_by=[ast.format_expr(e) for e in (stmt.order_by or [])],
                   partition_by=(ast.format_expr(stmt.partition_by)
                                 if stmt.partition_by is not None else None))
+        t.ttl_text = getattr(stmt, "ttl", None)
         for c in stmt.columns:
             if getattr(c, "codec", None):
                 from ..storage.codecs import parse_codec_spec

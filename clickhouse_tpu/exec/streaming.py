@@ -103,6 +103,49 @@ def _replace_node(root: L.PlanNode, old: L.PlanNode,
     raise AssertionError("old node not under root")
 
 
+def _prune_parts(split: StreamSplit, table, session):
+    """Part-level minmax pruning for the streamed scan (the IO-skipping
+    KeyCondition role): parts whose stats refute every row of a filter are
+    never read off the host.  -> tuple of surviving part indices, or None
+    (= all parts) when there is nothing to prune on."""
+    from ..plan import ranges as R
+    scan = split.scan
+    # filters whose ONLY source is the streamed scan
+    preds = []
+
+    def walk(n):
+        if isinstance(n, L.FilterNode):
+            ss: List[L.ScanNode] = []
+            _collect_scans(n, ss)
+            if len(ss) == 1 and ss[0] is scan:
+                preds.append(n.predicate)
+        for c in n.children():
+            walk(c)
+
+    walk(split.agg)
+    if not preds:
+        return None
+    col_of = {f.id: nm for f, nm in zip(scan.schema, scan.column_names)}
+    keep = []
+    pruned = 0
+    for i, p in enumerate(table.parts):
+        fb = {}
+        for fid, nm in col_of.items():
+            mm = p.minmax.get(nm)
+            t = table.schema.get(nm)
+            if mm is not None and t is not None                     and t.np_dtype.kind in ("i", "u"):
+                fb[fid] = (int(mm[0]), int(mm[1]))
+        if all(R.predicate_may_hold(pr, fb) for pr in preds):
+            keep.append(i)
+        else:
+            pruned += 1
+    if pruned:
+        session.profile_events["PrunedParts"] = \
+            session.profile_events.get("PrunedParts", 0) + pruned
+        return tuple(keep)
+    return None
+
+
 def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
                ) -> Optional[StreamSplit]:
     """Locate the aggregation breaker for streaming the scan of big_key."""
@@ -481,9 +524,10 @@ def try_streaming(session, stmt, settings: Settings, sql: str):
         return None
     table = catalog.get_table(*big)
     columns = list(split.scan.column_names)
+    part_idx = _prune_parts(split, table, session)
     try:
         chunk_rows = _chunk_rows_for(table, columns, settings)
-        src = table.chunk_source(columns, chunk_rows)
+        src = table.chunk_source(columns, chunk_rows, part_idx=part_idx)
     except NotStreamable:
         return None
     cap_c = pad_to(min(table.num_rows, settings.max_groups))

@@ -136,3 +136,35 @@ def _call_bounds(e: BoundCall, fb: Dict[str, Bounds]) -> Optional[Bounds]:
     elif name in ("toYYYYMM",):
         return (190001, 230012)
     return None
+
+
+def predicate_may_hold(e: BoundExpr,
+                       field_bounds: Dict[str, Bounds]) -> bool:
+    """Conservative interval check: False ONLY when the predicate is
+    provably false for every row whose columns lie in field_bounds — the
+    per-part pruning test (KeyCondition::checkInRange analog,
+    src/Storages/MergeTree/KeyCondition.cpp)."""
+    if isinstance(e, BoundCall):
+        n = e.name
+        a = e.args
+        if n == "and":
+            return all(predicate_may_hold(x, field_bounds) for x in a)
+        if n == "or":
+            return any(predicate_may_hold(x, field_bounds) for x in a)
+        if len(a) == 2:
+            lb = infer_bounds(a[0], field_bounds)
+            rb = infer_bounds(a[1], field_bounds)
+            if lb is not None and rb is not None:
+                if n == "greater":
+                    return lb[1] > rb[0]
+                if n == "less":
+                    return lb[0] < rb[1]
+                if n == "greaterOrEquals":
+                    return lb[1] >= rb[0]
+                if n == "lessOrEquals":
+                    return lb[0] <= rb[1]
+                if n == "equals":
+                    return lb[0] <= rb[1] and rb[0] <= lb[1]
+                if n == "notEquals":
+                    return not (lb[0] == lb[1] == rb[0] == rb[1])
+    return True

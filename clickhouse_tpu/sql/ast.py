@@ -194,6 +194,7 @@ class CreateTable:
     settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
     if_not_exists: bool = False
     as_select: Optional[Union[Select, "Union"]] = None
+    ttl: Optional[str] = None          # table-level TTL expression text
 
 
 @dataclasses.dataclass

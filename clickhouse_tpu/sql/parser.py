@@ -662,7 +662,7 @@ class Parser:
                 self.expect_kw("BY")
                 self.parse_expr()        # sampling keys: accepted, unused
             elif self.accept_kw("TTL"):
-                self.parse_expr()
+                ct.ttl = ast.format_expr(self.parse_expr())
             elif self.accept_kw("COMMENT"):
                 if self.tok.kind == "string":
                     self.advance()

@@ -257,18 +257,18 @@ class Table:
         return [(p.num_rows, p.minmax) for p in self.parts]
 
     # -- chunked (out-of-core) reads ------------------------------------------
-    def chunk_source(self, columns: Sequence[str],
-                     chunk_rows: int) -> "ChunkSource":
+    def chunk_source(self, columns: Sequence[str], chunk_rows: int,
+                     part_idx: Optional[tuple] = None) -> "ChunkSource":
         """Chunked read plan: fixed-capacity host chunks with table-wide
         consistent physical dtypes and global dictionaries, so one compiled
         per-chunk XLA program serves every chunk (the streaming analog of the
         reference's MergeTreeReadPool, src/Storages/MergeTree/
         MergeTreeReadPool.h:22)."""
-        key = (self.version, tuple(sorted(columns)), chunk_rows)
+        key = (self.version, tuple(sorted(columns)), chunk_rows, part_idx)
         cached = getattr(self, "_chunk_source_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        src = ChunkSource(self, list(columns), chunk_rows)
+        src = ChunkSource(self, list(columns), chunk_rows, part_idx=part_idx)
         self._chunk_source_cache = (key, src)
         return src
 
@@ -363,11 +363,15 @@ class ChunkSource:
     part minmax stats, global dictionaries via one unique pass) and cached on
     the table."""
 
-    def __init__(self, table: Table, columns: List[str], chunk_rows: int):
+    def __init__(self, table: Table, columns: List[str], chunk_rows: int,
+                 part_idx: Optional[tuple] = None):
         self.table = table
         self.columns = columns
         self.chunk_rows = chunk_rows
-        self.total_rows = table.num_rows
+        # minmax-pruned scans stream a subset of parts (KeyCondition analog:
+        # parts whose stats refute the filter are never read)
+        self.parts = table.parts if part_idx is None             else [table.parts[i] for i in part_idx]
+        self.total_rows = sum(p.num_rows for p in self.parts)
         self.num_chunks = max(
             1, -(-self.total_rows // chunk_rows))  # ceil div
         self.storage: Dict[str, np.dtype] = {}
@@ -378,7 +382,7 @@ class ChunkSource:
             t = table.schema[name]
             if t.is_array:
                 raise NotStreamable(f"Array column '{name}'")
-            parts = [p for p in table.parts if p.num_rows]
+            parts = [p for p in self.parts if p.num_rows]
             obj_parts = [p for p in parts
                          if p.columns[name].dtype == object]
             self.nullable[name] = bool(t.nullable) or bool(obj_parts)
@@ -453,7 +457,7 @@ class ChunkSource:
     def _slice_column(self, name: str, lo: int, hi: int) -> np.ndarray:
         pieces = []
         off = 0
-        for p in self.table.parts:
+        for p in self.parts:
             p_lo, p_hi = off, off + p.num_rows
             off = p_hi
             if p_hi <= lo or p_lo >= hi:

@@ -194,3 +194,27 @@ class TestDictionaries:
             "SELECT dictGet('pd', 'grp', number % 2) AS g, count() AS c "
             "FROM numbers(10) GROUP BY g ORDER BY g")
         assert r.rows() == [("even", 5), ("odd", 5)]
+
+
+class TestTTL:
+    """Table-level TTL enforced at OPTIMIZE (TTLTransform analog)."""
+
+    def test_ttl_drops_expired_rows(self):
+        import time
+        s = ch.connect()
+        s.execute("CREATE TABLE ev (d DateTime, v Int64) "
+                  "ENGINE = MergeTree ORDER BY d TTL d + INTERVAL 1 HOUR")
+        now = int(time.time())
+        s.insert_pydict("ev", {
+            "d": np.asarray([now - 7200, now - 30, now - 8000], np.int64),
+            "v": np.asarray([1, 2, 3], np.int64)})
+        assert s.execute("SELECT count() FROM ev").scalar() == 3
+        s.execute("OPTIMIZE TABLE ev FINAL")
+        assert s.execute("SELECT v FROM ev").rows() == [(2,)]
+
+    def test_no_ttl_keeps_rows(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE nv (v Int64) ENGINE = MergeTree ORDER BY v")
+        s.execute("INSERT INTO nv VALUES (1), (2)")
+        s.execute("OPTIMIZE TABLE nv")
+        assert s.execute("SELECT count() FROM nv").scalar() == 2

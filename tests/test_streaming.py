@@ -229,3 +229,53 @@ class TestStreamingMechanics:
                             settings=STREAM)
         assert session.profile_events.get("StreamedQueries", 0) == before
         assert 95 < r.scalar() < 105
+
+
+class TestPartPruning:
+    """Part-level minmax IO pruning on the streamed read path
+    (KeyCondition::checkInRange analog)."""
+
+    def _mk(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE big (k Int64, v Int64)")
+        for p in range(4):
+            base = p * 1000
+            s.insert_pydict("big", {
+                "k": np.arange(base, base + 1000, dtype=np.int64),
+                "v": np.ones(1000, np.int64) * p})
+        return s
+
+    STREAM = {"max_device_block_bytes": 1024, "stream_chunk_rows": 1024}
+
+    def test_range_filter_skips_parts(self):
+        s = self._mk()
+        r = s.execute("SELECT count(), sum(v) FROM big "
+                      "WHERE k >= 2000 AND k < 3000", settings=self.STREAM)
+        assert r.rows() == [(1000, 2000)]
+        assert s.profile_events.get("PrunedParts") == 3
+
+    def test_point_filter_skips_parts(self):
+        s = self._mk()
+        r = s.execute("SELECT count() FROM big WHERE k = 3500",
+                      settings=self.STREAM)
+        assert r.rows() == [(1,)]
+        assert s.profile_events.get("PrunedParts") == 3
+
+    def test_no_filter_reads_all(self):
+        s = self._mk()
+        r = s.execute("SELECT count() FROM big", settings=self.STREAM)
+        assert r.rows() == [(4000,)]
+        assert s.profile_events.get("PrunedParts") is None
+
+    def test_unprovable_filter_reads_all(self):
+        s = self._mk()
+        r = s.execute("SELECT count() FROM big WHERE v % 2 = 0",
+                      settings=self.STREAM)
+        assert r.rows() == [(2000,)]
+
+    def test_all_parts_pruned(self):
+        s = self._mk()
+        r = s.execute("SELECT count() FROM big WHERE k > 100000",
+                      settings=self.STREAM)
+        assert r.rows() == [(0,)]
+        assert s.profile_events.get("PrunedParts") == 4
