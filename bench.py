@@ -43,6 +43,15 @@ def bench_query(session, sql, reps=REPS):
     return float(np.min(times))
 
 
+def jax_sort_chk(a):
+    """One radix-class sort pass over the bench key column (roofline for
+    ORDER BY: a full sort cannot beat one sort of the data)."""
+    import jax
+    import jax.numpy as jnp
+    o = jax.lax.sort([a], num_keys=1, is_stable=False)[0]
+    return (o.astype(jnp.int64) * (jnp.arange(o.shape[0]) % 127)).sum()
+
+
 def device_time_repeat(s, sql, k_lo=4, k_hi=36):
     """Isolate DEVICE time of a compiled query from the ~50 ms per-call
     dispatch overhead of the dev tunnel: run the query body k times inside
@@ -133,12 +142,44 @@ def main():
     deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "240"))
 
     # extra operator detail (stderr only)
+    # shared rooflines for the BASELINE framings (probe/gather bound for
+    # hash aggregation, sort-pass bound for ORDER BY): measure the raw
+    # primitive cost at this run's shapes
+    import jax as _jax
+    import jax.numpy as jnp
+
+    def _min_time(f, *a, reps=3):
+        int(f(*a))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    try:
+        idx_r = jnp.asarray((np.arange(N_ROWS, dtype=np.int64) * 40503)
+                            % (1 << 21), jnp.int32)
+        tbl_r = jnp.arange(1 << 21, dtype=jnp.int32)
+        t_probe = _min_time(_jax.jit(
+            lambda t, i: t[i].astype(jnp.int64).sum()), tbl_r, idx_r)
+        xs_r = jnp.asarray((np.arange(N_ROWS, dtype=np.int64) * 2654435761)
+                           % 1_000_003, jnp.int32)
+        t_sortpass = _min_time(_jax.jit(
+            lambda a: (jax_sort_chk(a))), xs_r)
+        log(f"rooflines: probe/gather {t_probe*1e3:.0f} ms, "
+            f"sort pass {t_sortpass*1e3:.0f} ms per {N_ROWS/1e6:.0f}M")
+    except Exception as e:
+        t_probe = t_sortpass = None
+        log(f"roofline measurement failed: {e}")
+
     try:
         t_agg = bench_query(s, "SELECT x % 1024 AS k, count() AS c, sum(x) "
                                 "FROM hits GROUP BY k ORDER BY c DESC LIMIT 10",
                             reps=3)
+        fr = f"; probe-roofline fraction {t_probe/t_agg:.3f}"             if t_probe else ""
         log(f"Q2 group-by(1k keys)+top10: {t_agg*1e3:.1f} ms "
-            f"({N_ROWS/t_agg/1e9:.2f} G rows/s)")
+            f"({N_ROWS/t_agg/1e9:.2f} G rows/s){fr}")
     except Exception as e:  # keep headline alive
         log(f"Q2 failed: {e}")
 
@@ -148,8 +189,9 @@ def main():
         t_agg2 = bench_query(s, "SELECT x AS k, count() AS c FROM hits "
                                  "GROUP BY k ORDER BY c DESC LIMIT 10 "
                                  "SETTINGS max_groups = 2097152", reps=2)
+        fr = f"; probe-roofline fraction {t_probe/t_agg2:.3f}"             if t_probe else ""
         log(f"Q2b group-by(1M keys, sort path)+top10: {t_agg2*1e3:.1f} ms "
-            f"({N_ROWS/t_agg2/1e9:.2f} G rows/s)")
+            f"({N_ROWS/t_agg2/1e9:.2f} G rows/s){fr}")
     except Exception as e:
         log(f"Q2b failed: {e}")
 
@@ -158,8 +200,9 @@ def main():
             raise TimeoutError("extras budget exhausted")
         t_sort = bench_query(s, "SELECT x FROM hits ORDER BY x LIMIT 100",
                              reps=3)
+        fr = f"; sort-pass-roofline fraction {t_sortpass/t_sort:.3f}"             if t_sortpass else ""
         log(f"Q3 top-100 of 100M: {t_sort*1e3:.1f} ms "
-            f"({N_ROWS/t_sort/1e9:.2f} G rows/s)")
+            f"({N_ROWS/t_sort/1e9:.2f} G rows/s){fr}")
     except Exception as e:
         log(f"Q3 failed: {e}")
 

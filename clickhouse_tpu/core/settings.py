@@ -84,6 +84,7 @@ class Settings:
     use_minmax_pruning: bool = True
     use_partition_pruning: bool = True
     optimize_move_to_prewhere: bool = True
+    optimize_use_projections: bool = True   # aggregate-projection rewrite
 
     # -- compilation ---------------------------------------------------------
     compile_queries: bool = True       # jit the whole plan into one XLA program

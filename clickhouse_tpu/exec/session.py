@@ -238,6 +238,12 @@ class Session:
                 self.catalog.drop_database(stmt.table, stmt.if_exists)
             else:
                 db = stmt.database or self.catalog.current_database
+                try:
+                    t = self.catalog.get_table(db, stmt.table)
+                    for pname in list(getattr(t, "projections", {}) or {}):
+                        self._drop_projection(db, stmt.table, pname)
+                except Exception:
+                    pass
                 self.catalog.drop_table(db, stmt.table, stmt.if_exists)
             return _status_result()
         if isinstance(stmt, ast.TruncateTable):
@@ -340,7 +346,7 @@ class Session:
                 subquery_executor=self._subquery_executor(settings),
                 user_name=getattr(self.current_user, "name", None))
             plan = analyzer.analyze(stmt)
-            plan = optimize_plan(plan, settings)
+            plan = optimize_plan(plan, settings, catalog=self.catalog)
             return plan
 
     def _subquery_executor(self, settings: Settings):
@@ -675,11 +681,30 @@ class Session:
             return _status_result()
         schema = [(c.name, dt.parse_type_name(c.type_name))
                   for c in stmt.columns]
+        if stmt.engine == "Buffer":
+            # Buffer(db, target, ...): reads and writes resolve to the
+            # target table (our synchronous model flushes instantly —
+            # reference: src/Storages/StorageBuffer.cpp)
+            args = list(getattr(stmt, "engine_args", []) or [])
+            if len(args) < 2:
+                raise AnalysisError("Buffer engine needs (db, table) args")
+            target = self.catalog.get_table(args[0], args[1])
+            dbo = self.catalog.databases.get(db)
+            if dbo is None:
+                raise UnknownTable(f"Unknown database '{db}'")
+            if stmt.table in dbo.tables and stmt.if_not_exists:
+                return _status_result()
+            dbo.tables[stmt.table] = target
+            return _status_result()
         t = Table(stmt.table, schema, stmt.engine,
                   order_by=[ast.format_expr(e) for e in (stmt.order_by or [])],
                   partition_by=(ast.format_expr(stmt.partition_by)
                                 if stmt.partition_by is not None else None))
         t.ttl_text = getattr(stmt, "ttl", None)
+        t.projections = {}
+        t.engine_args = list(getattr(stmt, "engine_args", []) or [])
+        if t.engine.startswith("Join") and t.engine_args:
+            t.join_key_col = t.engine_args[-1]
         for c in stmt.columns:
             if getattr(c, "codec", None):
                 from ..storage.codecs import parse_codec_spec
@@ -691,6 +716,9 @@ class Session:
         if stmt.engine.startswith("Replicated"):
             self._attach_replication(t, db, stmt)
         self.catalog.create_table(db, t, stmt.if_not_exists)
+        for pname, psel in getattr(stmt, "projections", []) or []:
+            self._add_projection(db, stmt.table, pname, psel,
+                                 backfill=False)
         if stmt.as_select is not None:
             data = self._execute_to_pydict(
                 self._plan(stmt.as_select, self.settings), self.settings)
@@ -745,6 +773,118 @@ class Session:
                                        stmt.to_table)
         return _status_result()
 
+    # -- projections (precomputed per-part aggregate states) ------------------
+    def _add_projection(self, db: str, table_name: str, name: str, sel,
+                        backfill: bool = True) -> None:
+        from ..storage.projections import (PROJ_DB, ProjectionDef,
+                                           parse_projection_select,
+                                           state_column_name, storage_name)
+        from ..exprs import aggregates as agg_reg
+        table = self.catalog.get_table(db, table_name)
+        keys, aggs = parse_projection_select(sel)
+        schema = []
+        for k in keys:
+            if k not in table.schema:
+                raise AnalysisError(f"Unknown PROJECTION key column '{k}'")
+            schema.append((k, table.schema[k]))
+        for fn, arg in aggs:
+            if not agg_reg.is_aggregate_name(fn):
+                raise AnalysisError(f"Unknown aggregate '{fn}' in "
+                                    "PROJECTION")
+            arg_types = []
+            if arg:
+                if arg not in table.schema:
+                    raise AnalysisError(
+                        f"Unknown PROJECTION column '{arg}'")
+                arg_types = [table.schema[arg]]
+            schema.append((state_column_name(fn, arg),
+                           dt.AggregateState(fn, arg_types)))
+        self.catalog.create_database(PROJ_DB, if_not_exists=True)
+        store = Table(storage_name(db, table_name, name), schema)
+        self.catalog.databases[PROJ_DB].tables[store.name] = store
+        if not hasattr(table, "projections") or table.projections is None:
+            table.projections = {}
+        table.projections[name] = ProjectionDef(name, keys, aggs, "")
+        if backfill and table.num_rows:
+            self._rebuild_projection(db, table_name, name)
+
+    def _drop_projection(self, db: str, table_name: str, name: str) -> None:
+        from ..storage.projections import PROJ_DB, storage_name
+        table = self.catalog.get_table(db, table_name)
+        getattr(table, "projections", {}).pop(name, None)
+        pdb = self.catalog.databases.get(PROJ_DB)
+        if pdb is not None:
+            pdb.tables.pop(storage_name(db, table_name, name), None)
+
+    def _projection_select_sql(self, pdef, src_db: str, src_tbl: str) -> str:
+        items = list(pdef.key_cols)
+        aliases = []
+        for i, (fn, arg) in enumerate(pdef.aggs):
+            items.append(f"{fn}State({arg}) AS __s{i}")
+            aliases.append(f"__s{i}")
+        return ("SELECT " + ", ".join(items)
+                + f" FROM {src_db}.{src_tbl}"
+                + (" GROUP BY " + ", ".join(pdef.key_cols)
+                   if pdef.key_cols else ""))
+
+    def _append_projection_rows(self, db, table_name, pdef, src_db, src_tbl):
+        from ..storage.projections import (PROJ_DB, state_column_name,
+                                           storage_name)
+        sql = self._projection_select_sql(pdef, src_db, src_tbl)
+        out = self._execute_to_pydict(
+            self._plan(parse(sql), self.settings), self.settings)
+        store = self.catalog.get_table(
+            PROJ_DB, storage_name(db, table_name, pdef.name))
+        renamed = {}
+        vals = list(out.values())
+        for i, k in enumerate(pdef.key_cols):
+            renamed[k] = vals[i]
+        for j, (fn, arg) in enumerate(pdef.aggs):
+            renamed[state_column_name(fn, arg)] = vals[len(pdef.key_cols) + j]
+        store.insert_pydict(_align_insert(renamed, store, None))
+
+    def _rebuild_projection(self, db: str, table_name: str,
+                            name: str) -> None:
+        from ..storage.projections import PROJ_DB, storage_name
+        table = self.catalog.get_table(db, table_name)
+        pdef = table.projections[name]
+        store = self.catalog.get_table(PROJ_DB,
+                                       storage_name(db, table_name, name))
+        store.truncate()
+        if table.num_rows:
+            self._append_projection_rows(db, table_name, pdef, db,
+                                         table_name)
+
+    def _update_projections(self, db: str, table_name: str,
+                            data: Dict[str, np.ndarray]) -> None:
+        """Append a partially-aggregated state slice per projection for the
+        freshly inserted rows (per-part projection parts analog)."""
+        try:
+            table = self.catalog.get_table(db, table_name)
+        except Exception:
+            return
+        projs = getattr(table, "projections", None)
+        if not projs:
+            return
+        tmp = f"__proj_in_{table_name}"
+        t = Table(tmp, table.schema_items())
+        t.insert_pydict(data)
+        self.catalog.databases["_files"].tables[tmp] = t
+        try:
+            for pdef in projs.values():
+                self._append_projection_rows(db, table_name, pdef,
+                                             "_files", tmp)
+        finally:
+            self.catalog.databases["_files"].tables.pop(tmp, None)
+
+    def _rebuild_all_projections(self, db: str, table_name: str) -> None:
+        try:
+            table = self.catalog.get_table(db, table_name)
+        except Exception:
+            return
+        for name in list(getattr(table, "projections", {}) or {}):
+            self._rebuild_projection(db, table_name, name)
+
     def _trigger_materialized_views(self, db: str, table_name: str,
                                     data: Dict[str, np.ndarray]) -> None:
         """Run insert-trigger pipelines: the new rows flow through each MV's
@@ -785,6 +925,7 @@ class Session:
             aligned = _align_insert(data, table, stmt.columns)
             table.insert_pydict(aligned)
             self._trigger_materialized_views(db, stmt.table, aligned)
+            self._update_projections(db, stmt.table, aligned)
             return _status_result()
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
@@ -798,6 +939,7 @@ class Session:
             aligned = _align_insert(data, table, names)
             table.insert_pydict(aligned)
             self._trigger_materialized_views(db, stmt.table, aligned)
+            self._update_projections(db, stmt.table, aligned)
             return _status_result()
         assert stmt.select is not None
         data = self._execute_to_pydict(
@@ -809,6 +951,7 @@ class Session:
         aligned = _align_insert(data, table, stmt.columns)
         table.insert_pydict(aligned)
         self._trigger_materialized_views(db, stmt.table, aligned)
+        self._update_projections(db, stmt.table, aligned)
         return _status_result()
 
     def _run_alter(self, stmt: ast.AlterTable) -> Result:
@@ -817,6 +960,20 @@ class Session:
         from ..sql import ast as A
         db = stmt.database or self.catalog.current_database
         table = self.catalog.get_table(db, stmt.table)
+
+        if stmt.action == "add_projection":
+            self._add_projection(db, stmt.table, stmt.projection[0],
+                                 stmt.projection[1])
+            return _status_result()
+        if stmt.action == "drop_projection":
+            self._drop_projection(db, stmt.table, stmt.projection[0])
+            return _status_result()
+        if stmt.action == "materialize_projection":
+            self._rebuild_projection(db, stmt.table, stmt.projection[0])
+            return _status_result()
+        if stmt.action == "modify_ttl":
+            table.ttl_text = stmt.ttl
+            return _status_result()
 
         if stmt.action == "add_column":
             col = stmt.column
@@ -877,6 +1034,7 @@ class Session:
         data = dict(zip(cols, data.values()))
         table.truncate()
         table.insert_pydict(_align_insert(data, table, None))
+        self._rebuild_all_projections(db, stmt.table)
         return _status_result()
 
     def _run_show(self, stmt: ast.ShowTables) -> Result:
@@ -1034,6 +1192,7 @@ class Session:
         db = database or self.catalog.current_database
         self.catalog.get_table(db, table).insert_pydict(data)
         self._trigger_materialized_views(db, table, data)
+        self._update_projections(db, table, data)
 
     def create_table_from_pydict(self, name: str,
                                  data: Dict[str, np.ndarray],

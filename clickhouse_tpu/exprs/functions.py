@@ -1907,6 +1907,147 @@ register("arrayReduce",
          _exec_array_reduce)
 
 
+
+# -- formatDateTime + JSON extraction ----------------------------------------
+
+_CH_STRFTIME = {
+    "%F": "%Y-%m-%d", "%T": "%H:%M:%S", "%D": "%m/%d/%y", "%R": "%H:%M",
+}
+
+
+def _exec_format_datetime(args, out_dtype):
+    """formatDateTime(t, 'fmt') via bounded-domain enumeration (the same
+    device-gather LUT scheme as toString of bounded ints).  Reference:
+    src/Functions/formatDateTime.cpp."""
+    import datetime as _dt_mod
+    a, f = args[0], args[1]
+    if f.dictionary is None:
+        raise TypeError_("formatDateTime needs a constant format string")
+    fmt = str(f.host if f.host is not None else f.dictionary.values[0])
+    for ch_spec, py_spec in _CH_STRFTIME.items():
+        fmt = fmt.replace(ch_spec, py_spec)
+    src_t = dt.remove_nullable(a.dtype)
+    is_date = src_t.name in ("Date", "Date32")
+
+    def render(v: int) -> str:
+        if is_date:
+            d = _dt_mod.date(1970, 1, 1) + _dt_mod.timedelta(days=int(v))
+            return d.strftime(fmt)
+        return _dt_mod.datetime.fromtimestamp(
+            int(v), _dt_mod.timezone.utc).strftime(fmt)
+
+    b = a.bounds
+    if b is None and a.is_const:
+        v = _const_int(a)
+        if v is not None:
+            b = (v, v)
+    if b is None or b[1] - b[0] >= (1 << 18):
+        raise NotImplementedError_(
+            "formatDateTime needs a bounded time domain (part minmax)")
+    lo, hi = int(b[0]), int(b[1])
+    texts = np.asarray([render(x) for x in range(lo, hi + 1)], object)
+    uniq, codes = np.unique(texts.astype(str), return_inverse=True)
+    lut = jnp.asarray(codes.astype(np.int32))
+    idx = jnp.clip(a.data.astype(jnp.int64) - lo, 0, hi - lo)
+    return ColVal(out_dtype, lut[idx], a.validity,
+                  Dictionary(uniq.astype(object)))
+
+
+register("formatDateTime",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _exec_format_datetime, case_insensitive=True)
+
+
+def _json_lut(extract):
+    """JSON functions run as dictionary LUTs (host json parse per distinct
+    document — JSON blobs are dictionary values like any string)."""
+    import json as _json
+
+    def host(s: str):
+        try:
+            doc = _json.loads(s) if s else None
+        except Exception:
+            doc = None
+        return extract(doc)
+    return host
+
+
+def _json_path(doc, keys):
+    for k in keys:
+        if isinstance(doc, dict):
+            doc = doc.get(k)
+        elif isinstance(doc, list) and isinstance(k, int)                 and 1 <= k <= len(doc):
+            doc = doc[k - 1]           # CH JSON indexing is 1-based
+        else:
+            return None
+    return doc
+
+
+def _exec_json(kind):
+    def ex(args, out_dtype):
+        keys = []
+        for k in args[1:]:
+            if k.dictionary is not None:
+                keys.append(str(k.host if k.host is not None
+                                else k.dictionary.values[0]))
+            else:
+                kv = _const_int(k)
+                if kv is None:
+                    raise TypeError_("JSON path arguments must be constant")
+                keys.append(kv)
+
+        def extract(doc):
+            v = _json_path(doc, keys)
+            if kind == "has":
+                return np.uint8(v is not None)
+            if kind == "length":
+                return np.uint64(len(v)) if isinstance(v, (list, dict))                     else np.uint64(0)
+            if kind == "int":
+                try:
+                    return np.int64(int(v))
+                except (TypeError, ValueError):
+                    return np.int64(0)
+            if kind == "float":
+                try:
+                    return np.float64(float(v))
+                except (TypeError, ValueError):
+                    return np.float64(0.0)
+            if kind == "bool":
+                return np.uint8(bool(v)) if isinstance(v, bool)                     else np.uint8(0)
+            if kind == "string":
+                if isinstance(v, str):
+                    return v
+                return "" if v is None else _json_dump(v)
+            return "" if v is None else _json_dump(v)   # raw
+
+        np_t = {"has": np.uint8, "length": np.uint64, "int": np.int64,
+                "float": np.float64, "bool": np.uint8}.get(kind, object)
+        return _string_fn_lut(_json_lut(extract), np_t)(args[:1], out_dtype)
+    return ex
+
+
+def _json_dump(v):
+    import json as _json
+    return _json.dumps(v, separators=(",", ":"))
+
+
+for _nm, _kind, _rt in [
+        ("JSONHas", "has", dt.UInt8),
+        ("JSONLength", "length", dt.UInt64),
+        ("JSONExtractInt", "int", dt.Int64),
+        ("JSONExtractUInt", "int", dt.Int64),
+        ("JSONExtractFloat", "float", dt.Float64),
+        ("JSONExtractBool", "bool", dt.UInt8),
+        ("JSONExtractString", "string", dt.String),
+        ("JSONExtractRaw", "raw", dt.String),
+        ("simpleJSONExtractString", "string", dt.String),
+        ("simpleJSONExtractInt", "int", dt.Int64),
+        ("simpleJSONHas", "has", dt.UInt8),
+]:
+    register(_nm, (lambda rt: lambda ts: rt.with_nullable(ts[0].nullable))(
+        _rt), _exec_json(_kind))
+
+
 def _resolve_finalize_agg(ts):
     st = dt.remove_nullable(ts[0])
     if not dt.is_agg_state(st):

@@ -924,6 +924,8 @@ class Analyzer:
                 return self._bind_in(e, scope)
             if e.name.lower() in ("dictget", "dictgetordefault", "dicthas"):
                 return self._bind_dict_get(e, scope)
+            if e.name.lower() == "joinget":
+                return self._bind_join_get(e, scope)
             if e.name == "CAST":
                 return self._bind_cast(e, scope)
             if e.name.lower() == "exists":
@@ -1075,9 +1077,64 @@ class Analyzer:
             values = self._materialize_subquery_column(rhs)
         elif isinstance(rhs, ast.Literal):
             values = np.asarray([rhs.value], dtype=object)
+        elif isinstance(rhs, ast.Identifier) \
+                and scope.resolve(rhs.parts) is None:
+            # `x IN table_name` (Set-engine tables & friends): the table's
+            # first column becomes the membership set
+            # (reference: StorageSet / interpreting IN with a table)
+            parts = rhs.parts
+            tdb = self.catalog.current_database if len(parts) == 1 \
+                else parts[0]
+            tname = parts[-1]
+            q = ast.Select(items=[ast.SelectItem(ast.Star())],
+                           from_=ast.TableRef(tdb, tname))
+            values = self._materialize_subquery_column(ast.Subquery(q))
         else:
             raise NotImplementedError_("Unsupported IN right-hand side")
         return BoundInList(lhs, values, negated, dt.UInt8)
+
+    def _bind_join_get(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
+        """joinGet('join_table', 'value_col', key) — lookup into a
+        Join-engine table (reference: StorageJoin + FunctionJoinGet); the
+        table's rows become a device-constant sorted lookup like dictGet."""
+        from ..exprs.expr import BoundDictGet
+        if len(e.args) != 3 \
+                or not isinstance(e.args[0], ast.Literal) \
+                or not isinstance(e.args[1], ast.Literal):
+            raise AnalysisError(
+                "joinGet('table', 'column', key) expects literal names")
+        tref = str(e.args[0].value)
+        col = str(e.args[1].value)
+        tdb = self.catalog.current_database
+        tname = tref
+        if "." in tref:
+            tdb, tname = tref.split(".", 1)
+        table = self.catalog.get_table(tdb, tname)
+        key_col = getattr(table, "join_key_col", None)
+        if key_col is None:
+            args = [a for a in getattr(table, "engine_args", []) or []]
+            key_col = args[-1] if args else None
+        if key_col is None or key_col not in table.schema:
+            raise AnalysisError(
+                f"'{tname}' is not a Join-engine table with a key column")
+        if col not in table.schema:
+            raise AnalysisError(f"Unknown column '{col}' in '{tname}'")
+        kt = table.schema[key_col]
+        if kt.is_dictionary or kt.np_dtype.kind not in ("i", "u"):
+            raise NotImplementedError_(
+                "joinGet requires an integer join key")
+        keys_np = np.concatenate(
+            [np.asarray(p.columns[key_col]) for p in table.parts]) \
+            if table.parts else np.zeros(0, np.int64)
+        vals_np = np.concatenate(
+            [np.asarray(p.columns[col], object) for p in table.parts]) \
+            if table.parts else np.zeros(0, object)
+        order = np.argsort(keys_np.astype(np.int64), kind="stable")
+        vt = table.schema[col]
+        default = "" if vt.is_dictionary else 0
+        key = self.bind(e.args[2], scope, allow_agg=False)
+        return BoundDictGet(key, keys_np.astype(np.int64)[order],
+                            vals_np[order], default, vt)
 
     def _bind_dict_get(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
         from ..exprs.expr import BoundDictGet

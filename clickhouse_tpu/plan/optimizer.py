@@ -34,12 +34,183 @@ def expr_column_refs(e: BoundExpr, out: Optional[Set[str]] = None) -> Set[str]:
     return out
 
 
-def optimize_plan(plan: L.PlanNode, settings: Settings) -> L.PlanNode:
+def optimize_plan(plan: L.PlanNode, settings: Settings,
+                  catalog=None) -> L.PlanNode:
     plan = _fuse_filters(plan)
+    if catalog is not None and getattr(settings, "optimize_use_projections",
+                                       True):
+        plan = _apply_projections(plan, catalog)
     _push_limit_into_numbers(plan)
     needed = {f.id for f in plan.schema}
     _prune_columns(plan, needed)
     return plan
+
+
+# -- aggregate-projection rewrite ---------------------------------------------
+# (optimizeUseAggregateProjection.cpp analog): an AggregateNode over a plain
+# scan (optionally filtered on projection key columns) whose keys are a
+# subset of a projection's GROUP BY and whose aggregates all appear in the
+# projection scans the hidden STATE table and -Merges instead — exact at any
+# key granularity because states merge.
+
+_PROJ_SEQ = [0]
+
+
+def _proj_fresh_id() -> str:
+    _PROJ_SEQ[0] += 1
+    return f"#prj{_PROJ_SEQ[0]}"
+
+
+def _bound_columns(e, out):
+    from ..exprs.expr import BoundColumn
+    if isinstance(e, BoundColumn):
+        out.add(e.name)
+    for c in e.children():
+        _bound_columns(c, out)
+
+
+def _remap_bound(e, mapping):
+    """Clone a BoundExpr tree with BoundColumn ids rewritten."""
+    import dataclasses as _dc
+    from ..exprs.expr import BoundColumn
+    if isinstance(e, BoundColumn):
+        nid = mapping.get(e.name)
+        return BoundColumn(nid, e.dtype) if nid is not None else e
+    kids = list(e.children())
+    if not kids:
+        return e
+    for f in _dc.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, list) and v and v is not None                 and all(hasattr(x, "dtype") or hasattr(x, "children")
+                        for x in v if x is not None):
+            try:
+                e = _dc.replace(e, **{f.name: [
+                    _remap_bound(x, mapping) if hasattr(x, "children")
+                    else x for x in v]})
+            except TypeError:
+                pass
+        elif hasattr(v, "children") and hasattr(v, "dtype"):
+            try:
+                e = _dc.replace(e, **{f.name: _remap_bound(v, mapping)})
+            except TypeError:
+                pass
+    return e
+
+
+def _apply_projections(plan: L.PlanNode, catalog) -> L.PlanNode:
+    import dataclasses as _dc
+
+    def rw(node):
+        for f in _dc.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, L.PlanNode):
+                object.__setattr__(node, f.name, rw(v))
+            elif isinstance(v, list) and v                     and isinstance(v[0], L.PlanNode):
+                object.__setattr__(node, f.name, [rw(x) for x in v])
+        if isinstance(node, L.AggregateNode):
+            r = _try_projection_rewrite(node, catalog)
+            if r is not None:
+                return r
+        return node
+
+    return rw(plan)
+
+
+def _try_projection_rewrite(agg: L.AggregateNode, catalog):
+    from ..exprs.expr import BoundColumn
+    child = agg.child
+    filt = None
+    scan = child
+    if isinstance(child, L.FilterNode):
+        filt = child.predicate
+        scan = child.child
+    if not isinstance(scan, L.ScanNode) or scan.final:
+        return None
+    try:
+        table = catalog.get_table(scan.database, scan.table)
+    except Exception:
+        return None
+    projs = getattr(table, "projections", None)
+    if not projs:
+        return None
+    col_of = {f.id: n for f, n in zip(scan.schema, scan.column_names)}
+    type_of = {n: f.dtype for f, n in zip(scan.schema, scan.column_names)}
+    key_cols = []
+    for _, ke in agg.keys:
+        if isinstance(ke, BoundColumn) and ke.name in col_of:
+            key_cols.append(col_of[ke.name])
+        else:
+            return None
+    filt_cols = set()
+    if filt is not None:
+        ids = set()
+        _bound_columns(filt, ids)
+        for i in ids:
+            c = col_of.get(i)
+            if c is None:
+                return None
+            filt_cols.add(c)
+    sigs = []
+    for item in agg.aggregates:
+        if item.cond is not None:
+            return None
+        fn = getattr(item.fn, "name", "").lower()
+        if not item.args:
+            sigs.append((fn, ""))
+        elif len(item.args) == 1 and isinstance(item.args[0], BoundColumn)                 and item.args[0].name in col_of:
+            sigs.append((fn, col_of[item.args[0].name]))
+        else:
+            return None
+    for pdef in projs.values():
+        if not (set(key_cols) <= set(pdef.key_cols)
+                and filt_cols <= set(pdef.key_cols)
+                and all(s in pdef.aggs for s in sigs)):
+            continue
+        return _build_projection_scan(agg, filt, scan, table, pdef,
+                                      key_cols, sigs, type_of, col_of)
+    return None
+
+
+def _build_projection_scan(agg, filt, scan, table, pdef, key_cols, sigs,
+                           type_of, col_of):
+    from ..core import dtypes as dt
+    from ..exprs.aggregates import make_merge_for_dtype
+    from ..exprs.expr import BoundColumn
+    from ..storage.projections import PROJ_DB, state_column_name, \
+        storage_name
+    store_name = storage_name(scan.database, scan.table, pdef.name)
+    # fresh fields for the projection-store scan
+    names = list(pdef.key_cols) + [state_column_name(f, a)
+                                   for f, a in pdef.aggs]
+    fields = []
+    for nm in pdef.key_cols:
+        fields.append(L.Field(_proj_fresh_id(), nm, type_of[nm]))
+    state_fields = {}
+    for f, a in pdef.aggs:
+        sd = dt.AggregateState(f, [type_of[a]] if a else [])
+        fld = L.Field(_proj_fresh_id(), state_column_name(f, a), sd)
+        fields.append(fld)
+        state_fields[(f, a)] = fld
+    scan2 = L.ScanNode(PROJ_DB, store_name, fields, names)
+    plan2: L.PlanNode = scan2
+    key_id_of = {nm: f.id for nm, f in zip(pdef.key_cols, fields)}
+    if filt is not None:
+        mapping = {old_id: key_id_of[c] for old_id, c in col_of.items()
+                   if c in key_id_of}
+        plan2 = L.FilterNode(plan2, _remap_bound(filt, mapping),
+                             scan2.schema)
+    new_keys = []
+    for (kf, ke) in agg.keys:
+        c = col_of[ke.name]
+        new_keys.append((kf, BoundColumn(key_id_of[c], kf.dtype)))
+    new_items = []
+    for item, sig in zip(agg.aggregates, sigs):
+        fld = state_fields[sig]
+        merge_fn = make_merge_for_dtype(fld.dtype)
+        new_items.append(L.AggregateItem(
+            item.field, merge_fn, [BoundColumn(fld.id, fld.dtype)]))
+    return L.AggregateNode(plan2, new_keys, new_items, agg.schema,
+                           with_totals=agg.with_totals, mode=agg.mode)
 
 
 def _push_limit_into_numbers(node: L.PlanNode) -> None:

@@ -195,6 +195,8 @@ class CreateTable:
     if_not_exists: bool = False
     as_select: Optional[Union[Select, "Union"]] = None
     ttl: Optional[str] = None          # table-level TTL expression text
+    # PROJECTION name (SELECT ... GROUP BY ...) declarations
+    projections: List[tuple] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -311,11 +313,14 @@ class GrantRevoke:
 class AlterTable:
     database: Optional[str]
     table: str
-    action: str                    # delete|update|add_column|drop_column
+    action: str      # delete|update|add_column|drop_column|add_projection|
+                     # drop_projection|materialize_projection|modify_ttl
     predicate: Optional[Expr] = None
     updates: Optional[List[Tuple[str, Expr]]] = None
     column: Optional[ColumnDef] = None
     column_name: Optional[str] = None
+    projection: Optional[tuple] = None      # (name, select_ast or None)
+    ttl: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -574,8 +574,18 @@ class Parser:
         ine = self._if_not_exists()
         db, tbl = self.parse_table_name()
         cols: List[ast.ColumnDef] = []
+        ct_projections: List[tuple] = []
         if self.accept_op("("):
             while True:
+                if self.accept_kw("PROJECTION"):
+                    pname = self.expect_word()
+                    self.expect_op("(")
+                    psel = self.parse_select_union()
+                    self.expect_op(")")
+                    ct_projections.append((pname, psel))
+                    if not self.accept_op(","):
+                        break
+                    continue
                 if self.accept_kw("INDEX"):
                     # skip index: INDEX name expr TYPE kind(...) GRANULARITY n
                     while self.tok.kind != "end" \
@@ -624,6 +634,7 @@ class Parser:
                     break
             self.expect_op(")")
         ct = ast.CreateTable(db, tbl, cols, if_not_exists=ine)
+        ct.projections = ct_projections
         if temporary:
             ct.engine = "Memory"
         if self.accept_kw("ENGINE"):
@@ -644,7 +655,8 @@ class Parser:
                         if depth == 0:
                             break
                     else:
-                        if t.kind == "string" and depth == 1:
+                        if depth == 1 and t.kind in ("string", "word",
+                                                     "number"):
                             args.append(t.text)
                         self.advance()
                 ct.engine_args = args
@@ -830,6 +842,14 @@ class Parser:
             return ast.AlterTable(db, tbl, "update", updates=updates,
                                   predicate=self.parse_expr())
         if self.accept_kw("ADD"):
+            if self.accept_kw("PROJECTION"):
+                pname = self.expect_word()
+                self.expect_op("(")
+                psel = self.parse_select_union()
+                self.expect_op(")")
+                a = ast.AlterTable(db, tbl, "add_projection")
+                a.projection = (pname, psel)
+                return a
             self.expect_kw("COLUMN")
             self.accept_kw("IF")  # IF NOT EXISTS tolerated
             self.accept_kw("NOT")
@@ -842,11 +862,25 @@ class Parser:
             return ast.AlterTable(db, tbl, "add_column",
                                   column=ast.ColumnDef(cname, ctype, default))
         if self.accept_kw("DROP"):
+            if self.accept_kw("PROJECTION"):
+                a = ast.AlterTable(db, tbl, "drop_projection")
+                a.projection = (self.expect_word(), None)
+                return a
             self.expect_kw("COLUMN")
             self.accept_kw("IF")
             self.accept_kw("EXISTS")
             return ast.AlterTable(db, tbl, "drop_column",
                                   column_name=self.expect_word())
+        if self.accept_kw("MATERIALIZE"):
+            self.expect_kw("PROJECTION")
+            a = ast.AlterTable(db, tbl, "materialize_projection")
+            a.projection = (self.expect_word(), None)
+            return a
+        if self.accept_kw("MODIFY"):
+            if self.accept_kw("TTL"):
+                a = ast.AlterTable(db, tbl, "modify_ttl")
+                a.ttl = ast.format_expr(self.parse_expr())
+                return a
         raise ParseError(f"Unsupported ALTER action at {self.tok.pos}")
 
     def parse_grant(self):

@@ -218,3 +218,36 @@ class TestTTL:
         s.execute("INSERT INTO nv VALUES (1), (2)")
         s.execute("OPTIMIZE TABLE nv")
         assert s.execute("SELECT count() FROM nv").scalar() == 2
+
+
+class TestSpecialEngines:
+    """Set / Join / Buffer engines (StorageSet/StorageJoin/StorageBuffer)."""
+
+    def test_set_engine_in(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE st (x Int64) ENGINE = Set")
+        s.execute("INSERT INTO st VALUES (2), (4)")
+        assert s.execute("SELECT number FROM numbers(6) "
+                         "WHERE number IN st").rows() == [(2,), (4,)]
+        assert s.execute("SELECT count() FROM numbers(6) "
+                         "WHERE number NOT IN st").scalar() == 4
+
+    def test_join_engine_joinget(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE jt (k Int64, name String, w Int64) "
+                  "ENGINE = Join(ANY, LEFT, k)")
+        s.execute("INSERT INTO jt VALUES (1, 'one', 100), (2, 'two', 200)")
+        got = s.execute("SELECT joinGet('jt', 'name', number), "
+                        "joinGet('jt', 'w', number) FROM numbers(3)").rows()
+        assert got == [("", 0), ("one", 100), ("two", 200)]
+
+    def test_buffer_engine_flushes_to_target(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE dst (x Int64)")
+        s.execute("CREATE TABLE buf (x Int64) ENGINE = Buffer(default, dst, "
+                  "16, 10, 100, 10000, 1000000, 10000000, 100000000)")
+        s.execute("INSERT INTO buf VALUES (1), (2)")
+        assert s.execute("SELECT count() FROM dst").scalar() == 2
+        assert s.execute("SELECT sum(x) FROM buf").scalar() == 3
+        s.execute("DROP TABLE buf")          # dropping the buffer keeps data
+        assert s.execute("SELECT count() FROM dst").scalar() == 2
