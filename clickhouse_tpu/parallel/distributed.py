@@ -50,7 +50,7 @@ except ImportError:                    # pragma: no cover
         return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_rep=False)
 
-__all__ = ["DistributedSession", "build_sharded_layout", "make_mesh"]
+__all__ = ["DistributedSession", "make_mesh"]
 
 AXIS = "shards"
 
@@ -59,70 +59,6 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
-
-
-def build_sharded_layout(table: Table, n_shards: int
-                         ) -> Tuple[Dict[str, np.ndarray], np.ndarray, int]:
-    """Host-side hash partitioning of a table's rows.
-
-    Returns (column -> global np array laid out [shard0 rows | pad | shard1
-    rows | pad | ...], row_valid mask, per_shard_capacity).  The sharding key
-    is the table's first ORDER BY column (the reference's Distributed engine
-    takes an explicit sharding expression; same idea).
-    """
-    cols: Dict[str, np.ndarray] = {}
-    for name in table.schema:
-        pieces = [p.columns[name] for p in table.parts]
-        if pieces:
-            if table.schema[name].is_dictionary:
-                cols[name] = np.concatenate(
-                    [np.asarray(p, object) for p in pieces])
-            else:
-                cols[name] = np.concatenate(pieces)
-        else:
-            st = table.schema[name]
-            cols[name] = np.zeros(0, object if st.is_dictionary else st.np_dtype)
-    total = table.num_rows
-
-    shard_key = None
-    for cand in table.order_by:
-        if cand in cols:
-            shard_key = cand
-            break
-    if shard_key is not None and total:
-        kv = cols[shard_key]
-        if kv.dtype == object:
-            assign = np.asarray([hash(str(x)) for x in kv]) % n_shards
-        else:
-            # match the device-side splitmix64 routing so co-partitioned
-            # operations can skip shuffles later
-            assign = (_splitmix64_np(kv.astype(np.uint64)) % n_shards)
-        assign = assign.astype(np.int64)
-    else:
-        assign = np.arange(total, dtype=np.int64) % n_shards
-
-    counts = np.bincount(assign, minlength=n_shards) if total else \
-        np.zeros(n_shards, np.int64)
-    per_cap = pad_to(int(counts.max()) if total else 1)
-    order = np.argsort(assign, kind="stable")
-
-    out: Dict[str, np.ndarray] = {}
-    valid = np.zeros(n_shards * per_cap, np.uint8)
-    starts = np.cumsum(counts) - counts
-    pos = np.arange(total) - starts[assign[order]] if total else \
-        np.zeros(0, np.int64)
-    slots = assign[order] * per_cap + pos
-    valid[slots.astype(np.int64)] = 1
-    for name, vals in cols.items():
-        if vals.dtype == object:
-            g = np.zeros(n_shards * per_cap, object)
-            g[:] = ""
-        else:
-            g = np.zeros(n_shards * per_cap, vals.dtype)
-        if total:
-            g[slots.astype(np.int64)] = vals[order]
-        out[name] = g
-    return out, valid, per_cap
 
 
 def _splitmix64_np(x: np.ndarray) -> np.ndarray:
@@ -160,7 +96,7 @@ class DistributedSession(Session):
         key = (db, name, t.version)
         blk = self._sharded_cache.get(key)
         if blk is None:
-            cols_np, valid_np, per_cap = build_sharded_layout(t, self.n_shards)
+            cols_np, valid_np, per_cap = self._layout_incremental(db, name, t)
             spec = NamedSharding(self.mesh, P(self.axis))
             cols: Dict[str, Column] = {}
             from ..core.column import column_from_numpy
@@ -176,6 +112,90 @@ class DistributedSession(Session):
             blk = Block(cols, int(valid_np.sum()))
             self._sharded_cache = {key: blk}   # keep one layout alive
         return blk
+
+    # -- incremental sharding (DistributedSink analog) -----------------------
+    # Appends shard only the NEW parts' rows (hash + bucket once per row
+    # ever) instead of re-laying-out the whole table per insert
+    # (reference: src/Storages/Distributed/DistributedSink.cpp routes each
+    # insert block to per-shard queues).
+
+    def _layout_incremental(self, db: str, name: str, t: Table):
+        states = getattr(self, "_layout_states", None)
+        if states is None:
+            states = self._layout_states = {}
+        st = states.get((db, name))
+        part_ids = [id(p) for p in t.parts]
+        if st is not None and len(part_ids) >= len(st["part_ids"]) \
+                and part_ids[:len(st["part_ids"])] == st["part_ids"]:
+            new_parts = t.parts[len(st["part_ids"]):]
+        else:
+            st = {"part_ids": [], "chunks": [
+                {n: [] for n in t.schema} for _ in range(self.n_shards)],
+                "rr": 0}
+            new_parts = t.parts
+        if new_parts:
+            self._shard_parts_into(st, new_parts, t)
+        st["part_ids"] = part_ids
+        states[(db, name)] = st
+        return self._assemble_layout(st, t)
+
+    def _shard_parts_into(self, st, parts, t: Table) -> None:
+        shard_key = next((c for c in t.order_by if c in t.schema), None)
+        for p in parts:
+            n = p.num_rows
+            if not n:
+                continue
+            if shard_key is not None:
+                kv = np.asarray(p.columns[shard_key])
+                if kv.dtype == object:
+                    assign = np.asarray(
+                        [hash(str(x)) for x in kv]) % self.n_shards
+                else:
+                    assign = _splitmix64_np(
+                        kv.astype(np.uint64)) % self.n_shards
+                assign = assign.astype(np.int64)
+            else:
+                assign = (np.arange(n, dtype=np.int64)
+                          + st["rr"]) % self.n_shards
+                st["rr"] += n
+            order = np.argsort(assign, kind="stable")
+            counts = np.bincount(assign, minlength=self.n_shards)
+            off = 0
+            for s in range(self.n_shards):
+                c = int(counts[s])
+                if not c:
+                    continue
+                sel = order[off:off + c]
+                off += c
+                for cname in t.schema:
+                    st["chunks"][s][cname].append(
+                        np.asarray(p.columns[cname])[sel])
+
+    def _assemble_layout(self, st, t: Table):
+        counts = [sum(len(ch) for ch in st["chunks"][s][next(iter(t.schema))])
+                  if t.schema else 0 for s in range(self.n_shards)]
+        per_cap = pad_to(max(counts) if any(counts) else 1)
+        total_cap = self.n_shards * per_cap
+        valid = np.zeros(total_cap, np.uint8)
+        for s, c in enumerate(counts):
+            valid[s * per_cap:s * per_cap + c] = 1
+        out = {}
+        for cname, ctype in t.schema.items():
+            if ctype.is_dictionary:
+                g = np.empty(total_cap, object)
+                g[:] = ""
+            else:
+                g = np.zeros(total_cap, ctype.np_dtype)
+            for s in range(self.n_shards):
+                chunks = st["chunks"][s][cname]
+                if chunks:
+                    merged = np.concatenate(
+                        [np.asarray(ch, object if ctype.is_dictionary
+                                    else None) for ch in chunks]) \
+                        if len(chunks) > 1 else np.asarray(chunks[0])
+                    g[s * per_cap:s * per_cap + len(merged)] = merged
+            out[cname] = g
+        return out, valid, per_cap
 
     # -- execution override --------------------------------------------------
     def _collect_table_blocks(self, plan, out=None):

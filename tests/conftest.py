@@ -18,3 +18,11 @@ import jax  # noqa: E402
 # update (applied after import) is what actually redirects tests to CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Watchdog: when CHTPU_WATCHDOG is set, dump all thread stacks to stderr
+# every N seconds — identifies tests that grind without failing.
+if os.environ.get("CHTPU_WATCHDOG"):
+    import faulthandler
+    import sys
+    faulthandler.dump_traceback_later(
+        int(os.environ["CHTPU_WATCHDOG"]), repeat=True, file=sys.stderr)

@@ -186,3 +186,24 @@ def test_scaling_smoke(sessions):
     blk = dist._sharded_block("default", "t")
     data = blk["k"].data
     assert len(data.sharding.device_set) == N_DEV
+
+
+def test_incremental_insert_no_relayout(sessions):
+    """Appending inserts shard only the new rows (DistributedSink-style
+    per-shard queues): previously sharded chunks are reused by identity."""
+    _, dist = sessions
+    dist.execute("CREATE TABLE inc (k Int64, v Int64) "
+                 "ENGINE = Distributed ORDER BY k")
+    dist.insert_pydict("inc", {"k": np.arange(100, dtype=np.int64),
+                               "v": np.ones(100, np.int64)})
+    assert dist.execute("SELECT count() FROM inc").scalar() == 100
+    st = dist._layout_states[("default", "inc")]
+    chunk0 = st["chunks"][0]["k"]
+    ids_before = [id(c) for c in chunk0]
+    dist.insert_pydict("inc", {"k": np.arange(100, 180, dtype=np.int64),
+                               "v": np.full(80, 2, np.int64)})
+    assert dist.execute("SELECT count(), sum(v) FROM inc").rows() \
+        == [(180, 260)]
+    st2 = dist._layout_states[("default", "inc")]
+    assert [id(c) for c in st2["chunks"][0]["k"][:len(ids_before)]] \
+        == ids_before          # old chunks untouched, new appended
