@@ -68,6 +68,10 @@ class DType:
     # arena-allocated variable states become fixed-width byte rows here).
     # (fn_name, (arg type names...), (params...))
     agg_state: Optional[tuple] = None
+    # Tuple(T1, T2, ...): evaluation-time composite — a ColVal carries one
+    # sub-ColVal per element (reference: ColumnTuple is a struct-of-columns,
+    # src/Columns/ColumnTuple.h — same layout, expressed as nesting)
+    tuple_types: Optional[tuple] = None     # element type names
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -195,6 +199,19 @@ def AggregateState(fn_name: str, arg_types, params=()) -> DType:
     body = ", ".join([head] + list(arg_names))
     return DType(f"AggregateFunction({body})", "uint8",
                  agg_state=(fn_name, arg_names, tuple(params or ())))
+
+
+def Tuple(element_types) -> DType:
+    names = tuple(str(t) for t in element_types)
+    return DType(f"Tuple({', '.join(names)})", "int8", tuple_types=names)
+
+
+def tuple_inner(t: DType):
+    return [parse_type_name(n) for n in t.tuple_types]
+
+
+def is_tuple(t: DType) -> bool:
+    return t.tuple_types is not None
 
 
 def is_agg_state(t: DType) -> bool:
@@ -339,6 +356,9 @@ def parse_type_name(name: str) -> DType:
     inner = _strip_call(name, "Array")
     if inner is not None:
         return Array(parse_type_name(inner))
+    inner = _strip_call(name, "Tuple")
+    if inner is not None:
+        return Tuple([parse_type_name(p) for p in _split_args(inner)])
     inner = _strip_call(name, "AggregateFunction")
     if inner is not None:
         parts = _split_args(inner)

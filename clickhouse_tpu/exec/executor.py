@@ -1815,6 +1815,25 @@ def materialize(block: ExecBlock, schema: List[L.Field],
     for f in schema:
         cv = block.cols[f.id].broadcast(block.capacity)
         data = np.asarray(jax.device_get(cv.data))[valid_np]
+        if cv.dtype.tuple_types is not None and cv.sub is not None:
+            # Tuple output: render per-row python tuples from sub-columns
+            subs = []
+            for scv in cv.sub:
+                tmp = ExecBlock({"x": scv}, block.valid, block.capacity)
+                fld = L.Field("x", "x", scv.dtype)
+                subs.append(materialize(tmp, [fld],
+                                        ExecContext({}, ctx.settings))["x"])
+            rows = np.empty(len(subs[0]) if subs else 0, object)
+            for i in range(len(rows)):
+                rows[i] = tuple(s[i] for s in subs)
+            name = f.display
+            if name in out:
+                k = 1
+                while f"{name}_{k}" in out:
+                    k += 1
+                name = f"{name}_{k}"
+            out[name] = rows
+            continue
         if cv.dtype.agg_state is not None:
             rows = np.empty(len(data), object)
             for i in range(len(data)):

@@ -436,6 +436,21 @@ class Session:
             self.profile_events["QueryCacheMisses"] = \
                 self.profile_events.get("QueryCacheMisses", 0) + 1
             return res
+        if settings.compile_queries:
+            # Tuple outputs are composite ColVals that cannot flatten into
+            # the compiled leaves pytree: run those plans eagerly
+            try:
+                plan_probe = self._plan(stmt, settings)
+                if any(f.dtype.tuple_types is not None
+                       for f in plan_probe.schema):
+                    cols, ctx = self._execute(plan_probe, settings)
+                    types = [(f.display, str(f.dtype))
+                             for f in plan_probe.schema]
+                    return Result(cols, types,
+                                  rows_read=ctx.profile.get(
+                                      "rows_scanned", 0))
+            except EngineError:
+                raise
         streamed = None
         if settings.compile_queries and self._streaming_enabled:
             from .streaming import try_streaming

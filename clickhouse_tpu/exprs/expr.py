@@ -46,6 +46,8 @@ class ColVal:
     # host-side python value(s) for constants (set for literals so trace-time
     # consumers — transform, IN, range — can read them under jit)
     host: Any = None
+    # Tuple values: one ColVal per element (struct-of-columns)
+    sub: Optional[list] = None
 
     @property
     def is_const(self) -> bool:
@@ -71,7 +73,7 @@ class ColVal:
                 and lengths is self.lengths:
             return self
         return ColVal(self.dtype, data, v, self.dictionary, self.bounds,
-                      lengths)
+                      lengths, sub=self.sub)
 
 
 def colval_from_column(col: Column) -> ColVal:

@@ -520,9 +520,11 @@ def _dict_rank_lut(d: Dictionary) -> jnp.ndarray:
     return jnp.asarray(rank)
 
 
-def _cmp_exec(op, code_op=None):
+def _cmp_exec(op, code_op=None, name=None):
     def ex(args, out_dtype):
         a, b = args
+        if a.sub is not None and b.sub is not None:
+            return _tuple_cmp(name, a, b, out_dtype)
         if a.dtype.is_dictionary and b.dtype.is_dictionary:
             ca, cb, merged = _string_codes_common(a, b)
             if code_op is not None:        # equality: codes suffice
@@ -579,12 +581,16 @@ def _cmp_exec(op, code_op=None):
     return ex
 
 
-register("equals", _resolve_cmp, _cmp_exec(jnp.equal, jnp.equal))
-register("notEquals", _resolve_cmp, _cmp_exec(jnp.not_equal, jnp.not_equal))
-register("less", _resolve_cmp, _cmp_exec(jnp.less))
-register("greater", _resolve_cmp, _cmp_exec(jnp.greater))
-register("lessOrEquals", _resolve_cmp, _cmp_exec(jnp.less_equal))
-register("greaterOrEquals", _resolve_cmp, _cmp_exec(jnp.greater_equal))
+register("equals", _resolve_cmp,
+         _cmp_exec(jnp.equal, jnp.equal, name="equals"))
+register("notEquals", _resolve_cmp,
+         _cmp_exec(jnp.not_equal, jnp.not_equal, name="notEquals"))
+register("less", _resolve_cmp, _cmp_exec(jnp.less, name="less"))
+register("greater", _resolve_cmp, _cmp_exec(jnp.greater, name="greater"))
+register("lessOrEquals", _resolve_cmp,
+         _cmp_exec(jnp.less_equal, name="lessOrEquals"))
+register("greaterOrEquals", _resolve_cmp,
+         _cmp_exec(jnp.greater_equal, name="greaterOrEquals"))
 
 
 # -- logical -----------------------------------------------------------------
@@ -2046,6 +2052,80 @@ for _nm, _kind, _rt in [
 ]:
     register(_nm, (lambda rt: lambda ts: rt.with_nullable(ts[0].nullable))(
         _rt), _exec_json(_kind))
+
+
+
+# -- Tuple values -------------------------------------------------------------
+# tuple(a, b, ...) evaluates to a composite ColVal carrying sub-ColVals
+# (ColumnTuple analog); comparisons expand lexicographically; tupleElement
+# selects a member.  Tuples exist at evaluation time and in results (not as
+# storage columns yet).
+
+def _resolve_tuple(ts):
+    return dt.Tuple(ts)
+
+
+def _exec_tuple(args, out_dtype):
+    cap = max((a.data.shape[0] for a in args
+               if getattr(a.data, "ndim", 0)), default=1)
+    return ColVal(out_dtype, jnp.zeros((), jnp.int8), None, sub=list(args))
+
+
+register("tuple", _resolve_tuple, _exec_tuple, case_insensitive=True)
+
+
+def _resolve_tuple_element(ts):
+    if not dt.is_tuple(ts[0]):
+        raise TypeError_("tupleElement expects a Tuple")
+    return dt.parse_type_name(ts[0].tuple_types[0])   # refined at exec
+
+
+def _exec_tuple_element(args, out_dtype):
+    t, idx = args
+    if t.sub is None:
+        raise TypeError_("tupleElement expects a Tuple value")
+    i = _const_int(idx)
+    if i is None or not (1 <= i <= len(t.sub)):
+        raise TypeError_("tupleElement index must be a constant in range")
+    return t.sub[i - 1]
+
+
+register("tupleElement", _resolve_tuple_element, _exec_tuple_element,
+         case_insensitive=True)
+
+
+def _tuple_cmp(op_name, a, b, out_dtype):
+    """Lexicographic tuple comparison via pairwise expansion."""
+    if len(a.sub) != len(b.sub):
+        raise TypeError_("Cannot compare tuples of different sizes")
+    eq = get("equals")
+    u8 = dt.UInt8
+    if op_name in ("equals", "notEquals"):
+        acc = None
+        for x, y in zip(a.sub, b.sub):
+            e = eq.execute([x, y], u8)
+            acc = e if acc is None else ColVal(
+                u8, acc.data.astype(jnp.bool_) & e.data.astype(jnp.bool_),
+                _and_validity([acc, e]))
+        data = acc.data.astype(jnp.bool_)
+        if op_name == "notEquals":
+            data = jnp.logical_not(data)
+        return ColVal(out_dtype, data.astype(jnp.uint8), acc.validity)
+    strict = get("less" if op_name in ("less", "lessOrEquals") else "greater")
+    result = None                       # running lexicographic verdict
+    undecided = None
+    for x, y in zip(a.sub, b.sub):
+        lt = strict.execute([x, y], u8).data.astype(jnp.bool_)
+        e = eq.execute([x, y], u8).data.astype(jnp.bool_)
+        if result is None:
+            result = lt
+            undecided = e
+        else:
+            result = result | (undecided & lt)
+            undecided = undecided & e
+    if op_name in ("lessOrEquals", "greaterOrEquals"):
+        result = result | undecided
+    return ColVal(out_dtype, result.astype(jnp.uint8), None)
 
 
 def _resolve_finalize_agg(ts):

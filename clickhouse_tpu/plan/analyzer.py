@@ -132,6 +132,18 @@ class Analyzer:
             else:
                 scalar_aliases[cte.name] = cte.expr
 
+        # GROUP BY (a, b) groups by the elements (tuple keys splat)
+        if sel.group_by:
+            gb2 = []
+            for g in sel.group_by:
+                if isinstance(g, ast.Tuple_):
+                    gb2.extend(g.items)
+                elif isinstance(g, ast.FuncCall) and g.name == "tuple":
+                    gb2.extend(g.args)
+                else:
+                    gb2.append(g)
+            sel.group_by = gb2
+
         # FROM clause
         if sel.from_ is None:
             dummy = self.field("dummy", dt.UInt8)
@@ -422,6 +434,10 @@ class Analyzer:
         quals = (ref.alias,) if ref.alias else (fc.name,)
         if name in ("numbers", "numbers_mt"):
             args = [_const_int(a) for a in fc.args]
+            if any(a is not None and a > (1 << 31) for a in args):
+                raise AnalysisError(
+                    "numbers() count exceeds the static-shape source limit "
+                    "(2^31 rows)")
             if len(args) == 1:
                 start, count = 0, args[0]
             elif len(args) == 2:
@@ -935,8 +951,8 @@ class Analyzer:
             args = [self.bind(a, scope, allow_agg) for a in e.args]
             return self._bind_call(e, args)
         if isinstance(e, ast.Tuple_):
-            raise NotImplementedError_("Tuple expressions are not supported "
-                                       "outside IN")
+            return self.bind(ast.FuncCall("tuple", list(e.items)), scope,
+                             allow_agg)
         raise AnalysisError(f"Cannot bind expression {e!r}")
 
     _HIGHER_ORDER = {

@@ -645,3 +645,39 @@ class TestHighCardinalityStrings:
         assert s.execute("SELECT count() FROM hc "
                          "WHERE s LIKE '%@example.com'").scalar() == n
         assert time.time() - t0 < 60
+
+
+class TestTuples:
+    """Tuple values: constructor, element access, lexicographic comparison,
+    GROUP BY splat, result rendering (ColumnTuple analog)."""
+
+    def test_tuple_output(self):
+        s = ch.connect()
+        assert s.execute("SELECT tuple(1, 'a')").rows() == [((1, "a"),)]
+        assert s.execute("SELECT (number, number * 2) FROM numbers(2)"
+                         ).rows() == [((0, 0.0),), ((1, 2.0),)]
+
+    def test_tuple_element(self):
+        s = ch.connect()
+        assert s.execute("SELECT tupleElement(tuple(7, 8), 2)").scalar() == 8
+        assert s.execute("SELECT tupleElement((3, 'x'), 1)").scalar() == 3
+
+    def test_tuple_comparisons(self):
+        s = ch.connect()
+        assert s.execute("SELECT count() FROM numbers(10) "
+                         "WHERE (number, 1) = (3, 1)").scalar() == 1
+        assert s.execute("SELECT count() FROM numbers(10) "
+                         "WHERE (number, 5) < (3, 9)").scalar() == 4
+        assert s.execute("SELECT (1, 2) < (1, 3), (1, 2) < (1, 2), "
+                         "(1, 2) <= (1, 2)").rows() == [(1, 0, 1)]
+
+    def test_group_by_tuple_splat(self):
+        s = ch.connect()
+        got = s.execute("SELECT number % 2 AS a, count() FROM numbers(10) "
+                        "GROUP BY (a) ORDER BY a").rows()
+        assert got == [(0, 5), (1, 5)]
+
+    def test_type_name(self):
+        s = ch.connect()
+        assert s.execute("SELECT toTypeName((1, 'x'))").scalar() \
+            == "Tuple(Int64, String)"
