@@ -696,6 +696,10 @@ class Session:
             return _status_result()
         schema = [(c.name, dt.parse_type_name(c.type_name))
                   for c in stmt.columns]
+        if stmt.engine == "Null":
+            t = Table(stmt.table, schema, "Null")
+            self.catalog.create_table(db, t, stmt.if_not_exists)
+            return _status_result()
         if stmt.engine == "Buffer":
             # Buffer(db, target, ...): reads and writes resolve to the
             # target table (our synchronous model flushes instantly —
@@ -703,7 +707,10 @@ class Session:
             args = list(getattr(stmt, "engine_args", []) or [])
             if len(args) < 2:
                 raise AnalysisError("Buffer engine needs (db, table) args")
-            target = self.catalog.get_table(args[0], args[1])
+            tdb = args[0]
+            if tdb in ("currentDatabase", "currentDatabase()", ""):
+                tdb = db
+            target = self.catalog.get_table(tdb, args[1])
             dbo = self.catalog.databases.get(db)
             if dbo is None:
                 raise UnknownTable(f"Unknown database '{db}'")

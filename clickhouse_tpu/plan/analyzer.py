@@ -434,7 +434,9 @@ class Analyzer:
         quals = (ref.alias,) if ref.alias else (fc.name,)
         if name in ("numbers", "numbers_mt"):
             args = [_const_int(a) for a in fc.args]
-            if any(a is not None and a > (1 << 31) for a in args):
+            count_arg = args[0] if len(args) == 1 else \
+                (args[1] if len(args) == 2 else None)
+            if count_arg is not None and count_arg > (1 << 31):
                 raise AnalysisError(
                     "numbers() count exceeds the static-shape source limit "
                     "(2^31 rows)")

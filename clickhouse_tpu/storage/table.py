@@ -134,6 +134,8 @@ class Table:
 
     # -- writes --------------------------------------------------------------
     def insert_pydict(self, data: Dict[str, np.ndarray]):
+        if self.engine == "Null":
+            return                        # StorageNull: writes vanish
         if self.replication is not None:
             bid = self.replication.begin_insert(data)
             if bid is None:
