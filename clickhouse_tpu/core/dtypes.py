@@ -72,6 +72,11 @@ class DType:
     # sub-ColVal per element (reference: ColumnTuple is a struct-of-columns,
     # src/Columns/ColumnTuple.h — same layout, expressed as nesting)
     tuple_types: Optional[tuple] = None     # element type names
+    # Map(K, V): evaluation-time composite of two Array sub-ColVals (keys,
+    # values) sharing lengths (reference: ColumnMap wraps
+    # Array(Tuple(K, V)), src/Columns/ColumnMap.h — same nested layout,
+    # struct-of-arrays instead of array-of-structs)
+    map_types: Optional[tuple] = None       # (key type name, value type name)
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -212,6 +217,25 @@ def tuple_inner(t: DType):
 
 def is_tuple(t: DType) -> bool:
     return t.tuple_types is not None
+
+
+def Map(key: DType, value: DType) -> DType:
+    return DType(f"Map({key}, {value})", "int8",
+                 map_types=(str(key), str(value)))
+
+
+def map_inner(t: DType):
+    return parse_type_name(t.map_types[0]), parse_type_name(t.map_types[1])
+
+
+def is_map(t: DType) -> bool:
+    return t.map_types is not None
+
+
+def is_composite(t: DType) -> bool:
+    """Composite ColVals (Tuple/Map) carry sub-columns and do not flatten
+    into the compiled-leaves pytree."""
+    return t.tuple_types is not None or t.map_types is not None
 
 
 def is_agg_state(t: DType) -> bool:
@@ -359,6 +383,12 @@ def parse_type_name(name: str) -> DType:
     inner = _strip_call(name, "Tuple")
     if inner is not None:
         return Tuple([parse_type_name(p) for p in _split_args(inner)])
+    inner = _strip_call(name, "Map")
+    if inner is not None:
+        parts = _split_args(inner)
+        if len(parts) != 2:
+            raise ValueError(f"Map expects two type arguments: {name!r}")
+        return Map(parse_type_name(parts[0]), parse_type_name(parts[1]))
     inner = _strip_call(name, "AggregateFunction")
     if inner is not None:
         parts = _split_args(inner)

@@ -1815,6 +1815,27 @@ def materialize(block: ExecBlock, schema: List[L.Field],
     for f in schema:
         cv = block.cols[f.id].broadcast(block.capacity)
         data = np.asarray(jax.device_get(cv.data))[valid_np]
+        if cv.dtype.map_types is not None and cv.sub is not None:
+            # Map output: render per-row dicts from keys/values sub-arrays
+            keys_cv, vals_cv = cv.sub
+            subs = []
+            for scv in (keys_cv, vals_cv):
+                tmp = ExecBlock({"x": scv.broadcast(block.capacity)},
+                                block.valid, block.capacity)
+                fld = L.Field("x", "x", scv.dtype)
+                subs.append(materialize(tmp, [fld],
+                                        ExecContext({}, ctx.settings))["x"])
+            rows = np.empty(len(subs[0]), object)
+            for i in range(len(rows)):
+                rows[i] = dict(zip(subs[0][i], subs[1][i]))
+            name = f.display
+            if name in out:
+                k = 1
+                while f"{name}_{k}" in out:
+                    k += 1
+                name = f"{name}_{k}"
+            out[name] = rows
+            continue
         if cv.dtype.tuple_types is not None and cv.sub is not None:
             # Tuple output: render per-row python tuples from sub-columns
             subs = []

@@ -441,7 +441,7 @@ class Session:
             # the compiled leaves pytree: run those plans eagerly
             try:
                 plan_probe = self._plan(stmt, settings)
-                if any(f.dtype.tuple_types is not None
+                if any(dt.is_composite(f.dtype)
                        for f in plan_probe.schema):
                     cols, ctx = self._execute(plan_probe, settings)
                     types = [(f.display, str(f.dtype))
@@ -718,10 +718,20 @@ class Session:
                 return _status_result()
             dbo.tables[stmt.table] = target
             return _status_result()
+        skip_indexes = []
+        for ix in getattr(stmt, "indexes", []) or []:
+            col = ix.expr.name if isinstance(ix.expr, ast.Identifier) \
+                else None
+            from ..storage.table import SkipIndex
+            skip_indexes.append(SkipIndex(ix.name, col, ix.kind,
+                                          tuple(ix.params), ix.granularity))
         t = Table(stmt.table, schema, stmt.engine,
                   order_by=[ast.format_expr(e) for e in (stmt.order_by or [])],
                   partition_by=(ast.format_expr(stmt.partition_by)
-                                if stmt.partition_by is not None else None))
+                                if stmt.partition_by is not None else None),
+                  skip_indexes=skip_indexes,
+                  index_granularity=int(stmt.settings.get(
+                      "index_granularity", 8192)))
         t.ttl_text = getattr(stmt, "ttl", None)
         t.projections = {}
         t.engine_args = list(getattr(stmt, "engine_args", []) or [])

@@ -124,7 +124,7 @@ def _prune_parts(split: StreamSplit, table, session):
 
     walk(split.agg)
     if not preds:
-        return None
+        return None, None
     col_of = {f.id: nm for f, nm in zip(scan.schema, scan.column_names)}
     keep = []
     pruned = 0
@@ -142,8 +142,159 @@ def _prune_parts(split: StreamSplit, table, session):
     if pruned:
         session.profile_events["PrunedParts"] = \
             session.profile_events.get("PrunedParts", 0) + pruned
-        return tuple(keep)
-    return None
+        part_idx = tuple(keep)
+    else:
+        part_idx = None
+        keep = list(range(len(table.parts)))
+    spans = _prune_granules(preds, col_of, table, keep, session)
+    return part_idx, spans
+
+
+def _equality_constraints(pred, col_of):
+    """Flatten a predicate's top-level conjuncts into (column_name, values)
+    membership constraints usable by set/bloom granule summaries: conjuncts
+    of the form col = lit and col IN (lits)."""
+    from ..exprs.expr import BoundCall, BoundColumn, BoundLiteral, BoundInList
+    out = []
+
+    def conjuncts(e):
+        if isinstance(e, BoundCall) and e.name == "and":
+            for a in e.args:
+                yield from conjuncts(a)
+        else:
+            yield e
+
+    for c in conjuncts(pred):
+        if isinstance(c, BoundCall) and c.name == "equals" \
+                and len(c.args) == 2:
+            a, b = c.args
+            if isinstance(b, BoundColumn) and isinstance(a, BoundLiteral):
+                a, b = b, a
+            if isinstance(a, BoundColumn) and isinstance(b, BoundLiteral) \
+                    and a.name in col_of:
+                out.append((col_of[a.name], frozenset([b.value])))
+        elif isinstance(c, BoundInList) and not c.negated \
+                and isinstance(c.arg, BoundColumn) and c.arg.name in col_of:
+            try:
+                vals = frozenset(np.asarray(c.values).tolist())
+            except TypeError:
+                continue
+            out.append((col_of[c.arg.name], vals))
+    return out
+
+
+def _granule_span(gi, g_rows, gran_base, ngr):
+    """Granule gi of width g_rows -> [a, b) range in base-granule units."""
+    a = gi * g_rows // gran_base
+    b = min(-(-((gi + 1) * g_rows) // gran_base), ngr)
+    return a, b
+
+
+def _prune_granules(preds, col_of, table, part_indices, session):
+    """Skip-index granule pruning within surviving parts (reference:
+    MergeTreeDataSelectExecutor filters granule ranges through
+    MergeTreeIndex* conditions, src/Storages/MergeTree/
+    MergeTreeDataSelectExecutor.cpp).  -> spans
+    ((pos_in_pruned_part_list, lo, hi), ...) or None when nothing pruned."""
+    from ..plan import ranges as R
+    from ..storage.table import Part, SkipIndex
+    idxs = list(getattr(table, "skip_indexes", []) or [])
+    # the sort key's leading column gets an implicit minmax skip index —
+    # the primary-index KeyCondition analog (parts are sorted on insert)
+    order_cols = [c for c in (table.order_by or []) if c in table.schema]
+    for c in order_cols[:1]:
+        if not any(ix.column == c and ix.kind == "minmax" for ix in idxs):
+            idxs.append(SkipIndex(f"_pk_{c}", c, "minmax"))
+    idxs = [ix for ix in idxs if ix.column in col_of.values()]
+    if not idxs:
+        return None
+    name_to_fid = {nm: fid for fid, nm in col_of.items()}
+    eq_constraints = []
+    for pr in preds:
+        eq_constraints.extend(_equality_constraints(pr, col_of))
+    gran_base = max(int(getattr(table, "index_granularity", 8192)), 1)
+    spans = []
+    pruned_granules = 0
+    any_pruned = False
+    for pos, pi in enumerate(part_indices):
+        p = table.parts[pi]
+        n = p.num_rows
+        if n == 0:
+            continue
+        ngr = -(-n // gran_base)
+        keep = np.ones(ngr, bool)
+        for ix in idxs:
+            g_rows = gran_base * max(ix.granularity, 1)
+            if ix.kind == "minmax":
+                t = table.schema.get(ix.column)
+                if t is None or t.np_dtype.kind not in ("i", "u"):
+                    continue
+                mm = p.granule_minmax(ix.column, g_rows)
+                if mm is None:
+                    continue
+                fid = name_to_fid[ix.column]
+                for gi, (lo_v, hi_v) in enumerate(mm):
+                    fb = {fid: (int(lo_v), int(hi_v))}
+                    if not all(R.predicate_may_hold(pr, fb)
+                               for pr in preds):
+                        a, b = _granule_span(gi, g_rows, gran_base, ngr)
+                        keep[a:b] = False
+            elif ix.kind == "set" and eq_constraints:
+                max_vals = int(ix.params[0]) if ix.params and ix.params[0] \
+                    else Part.SET_INDEX_DEFAULT_MAX
+                sets = p.granule_sets(ix.column, g_rows, max_vals)
+                if sets is None:
+                    continue
+                for gi, sset in enumerate(sets):
+                    if sset is None:
+                        continue
+                    for nm, vals in eq_constraints:
+                        if nm == ix.column and not (vals & sset):
+                            a, b = _granule_span(gi, g_rows, gran_base, ngr)
+                            keep[a:b] = False
+                            break
+            elif ix.kind == "bloom_filter" and eq_constraints:
+                consts = [vals for nm, vals in eq_constraints
+                          if nm == ix.column]
+                if not consts:
+                    continue
+                blooms = p.granule_blooms(ix.column, g_rows)
+                if blooms is None:
+                    continue
+                for gi, bits in enumerate(blooms):
+                    refuted = False
+                    for vals in consts:
+                        posn = Part._bloom_positions(
+                            sorted(vals, key=repr))
+                        # a value may be present iff ALL its k bits are set;
+                        # the constraint may hold iff ANY value may be there
+                        if not bits[posn].all(axis=1).any():
+                            refuted = True
+                            break
+                    if refuted:
+                        a, b = _granule_span(gi, g_rows, gran_base, ngr)
+                        keep[a:b] = False
+        if keep.all():
+            spans.append((pos, 0, n))
+            continue
+        any_pruned = True
+        pruned_granules += int((~keep).sum())
+        gi = 0
+        while gi < ngr:                    # merge kept granules into spans
+            if not keep[gi]:
+                gi += 1
+                continue
+            gj = gi
+            while gj + 1 < ngr and keep[gj + 1]:
+                gj += 1
+            spans.append((pos, gi * gran_base,
+                          min((gj + 1) * gran_base, n)))
+            gi = gj + 1
+    if not any_pruned:
+        return None
+    session.profile_events["PrunedGranules"] = \
+        session.profile_events.get("PrunedGranules", 0) + pruned_granules
+    return tuple(spans)
 
 
 def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
@@ -524,10 +675,11 @@ def try_streaming(session, stmt, settings: Settings, sql: str):
         return None
     table = catalog.get_table(*big)
     columns = list(split.scan.column_names)
-    part_idx = _prune_parts(split, table, session)
+    part_idx, spans = _prune_parts(split, table, session)
     try:
         chunk_rows = _chunk_rows_for(table, columns, settings)
-        src = table.chunk_source(columns, chunk_rows, part_idx=part_idx)
+        src = table.chunk_source(columns, chunk_rows, part_idx=part_idx,
+                                 spans=spans)
     except NotStreamable:
         return None
     cap_c = pad_to(min(table.num_rows, settings.max_groups))

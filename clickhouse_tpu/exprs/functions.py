@@ -95,6 +95,13 @@ def _numeric_data(a: ColVal):
     return a.data
 
 
+def _signed(t: dt.DType) -> dt.DType:
+    if t.np_dtype.kind == "u":
+        mapping = {1: dt.Int16, 2: dt.Int32, 4: dt.Int64, 8: dt.Int64}
+        return mapping[t.itemsize].with_nullable(t.nullable)
+    return t
+
+
 def _check_numeric(ts, name):
     for t in ts:
         if t.is_dictionary:
@@ -285,8 +292,36 @@ def _minus_exec(args, out_dtype):
     return _binary_numeric(jnp.subtract)(args, out_dtype)
 
 
-def _resolve_arith_dates(promote=None):
-    base = _resolve_arith(promote)
+_INT_BY_SIGN_SIZE = {
+    (False, 1): dt.UInt8, (False, 2): dt.UInt16,
+    (False, 4): dt.UInt32, (False, 8): dt.UInt64,
+    (True, 1): dt.Int8, (True, 2): dt.Int16,
+    (True, 4): dt.Int32, (True, 8): dt.Int64,
+}
+
+
+def _resolve_addsubmul(signed_force=False):
+    """Integer +/-/* widen to the next size like the reference's
+    NumberTraits::ResultOfAdditionMultiplication / ResultOfSubtraction
+    (base/base/arithmeticOverflow.h analog): UInt8+UInt8 -> UInt16,
+    Int32*Int32 -> Int64, capped at 64 bits; subtraction is always signed."""
+    base = _resolve_arith(_signed if signed_force else None)
+
+    def r(ts):
+        if len(ts) == 2:
+            a0, b0 = (dt.remove_nullable(t) for t in ts)
+            if dt.is_integer(a0) and dt.is_integer(b0):
+                signed = signed_force or a0.np_dtype.kind == "i" \
+                    or b0.np_dtype.kind == "i"
+                size = min(8, 2 * max(a0.itemsize, b0.itemsize))
+                out = _INT_BY_SIGN_SIZE[(signed, size)]
+                return out.with_nullable(any(t.nullable for t in ts))
+        return base(ts)
+    return r
+
+
+def _resolve_arith_dates(promote=None, signed_force=False):
+    base = _resolve_addsubmul(signed_force)
 
     def r(ts):
         special = _resolve_plusminus(ts) if len(ts) == 2 else None
@@ -304,7 +339,7 @@ def _resolve_multiply(ts):
         return dt.Decimal(min(a0.decimal_prec + b0.decimal_prec, 76),
                           a0.decimal_scale + b0.decimal_scale) \
             .with_nullable(nullable)
-    return _resolve_arith()(ts)
+    return _resolve_addsubmul()(ts)
 
 
 def _multiply_exec(args, out_dtype):
@@ -326,15 +361,8 @@ def _multiply_exec(args, out_dtype):
 
 
 register("plus", _resolve_arith_dates(), _plus_exec)
-register("minus", _resolve_arith_dates(lambda t: _signed(t)), _minus_exec)
+register("minus", _resolve_arith_dates(signed_force=True), _minus_exec)
 register("multiply", _resolve_multiply, _multiply_exec)
-
-
-def _signed(t: dt.DType) -> dt.DType:
-    if t.np_dtype.kind == "u":
-        mapping = {1: dt.Int16, 2: dt.Int32, 4: dt.Int64, 8: dt.Int64}
-        return mapping[t.itemsize].with_nullable(t.nullable)
-    return t
 
 
 def _div_exec(args, out_dtype):
@@ -1490,6 +1518,9 @@ _string_length_exec = FUNCTIONS["length"]._execute
 
 def _length_exec(args, out_dtype):
     a = args[0]
+    if dt.is_map(a.dtype) and a.sub is not None:
+        return ColVal(out_dtype, a.sub[0].lengths.astype(jnp.uint64),
+                      _and_validity(args))
     if a.dtype.is_array:
         return ColVal(out_dtype, a.lengths.astype(jnp.uint64),
                       _and_validity(args))
@@ -1501,6 +1532,8 @@ register("length", _resolve_arr_len, _length_exec, case_insensitive=True)
 
 def _array_element_exec(args, out_dtype):
     a, i = args
+    if dt.is_map(a.dtype):
+        return _map_element(a, i, out_dtype)
     _array_arg(a)
     idx = i.data.astype(jnp.int64)
     lens = a.lengths.astype(jnp.int64)
@@ -1519,8 +1552,13 @@ def _array_element_exec(args, out_dtype):
     return ColVal(out_dtype, data, _and_validity(args), a.dictionary)
 
 
-register("arrayElement", lambda ts: dt.array_inner(ts[0]),
-         _array_element_exec)
+def _resolve_array_element(ts):
+    if dt.is_map(ts[0]):
+        return dt.map_inner(ts[0])[1]
+    return dt.array_inner(ts[0])
+
+
+register("arrayElement", _resolve_array_element, _array_element_exec)
 
 
 def _has_exec(args, out_dtype):
@@ -2126,6 +2164,125 @@ def _tuple_cmp(op_name, a, b, out_dtype):
     if op_name in ("lessOrEquals", "greaterOrEquals"):
         result = result | undecided
     return ColVal(out_dtype, result.astype(jnp.uint8), None)
+
+
+# -- Map values ----------------------------------------------------------------
+# Map(K, V) evaluates to a composite ColVal with two Array sub-ColVals
+# (keys, values) sharing per-row lengths — the struct-of-arrays expression
+# of the reference's ColumnMap = Array(Tuple(K, V))
+# (src/Columns/ColumnMap.h).  Lookup (m[k]) is a masked equality scan over
+# the padded keys matrix + take_along_axis on values: one fused whole-column
+# op, no per-row host work.
+
+def _resolve_map_ctor(ts):
+    if not ts:
+        return dt.Map(dt.String, dt.String)
+    if len(ts) % 2:
+        raise TypeError_("map() expects an even number of arguments")
+    kt = ts[0]
+    vt = ts[1]
+    for i in range(2, len(ts), 2):
+        kt = dt.common_supertype(kt, ts[i])
+        vt = dt.common_supertype(vt, ts[i + 1])
+    return dt.Map(kt, vt)
+
+
+def _exec_map_ctor(args, out_dtype):
+    kt, vt = dt.map_inner(out_dtype)
+    arr = get("array")
+    keys = arr.execute(args[0::2], dt.Array(kt))
+    vals = arr.execute(args[1::2], dt.Array(vt))
+    return ColVal(out_dtype, jnp.zeros((), jnp.int8), None,
+                  sub=[keys, vals])
+
+
+register("map", _resolve_map_ctor, _exec_map_ctor, case_insensitive=True)
+
+
+def _resolve_map_from_arrays(ts):
+    if len(ts) != 2 or not ts[0].is_array or not ts[1].is_array:
+        raise TypeError_("mapFromArrays expects two Array arguments")
+    return dt.Map(dt.array_inner(ts[0]), dt.array_inner(ts[1]))
+
+
+def _exec_map_from_arrays(args, out_dtype):
+    return ColVal(out_dtype, jnp.zeros((), jnp.int8),
+                  _and_validity(args), sub=[args[0], args[1]])
+
+
+register("mapFromArrays", _resolve_map_from_arrays, _exec_map_from_arrays)
+
+
+def _map_arg(a: ColVal):
+    if not dt.is_map(a.dtype) or a.sub is None:
+        raise TypeError_("Expected a Map argument")
+    return a
+
+
+def _resolve_map_keys(ts):
+    if not dt.is_map(ts[0]):
+        raise TypeError_("mapKeys expects a Map")
+    return dt.Array(dt.map_inner(ts[0])[0])
+
+
+def _resolve_map_values(ts):
+    if not dt.is_map(ts[0]):
+        raise TypeError_("mapValues expects a Map")
+    return dt.Array(dt.map_inner(ts[0])[1])
+
+
+register("mapKeys", _resolve_map_keys,
+         lambda args, out_dtype: _map_arg(args[0]).sub[0])
+register("mapValues", _resolve_map_values,
+         lambda args, out_dtype: _map_arg(args[0]).sub[1])
+
+
+def _exec_map_contains(args, out_dtype):
+    m = _map_arg(args[0])
+    return get("has").execute([m.sub[0], args[1]], out_dtype)
+
+
+register("mapContains", lambda ts: dt.UInt8, _exec_map_contains)
+
+
+def _map_element(m: ColVal, k: ColVal, out_dtype):
+    """m[k]: value of the FIRST matching key, default value when absent
+    (reference: ColumnMap element access returns the value type's default
+    for missing keys, not NULL)."""
+    keys, vals = m.sub[0], m.sub[1]
+    mask = _elem_mask(keys)
+    if keys.dtype.is_dictionary:
+        ca, cb, _ = _string_codes_common(
+            ColVal(dt.String, keys.data, None, keys.dictionary),
+            ColVal(dt.String, k.data, None, k.dictionary))
+        eq = ca == (cb[..., None] if getattr(cb, "ndim", 0) else cb)
+    else:
+        kd = k.data.astype(keys.data.dtype)
+        eq = keys.data == (kd[..., None] if getattr(kd, "ndim", 0) else kd)
+    eq = eq & mask
+    ml = keys.data.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, eq.shape, eq.ndim - 1)
+    first = jnp.min(jnp.where(eq, idx, ml), axis=-1)
+    found = first < ml
+    pos = jnp.clip(first, 0, max(ml - 1, 0))
+    vdata = vals.data
+    if vdata.ndim == 1:                    # constant values row
+        data = vdata[pos]
+    else:
+        # constant key against per-row values: broadcast the position
+        posb = jnp.broadcast_to(pos, vdata.shape[:-1]) \
+            if getattr(pos, "ndim", 0) < vdata.ndim - 1 else pos
+        data = jnp.take_along_axis(vdata, posb[..., None], axis=-1)[..., 0]
+    default = jnp.asarray(-1, data.dtype) if vals.dtype.is_dictionary \
+        else jnp.zeros((), data.dtype)
+    data = jnp.where(found, data, default)
+    return ColVal(out_dtype, data, _and_validity([m, k]), vals.dictionary)
+
+
+register("mapElement",
+         lambda ts: dt.map_inner(ts[0])[1],
+         lambda args, out_dtype: _map_element(
+             _map_arg(args[0]), args[1], out_dtype))
 
 
 def _resolve_finalize_agg(ts):

@@ -1267,8 +1267,16 @@ def _bind_literal(e: ast.Literal) -> BoundLiteral:
     if isinstance(v, int):
         if v > 2**64 - 1 or v < -(2**63):
             return BoundLiteral(float(v), dt.Float64)   # beyond 64-bit range
-        if v > 2**63 - 1:
+        # smallest fitting type, like the reference's literal inference
+        # (src/DataTypes/FieldToDataType.cpp: 1 -> UInt8, -1 -> Int8, ...)
+        if v >= 0:
+            for bits, t in ((8, dt.UInt8), (16, dt.UInt16), (32, dt.UInt32)):
+                if v < (1 << bits):
+                    return BoundLiteral(v, t)
             return BoundLiteral(v, dt.UInt64)
+        for bits, t in ((7, dt.Int8), (15, dt.Int16), (31, dt.Int32)):
+            if v >= -(1 << bits):
+                return BoundLiteral(v, t)
         return BoundLiteral(v, dt.Int64)
     if isinstance(v, float):
         return BoundLiteral(v, dt.Float64)

@@ -182,6 +182,17 @@ class ColumnDef:
 
 
 @dataclasses.dataclass
+class IndexDef:
+    """Skip index: INDEX name expr TYPE kind(params) GRANULARITY n
+    (reference: src/Storages/MergeTree/MergeTreeIndices.h)."""
+    name: str
+    expr: Expr
+    kind: str                          # minmax | set | bloom_filter | ...
+    params: List[Any] = dataclasses.field(default_factory=list)
+    granularity: int = 1
+
+
+@dataclasses.dataclass
 class CreateTable:
     database: Optional[str]
     table: str
@@ -197,6 +208,8 @@ class CreateTable:
     ttl: Optional[str] = None          # table-level TTL expression text
     # PROJECTION name (SELECT ... GROUP BY ...) declarations
     projections: List[tuple] = dataclasses.field(default_factory=list)
+    # INDEX declarations (skip indexes)
+    indexes: List["IndexDef"] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass

@@ -575,6 +575,7 @@ class Parser:
         db, tbl = self.parse_table_name()
         cols: List[ast.ColumnDef] = []
         ct_projections: List[tuple] = []
+        ct_indexes: List[ast.IndexDef] = []
         if self.accept_op("("):
             while True:
                 if self.accept_kw("PROJECTION"):
@@ -588,13 +589,30 @@ class Parser:
                     continue
                 if self.accept_kw("INDEX"):
                     # skip index: INDEX name expr TYPE kind(...) GRANULARITY n
-                    while self.tok.kind != "end" \
-                            and not (self.tok.kind == "op"
-                                     and self.tok.text in (",", ")")):
-                        if self.tok.kind == "op" and self.tok.text == "(":
-                            self._skim_parens()
-                        else:
+                    iname = self.expect_word()
+                    iexpr = self.parse_expr()
+                    self.expect_kw("TYPE")
+                    ikind = self.expect_word()
+                    iparams: List = []
+                    if self.tok.kind == "op" and self.tok.text == "(":
+                        self.advance()
+                        while not (self.tok.kind == "op"
+                                   and self.tok.text == ")"):
+                            if self.tok.kind in ("number", "string"):
+                                iparams.append(
+                                    _parse_number(self.tok.text)
+                                    if self.tok.kind == "number"
+                                    else self.tok.text)
                             self.advance()
+                        self.expect_op(")")
+                    igran = 1
+                    if self.accept_kw("GRANULARITY"):
+                        g = self.parse_expr()
+                        if isinstance(g, ast.Literal) \
+                                and isinstance(g.value, int):
+                            igran = g.value
+                    ct_indexes.append(ast.IndexDef(
+                        iname, iexpr, ikind.lower(), iparams, igran))
                     if not self.accept_op(","):
                         break
                     continue
@@ -635,6 +653,7 @@ class Parser:
             self.expect_op(")")
         ct = ast.CreateTable(db, tbl, cols, if_not_exists=ine)
         ct.projections = ct_projections
+        ct.indexes = ct_indexes
         if temporary:
             ct.engine = "Memory"
         if self.accept_kw("ENGINE"):

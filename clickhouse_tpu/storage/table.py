@@ -21,7 +21,20 @@ from ..core.block import Block, block_from_pydict
 from ..core.column import Column, Dictionary, column_from_numpy, pad_to
 from ..core.errors import AnalysisError, UnknownTable
 
-__all__ = ["Part", "Table", "Database", "Catalog"]
+__all__ = ["Part", "Table", "Database", "Catalog", "SkipIndex"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SkipIndex:
+    """Granule skip index declaration (reference:
+    src/Storages/MergeTree/MergeTreeIndices.h).  Only single-column index
+    expressions participate in pruning; others are stored but inert.
+    granularity counts index granules of ``index_granularity`` rows each."""
+    name: str
+    column: Optional[str]              # None for unsupported expressions
+    kind: str                          # minmax | set | bloom_filter | ...
+    params: tuple = ()
+    granularity: int = 1
 
 
 @dataclasses.dataclass
@@ -68,6 +81,115 @@ class Part:
         cache[name] = ok
         return ok
 
+    # -- granule summaries (skip-index backing) --------------------------------
+    # One summary per `granule_rows` span of this part; computed lazily and
+    # cached (merged parts get fresh summaries automatically).  Reference:
+    # MergeTreeDataPartWriterWide writes index blocks per granularity step
+    # (src/Storages/MergeTree/MergeTreeDataPartWriterWide.h:20).
+
+    def _granule_cache_get(self, key):
+        cache = getattr(self, "_granules", None)
+        if cache is None:
+            cache = self._granules = {}
+        return cache, cache.get(key)
+
+    def granule_minmax(self, name: str, granule_rows: int):
+        """-> list of (min, max) per granule, or None if unsupported."""
+        cache, hit = self._granule_cache_get(("minmax", name, granule_rows))
+        if hit is not None:
+            return hit
+        v = self.columns.get(name)
+        if v is None or v.dtype == object or v.dtype.kind not in "iuf" \
+                or not len(v):
+            return None
+        out = []
+        for lo in range(0, self.num_rows, granule_rows):
+            g = v[lo:lo + granule_rows]
+            out.append((g.min(), g.max()))
+        cache[("minmax", name, granule_rows)] = out
+        return out
+
+    # set(N) summaries with more distinct values than this are recorded as
+    # None (no pruning from that granule), like the reference's max_rows=0
+    SET_INDEX_DEFAULT_MAX = 1024
+
+    def granule_sets(self, name: str, granule_rows: int, max_values: int):
+        """-> list of frozenset per granule (None = too many distinct)."""
+        key = ("set", name, granule_rows, max_values)
+        cache, hit = self._granule_cache_get(key)
+        if hit is not None:
+            return hit
+        v = self.columns.get(name)
+        if v is None or not len(v):
+            return None
+        out = []
+        for lo in range(0, self.num_rows, granule_rows):
+            g = v[lo:lo + granule_rows]
+            if g.dtype == object:
+                uniq = set(x for x in g.tolist())
+            else:
+                u = np.unique(g)
+                if len(u) > max_values:
+                    out.append(None)
+                    continue
+                uniq = set(u.tolist())
+            out.append(frozenset(uniq) if len(uniq) <= max_values else None)
+        cache[key] = out
+        return out
+
+    BLOOM_BITS = 4096                  # per-granule bitset width
+    _BLOOM_HASHES = 3
+
+    @staticmethod
+    def _bloom_positions(values) -> np.ndarray:
+        """Deterministic k-hash bit positions for each value (splitmix64
+        avalanche over a stable per-value u64)."""
+        h = np.zeros(len(values), np.uint64)
+        for i, x in enumerate(values):
+            if x is None:
+                continue
+            if isinstance(x, (bytes, str)):
+                import zlib
+                b = x.encode() if isinstance(x, str) else x
+                h[i] = np.uint64(zlib.crc32(b)) | (np.uint64(
+                    zlib.adler32(b)) << np.uint64(32))
+            elif isinstance(x, float) and not float(x).is_integer():
+                h[i] = np.float64(x).view(np.uint64)
+            else:
+                h[i] = np.uint64(np.int64(x))
+        pos = np.empty((len(values), Part._BLOOM_HASHES), np.int64)
+        z = h.copy()
+        for k in range(Part._BLOOM_HASHES):
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            t = z
+            t = (t ^ (t >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            t = (t ^ (t >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            t = t ^ (t >> np.uint64(31))
+            pos[:, k] = (t % np.uint64(Part.BLOOM_BITS)).astype(np.int64)
+        return pos
+
+    def granule_blooms(self, name: str, granule_rows: int):
+        """-> list of per-granule bloom bitsets (np.bool_(BLOOM_BITS,))."""
+        key = ("bloom", name, granule_rows)
+        cache, hit = self._granule_cache_get(key)
+        if hit is not None:
+            return hit
+        v = self.columns.get(name)
+        if v is None or not len(v):
+            return None
+        out = []
+        for lo in range(0, self.num_rows, granule_rows):
+            g = v[lo:lo + granule_rows]
+            vals = (list(dict.fromkeys(g.tolist())) if g.dtype == object
+                    else np.unique(g).tolist())
+            bits = np.zeros(Part.BLOOM_BITS, bool)
+            if vals:
+                pos = Part._bloom_positions(vals)
+                bits[pos.reshape(-1)] = True
+            out.append(bits)
+        cache[key] = out
+        return out
+
     @staticmethod
     def from_pydict(data: Dict[str, np.ndarray], schema) -> "Part":
         n = len(next(iter(data.values()))) if data else 0
@@ -92,12 +214,16 @@ class Table:
     def __init__(self, name: str, schema: List[Tuple[str, dt.DType]],
                  engine: str = "Memory",
                  order_by: Optional[List[str]] = None,
-                 partition_by: Optional[str] = None):
+                 partition_by: Optional[str] = None,
+                 skip_indexes: Optional[List[SkipIndex]] = None,
+                 index_granularity: int = 8192):
         self.name = name
         self.schema: Dict[str, dt.DType] = dict(schema)
         self.engine = engine
         self.order_by = order_by or []
         self.partition_by = partition_by
+        self.skip_indexes: List[SkipIndex] = list(skip_indexes or [])
+        self.index_granularity = int(index_granularity)
         self.parts: List[Part] = []
         self.codecs: Dict[str, str] = {}   # column -> codec chain text
         self._version = 0
@@ -260,17 +386,21 @@ class Table:
 
     # -- chunked (out-of-core) reads ------------------------------------------
     def chunk_source(self, columns: Sequence[str], chunk_rows: int,
-                     part_idx: Optional[tuple] = None) -> "ChunkSource":
+                     part_idx: Optional[tuple] = None,
+                     spans: Optional[tuple] = None) -> "ChunkSource":
         """Chunked read plan: fixed-capacity host chunks with table-wide
         consistent physical dtypes and global dictionaries, so one compiled
         per-chunk XLA program serves every chunk (the streaming analog of the
         reference's MergeTreeReadPool, src/Storages/MergeTree/
-        MergeTreeReadPool.h:22)."""
-        key = (self.version, tuple(sorted(columns)), chunk_rows, part_idx)
+        MergeTreeReadPool.h:22).  ``spans`` restricts the read to granule
+        row ranges surviving skip-index pruning: ((part_i, lo, hi), ...)."""
+        key = (self.version, tuple(sorted(columns)), chunk_rows, part_idx,
+               spans)
         cached = getattr(self, "_chunk_source_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        src = ChunkSource(self, list(columns), chunk_rows, part_idx=part_idx)
+        src = ChunkSource(self, list(columns), chunk_rows,
+                          part_idx=part_idx, spans=spans)
         self._chunk_source_cache = (key, src)
         return src
 
@@ -366,14 +496,22 @@ class ChunkSource:
     the table."""
 
     def __init__(self, table: Table, columns: List[str], chunk_rows: int,
-                 part_idx: Optional[tuple] = None):
+                 part_idx: Optional[tuple] = None,
+                 spans: Optional[tuple] = None):
         self.table = table
         self.columns = columns
         self.chunk_rows = chunk_rows
         # minmax-pruned scans stream a subset of parts (KeyCondition analog:
         # parts whose stats refute the filter are never read)
-        self.parts = table.parts if part_idx is None             else [table.parts[i] for i in part_idx]
-        self.total_rows = sum(p.num_rows for p in self.parts)
+        self.parts = table.parts if part_idx is None \
+            else [table.parts[i] for i in part_idx]
+        # skip-index pruned scans stream a subset of granule row ranges
+        # within the surviving parts: (part_index_into_self.parts, lo, hi)
+        self.spans = None if spans is None else list(spans)
+        if self.spans is not None:
+            self.total_rows = sum(hi - lo for _, lo, hi in self.spans)
+        else:
+            self.total_rows = sum(p.num_rows for p in self.parts)
         self.num_chunks = max(
             1, -(-self.total_rows // chunk_rows))  # ceil div
         self.storage: Dict[str, np.dtype] = {}
@@ -459,6 +597,21 @@ class ChunkSource:
     def _slice_column(self, name: str, lo: int, hi: int) -> np.ndarray:
         pieces = []
         off = 0
+        if self.spans is not None:
+            # logical row space = concatenation of surviving spans
+            for pi, s_lo, s_hi in self.spans:
+                sp_lo, sp_hi = off, off + (s_hi - s_lo)
+                off = sp_hi
+                if sp_hi <= lo or sp_lo >= hi:
+                    continue
+                a = s_lo + max(lo - sp_lo, 0)
+                b = s_lo + min(hi - sp_lo, s_hi - s_lo)
+                pieces.append(self.parts[pi].columns[name][a:b])
+            if not pieces:
+                t = self.table.schema[name]
+                return np.zeros(0, object if t.is_dictionary
+                                else t.np_dtype)
+            return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
         for p in self.parts:
             p_lo, p_hi = off, off + p.num_rows
             off = p_hi

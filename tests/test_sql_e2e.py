@@ -680,4 +680,68 @@ class TestTuples:
     def test_type_name(self):
         s = ch.connect()
         assert s.execute("SELECT toTypeName((1, 'x'))").scalar() \
-            == "Tuple(Int64, String)"
+            == "Tuple(UInt8, String)"
+
+
+class TestMaps:
+    """Map(K, V) — composite of keys/values Array sub-columns
+    (reference: src/Columns/ColumnMap.h wraps Array(Tuple(K, V)))."""
+
+    def test_map_constructor_and_access(self):
+        s = ch.connect()
+        assert s.execute("SELECT map('a', 1, 'b', 2)").scalar() \
+            == {"a": 1, "b": 2}
+        assert s.execute("SELECT map('a', 1, 'b', 2)['b']").scalar() == 2
+        assert s.execute("SELECT map('a', 'x')['missing']").scalar() == ""
+        assert s.execute("SELECT map(1, 10, 2, 20)[2]").scalar() == 20
+
+    def test_map_functions(self):
+        s = ch.connect()
+        assert s.execute("SELECT mapKeys(map('a', 1, 'b', 2))").scalar() \
+            == ["a", "b"]
+        assert s.execute("SELECT mapValues(map('a', 1, 'b', 2))").scalar() \
+            == [1, 2]
+        assert s.execute("SELECT mapContains(map('a', 1), 'a'), "
+                         "mapContains(map('a', 1), 'z')").rows() == [(1, 0)]
+        assert s.execute("SELECT length(map('a', 1, 'b', 2))").scalar() == 2
+        assert s.execute("SELECT mapFromArrays(['x', 'y'], [10, 20])['y']"
+                         ).scalar() == 20
+
+    def test_map_per_row(self):
+        s = ch.connect()
+        got = s.execute("SELECT map(number, number + 1)[number] "
+                        "FROM numbers(3)").rows()
+        assert got == [(1,), (2,), (3,)]
+
+    def test_map_type_name(self):
+        s = ch.connect()
+        assert s.execute("SELECT toTypeName(map('a', 1))").scalar() \
+            == "Map(String, UInt8)"
+
+
+class TestLiteralTyping:
+    """Smallest-fitting literal types + NumberTraits arithmetic widening
+    (reference: src/DataTypes/FieldToDataType.cpp, base arithmetic traits)."""
+
+    def test_literal_types(self):
+        s = ch.connect()
+        assert s.execute(
+            "SELECT toTypeName(1), toTypeName(-1), toTypeName(300), "
+            "toTypeName(70000), toTypeName(5000000000)").rows() == [
+                ("UInt8", "Int8", "UInt16", "UInt32", "UInt64")]
+
+    def test_arith_widening(self):
+        s = ch.connect()
+        assert s.execute("SELECT toTypeName(1 + 1), toTypeName(1 - 2), "
+                         "toTypeName(200 * 200)").rows() == [
+                             ("UInt16", "Int16", "UInt16")]
+        # widened results do not wrap at the operand width
+        assert s.execute("SELECT 200 + 200, 100 - 200, 200 * 200").rows() \
+            == [(400, -100, 40000)]
+
+    def test_uint64_arith_stays_integral(self):
+        s = ch.connect()
+        assert s.execute("SELECT toTypeName(number * 2) FROM numbers(1)"
+                         ).scalar() == "UInt64"
+        assert s.execute("SELECT sum(number * 2) FROM numbers(10)"
+                         ).scalar() == 90
