@@ -62,6 +62,9 @@ class Settings:
     # -- distributed ---------------------------------------------------------
     num_exchange_buckets: int = 256    # two-level bucket fan-out (reference: 256)
     distributed_group_by_no_merge: bool = False
+    # shuffle elision when GROUP BY keys cover the sharding key (reference:
+    # optimize_distributed_group_by_sharding_key + useDataParallelAggregation)
+    optimize_distributed_group_by_sharding_key: bool = True
     prefer_global_in_and_join: bool = False
     fill_max_rows: int = 8192          # WITH FILL generated-row capacity
     skew_salt_factor: int = 4          # salted-key splitting for heavy hitters

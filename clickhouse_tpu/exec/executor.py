@@ -421,8 +421,21 @@ def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
         dims = None
 
     if child.sharded and ctx.distributed:
+        # partition-parallel aggregation: when a GROUP BY key IS the
+        # sharding key, every group is fully local to one shard — skip the
+        # exchange/merge entirely (reference: useDataParallelAggregation.cpp,
+        # optimize_distributed_group_by_sharding_key)
+        colocated = (
+            bool(node.keys) and not global_agg
+            and ctx.settings.optimize_distributed_group_by_sharding_key
+            and any(isinstance(e, BoundColumn)
+                    and e.name in getattr(ctx, "colocated_agg", {})
+                    .get(id(node), ())
+                    for _, e in node.keys))
         if holistic:
-            if node.keys:
+            if colocated:
+                pass                         # rows already partitioned by key
+            elif node.keys:
                 child = _repartition_block(child, _rekey(node, child), ctx)
             else:
                 child = _gather_block(child, ctx)
@@ -433,6 +446,11 @@ def _exec_aggregate(node: L.AggregateNode, ctx: ExecContext) -> ExecBlock:
                                     sharded_out=bool(node.keys))
         if node.with_totals:
             ctx.totals_block = _aggregate_totals(node, child, ctx)
+        if colocated:
+            ctx.profile["ColocatedAggregations"] = \
+                ctx.profile.get("ColocatedAggregations", 0) + 1
+            return _aggregate_local(node, child, key_cvs, key_arrays, dims,
+                                    global_agg, ctx, sharded_out=True)
         return _aggregate_two_stage(node, child, key_cvs, key_arrays, dims,
                                     global_agg, ctx)
     if node.with_totals and not global_agg:

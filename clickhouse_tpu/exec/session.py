@@ -477,6 +477,9 @@ class Session:
         self.profile_events["Query"] = self.profile_events.get("Query", 0) + 1
         self.profile_events["SelectedRows"] = \
             self.profile_events.get("SelectedRows", 0) + rows_read
+        for k, v in ctx.profile.items():
+            if k != "rows_scanned":
+                self.profile_events[k] = self.profile_events.get(k, 0) + v
         return Result(cols, types, rows_read=rows_read,
                       totals=getattr(ctx, "totals_np", None))
 

@@ -227,10 +227,62 @@ class DistributedSession(Session):
         cols, ctx = self._execute(plan, settings)
         return plan, cols, ctx
 
+    # -- partition-parallel aggregation (shuffle elision) ---------------------
+    def _shard_key_column(self, db: str, name: str) -> Optional[str]:
+        """The column whose hash assigns rows to shards (see
+        _shard_parts_into); None for round-robin layouts."""
+        try:
+            t = self.catalog.get_table(db, name)
+        except Exception:
+            return None
+        return next((c for c in t.order_by if c in t.schema), None)
+
+    def _colocated_fids(self, plan) -> frozenset:
+        """Field ids provably hash-partition-aligned with the shard layout:
+        rows with equal values of these fields live on one shard, so a
+        GROUP BY containing one of them needs no exchange (reference:
+        src/Processors/QueryPlan/Optimizations/useDataParallelAggregation.cpp,
+        optimize_distributed_group_by_sharding_key)."""
+        from ..plan import logical as L
+        from ..exprs.expr import BoundColumn
+
+        def walk(n) -> frozenset:
+            if isinstance(n, L.ScanNode):
+                if not self._is_distributed(n.database, n.table):
+                    return frozenset()
+                key_col = self._shard_key_column(n.database, n.table)
+                if key_col is None:
+                    return frozenset()
+                return frozenset(
+                    f.id for f, nm in zip(n.schema, n.column_names)
+                    if nm == key_col)
+            if isinstance(n, L.FilterNode):
+                return walk(n.child)         # filters keep rows in place
+            if isinstance(n, L.ProjectNode):
+                s = walk(n.child)
+                return frozenset(
+                    f.id for f, e in zip(n.schema, n.exprs)
+                    if isinstance(e, BoundColumn) and e.name in s)
+            return frozenset()               # joins/limits/etc. may move rows
+
+        # alignment is a property of each aggregate's own subtree; collect
+        # per-AggregateNode so nested aggregations resolve independently
+        out = {}
+
+        def visit(n):
+            if isinstance(n, L.AggregateNode):
+                out[id(n)] = walk(n.child)
+            for c in n.children():
+                visit(c)
+
+        visit(plan)
+        return out
+
     def _execute_sharded(self, plan, blocks, sharded_keys, settings):
         axis, n = self.axis, self.n_shards
         meta = dict(blocks)
         struct: Dict[str, Any] = {}
+        colocated = self._colocated_fids(plan)
 
         arg_specs = {}
         args = {}
@@ -266,6 +318,7 @@ class DistributedSession(Session):
                 blocks2[k] = Block(cols, local_cap)
             ctx = ExecContext(blocks2, settings, axis_name=axis, n_shards=n,
                               sharded_tables=sharded_keys)
+            ctx.colocated_agg = colocated
             out = execute_plan(plan, ctx)
             out = _gather_block(out, ctx)
             data_leaves, validity_leaves, dicts = {}, {}, {}
@@ -282,6 +335,7 @@ class DistributedSession(Session):
             struct["checks"] = [(c.limit, c.message, c.setting)
                                 for c in ctx.checks]
             struct["capacity"] = out.capacity
+            struct["profile"] = dict(ctx.profile)
             checks = [jax.lax.pmax(jnp.asarray(c.value), axis)
                       for c in ctx.checks]
             return {"valid": out.valid, "data": data_leaves,
@@ -296,6 +350,8 @@ class DistributedSession(Session):
         for val, (limit, msg, setting) in zip(leaves["checks"],
                                               struct["checks"]):
             ctx2.checks.append(Check(val, limit, msg, setting))
+        for k, v in struct.get("profile", {}).items():
+            ctx2.profile[k] = ctx2.profile.get(k, 0) + v
         cols = {}
         for f in plan.schema:
             cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],

@@ -207,3 +207,44 @@ def test_incremental_insert_no_relayout(sessions):
     st2 = dist._layout_states[("default", "inc")]
     assert [id(c) for c in st2["chunks"][0]["k"][:len(ids_before)]] \
         == ids_before          # old chunks untouched, new appended
+
+
+class TestColocatedAggregation:
+    """Partition-parallel aggregation: GROUP BY on the sharding key elides
+    the state exchange entirely (reference: useDataParallelAggregation.cpp,
+    optimize_distributed_group_by_sharding_key)."""
+
+    def test_group_by_sharding_key_elides_exchange(self, sessions):
+        local, dist = sessions
+        q = ("SELECT k, count() AS c, sum(amount) AS s FROM t "
+             "GROUP BY k ORDER BY k LIMIT 20")
+        before = dist.profile_events.get("ColocatedAggregations", 0)
+        assert dist.execute(q).rows() == local.execute(q).rows()
+        assert dist.profile_events.get("ColocatedAggregations", 0) > before
+
+    def test_filtered_group_by_sharding_key(self, sessions):
+        local, dist = sessions
+        q = ("SELECT k, count() FROM t WHERE amount > 0 "
+             "GROUP BY k ORDER BY k DESC LIMIT 10")
+        before = dist.profile_events.get("ColocatedAggregations", 0)
+        assert dist.execute(q).rows() == local.execute(q).rows()
+        assert dist.profile_events.get("ColocatedAggregations", 0) > before
+
+    def test_expr_key_still_exchanges(self, sessions):
+        local, dist = sessions
+        q = "SELECT k % 11 AS b, count() FROM t GROUP BY b ORDER BY b"
+        before = dist.profile_events.get("ColocatedAggregations", 0)
+        assert dist.execute(q).rows() == local.execute(q).rows()
+        assert dist.profile_events.get("ColocatedAggregations", 0) == before
+
+    def test_disabled_by_setting(self, sessions):
+        local, dist = sessions
+        q = ("SELECT k, max(v) FROM t GROUP BY k ORDER BY k LIMIT 5 "
+             "SETTINGS optimize_distributed_group_by_sharding_key = 0")
+        before = dist.profile_events.get("ColocatedAggregations", 0)
+        got = dist.execute(q).rows()
+        exp = local.execute(q).rows()
+        assert [r[0] for r in got] == [r[0] for r in exp]
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
+        assert dist.profile_events.get("ColocatedAggregations", 0) == before
