@@ -99,6 +99,12 @@ class Settings:
     collect_profile_events: bool = True
 
     # -- misc ----------------------------------------------------------------
+    # async INSERT batching (AsynchronousInsertQueue analog)
+    async_insert: bool = False
+    wait_for_async_insert: bool = True
+    async_insert_busy_timeout_ms: int = 200
+    async_insert_max_data_size: int = 10 << 20
+
     readonly: int = 0
     ignore_unknown_settings: bool = False   # tolerate foreign settings names
                                             # (reference-test compat mode)

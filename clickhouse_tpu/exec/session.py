@@ -78,6 +78,12 @@ class Session:
         # OpenTelemetry analog: per-query phase spans + inherited context
         self.span_log: List[Span] = []
         self.trace_context: Optional[Tuple[str, str]] = None  # (trace, span)
+        # async INSERT batching (AsynchronousInsertQueue analog); shared with
+        # all sessions on the same catalog so server threads batch together
+        if not hasattr(self.catalog, "async_inserts"):
+            from .async_insert import AsyncInsertQueue
+            self.catalog.async_inserts = AsyncInsertQueue(self._insert_tail)
+        self.async_inserts = self.catalog.async_inserts
 
     def login(self, user: str, password: str = "") -> None:
         self.current_user = self.catalog.access.authenticate(user, password)
@@ -291,6 +297,9 @@ class Session:
                 if "." in name:
                     db, name = name.split(".", 1)
                 self.catalog.get_table(db, name).sync()
+                return _status_result()
+            if cmd.startswith("flush async insert queue"):
+                self.async_inserts.flush()
                 return _status_result()
             if cmd.startswith("reload dictionar"):
                 for dbo in self.catalog.databases.values():
@@ -947,6 +956,26 @@ class Session:
                 finally:
                     self.catalog.databases["_files"].tables.pop(tmp, None)
 
+    def _insert_tail(self, db: str, table_name: str,
+                     aligned: Dict[str, np.ndarray]) -> None:
+        """Synchronous commit tail shared by direct and async inserts:
+        part creation + MV/projection maintenance."""
+        self.catalog.get_table(db, table_name).insert_pydict(aligned)
+        self._trigger_materialized_views(db, table_name, aligned)
+        self._update_projections(db, table_name, aligned)
+
+    def _commit_insert(self, db: str, table_name: str,
+                       aligned: Dict[str, np.ndarray]) -> Result:
+        """Route one aligned insert through the async queue or directly."""
+        s = self.settings
+        if s.async_insert:
+            entry = self.async_inserts.push(db, table_name, aligned, s)
+            if s.wait_for_async_insert:
+                self.async_inserts.wait(entry)
+            return _status_result()
+        self._insert_tail(db, table_name, aligned)
+        return _status_result()
+
     def _run_insert(self, stmt: ast.Insert) -> Result:
         db = stmt.database or self.catalog.current_database
         table = self.catalog.get_table(db, stmt.table)
@@ -957,11 +986,8 @@ class Session:
             data = formats.read_file(infile, stmt.format)
             if stmt.columns:
                 data = {k: data[k] for k in stmt.columns}
-            aligned = _align_insert(data, table, stmt.columns)
-            table.insert_pydict(aligned)
-            self._trigger_materialized_views(db, stmt.table, aligned)
-            self._update_projections(db, stmt.table, aligned)
-            return _status_result()
+            return self._commit_insert(
+                db, stmt.table, _align_insert(data, table, stmt.columns))
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
             cols: Dict[str, list] = {n: [] for n in names}
@@ -971,11 +997,11 @@ class Session:
                 for n, e in zip(names, row):
                     cols[n].append(_literal_value(e))
             data = {n: np.asarray(v, dtype=object) for n, v in cols.items()}
-            aligned = _align_insert(data, table, names)
-            table.insert_pydict(aligned)
-            self._trigger_materialized_views(db, stmt.table, aligned)
-            self._update_projections(db, stmt.table, aligned)
-            return _status_result()
+            return self._commit_insert(
+                db, stmt.table, _align_insert(data, table, names))
+        # INSERT SELECT always commits synchronously (the reference's async
+        # queue only accepts data-carrying inserts,
+        # AsynchronousInsertQueue::push precondition)
         assert stmt.select is not None
         data = self._execute_to_pydict(
             self._plan(stmt.select, self.settings), self.settings)
@@ -984,9 +1010,7 @@ class Session:
         else:
             data = dict(zip(table.schema.keys(), data.values()))
         aligned = _align_insert(data, table, stmt.columns)
-        table.insert_pydict(aligned)
-        self._trigger_materialized_views(db, stmt.table, aligned)
-        self._update_projections(db, stmt.table, aligned)
+        self._insert_tail(db, stmt.table, aligned)
         return _status_result()
 
     def _run_alter(self, stmt: ast.AlterTable) -> Result:
@@ -1216,10 +1240,24 @@ class Session:
                      for s in spans], np.uint64)})
             return t
 
+        def async_inserts_table():
+            t = Table("asynchronous_inserts",
+                      [("database", dtm.String), ("table", dtm.String),
+                       ("total_rows", dtm.UInt64),
+                       ("total_bytes", dtm.UInt64)])
+            rows = self.async_inserts.pending()
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "total_rows": np.asarray([r[2] for r in rows], np.uint64),
+                "total_bytes": np.asarray([r[3] for r in rows], np.uint64)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
                 "functions": functions_table, "events": events_table,
                 "columns": columns_table, "parts": parts_table,
-                "opentelemetry_span_log": span_log_table}
+                "opentelemetry_span_log": span_log_table,
+                "asynchronous_inserts": async_inserts_table}
 
     # -- convenience ---------------------------------------------------------
     def insert_pydict(self, table: str, data: Dict[str, np.ndarray],
