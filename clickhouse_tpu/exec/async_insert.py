@@ -139,6 +139,8 @@ class AsyncInsertQueue:
             return out
 
     def _flush_shard(self, shard: _Shard) -> None:
+        from ..core.failpoints import fail_point
+        fail_point("async_insert_before_flush")
         db, table, names = shard.key
         try:
             if len(shard.entries) == 1:

@@ -301,6 +301,21 @@ class Session:
             if cmd.startswith("flush async insert queue"):
                 self.async_inserts.flush()
                 return _status_result()
+            if cmd.startswith("enable failpoint"):
+                from ..core.failpoints import GLOBAL_FAILPOINTS
+                words = stmt.command.split()
+                name = words[2]
+                mode, sleep_s = "error", 0.0
+                if len(words) > 3:
+                    mode = words[3].lower()
+                    if mode == "sleep" and len(words) > 4:
+                        sleep_s = float(words[4])
+                GLOBAL_FAILPOINTS.enable(name, mode, sleep_s)
+                return _status_result()
+            if cmd.startswith("disable failpoint"):
+                from ..core.failpoints import GLOBAL_FAILPOINTS
+                GLOBAL_FAILPOINTS.disable(stmt.command.split()[2])
+                return _status_result()
             if cmd.startswith("reload dictionar"):
                 for dbo in self.catalog.databases.values():
                     for d in getattr(dbo, "dictionaries", {}).values():
@@ -1253,11 +1268,24 @@ class Session:
                 "total_bytes": np.asarray([r[3] for r in rows], np.uint64)})
             return t
 
+        def failpoints_table():
+            from ..core.failpoints import GLOBAL_FAILPOINTS
+            t = Table("failpoints", [("name", dtm.String),
+                                     ("mode", dtm.String),
+                                     ("hits", dtm.UInt64)])
+            rows = GLOBAL_FAILPOINTS.snapshot()
+            t.insert_pydict({
+                "name": np.asarray([r[0] for r in rows], object),
+                "mode": np.asarray([r[1] for r in rows], object),
+                "hits": np.asarray([r[2] for r in rows], np.uint64)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
                 "functions": functions_table, "events": events_table,
                 "columns": columns_table, "parts": parts_table,
                 "opentelemetry_span_log": span_log_table,
-                "asynchronous_inserts": async_inserts_table}
+                "asynchronous_inserts": async_inserts_table,
+                "failpoints": failpoints_table}
 
     # -- convenience ---------------------------------------------------------
     def insert_pydict(self, table: str, data: Dict[str, np.ndarray],

@@ -342,6 +342,8 @@ class DistributedSession(Session):
                     "validity": validity_leaves, "lengths": length_leaves,
                     "checks": checks}
 
+        from ..core.failpoints import fail_point
+        fail_point("exchange_before_all_to_all")
         mapped = shard_map(fn, mesh=self.mesh, in_specs=(arg_specs,),
                            out_specs=P())
         leaves = jax.jit(mapped)(args)

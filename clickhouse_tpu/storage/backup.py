@@ -27,6 +27,8 @@ _FRAME = 1 << 20
 
 
 def backup_table(table: Table, path: str) -> None:
+    from ..core.failpoints import fail_point
+    fail_point("backup_before_write")
     cols = {}
     for name in table.schema:
         pieces = [p.columns[name] for p in table.parts]

@@ -105,6 +105,8 @@ class Replication:
                 ptr, _ = self.keeper.get(self._ptr_path)
                 applied = 0
                 for name in entries[ptr:]:
+                    from ..core.failpoints import fail_point
+                    fail_point("replica_before_apply_log")
                     entry, _ = self.keeper.get(f"{self.zk_path}/log/{name}")
                     if entry["source"] != self.replica:
                         self.table._insert_local(entry["data"])

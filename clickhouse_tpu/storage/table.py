@@ -294,6 +294,8 @@ class Table:
                 else:
                     v = np.zeros(n, ctype.np_dtype)
             cols[name] = v
+        from ..core.failpoints import fail_point
+        fail_point("insert_before_commit_part")
         with self._lock:
             self.parts.append(Part.from_pydict(cols, self.schema))
             self._version += 1
@@ -309,6 +311,8 @@ class Table:
         """Merge all parts into one, applying the engine's fold semantics
         (MergeTask analog: horizontal merge + *SortedAlgorithm fold)."""
         import pandas as pd
+        from ..core.failpoints import fail_point
+        fail_point("merge_before_commit")
         with self._lock:
             if not self.parts:
                 return
