@@ -80,6 +80,10 @@ class Settings:
     max_device_block_bytes: int = 2 << 30
     stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
     stream_chunk_rows: int = 0         # explicit chunk row count (0 = auto)
+    # parallel host readers pulling chunk tasks from a work-stealing
+    # coordinator (MergeTreeReadPool / ParallelReplicasReadingCoordinator
+    # analog); overlaps host chunk prep with device compute
+    max_parallel_replicas: int = 2
 
     # -- storage / scan ------------------------------------------------------
     system_numbers_limit: int = 1 << 21   # cap for the virtual system.numbers
@@ -169,5 +173,7 @@ _doc("skew_salt_factor", "Heavy-hitter keys are split across this many salted "
 _doc("max_device_block_bytes", "Tables above this physical size stream through "
      "the engine chunk by chunk instead of as one device block.")
 _doc("stream_chunk_bytes", "Target physical bytes per chunk when streaming.")
+_doc("max_parallel_replicas", "Parallel host readers pulling streamed-scan chunk "
+     "tasks from a work-stealing coordinator; 1 disables read parallelism.")
 _doc("max_bytes_before_external_group_by", "When > 0, aggregation queries over "
      "tables above this size run in streaming (out-of-core) mode.")

@@ -550,8 +550,7 @@ class StreamProgram:
         lower_args = self.small_args(self.small_lower)
         upper_args = self.small_args(self.small_upper)
 
-        def chunk_args(i):
-            data, n = src.chunk(i)
+        def to_device(data, n):
             cols = {}
             for name, (d, v) in data.items():
                 e = {"data": jax.device_put(d)}
@@ -560,9 +559,25 @@ class StreamProgram:
                 cols[name] = e
             return {"cols": cols, "num_rows": jnp.asarray(n, jnp.int64)}
 
-        carry = self.init_fn(chunk_args(0), lower_args)
-        for i in range(1, src.num_chunks):
-            carry = self.step_fn(carry, chunk_args(i), lower_args)
+        n_readers = max(int(self.settings.max_parallel_replicas), 1)
+        if n_readers > 1 and src.num_chunks > 1:
+            # work-stealing read pool: host chunk prep overlaps device
+            # compute (MergeTreeReadPool / parallel-replicas coordinator
+            # analog, storage/read_pool.py); index order is preserved so
+            # the float merge tree stays deterministic
+            from ..storage.read_pool import ParallelChunkReader
+            reader = ParallelChunkReader(src, n_readers,
+                                         max_buffered=n_readers + 2)
+            carry = None
+            for i, data, n in reader.iter_ordered():
+                args = to_device(data, n)
+                carry = self.init_fn(args, lower_args) if carry is None \
+                    else self.step_fn(carry, args, lower_args)
+        else:
+            carry = self.init_fn(to_device(*src.chunk(0)), lower_args)
+            for i in range(1, src.num_chunks):
+                carry = self.step_fn(carry, to_device(*src.chunk(i)),
+                                     lower_args)
         leaves = self.fin_fn(carry, upper_args)
 
         struct = self.struct
