@@ -8,9 +8,10 @@ Native-format Data blocks, Progress / ProfileInfo / Exception / EndOfStream.
 The server advertises protocol revision 54429 (settings serialized as
 strings, scalars supported) and negotiates ``min(client, server)`` — newer
 clients downgrade to this revision's packet layout, exactly as the
-reference's own compatibility machinery does.  Compressed framing
-(CityHash128-checksummed codec frames) is not implemented yet: clients must
-send Query.compression = 0.
+reference's own compatibility machinery does.  Compressed framing is
+supported (Query.compression = 1): Data-packet block payloads travel in
+checksummed LZ4 frames with the reference's frame layout
+(storage/wire_compression.py; checksum family documented there).
 
 Wire building blocks (varints, binary strings, per-column Native data) are
 shared with storage/native_format.py — the TCP Data packet is the Native
@@ -154,6 +155,7 @@ class _Connection:
         self.session = session
         self.lock = lock
         self.revision = 0                  # negotiated
+        self.compression = False           # per-query, from the Query packet
         self.user = "default"
         self.database = None
 
@@ -187,8 +189,21 @@ class _Connection:
         o = self.out
         _write_varuint(o, packet)
         _write_binary_str(o, "")           # external table name
-        _write_block(o, cols, types, self.revision)
+        if self.compression:
+            from ..storage.wire_compression import write_frame
+            buf = io.BytesIO()
+            _write_block(buf, cols, types, self.revision)
+            write_frame(o, buf.getvalue())
+        else:
+            _write_block(o, cols, types, self.revision)
         o.flush()
+
+    def _read_block_maybe_compressed(self):
+        if self.compression:
+            from ..storage.wire_compression import read_frame
+            return _read_block(io.BytesIO(read_frame(self.inp)),
+                               self.revision)
+        return _read_block(self.inp, self.revision)
 
     def _send_progress(self, rows: int):
         o = self.out
@@ -221,7 +236,7 @@ class _Connection:
                 elif ptype == CLI_DATA:
                     # stray data outside a query: drain one block
                     _read_binary_str(self.inp)
-                    _read_block(self.inp, self.revision)
+                    self._read_block_maybe_compressed()
                 else:
                     raise EngineError(f"Unknown packet {ptype} from client")
         except (EOFError, ConnectionError, BrokenPipeError):
@@ -257,7 +272,7 @@ class _Connection:
             ptype = _read_varuint(self.inp)
             if ptype in (CLI_DATA, CLI_SCALAR):
                 _read_binary_str(self.inp)          # temp table name
-                cols, _ = _read_block(self.inp, self.revision)
+                cols, _ = self._read_block_maybe_compressed()
                 if not cols:
                     return
             elif ptype == CLI_CANCEL:
@@ -282,11 +297,7 @@ class _Connection:
         _read_varuint(inp)                          # stage
         compression = _read_varuint(inp)
         query = _read_binary_str(inp)
-        if compression:
-            self._send_exception(EngineError(
-                "compressed wire blocks are not supported yet; connect "
-                "with compression disabled"))
-            return
+        self.compression = bool(compression)
         self._read_external_tables()
 
         is_insert = query.lstrip()[:6].upper() == "INSERT" \
@@ -354,7 +365,7 @@ class _Connection:
             if ptype != CLI_DATA:
                 raise EngineError(f"Unexpected packet {ptype} during INSERT")
             _read_binary_str(self.inp)
-            cols, _ = _read_block(self.inp, self.revision)
+            cols, _ = self._read_block_maybe_compressed()
             if not cols:
                 break
             self.session.insert_pydict(stmt.table, cols, database=db)
@@ -408,7 +419,8 @@ class NativeTcpClient:
 
     def __init__(self, host: str, port: int, user: str = "default",
                  password: str = "", database: str = "",
-                 revision: int = 54477):
+                 revision: int = 54477, compression: bool = False):
+        self.compression = compression
         self.sock = socket.create_connection((host, port))
         self.inp = self.sock.makefile("rb")
         self.out = self.sock.makefile("wb")
@@ -481,7 +493,7 @@ class NativeTcpClient:
             _write_binary_str(o, str(v))
         _write_binary_str(o, "")           # end of settings
         _write_varuint(o, 2)               # stage = Complete
-        _write_varuint(o, 0)               # compression off
+        _write_varuint(o, 1 if self.compression else 0)
         _write_binary_str(o, query)
         # end of external tables: empty block
         self._send_block({}, [])
@@ -491,8 +503,21 @@ class NativeTcpClient:
         o = self.out
         _write_varuint(o, CLI_DATA)
         _write_binary_str(o, name)
-        _write_block(o, cols, types, self.revision)
+        if self.compression:
+            from ..storage.wire_compression import write_frame
+            buf = io.BytesIO()
+            _write_block(buf, cols, types, self.revision)
+            write_frame(o, buf.getvalue())
+        else:
+            _write_block(o, cols, types, self.revision)
         o.flush()
+
+    def _read_block_maybe_compressed(self):
+        if self.compression:
+            from ..storage.wire_compression import read_frame
+            return _read_block(io.BytesIO(read_frame(self.inp)),
+                               self.revision)
+        return _read_block(self.inp, self.revision)
 
     def execute(self, query: str, settings=None):
         """-> (cols dict, types) for SELECTs, ({}, []) otherwise."""
@@ -507,7 +532,7 @@ class NativeTcpClient:
                 raise EngineError(self._read_exception())
             if ptype in (SRV_DATA, SRV_TOTALS):
                 _read_binary_str(self.inp)
-                cols, types = _read_block(self.inp, self.revision)
+                cols, types = self._read_block_maybe_compressed()
                 if ptype == SRV_DATA and cols \
                         and any(len(v) for v in cols.values()):
                     cols_out, types_out = cols, types
@@ -527,7 +552,7 @@ class NativeTcpClient:
             raise EngineError(self._read_exception())
         assert ptype == SRV_DATA
         _read_binary_str(self.inp)
-        _read_block(self.inp, self.revision)        # header
+        self._read_block_maybe_compressed()         # header
         self._send_block(cols, types)
         self._send_block({}, [])                    # terminator
         while True:
@@ -539,7 +564,7 @@ class NativeTcpClient:
             if ptype in (SRV_DATA, SRV_PROGRESS):
                 if ptype == SRV_DATA:
                     _read_binary_str(self.inp)
-                    _read_block(self.inp, self.revision)
+                    self._read_block_maybe_compressed()
                 else:
                     _read_varuint(self.inp)
                     _read_varuint(self.inp)

@@ -88,34 +88,67 @@ def test_per_query_settings_over_wire(client):
     assert list(cols.values())[0][0] == 10
 
 
-def test_compression_rejected_cleanly(server):
-    """Query.compression = 1 gets a protocol-level Exception packet."""
-    from clickhouse_tpu.storage.native_format import (_read_varuint,
-                                                      _write_binary_str,
-                                                      _write_varuint)
-    c = NativeTcpClient("127.0.0.1", server.port)
-    o = c.out
-    _write_varuint(o, 1)                  # Query
-    _write_binary_str(o, "")
-    o.write(b"\x01")                      # client info: INITIAL_QUERY
-    _write_binary_str(o, "default")
-    _write_binary_str(o, "")
-    _write_binary_str(o, "127.0.0.1:0")
-    o.write(b"\x01")
-    for s in ("u", "h", "n"):
-        _write_binary_str(o, s)
-    for v in (24, 1, c.client_revision):
-        _write_varuint(o, v)
-    _write_binary_str(o, "")              # quota key
-    _write_varuint(o, 0)                  # patch
-    _write_binary_str(o, "")              # end of settings
-    _write_varuint(o, 2)                  # stage
-    _write_varuint(o, 1)                  # compression ON
-    _write_binary_str(o, "SELECT 1")
-    o.flush()
-    assert _read_varuint(c.inp) == 2      # Exception
-    assert "compress" in c._read_exception()
+def test_compressed_frame_round_trip():
+    import io
+    from clickhouse_tpu.storage.wire_compression import (METHOD_NONE,
+                                                         read_frame,
+                                                         write_frame)
+    data = b"hello columnar world " * 100
+    buf = io.BytesIO()
+    write_frame(buf, data)
+    assert buf.tell() < len(data)         # actually compressed
+    buf.seek(0)
+    assert read_frame(buf) == data
+    buf = io.BytesIO()
+    write_frame(buf, data, method=METHOD_NONE)
+    buf.seek(0)
+    assert read_frame(buf) == data
+
+
+def test_corrupted_frame_detected():
+    import io
+    from clickhouse_tpu.storage.wire_compression import (read_frame,
+                                                         write_frame)
+    buf = io.BytesIO()
+    write_frame(buf, b"payload bytes " * 50)
+    raw = bytearray(buf.getvalue())
+    raw[30] ^= 0xFF                       # flip a payload bit
+    with pytest.raises(Exception, match="checksum"):
+        read_frame(io.BytesIO(bytes(raw)))
+
+
+def test_compressed_select_round_trip(server):
+    """Query.compression = 1: Data blocks travel in LZ4 frames."""
+    c = NativeTcpClient("127.0.0.1", server.port, compression=True)
+    cols, types = c.execute(
+        "SELECT number AS n, toString(number) AS s FROM numbers(1000)")
+    assert list(cols["n"]) == list(range(1000))
+    assert cols["s"][999] == "999"
     c.close()
+
+
+def test_compressed_insert_via_wire_blocks(server):
+    server.session.execute(
+        "CREATE TABLE comp_ins (a Int64, b String) ENGINE = MergeTree "
+        "ORDER BY a")
+    c = NativeTcpClient("127.0.0.1", server.port, compression=True)
+    c.insert("INSERT INTO comp_ins (a, b)",
+             {"a": np.arange(64, dtype=np.int64),
+              "b": np.asarray([f"v{i}" for i in range(64)], object)},
+             [("a", "Int64"), ("b", "String")])
+    cols, _ = c.execute("SELECT count(), sum(a) FROM comp_ins")
+    assert [v[0] for v in cols.values()] == [64, 2016]
+    c.close()
+
+
+def test_compressed_and_plain_clients_coexist(server):
+    plain = NativeTcpClient("127.0.0.1", server.port)
+    comp = NativeTcpClient("127.0.0.1", server.port, compression=True)
+    a, _ = plain.execute("SELECT sum(number) FROM numbers(100)")
+    b, _ = comp.execute("SELECT sum(number) FROM numbers(100)")
+    assert list(a.values())[0][0] == list(b.values())[0][0] == 4950
+    plain.close()
+    comp.close()
 
 
 def test_wrong_password_rejected(server):
