@@ -4,7 +4,7 @@ from __future__ import annotations
 __all__ = [
     "EngineError", "ParseError", "AnalysisError", "UnknownIdentifier",
     "UnknownFunction", "UnknownTable", "TypeError_", "ExecutionError",
-    "CapacityError", "NotImplementedError_",
+    "CapacityError", "MemoryLimitExceeded", "NotImplementedError_",
 ]
 
 
@@ -54,6 +54,14 @@ class CapacityError(ExecutionError):
         super().__init__(message)
         self.setting = setting
         self.needed = needed
+
+
+class MemoryLimitExceeded(ExecutionError):
+    """The plan's estimated device footprint exceeds the budget and no
+    streaming rewrite applies — raised BEFORE dispatch so the process never
+    hits an uncatchable XLA allocation abort (reference: MemoryTracker hard
+    limits, src/Common/MemoryTracker.cpp)."""
+    code = 241       # MEMORY_LIMIT_EXCEEDED
 
 
 class NotImplementedError_(EngineError):

@@ -78,12 +78,30 @@ class Settings:
     # mergeable aggregation states carried across chunks (the TPU translation
     # of the reference's external aggregation, Aggregator.h writeToTemporaryFile)
     max_device_block_bytes: int = 2 << 30
+    # hard per-query device budget (memory governor): plans estimated over
+    # this and not streamable raise MEMORY_LIMIT_EXCEEDED before dispatch
+    # instead of hard-aborting in the XLA allocator
+    max_device_memory_bytes: int = 12 << 30
     stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
+    # streamed ORDER BY ... LIMIT k carries top-k rows across chunks when
+    # k+offset is at most this; larger limits fall back to collect/host-sort
+    stream_topk_max: int = 1 << 20
+    # grace partitioned join: both-sides-huge joins hash-partition both
+    # sides into host buckets and stream bucket by bucket (reference:
+    # src/Interpreters/GraceHashJoin.cpp)
+    grace_join_buckets: int = 0        # 0 = auto (sized from build bytes)
     stream_chunk_rows: int = 0         # explicit chunk row count (0 = auto)
     # parallel host readers pulling chunk tasks from a work-stealing
-    # coordinator (MergeTreeReadPool / ParallelReplicasReadingCoordinator
-    # analog); overlaps host chunk prep with device compute
-    max_parallel_replicas: int = 2
+    # coordinator (MergeTreeReadPool analog); overlaps host chunk prep with
+    # device compute.  Opt-in (default 1): each buffered chunk costs
+    # ~stream_chunk_bytes of host RAM, and streaming exists precisely for
+    # data that doesn't fit.
+    stream_readers: int = 1
+    # host-RAM budget for buffered chunks when stream_readers > 1
+    stream_buffer_bytes: int = 4 << 30
+    # distributed-semantics setting (parallel replicas of one shard); kept
+    # distinct from stream_readers (reference: max_parallel_replicas)
+    max_parallel_replicas: int = 1
 
     # -- storage / scan ------------------------------------------------------
     system_numbers_limit: int = 1 << 21   # cap for the virtual system.numbers
@@ -173,7 +191,15 @@ _doc("skew_salt_factor", "Heavy-hitter keys are split across this many salted "
 _doc("max_device_block_bytes", "Tables above this physical size stream through "
      "the engine chunk by chunk instead of as one device block.")
 _doc("stream_chunk_bytes", "Target physical bytes per chunk when streaming.")
-_doc("max_parallel_replicas", "Parallel host readers pulling streamed-scan chunk "
+_doc("stream_readers", "Parallel host readers pulling streamed-scan chunk "
      "tasks from a work-stealing coordinator; 1 disables read parallelism.")
+_doc("stream_buffer_bytes", "Host-RAM budget for in-flight buffered chunks "
+     "when stream_readers > 1.")
 _doc("max_bytes_before_external_group_by", "When > 0, aggregation queries over "
      "tables above this size run in streaming (out-of-core) mode.")
+_doc("max_device_memory_bytes", "Per-query device memory budget; non-streamable "
+     "plans estimated above it raise MEMORY_LIMIT_EXCEEDED before dispatch.")
+_doc("stream_topk_max", "Largest ORDER BY LIMIT k carried as a device top-k "
+     "across streamed chunks.")
+_doc("grace_join_buckets", "Bucket count for grace partitioned joins "
+     "(0 = sized automatically from the build side's bytes).")

@@ -140,9 +140,11 @@ class AsyncInsertQueue:
 
     def _flush_shard(self, shard: _Shard) -> None:
         from ..core.failpoints import fail_point
-        fail_point("async_insert_before_flush")
         db, table, names = shard.key
         try:
+            # inside the try: an injected fault must reach waiters through
+            # entry.error/entry.done like any other flush failure
+            fail_point("async_insert_before_flush")
             if len(shard.entries) == 1:
                 merged = shard.entries[0].data
             else:

@@ -519,7 +519,22 @@ class Session:
             self._collect_table_blocks(c, out)
         return out
 
+    def _governor_check(self, plan: L.PlanNode, settings: Settings) -> None:
+        """Memory governor (MemoryTracker-hard-limit analog): refuse plans
+        whose whole-block footprint exceeds the device budget with a
+        catchable error instead of aborting in the XLA allocator."""
+        from ..core.errors import MemoryLimitExceeded
+        from .streaming import estimate_plan_scan_bytes
+        budget = max(int(settings.max_device_memory_bytes), 1)
+        est = estimate_plan_scan_bytes(plan, self.catalog)
+        if est > budget:
+            raise MemoryLimitExceeded(
+                f"query would need ~{est >> 20} MiB of device memory "
+                f"(budget {budget >> 20} MiB = max_device_memory_bytes) "
+                "and was not rewritten to streaming")
+
     def _execute(self, plan: L.PlanNode, settings: Settings):
+        self._governor_check(plan, settings)
         blocks = self._collect_table_blocks(plan)
         ctx = ExecContext(blocks, settings)
         out = execute_plan(plan, ctx)
@@ -558,6 +573,7 @@ class Session:
                 (db, tbl, self.catalog.get_table(db, tbl).version)
                 for (db, tbl) in table_keys))
             if sig == sig0:
+                self._governor_check(plan_c, settings)
                 blocks = self._collect_table_blocks(plan_c)
                 leaves = fn(self._block_args(blocks))
                 cols, ctx = self._materialize_compiled(plan_c, struct,
@@ -565,6 +581,7 @@ class Session:
                 return plan_c, cols, ctx
 
         plan = self._plan(stmt, settings)
+        self._governor_check(plan, settings)
         blocks = self._collect_table_blocks(plan)
         sig = tuple(sorted(
             (db, tbl, self.catalog.get_table(db, tbl).version)

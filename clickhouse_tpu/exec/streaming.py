@@ -36,17 +36,17 @@ import numpy as np
 
 from ..core.block import Block
 from ..core.column import Column, pad_to
-from ..core.errors import CapacityError
+from ..core.errors import CapacityError, MemoryLimitExceeded
 from ..core.settings import Settings
 from ..core import dtypes as dt
-from ..exprs.expr import ColVal
+from ..exprs.expr import ColVal, evaluate
 from ..plan import logical as L
-from ..ops import agg_ops
+from ..ops import agg_ops, sort_ops
 from .executor import (Check, ExecBlock, ExecContext, execute_plan,
                        materialize, _agg_key_arrays, _agg_capacity,
-                       _finalize, _stage1)
+                       _finalize, _stage1, _token_for_sort, _gather_colval)
 
-__all__ = ["try_streaming"]
+__all__ = ["try_streaming", "estimate_plan_scan_bytes"]
 
 _STREAM_KEY = "__stream__"
 
@@ -64,6 +64,88 @@ class StreamSplit:
     big_key: Tuple[str, str]
     lower_scan_keys: List[Tuple[str, str]]   # small tables under the breaker
     upper_scan_keys: List[Tuple[str, str]]   # small tables above the breaker
+    # root..scan path + index of the streamable chain head (grace detection)
+    path: Optional[list] = None
+    lower_i: int = 0
+
+
+@dataclasses.dataclass
+class GenericSplit:
+    """Non-aggregate streaming breakers.
+
+    kind = "topk":    ORDER BY ... LIMIT k — per-chunk device top-k rows
+                      carried across chunks, k-way merged on device (the
+                      reference's external sort for the top-N case,
+                      src/Processors/Transforms/MergeSortingTransform.h:31-49
+                      with the special-cased top-N row filter,
+                      SortingStep.cpp:339).
+    kind = "collect": any other shape — surviving lower-plan rows stream to
+                      host RAM (the role disk plays for the reference's
+                      TemporaryDataOnDisk), and the remaining upper plan runs
+                      on the collected block (device when it fits the budget,
+                      host sort/limit fallbacks otherwise)."""
+    kind: str
+    lower: L.PlanNode             # per-chunk streamable subplan
+    upper: L.PlanNode             # plan with the breaker subtree replaced
+    scan: L.ScanNode
+    big_key: Tuple[str, str]
+    lower_scan_keys: List[Tuple[str, str]]
+    upper_scan_keys: List[Tuple[str, str]]
+    sort_items: Optional[list] = None        # topk
+    k_total: int = 0                         # topk: limit + offset
+    limit_total: Optional[int] = None        # collect: early-stop row count
+    path: Optional[list] = None
+    lower_i: int = 0
+
+
+def find_generic_split(plan: L.PlanNode, big_key: Tuple[str, str],
+                       settings: Settings) -> Optional[GenericSplit]:
+    """Stream any plan shape: top-k breaker when the streamable chain feeds
+    ORDER BY with an effective LIMIT, collect-to-host otherwise."""
+    r = _stream_path(plan, big_key)
+    if r is None:
+        return None
+    scan, path, j = r
+    lower = path[j]
+    for f in lower.schema:
+        if dt.is_composite(f.dtype) or f.dtype.agg_state is not None:
+            return None          # composite leaves can't cross the pytree
+    lower_scans: List[L.ScanNode] = []
+    _collect_scans(lower, lower_scans)
+    lower_keys = [(s.database, s.table) for s in lower_scans if s is not scan]
+    parent = path[j - 1] if j > 0 else None
+
+    if isinstance(parent, L.SortNode) and parent.child is lower \
+            and not any(i.fill is not None for i in parent.items):
+        k = parent.limit_hint
+        if k is None and j >= 2 and isinstance(path[j - 2], L.LimitNode) \
+                and path[j - 2].limit >= 0:
+            k = path[j - 2].limit + path[j - 2].offset
+        if k is not None and 0 < k <= settings.stream_topk_max:
+            upper = _replace_node(
+                plan, parent, L.BlockSourceNode(parent.schema, _STREAM_KEY))
+            upper_scans: List[L.ScanNode] = []
+            _collect_scans(upper, upper_scans)
+            return GenericSplit(
+                "topk", lower, upper, scan, big_key, lower_keys,
+                [(s.database, s.table) for s in upper_scans],
+                sort_items=list(parent.items), k_total=int(k),
+                path=path, lower_i=j)
+
+    if lower is plan:
+        upper: L.PlanNode = L.BlockSourceNode(lower.schema, _STREAM_KEY)
+    else:
+        upper = _replace_node(plan, lower,
+                              L.BlockSourceNode(lower.schema, _STREAM_KEY))
+    limit_total = None
+    if isinstance(parent, L.LimitNode) and parent.limit >= 0:
+        limit_total = parent.limit + parent.offset
+    upper_scans2: List[L.ScanNode] = []
+    _collect_scans(upper, upper_scans2)
+    return GenericSplit(
+        "collect", lower, upper, scan, big_key, lower_keys,
+        [(s.database, s.table) for s in upper_scans2],
+        limit_total=limit_total, path=path, lower_i=j)
 
 
 def _collect_scans(node: L.PlanNode, out: List[L.ScanNode]) -> None:
@@ -103,13 +185,12 @@ def _replace_node(root: L.PlanNode, old: L.PlanNode,
     raise AssertionError("old node not under root")
 
 
-def _prune_parts(split: StreamSplit, table, session):
+def _prune_parts(lower_root: L.PlanNode, scan: L.ScanNode, table, session):
     """Part-level minmax pruning for the streamed scan (the IO-skipping
     KeyCondition role): parts whose stats refute every row of a filter are
     never read off the host.  -> tuple of surviving part indices, or None
     (= all parts) when there is nothing to prune on."""
     from ..plan import ranges as R
-    scan = split.scan
     # filters whose ONLY source is the streamed scan
     preds = []
 
@@ -122,7 +203,7 @@ def _prune_parts(split: StreamSplit, table, session):
         for c in n.children():
             walk(c)
 
-    walk(split.agg)
+    walk(lower_root)
     if not preds:
         return None, None
     col_of = {f.id: nm for f, nm in zip(scan.schema, scan.column_names)}
@@ -297,9 +378,11 @@ def _prune_granules(preds, col_of, table, part_indices, session):
     return tuple(spans)
 
 
-def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
-               ) -> Optional[StreamSplit]:
-    """Locate the aggregation breaker for streaming the scan of big_key."""
+def _stream_path(plan: L.PlanNode, big_key: Tuple[str, str]):
+    """-> (scan, path root..scan, index j of the highest per-chunk
+    streamable ancestor of the scan), or None.  Nodes on the streamable
+    chain are Filter/Project and probe-side (left) joins — every output row
+    of the chain is decided by one scanned row alone."""
     scans: List[L.ScanNode] = []
     _collect_scans(plan, scans)
     big_scans = [s for s in scans
@@ -312,31 +395,36 @@ def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
     path = _path_to(plan, scan)
     if path is None:
         return None
-    # lowest AggregateNode above the scan
-    agg = None
-    agg_i = -1
-    for i in range(len(path) - 1, -1, -1):
-        if isinstance(path[i], L.AggregateNode):
-            agg = path[i]
-            agg_i = i
-            break
-    if agg is None or agg.with_totals:
+    j = len(path) - 1
+    for i in range(len(path) - 2, -1, -1):
+        node = path[i]
+        if isinstance(node, (L.FilterNode, L.ProjectNode)):
+            j = i
+            continue
+        if isinstance(node, L.JoinNode) and node.left is path[i + 1] \
+                and node.kind in _STREAMABLE_JOIN_KINDS:
+            # the big table is the probe (left) side; the build side is an
+            # ordinary small block argument of the per-chunk program
+            j = i
+            continue
+        break
+    return scan, path, j
+
+
+def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
+               ) -> Optional[StreamSplit]:
+    """Locate the aggregation breaker for streaming the scan of big_key."""
+    r = _stream_path(plan, big_key)
+    if r is None:
+        return None
+    scan, path, j = r
+    if j == 0:
+        return None
+    agg = path[j - 1]
+    if not isinstance(agg, L.AggregateNode) or agg.with_totals:
         return None
     if any(a.fn.holistic for a in agg.aggregates):
         return None                      # needs raw rows per group (v1)
-    # nodes strictly between the breaker and the scan must be streamable
-    for i in range(agg_i + 1, len(path) - 1):
-        node = path[i]
-        if isinstance(node, (L.FilterNode, L.ProjectNode)):
-            continue
-        if isinstance(node, L.JoinNode):
-            # the big table must be the probe (left) side; the build side
-            # is an ordinary small block argument of the per-chunk program
-            if node.left is not path[i + 1] \
-                    or node.kind not in _STREAMABLE_JOIN_KINDS:
-                return None
-            continue
-        return None
     lower_scans: List[L.ScanNode] = []
     _collect_scans(agg.child, lower_scans)
     lower_keys = [(s.database, s.table) for s in lower_scans
@@ -346,7 +434,231 @@ def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
     upper_scans: List[L.ScanNode] = []
     _collect_scans(upper, upper_scans)
     upper_keys = [(s.database, s.table) for s in upper_scans]
-    return StreamSplit(agg, upper, scan, big_key, lower_keys, upper_keys)
+    split = StreamSplit(agg, upper, scan, big_key, lower_keys, upper_keys)
+    split.path = path
+    split.lower_i = j
+    return split
+
+
+# -- grace partitioned join (both sides exceed the device budget) -------------
+# Reference: src/Interpreters/GraceHashJoin.cpp — hash-partition BOTH sides
+# into buckets so each bucket's build side fits, then join bucket by bucket.
+# Here host RAM plays the role of the reference's disk buckets, and the
+# per-chunk compiled program is reused across buckets: only the build-side
+# block argument changes, so XLA compiles once.
+
+@dataclasses.dataclass
+class GraceJoin:
+    join: L.JoinNode
+    build_scan: L.ScanNode
+    build_key: Tuple[str, str]
+    probe_cols: List[str]         # big-table storage columns hashed
+    build_cols: List[str]         # build-table storage columns hashed
+    kinds: List[str]              # per key pair: int | float | str
+    n_buckets: int = 0
+
+
+def _colmap(node: L.PlanNode) -> Dict[str, tuple]:
+    """field id -> (ScanNode, storage column name) through Filter/Project
+    renames and join concatenation (grace key-column resolution)."""
+    from ..exprs.expr import BoundColumn
+    if isinstance(node, L.ScanNode):
+        return {f.id: (node, nm)
+                for f, nm in zip(node.schema, node.column_names)}
+    if isinstance(node, L.FilterNode):
+        return _colmap(node.child)
+    if isinstance(node, L.ProjectNode):
+        m = _colmap(node.child)
+        out = {}
+        for f, e in zip(node.schema, node.exprs):
+            if isinstance(e, BoundColumn) and e.name in m:
+                out[f.id] = m[e.name]
+        return out
+    if isinstance(node, L.JoinNode):
+        m = dict(_colmap(node.left))
+        m.update(_colmap(node.right))
+        return m
+    return {}
+
+
+_GRACE_JOIN_KINDS = ("inner", "left", "semi", "anti")
+
+
+def _detect_grace(split, scan: L.ScanNode, catalog, thr: int, settings):
+    """Find over-threshold build sides on the streamable chain.
+    -> (GraceJoin or None, compatible: bool)."""
+    from ..exprs.expr import BoundColumn
+    path, j = split.path, split.lower_i
+    graces = []
+    for i in range(j, len(path) - 1):
+        node = path[i]
+        if not isinstance(node, L.JoinNode):
+            continue
+        rscans: List[L.ScanNode] = []
+        _collect_scans(node.right, rscans)
+        over = []
+        for s in rscans:
+            try:
+                t = catalog.get_table(s.database, s.table)
+            except Exception:
+                continue
+            if t.num_rows and t.physical_bytes(set(s.column_names)) > thr:
+                over.append(s)
+        if not over:
+            continue
+        if len(over) != 1 or not isinstance(node.right, L.ScanNode) \
+                or node.kind not in _GRACE_JOIN_KINDS \
+                or node.asof_left is not None or not node.left_keys:
+            return None, False
+        bscan = node.right
+        if bscan.final:
+            return None, False
+        lmap = _colmap(node.left)
+        bmap = {f.id: nm for f, nm in zip(bscan.schema, bscan.column_names)}
+        big_t = catalog.get_table(scan.database, scan.table)
+        build_t = catalog.get_table(bscan.database, bscan.table)
+        probe_cols, build_cols, kinds = [], [], []
+        for le, re_ in zip(node.left_keys, node.right_keys):
+            if not (isinstance(le, BoundColumn)
+                    and isinstance(re_, BoundColumn)):
+                return None, False
+            lm = lmap.get(le.name)
+            rn = bmap.get(re_.name)
+            if lm is None or lm[0] is not scan or rn is None:
+                return None, False
+            lt = big_t.schema[lm[1]]
+            rt = build_t.schema[rn]
+            lk = "str" if lt.is_dictionary else lt.np_dtype.kind
+            rk = "str" if rt.is_dictionary else rt.np_dtype.kind
+            if (lk == "str") != (rk == "str"):
+                return None, False
+            if lk == "str":
+                kind = "str"
+            elif "f" in (lk, rk):
+                kind = "float"
+            else:
+                kind = "int"
+            probe_cols.append(lm[1])
+            build_cols.append(rn)
+            kinds.append(kind)
+        graces.append(GraceJoin(node, bscan,
+                                (bscan.database, bscan.table),
+                                probe_cols, build_cols, kinds))
+    if len(graces) > 1:
+        return None, False
+    return (graces[0] if graces else None), True
+
+
+def _hash_values_u64(v: np.ndarray, kind: str) -> np.ndarray:
+    """Stable per-row u64 for host bucket assignment; equal join-key values
+    hash equal regardless of storage dtype (ints via int64, floats via f64
+    bits, strings via crc/adler pair).  NULLs -> 0 (bucket 0; they never
+    match inside any bucket)."""
+    import zlib
+    n = len(v)
+    h = np.zeros(n, np.uint64)
+    if kind == "str":
+        for i, x in enumerate(v):
+            if x is None:
+                continue
+            b = str(x).encode()
+            h[i] = np.uint64(zlib.crc32(b)) \
+                | (np.uint64(zlib.adler32(b)) << np.uint64(32))
+        return h
+    if v.dtype == object:
+        mask = np.asarray([x is not None for x in v], bool)
+        vals = np.zeros(n, np.float64 if kind == "float" else np.int64)
+        if mask.any():
+            vals[mask] = np.asarray(
+                [x for x in v if x is not None],
+                np.float64 if kind == "float" else np.int64)
+        h = (vals.view(np.uint64) if kind == "float"
+             else vals.astype(np.uint64))
+        h[~mask] = 0
+        return h
+    if kind == "float":
+        return v.astype(np.float64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        return v.astype(np.int64).astype(np.uint64)
+
+
+def _bucket_of(cols: List[np.ndarray], kinds: List[str], P: int
+               ) -> np.ndarray:
+    from ..parallel.distributed import _splitmix64_np
+    h = np.zeros(len(cols[0]), np.uint64)
+    with np.errstate(over="ignore"):
+        for v, kind in zip(cols, kinds):
+            h = _splitmix64_np(h ^ _splitmix64_np(_hash_values_u64(v, kind)))
+    return (h % np.uint64(P)).astype(np.int32)
+
+
+def _partition_rows(parts, cols: List[str], kinds: List[str], P: int):
+    """Per part: row-index arrays per bucket.  -> sel[bucket][part]."""
+    sel = [[] for _ in range(P)]
+    for p in parts:
+        if p.num_rows == 0:
+            for b in range(P):
+                sel[b].append(np.zeros(0, np.int64))
+            continue
+        a = _bucket_of([np.asarray(p.columns[c]) for c in cols], kinds, P)
+        order = np.argsort(a, kind="stable")
+        counts = np.bincount(a, minlength=P)
+        off = 0
+        for b in range(P):
+            c = int(counts[b])
+            sel[b].append(order[off:off + c])
+            off += c
+    return sel
+
+
+def _grace_build_buckets(table, columns: List[str], sel_per_bucket):
+    """-> (meta Block for tracing, per-bucket small-args entries).  All
+    buckets share one capacity, dtype layout, and global dictionaries so a
+    single compiled program serves every bucket; args stay host numpy until
+    their bucket runs (device residency is one bucket at a time)."""
+    from ..storage.table import ChunkSource
+    P = len(sel_per_bucket)
+    bucket_rows = [sum(len(s) for s in sels) for sels in sel_per_bucket]
+    cap = pad_to(max(max(bucket_rows), 1))
+    meta_block = None
+    args = []
+    donor = None
+    for b in range(P):
+        src = ChunkSource(table, columns, cap, row_sel=sel_per_bucket[b],
+                          layout_donor=donor)
+        donor = donor or src
+        data, n = src.chunk(0)
+        cols_meta: Dict[str, Column] = {}
+        cols_args = {}
+        for name in columns:
+            t = table.schema[name]
+            d, v = data[name]
+            ctype = dt.make_nullable(t) if (v is not None
+                                            and not t.nullable) else t
+            e = {"data": d}
+            if v is not None:
+                e["validity"] = v
+            cols_args[name] = e
+            if meta_block is None:
+                cols_meta[name] = Column(ctype, d, v,
+                                         src.dictionaries.get(name))
+        if meta_block is None:
+            meta_block = Block(cols_meta, n)
+        args.append({"cols": cols_args,
+                     "num_rows": np.int64(n)})
+    return meta_block, args
+
+
+def _grace_bucket_count(build_bytes: int, thr: int, settings) -> int:
+    if settings.grace_join_buckets > 0:
+        return int(settings.grace_join_buckets)
+    # each build bucket targets <= thr/4 so build block + probe chunk +
+    # intermediates stay well under the device budget
+    target = max(thr // 4, 1)
+    P = 1
+    while P * target < build_bytes and P < 256:
+        P *= 2
+    return max(P, 2)
 
 
 # -- per-chunk program construction -------------------------------------------
@@ -449,21 +761,91 @@ def _widen_carry(keys_u, gvalid, flat, cap_g, cap_c):
     return keys, valid, states
 
 
-class StreamProgram:
-    """Compiled init/step/fin triple for one (plan, settings, layout)."""
+def _to_device(data, n):
+    cols = {}
+    for name, (d, v) in data.items():
+        e = {"data": jax.device_put(d)}
+        if v is not None:
+            e["validity"] = jax.device_put(v)
+        cols[name] = e
+    return {"cols": cols, "num_rows": jnp.asarray(n, jnp.int64)}
 
-    def __init__(self, session, split: StreamSplit, settings: Settings,
-                 src, table, cap_c: int):
-        self.split = split
+
+class _StreamProgramBase:
+    """Shared scaffolding: small-table blocks, per-source lower args
+    (grace buckets swap the build-side entry), chunk iteration with the
+    optional work-stealing read pool."""
+
+    def __init__(self, session, settings: Settings, sources, table,
+                 lower_scan_keys, upper_scan_keys, big_key,
+                 grace: Optional[tuple] = None):
+        # sources: [(ChunkSource, bucket_index or None)]
+        # grace: (build_key, meta Block, per-bucket args) or None
         self.settings = settings
-        self.src = src
-        self.cap_c = cap_c
+        self.sources = sources
+        self.table = table
+        self.big_key = big_key
+        self.grace = grace
         self.struct: Dict[str, Any] = {}
         catalog = session.catalog
-        self.small_lower = {k: catalog.get_table(*k).read_block()
-                            for k in split.lower_scan_keys}
+        gk = grace[0] if grace else None
+        self.small_lower = {}
+        for k in lower_scan_keys:
+            if gk is not None and k == gk:
+                self.small_lower[k] = grace[1]
+            else:
+                self.small_lower[k] = catalog.get_table(*k).read_block()
         self.small_upper = {k: catalog.get_table(*k).read_block()
-                            for k in split.upper_scan_keys}
+                            for k in upper_scan_keys}
+        self.total_rows = sum(src.total_rows for src, _ in sources)
+
+    def small_args(self, blocks) -> Dict[str, Any]:
+        from .session import Session
+        return Session._block_args(blocks)
+
+    def _lower_args_for(self, base_args, bucket: Optional[int]):
+        if self.grace is None or bucket is None:
+            return base_args
+        gk, _, bucket_args = self.grace
+        out = dict(base_args)
+        out[f"{gk[0]}.{gk[1]}"] = bucket_args[bucket]
+        return out
+
+    def _iter_chunks(self, src):
+        """Yield device-ready chunk args in index order."""
+        n_readers = max(int(self.settings.stream_readers), 1)
+        if n_readers > 1 and src.num_chunks > 1:
+            # work-stealing read pool: host chunk prep overlaps device
+            # compute (MergeTreeReadPool analog, storage/read_pool.py);
+            # index order preserved so float merges stay deterministic.
+            # Buffered chunks capped by the host-RAM budget.
+            from ..storage.read_pool import ParallelChunkReader
+            chunk_b = max(int(self.settings.stream_chunk_bytes), 1)
+            budget = max(int(self.settings.stream_buffer_bytes)
+                         // chunk_b, 1)
+            reader = ParallelChunkReader(src, n_readers,
+                                         max_buffered=min(n_readers + 2,
+                                                          budget))
+            for _i, data, n in reader.iter_ordered():
+                yield _to_device(data, n)
+        else:
+            for i in range(src.num_chunks):
+                yield _to_device(*src.chunk(i))
+
+
+class StreamProgram(_StreamProgramBase):
+    """Compiled init/step/fin triple for the aggregation breaker."""
+
+    def __init__(self, session, split: StreamSplit, settings: Settings,
+                 sources, table, cap_c: int,
+                 grace: Optional[tuple] = None):
+        super().__init__(session, settings, sources, table,
+                         split.lower_scan_keys, split.upper_scan_keys,
+                         split.big_key, grace)
+        self.split = split
+        self.src = sources[0][0]
+        src = self.src
+        self.cap_c = cap_c
         struct = self.struct
         split_ = split
 
@@ -541,43 +923,23 @@ class StreamProgram:
         self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
         self.fin_fn = jax.jit(fin_fn)
 
-    def small_args(self, blocks) -> Dict[str, Any]:
-        from .session import Session
-        return Session._block_args(blocks)
-
     def run(self, session) -> Tuple[Dict[str, np.ndarray], ExecContext]:
-        src = self.src
-        lower_args = self.small_args(self.small_lower)
+        base_args = self.small_args(self.small_lower)
         upper_args = self.small_args(self.small_upper)
 
-        def to_device(data, n):
-            cols = {}
-            for name, (d, v) in data.items():
-                e = {"data": jax.device_put(d)}
-                if v is not None:
-                    e["validity"] = jax.device_put(v)
-                cols[name] = e
-            return {"cols": cols, "num_rows": jnp.asarray(n, jnp.int64)}
-
-        n_readers = max(int(self.settings.max_parallel_replicas), 1)
-        if n_readers > 1 and src.num_chunks > 1:
-            # work-stealing read pool: host chunk prep overlaps device
-            # compute (MergeTreeReadPool / parallel-replicas coordinator
-            # analog, storage/read_pool.py); index order is preserved so
-            # the float merge tree stays deterministic
-            from ..storage.read_pool import ParallelChunkReader
-            reader = ParallelChunkReader(src, n_readers,
-                                         max_buffered=n_readers + 2)
-            carry = None
-            for i, data, n in reader.iter_ordered():
-                args = to_device(data, n)
+        carry = None
+        for src, bucket in self.sources:
+            lower_args = self._lower_args_for(base_args, bucket)
+            if src.total_rows == 0 and carry is not None:
+                continue
+            for args in self._iter_chunks(src):
                 carry = self.init_fn(args, lower_args) if carry is None \
                     else self.step_fn(carry, args, lower_args)
-        else:
-            carry = self.init_fn(to_device(*src.chunk(0)), lower_args)
-            for i in range(1, src.num_chunks):
-                carry = self.step_fn(carry, to_device(*src.chunk(i)),
-                                     lower_args)
+        if carry is None:                     # fully empty source set
+            src0 = self.sources[0][0]
+            carry = self.init_fn(
+                _to_device(*src0.chunk(0)),
+                self._lower_args_for(base_args, self.sources[0][1]))
         leaves = self.fin_fn(carry, upper_args)
 
         struct = self.struct
@@ -609,8 +971,485 @@ class StreamProgram:
                                 lengths=leaves["lengths"].get(f.id))
         out = ExecBlock(cols, leaves["valid"], struct["capacity"])
         cols_np = materialize(out, self.split.upper.schema, ctx)
-        ctx.profile["rows_scanned"] = src.total_rows
+        ctx.profile["rows_scanned"] = self.total_rows
         return cols_np, ctx
+
+
+def _lower_on_chunk(split: GenericSplit, settings: Settings, src, table,
+                    small_meta, chunk_args, small_args):
+    """Trace the per-chunk streamable subplan on one chunk."""
+    blocks = _rebuild_blocks(small_meta, small_args)
+    blocks[split.big_key] = _chunk_block(chunk_args, src, table)
+    ctx = ExecContext(blocks, settings)
+    eb = execute_plan(split.lower, ctx)
+    return eb, ctx
+
+
+def _extract_out_leaves(out: ExecBlock, schema, ctx: ExecContext,
+                        struct: dict):
+    """Trace-time leaf extraction for a finalizer's output block."""
+    data_leaves, validity_leaves, dicts, length_leaves = {}, {}, {}, {}
+    for f in schema:
+        cv = out.cols[f.id].broadcast(out.capacity)
+        data_leaves[f.id] = cv.data
+        if cv.validity is not None:
+            validity_leaves[f.id] = cv.validity
+        if cv.lengths is not None:
+            length_leaves[f.id] = cv.lengths
+        dicts[f.id] = cv.dictionary
+    struct["out_dicts"] = dicts
+    struct["capacity"] = out.capacity
+    struct["fin_checks"] = [(c.limit, c.message, c.setting)
+                            for c in ctx.checks]
+    return {"valid": out.valid, "data": data_leaves,
+            "validity": validity_leaves, "lengths": length_leaves,
+            "checks": [c.value for c in ctx.checks]}
+
+
+class TopKProgram(_StreamProgramBase):
+    """Streamed ORDER BY ... LIMIT k: each chunk's device top-k rows merge
+    into a carried top-k (sorted-run carry + k-way merge, the reference's
+    MergeSortingTransform/MergingSortedAlgorithm pair collapsed onto the
+    device because k rows always fit)."""
+
+    def __init__(self, session, split: GenericSplit, settings: Settings,
+                 sources, table, grace: Optional[tuple] = None):
+        super().__init__(session, settings, sources, table,
+                         split.lower_scan_keys, split.upper_scan_keys,
+                         split.big_key, grace)
+        self.split = split
+        self.src = sources[0][0]
+        src = self.src
+        k_total = split.k_total
+        k_cap = pad_to(max(k_total, 1))
+        self.k_cap = k_cap
+        struct = self.struct
+        split_ = split
+        settings_ = settings
+
+        def chunk_topk(eb: ExecBlock):
+            cap = eb.capacity
+            tokens = [_token_for_sort(evaluate(it.expr, eb.env()), it, cap)
+                      for it in split_.sort_items]
+            if len(tokens) == 1 and cap >= (1 << 16):
+                idx0 = sort_ops.topk_permutation(tokens[0], eb.valid,
+                                                 min(k_cap, cap))
+            else:
+                idx0 = sort_ops.sort_permutation(tokens, eb.valid)[:k_cap]
+            if idx0.shape[0] < k_cap:
+                idx = jnp.zeros((k_cap,), idx0.dtype).at[:idx0.shape[0]] \
+                    .set(idx0)
+            else:
+                idx = idx0
+            n_valid = jnp.sum(eb.valid.astype(jnp.int64))
+            data, validity, lengths = {}, {}, {}
+            dicts = {}
+            for f in split_.lower.schema:
+                cv = _gather_colval(eb.cols[f.id], idx, cap)
+                data[f.id] = cv.data
+                if cv.validity is not None:
+                    validity[f.id] = cv.validity
+                if cv.lengths is not None:
+                    lengths[f.id] = cv.lengths
+                dicts[f.id] = cv.dictionary
+            struct["lower_dicts"] = dicts
+            count = jnp.minimum(jnp.minimum(n_valid, k_total),
+                                idx0.shape[0])
+            return data, validity, lengths, count
+
+        def init_fn(chunk_args, small_args):
+            eb, ctx = _lower_on_chunk(split_, settings_, src, table,
+                                      self.small_lower, chunk_args,
+                                      small_args)
+            struct["lower_checks"] = [(c.limit, c.message, c.setting)
+                                      for c in ctx.checks]
+            lchecks = [jnp.asarray(c.value, jnp.int64) for c in ctx.checks]
+            data, validity, lengths, count = chunk_topk(eb)
+            return {"data": data, "validity": validity, "lengths": lengths,
+                    "count": count, "lower_checks": lchecks}
+
+        def step_fn(carry, chunk_args, small_args):
+            eb, ctx = _lower_on_chunk(split_, settings_, src, table,
+                                      self.small_lower, chunk_args,
+                                      small_args)
+            lchecks = [jnp.asarray(c.value, jnp.int64) for c in ctx.checks]
+            data, validity, lengths, count = chunk_topk(eb)
+            cat_cap = 2 * k_cap
+            cols = {}
+            for f in split_.lower.schema:
+                d = jnp.concatenate([carry["data"][f.id], data[f.id]])
+                v = None
+                if f.id in validity:
+                    v = jnp.concatenate([carry["validity"][f.id],
+                                         validity[f.id]])
+                ln = None
+                if f.id in lengths:
+                    ln = jnp.concatenate([carry["lengths"][f.id],
+                                          lengths[f.id]])
+                cols[f.id] = ColVal(f.dtype, d, v,
+                                    struct["lower_dicts"][f.id], lengths=ln)
+            ar = jnp.arange(k_cap, dtype=jnp.int64)
+            valid = jnp.concatenate([ar < carry["count"], ar < count])
+            eb2 = ExecBlock(cols, valid, cat_cap)
+            tokens = [_token_for_sort(evaluate(it.expr, eb2.env()), it,
+                                      cat_cap)
+                      for it in split_.sort_items]
+            idx = sort_ops.sort_permutation(tokens, valid)[:k_cap]
+            ndata, nvalidity, nlengths = {}, {}, {}
+            for f in split_.lower.schema:
+                cv = _gather_colval(cols[f.id], idx, cat_cap)
+                ndata[f.id] = cv.data
+                if cv.validity is not None:
+                    nvalidity[f.id] = cv.validity
+                if cv.lengths is not None:
+                    nlengths[f.id] = cv.lengths
+            return {"data": ndata, "validity": nvalidity,
+                    "lengths": nlengths,
+                    "count": jnp.minimum(carry["count"] + count, k_total),
+                    "lower_checks": [jnp.maximum(a, b) for a, b in
+                                     zip(carry["lower_checks"], lchecks)]}
+
+        def fin_fn(carry, small_args):
+            ctx = ExecContext(_rebuild_blocks(self.small_upper, small_args),
+                              settings_)
+            cols = {}
+            for f in split_.lower.schema:
+                cols[f.id] = ColVal(f.dtype, carry["data"][f.id],
+                                    carry["validity"].get(f.id),
+                                    struct["lower_dicts"][f.id],
+                                    lengths=carry["lengths"].get(f.id))
+            valid = jnp.arange(k_cap, dtype=jnp.int64) < carry["count"]
+            ctx.injected[_STREAM_KEY] = ExecBlock(cols, valid, k_cap)
+            out = execute_plan(split_.upper, ctx)
+            leaves = _extract_out_leaves(out, split_.upper.schema, ctx,
+                                         struct)
+            leaves["carry_checks"] = list(carry["lower_checks"])
+            return leaves
+
+        self.init_fn = jax.jit(init_fn)
+        self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        self.fin_fn = jax.jit(fin_fn)
+
+    def run(self, session) -> Tuple[Dict[str, np.ndarray], ExecContext]:
+        base_args = self.small_args(self.small_lower)
+        upper_args = self.small_args(self.small_upper)
+        carry = None
+        for src, bucket in self.sources:
+            lower_args = self._lower_args_for(base_args, bucket)
+            if src.total_rows == 0 and carry is not None:
+                continue
+            for args in self._iter_chunks(src):
+                carry = self.init_fn(args, lower_args) if carry is None \
+                    else self.step_fn(carry, args, lower_args)
+        if carry is None:
+            src0 = self.sources[0][0]
+            carry = self.init_fn(
+                _to_device(*src0.chunk(0)),
+                self._lower_args_for(base_args, self.sources[0][1]))
+        leaves = self.fin_fn(carry, upper_args)
+
+        struct = self.struct
+        ctx = ExecContext({}, self.settings)
+        for val, (limit, msg, setting) in zip(leaves["carry_checks"],
+                                              struct["lower_checks"]):
+            ctx.checks.append(Check(val, limit, msg, setting))
+        for val, (limit, msg, setting) in zip(leaves["checks"],
+                                              struct["fin_checks"]):
+            ctx.checks.append(Check(val, limit, msg, setting))
+        cols = {}
+        for f in self.split.upper.schema:
+            cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],
+                                leaves["validity"].get(f.id),
+                                struct["out_dicts"][f.id],
+                                lengths=leaves["lengths"].get(f.id))
+        out = ExecBlock(cols, leaves["valid"], struct["capacity"])
+        cols_np = materialize(out, self.split.upper.schema, ctx)
+        ctx.profile["rows_scanned"] = self.total_rows
+        return cols_np, ctx
+
+
+class CollectProgram(_StreamProgramBase):
+    """Streamed plain SELECT: surviving lower-plan rows are compacted to
+    host RAM chunk by chunk (host RAM plays the reference's
+    TemporaryDataOnDisk role); the remaining upper plan runs on the
+    collected block — on device when it fits the budget, with host
+    sort/limit fallbacks when it does not (external sort)."""
+
+    def __init__(self, session, split: GenericSplit, settings: Settings,
+                 sources, table, grace: Optional[tuple] = None):
+        super().__init__(session, settings, sources, table,
+                         split.lower_scan_keys, split.upper_scan_keys,
+                         split.big_key, grace)
+        self.split = split
+        self.src = sources[0][0]
+        src = self.src
+        struct = self.struct
+        split_ = split
+        settings_ = settings
+
+        def chunk_fn(chunk_args, small_args):
+            eb, ctx = _lower_on_chunk(split_, settings_, src, table,
+                                      self.small_lower, chunk_args,
+                                      small_args)
+            data, validity, lengths, dicts = {}, {}, {}, {}
+            for f in split_.lower.schema:
+                cv = eb.cols[f.id].broadcast(eb.capacity)
+                data[f.id] = cv.data
+                if cv.validity is not None:
+                    validity[f.id] = cv.validity
+                if cv.lengths is not None:
+                    lengths[f.id] = cv.lengths
+                dicts[f.id] = cv.dictionary
+            struct["dicts"] = dicts
+            struct["lower_checks"] = [(c.limit, c.message, c.setting)
+                                      for c in ctx.checks]
+            return {"valid": eb.valid, "data": data, "validity": validity,
+                    "lengths": lengths,
+                    "checks": [c.value for c in ctx.checks]}
+
+        self.chunk_fn = jax.jit(chunk_fn)
+
+    def run(self, session) -> Tuple[Dict[str, np.ndarray], ExecContext]:
+        base_args = self.small_args(self.small_lower)
+        schema = self.split.lower.schema
+        acc = {f.id: [] for f in schema}
+        acc_v = {f.id: [] for f in schema}
+        acc_l = {f.id: [] for f in schema}
+        total = 0
+        limit_total = self.split.limit_total
+        struct = self.struct
+        stop = False
+        for src, bucket in self.sources:
+            if stop:
+                break
+            lower_args = self._lower_args_for(base_args, bucket)
+            if src.total_rows == 0 and total:
+                continue
+            for args in self._iter_chunks(src):
+                leaves = self.chunk_fn(args, lower_args)
+                for val, (limit, msg, setting) in zip(
+                        leaves["checks"], struct["lower_checks"]):
+                    actual = int(jax.device_get(val))
+                    if actual > limit:
+                        raise CapacityError(
+                            f"{msg} (needed {actual}, capacity {limit})",
+                            setting=setting, needed=actual)
+                valid = np.asarray(jax.device_get(leaves["valid"]))
+                idx = np.nonzero(valid)[0]
+                if limit_total is not None \
+                        and total + len(idx) > limit_total:
+                    idx = idx[:limit_total - total]
+                if "np_dtypes" not in struct:
+                    struct["np_dtypes"] = {
+                        f.id: np.asarray(
+                            jax.device_get(leaves["data"][f.id])).dtype
+                        for f in schema}
+                    struct["has_validity"] = {
+                        f.id: f.id in leaves["validity"] for f in schema}
+                    struct["has_lengths"] = {
+                        f.id: f.id in leaves["lengths"] for f in schema}
+                    struct["data_shapes"] = {
+                        f.id: np.asarray(
+                            jax.device_get(leaves["data"][f.id])).shape[1:]
+                        for f in schema}
+                if len(idx):
+                    for f in schema:
+                        fid = f.id
+                        d = np.asarray(jax.device_get(leaves["data"][fid]))
+                        acc[fid].append(d[idx])
+                        if fid in leaves["validity"]:
+                            acc_v[fid].append(np.asarray(jax.device_get(
+                                leaves["validity"][fid]))[idx])
+                        if fid in leaves["lengths"]:
+                            acc_l[fid].append(np.asarray(jax.device_get(
+                                leaves["lengths"][fid]))[idx])
+                    total += len(idx)
+                if limit_total is not None and total >= limit_total:
+                    stop = True
+                    break
+        return self._finalize(session, acc, acc_v, acc_l, total)
+
+    # -- collected-rows finalization ------------------------------------------
+    def _host_arrays(self, acc, acc_v, acc_l, total):
+        struct = self.struct
+        schema = self.split.lower.schema
+        data, validity, lengths = {}, {}, {}
+        for f in schema:
+            fid = f.id
+            if acc[fid]:
+                data[fid] = np.concatenate(acc[fid])
+            else:
+                data[fid] = np.zeros((0,) + struct["data_shapes"][fid],
+                                     struct["np_dtypes"][fid])
+            if struct["has_validity"][fid]:
+                validity[fid] = np.concatenate(acc_v[fid]) if acc_v[fid] \
+                    else np.zeros((0,), np.uint8)
+            if struct["has_lengths"][fid]:
+                lengths[fid] = np.concatenate(acc_l[fid]) if acc_l[fid] \
+                    else np.zeros((0,), np.int32)
+        return data, validity, lengths
+
+    def _block_of(self, data, validity, lengths, n, pad: bool,
+                  device: bool) -> ExecBlock:
+        struct = self.struct
+        schema = self.split.lower.schema
+        cap = pad_to(max(n, 1)) if pad else max(n, 1)
+        cols = {}
+        for f in schema:
+            fid = f.id
+            d = data[fid]
+            if len(d) < cap:
+                d = np.concatenate(
+                    [d, np.zeros((cap - len(d),) + d.shape[1:], d.dtype)])
+            v = None
+            if fid in validity:
+                v = validity[fid]
+                if len(v) < cap:
+                    v = np.concatenate(
+                        [v, np.zeros((cap - len(v),), v.dtype)])
+            ln = None
+            if fid in lengths:
+                ln = lengths[fid]
+                if len(ln) < cap:
+                    ln = np.concatenate(
+                        [ln, np.zeros((cap - len(ln),), ln.dtype)])
+            if device:
+                d = jax.device_put(d)
+                v = jax.device_put(v) if v is not None else None
+                ln = jax.device_put(ln) if ln is not None else None
+            cols[fid] = ColVal(f.dtype, d, v, struct["dicts"][fid],
+                               lengths=ln)
+        valid = np.arange(cap) < n
+        if device:
+            valid = jax.device_put(valid)
+        return ExecBlock(cols, valid, cap)
+
+    def _finalize(self, session, acc, acc_v, acc_l, total):
+        data, validity, lengths = self._host_arrays(acc, acc_v, acc_l, total)
+        split = self.split
+        settings = self.settings
+        upper = split.upper
+        ctx = ExecContext({}, settings)
+        ctx.profile["rows_scanned"] = self.total_rows
+
+        def mat(eb: ExecBlock, schema):
+            cols_np = materialize(eb, schema, ctx)
+            return cols_np, ctx
+
+        if isinstance(upper, L.BlockSourceNode):
+            eb = self._block_of(data, validity, lengths, total, pad=False,
+                                device=False)
+            return mat(eb, upper.schema)
+        if isinstance(upper, L.LimitNode) \
+                and isinstance(upper.child, L.BlockSourceNode):
+            lo = upper.offset
+            hi = lo + upper.limit if upper.limit >= 0 else total
+            data = {k: v[lo:hi] for k, v in data.items()}
+            validity = {k: v[lo:hi] for k, v in validity.items()}
+            lengths = {k: v[lo:hi] for k, v in lengths.items()}
+            eb = self._block_of(data, validity, lengths,
+                                max(min(hi, total) - lo, 0), pad=False,
+                                device=False)
+            return mat(eb, upper.schema)
+
+        est = sum(d.nbytes for d in data.values()) \
+            + sum(v.nbytes for v in validity.values())
+        budget = max(int(settings.max_device_memory_bytes), 1)
+        if est <= budget:
+            # collected rows fit the device: run the remaining plan normally
+            eb = self._block_of(data, validity, lengths, total, pad=True,
+                                device=True)
+            ectx = ExecContext(
+                {k: session.catalog.get_table(*k).read_block()
+                 for k in split.upper_scan_keys}, settings)
+            ectx.injected[_STREAM_KEY] = eb
+            out = execute_plan(upper, ectx)
+            cols_np = materialize(out, upper.schema, ectx)
+            ectx.profile["rows_scanned"] = self.total_rows
+            return cols_np, ectx
+
+        # over-budget: host sort fallback for Sort [-> Limit] chains
+        chain = []
+        node = upper
+        while not isinstance(node, L.BlockSourceNode):
+            chain.append(node)
+            kids = node.children()
+            if len(kids) != 1:
+                break
+            node = kids[0]
+        if not isinstance(node, L.BlockSourceNode) \
+                or not all(isinstance(c, (L.SortNode, L.LimitNode))
+                           for c in chain) \
+                or sum(isinstance(c, L.SortNode) for c in chain) != 1:
+            raise MemoryLimitExceeded(
+                f"collected streamed rows need ~{est >> 20} MiB on device "
+                f"(budget {budget >> 20} MiB) and the remaining plan is not "
+                "a host-executable Sort/Limit chain; raise "
+                "max_device_memory_bytes or add a LIMIT")
+        for c in reversed(chain):       # bottom-up: Sort first, then Limit
+            if isinstance(c, L.SortNode):
+                perm = _np_order(c.items, self.split.lower.schema,
+                                 data, validity, self.struct["dicts"])
+                data = {k: v[perm] for k, v in data.items()}
+                validity = {k: v[perm] for k, v in validity.items()}
+                lengths = {k: v[perm] for k, v in lengths.items()}
+            else:
+                lo = c.offset
+                hi = lo + c.limit if c.limit >= 0 else total
+                data = {k: v[lo:hi] for k, v in data.items()}
+                validity = {k: v[lo:hi] for k, v in validity.items()}
+                lengths = {k: v[lo:hi] for k, v in lengths.items()}
+                total = max(min(hi, total) - lo, 0)
+        n = len(next(iter(data.values()))) if data else 0
+        eb = self._block_of(data, validity, lengths, n, pad=False,
+                            device=False)
+        return mat(eb, upper.schema)
+
+
+def _np_order(items, schema, data, validity, dicts) -> np.ndarray:
+    """Host permutation for ORDER BY over collected rows (external-sort
+    finalizer).  Sort keys must be plain columns of the collected block."""
+    from ..exprs.expr import BoundColumn
+    keys: List[np.ndarray] = []
+    for it in items:
+        if not isinstance(it.expr, BoundColumn) \
+                or it.expr.name not in data:
+            raise MemoryLimitExceeded(
+                "host external sort requires plain column ORDER BY keys")
+        fid = it.expr.name
+        v = data[fid]
+        f = next(f for f in schema if f.id == fid)
+        if f.dtype.is_dictionary:
+            d = dicts[fid]
+            vals = d.values.astype(str) if d is not None and len(d) \
+                else np.zeros(0, str)
+            order = np.argsort(vals, kind="stable")
+            rank = np.empty(len(vals), np.int64)
+            rank[order] = np.arange(len(vals))
+            tok = rank[np.maximum(v.astype(np.int64), 0)] \
+                if len(vals) else np.zeros(len(v), np.int64)
+        elif v.dtype.kind == "f":
+            bits = v.astype(np.float64).view(np.uint64)
+            sign = (bits >> np.uint64(63)).astype(bool)
+            tok = np.where(sign, ~bits,
+                           bits | np.uint64(1 << 63)).astype(np.uint64)
+        elif v.dtype.kind == "u":
+            tok = v.astype(np.uint64)
+        else:
+            with np.errstate(over="ignore"):
+                tok = v.astype(np.int64).astype(np.uint64) \
+                    ^ np.uint64(1 << 63)
+        if it.descending:
+            tok = ~tok
+        if fid in validity:
+            is_null = validity[fid] == 0
+            tok = np.where(is_null,
+                           np.uint64(2**64 - 1) if it.nulls_last
+                           else np.uint64(0),
+                           np.clip(tok, np.uint64(1),
+                                   np.uint64(2**64 - 2)))
+        keys.append(tok)
+    return np.lexsort(tuple(reversed(keys)))   # last key = primary
 
 
 # -- entry point ---------------------------------------------------------------
@@ -668,44 +1507,147 @@ def try_streaming(session, stmt, settings: Settings, sql: str):
             return prog.split.upper, cols, ctx
 
     plan = session._plan(stmt, settings)
-    scans: List[L.ScanNode] = []
-    _collect_scans(plan, scans)
-    # stream the largest over-threshold table; the others stay whole device
-    # blocks (both-sides-huge joins need grace partitioning — future work)
-    big = None
-    big_bytes = 0
-    for s in scans:
-        try:
-            t = catalog.get_table(s.database, s.table)
-        except Exception:
-            continue
-        b = t.physical_bytes(set(s.column_names)) if t.num_rows else 0
-        if b > thr and b > big_bytes:
-            big = (s.database, s.table)
-            big_bytes = b
-    if big is None:
+    built = _build_stream_program(session, plan, settings, thr)
+    if built is None:
+        # memory governor: a plan that cannot stream and cannot fit the
+        # device budget fails with a catchable error BEFORE dispatch rather
+        # than aborting the process inside the XLA allocator (reference:
+        # MemoryTracker hard limits, src/Common/MemoryTracker.cpp)
+        budget = max(int(settings.max_device_memory_bytes), 1)
+        est = estimate_plan_scan_bytes(plan, catalog)
+        if est > budget:
+            raise MemoryLimitExceeded(
+                f"query would need ~{est >> 20} MiB of device memory "
+                f"(budget {budget >> 20} MiB = max_device_memory_bytes) and "
+                "no streaming rewrite applies to this plan shape")
         return None
-    split = find_split(plan, big)
-    if split is None:
-        return None
-    table = catalog.get_table(*big)
-    columns = list(split.scan.column_names)
-    part_idx, spans = _prune_parts(split, table, session)
-    try:
-        chunk_rows = _chunk_rows_for(table, columns, settings)
-        src = table.chunk_source(columns, chunk_rows, part_idx=part_idx,
-                                 spans=spans)
-    except NotStreamable:
-        return None
-    cap_c = pad_to(min(table.num_rows, settings.max_groups))
-    prog = StreamProgram(session, split, settings, src, table, cap_c)
+    prog = built
     cols, ctx = prog.run(session)
     if sql:
         sig = tuple(sorted(
             (db, tbl, catalog.get_table(db, tbl).version)
-            for (db, tbl) in ([big] + split.lower_scan_keys
-                              + split.upper_scan_keys)))
+            for (db, tbl) in ([prog.split.big_key]
+                              + prog.split.lower_scan_keys
+                              + prog.split.upper_scan_keys)))
         if len(cache) > 64:
             cache.clear()
         cache[(sql, skey)] = (prog, sig)
-    return split.upper, cols, ctx
+    return prog.split.upper, cols, ctx
+
+
+def estimate_plan_scan_bytes(plan: L.PlanNode, catalog) -> int:
+    """First-order device footprint: bytes of every distinct scanned table
+    (scanned columns only, narrow-storage aware)."""
+    scans: List[L.ScanNode] = []
+    _collect_scans(plan, scans)
+    cols_by_table: Dict[Tuple[str, str], set] = {}
+    for s in scans:
+        cols_by_table.setdefault((s.database, s.table),
+                                 set()).update(s.column_names)
+    total = 0
+    for key, cols in cols_by_table.items():
+        try:
+            t = catalog.get_table(*key)
+        except Exception:
+            continue
+        if t.num_rows:
+            total += t.physical_bytes(cols)
+    return total
+
+
+def _build_stream_program(session, plan: L.PlanNode, settings: Settings,
+                          thr: int):
+    """Pick the streamed table + breaker + (optional) grace partitioning and
+    construct the program.  None when no streaming rewrite applies."""
+    from ..storage.table import ChunkSource, NotStreamable
+    catalog = session.catalog
+    scans: List[L.ScanNode] = []
+    _collect_scans(plan, scans)
+    over: Dict[Tuple[str, str], int] = {}
+    for s in scans:
+        key = (s.database, s.table)
+        try:
+            t = catalog.get_table(*key)
+        except Exception:
+            continue
+        b = t.physical_bytes(set(s.column_names)) if t.num_rows else 0
+        if b > thr:
+            over[key] = max(over.get(key, 0), b)
+    if not over:
+        return None
+
+    for big in sorted(over, key=lambda k: -over[k]):
+        split = find_split(plan, big)
+        if split is None:
+            split = find_generic_split(plan, big, settings)
+        if split is None:
+            continue
+        table = catalog.get_table(*big)
+        grace_j, compatible = _detect_grace(split, split.scan, catalog, thr,
+                                            settings)
+        if not compatible:
+            continue
+        others = set(over) - {big}
+        if grace_j is not None:
+            others.discard(grace_j.build_key)
+            # the build table must appear ONLY as that join's build side
+            if grace_j.build_key in split.upper_scan_keys \
+                    or split.lower_scan_keys.count(grace_j.build_key) != 1:
+                continue
+        if others:
+            continue                  # some other huge table is unstreamable
+
+        columns = list(split.scan.column_names)
+        lower_root = split.agg.child if isinstance(split, StreamSplit) \
+            else split.lower
+        part_idx, spans = _prune_parts(lower_root, split.scan, table,
+                                       session)
+        try:
+            chunk_rows = _chunk_rows_for(table, columns, settings)
+            if isinstance(split, GenericSplit) and split.kind == "topk":
+                chunk_rows = max(chunk_rows, pad_to(split.k_total))
+            grace = None
+            if grace_j is None:
+                src = table.chunk_source(columns, chunk_rows,
+                                         part_idx=part_idx, spans=spans)
+                sources = [(src, None)]
+            else:
+                build_table = catalog.get_table(*grace_j.build_key)
+                build_cols = list(grace_j.build_scan.column_names)
+                P = _grace_bucket_count(
+                    build_table.physical_bytes(set(build_cols)), thr,
+                    settings)
+                grace_j.n_buckets = P
+                parts = table.parts if part_idx is None \
+                    else [table.parts[i] for i in part_idx]
+                probe_sel = _partition_rows(parts, grace_j.probe_cols,
+                                            grace_j.kinds, P)
+                build_sel = _partition_rows(build_table.parts,
+                                            grace_j.build_cols,
+                                            grace_j.kinds, P)
+                meta_blk, bucket_args = _grace_build_buckets(
+                    build_table, build_cols, build_sel)
+                donor = None
+                sources = []
+                for b in range(P):
+                    src_b = ChunkSource(table, columns, chunk_rows,
+                                        part_idx=part_idx,
+                                        row_sel=probe_sel[b],
+                                        layout_donor=donor)
+                    donor = donor or src_b
+                    sources.append((src_b, b))
+                grace = (grace_j.build_key, meta_blk, bucket_args)
+                session.profile_events["GraceJoinBuckets"] = \
+                    session.profile_events.get("GraceJoinBuckets", 0) + P
+        except NotStreamable:
+            continue
+        if isinstance(split, StreamSplit):
+            cap_c = pad_to(min(table.num_rows, settings.max_groups))
+            return StreamProgram(session, split, settings, sources, table,
+                                 cap_c, grace)
+        if split.kind == "topk":
+            return TopKProgram(session, split, settings, sources, table,
+                               grace)
+        return CollectProgram(session, split, settings, sources, table,
+                              grace)
+    return None

@@ -129,8 +129,15 @@ class LocalObjectStorage(IObjectStorage):
         self.root = os.path.realpath(root)
         os.makedirs(self.root, exist_ok=True)
 
+    @staticmethod
+    def _encode(key: str) -> str:
+        # reversible: percent-encode everything outside [A-Za-z0-9.-], so
+        # 'a/b' and 'a_b' map to distinct blob file names
+        from urllib.parse import quote
+        return quote(key, safe=".-")
+
     def _fs(self, key: str) -> str:
-        safe = key.replace("/", "_")
+        safe = self._encode(key)
         return os.path.join(self.root, safe[:2] or "00", safe)
 
     def put(self, key: str, data: bytes) -> None:
@@ -155,11 +162,12 @@ class LocalObjectStorage(IObjectStorage):
             pass
 
     def list_keys(self, prefix: str = "") -> List[str]:
+        from urllib.parse import unquote
         out = []
         for base, _dirs, files in os.walk(self.root):
             for f in files:
                 if ".tmp." not in f:
-                    out.append(f.replace("_", "/"))
+                    out.append(unquote(f))
         return sorted(k for k in out if k.startswith(prefix))
 
 

@@ -391,13 +391,19 @@ class Table:
     # -- chunked (out-of-core) reads ------------------------------------------
     def chunk_source(self, columns: Sequence[str], chunk_rows: int,
                      part_idx: Optional[tuple] = None,
-                     spans: Optional[tuple] = None) -> "ChunkSource":
+                     spans: Optional[tuple] = None,
+                     row_sel: Optional[list] = None) -> "ChunkSource":
         """Chunked read plan: fixed-capacity host chunks with table-wide
         consistent physical dtypes and global dictionaries, so one compiled
         per-chunk XLA program serves every chunk (the streaming analog of the
         reference's MergeTreeReadPool, src/Storages/MergeTree/
         MergeTreeReadPool.h:22).  ``spans`` restricts the read to granule
-        row ranges surviving skip-index pruning: ((part_i, lo, hi), ...)."""
+        row ranges surviving skip-index pruning: ((part_i, lo, hi), ...).
+        ``row_sel`` (one int index array per surviving part) restricts the
+        read to an explicit row subset — the grace-join bucket path."""
+        if row_sel is not None:
+            return ChunkSource(self, list(columns), chunk_rows,
+                               part_idx=part_idx, row_sel=row_sel)
         key = (self.version, tuple(sorted(columns)), chunk_rows, part_idx,
                spans)
         cached = getattr(self, "_chunk_source_cache", None)
@@ -501,7 +507,9 @@ class ChunkSource:
 
     def __init__(self, table: Table, columns: List[str], chunk_rows: int,
                  part_idx: Optional[tuple] = None,
-                 spans: Optional[tuple] = None):
+                 spans: Optional[tuple] = None,
+                 row_sel: Optional[list] = None,
+                 layout_donor: Optional["ChunkSource"] = None):
         self.table = table
         self.columns = columns
         self.chunk_rows = chunk_rows
@@ -512,12 +520,26 @@ class ChunkSource:
         # skip-index pruned scans stream a subset of granule row ranges
         # within the surviving parts: (part_index_into_self.parts, lo, hi)
         self.spans = None if spans is None else list(spans)
-        if self.spans is not None:
+        # explicit per-part row subsets (grace-join buckets)
+        self.row_sel = row_sel
+        if row_sel is not None:
+            self.spans = None
+            self.total_rows = sum(len(s) for s in row_sel)
+        elif self.spans is not None:
             self.total_rows = sum(hi - lo for _, lo, hi in self.spans)
         else:
             self.total_rows = sum(p.num_rows for p in self.parts)
         self.num_chunks = max(
             1, -(-self.total_rows // chunk_rows))  # ceil div
+        if layout_donor is not None:
+            # physical layout decisions (narrowed dtypes, global
+            # dictionaries) are table-wide: bucket sources of one grace join
+            # share the donor's one-pass results
+            self.storage = layout_donor.storage
+            self.dictionaries = layout_donor.dictionaries
+            self._sorted_dict_values = layout_donor._sorted_dict_values
+            self.nullable = layout_donor.nullable
+            return
         self.storage: Dict[str, np.dtype] = {}
         self.dictionaries: Dict[str, "Dictionary"] = {}
         self._sorted_dict_values: Dict[str, np.ndarray] = {}
@@ -570,37 +592,57 @@ class ChunkSource:
         out = {}
         for name in self.columns:
             raw = self._slice_column(name, lo, hi)
-            t = self.table.schema[name]
-            storage = self.storage[name]
-            validity = None
-            if self.nullable[name] and raw.dtype == object:
-                none_mask = np.asarray([v is None for v in raw], bool)
-                validity = np.zeros(cap, np.uint8)
-                validity[:n] = ~none_mask
-                raw = raw.copy()
-                if t.is_dictionary:
-                    raw[none_mask] = ""
-                else:
-                    raw[none_mask] = 0
-            elif self.nullable[name]:
-                validity = np.zeros(cap, np.uint8)
-                validity[:n] = 1
-            if t.is_dictionary:
-                data = np.zeros(cap, np.int32)
-                if n:
-                    data[:n] = np.searchsorted(
-                        self._sorted_dict_values[name], raw.astype(str)
-                    ).astype(np.int32)
-            else:
-                data = np.zeros(cap, storage)
-                if n:
-                    data[:n] = np.asarray(raw).astype(storage, copy=False)
-            out[name] = (data, validity)
+            out[name] = self.encode_column(name, raw, cap)
         return out, n
+
+    def encode_column(self, name: str, raw: np.ndarray, cap: int):
+        """Encode a raw host slice into this source's chunk-invariant
+        physical layout: (data_np(cap,), validity_np or None)."""
+        n = len(raw)
+        t = self.table.schema[name]
+        storage = self.storage[name]
+        validity = None
+        if self.nullable[name] and raw.dtype == object:
+            none_mask = np.asarray([v is None for v in raw], bool)
+            validity = np.zeros(cap, np.uint8)
+            validity[:n] = ~none_mask
+            raw = raw.copy()
+            if t.is_dictionary:
+                raw[none_mask] = ""
+            else:
+                raw[none_mask] = 0
+        elif self.nullable[name]:
+            validity = np.zeros(cap, np.uint8)
+            validity[:n] = 1
+        if t.is_dictionary:
+            data = np.zeros(cap, np.int32)
+            if n:
+                data[:n] = np.searchsorted(
+                    self._sorted_dict_values[name], raw.astype(str)
+                ).astype(np.int32)
+        else:
+            data = np.zeros(cap, storage)
+            if n:
+                data[:n] = np.asarray(raw).astype(storage, copy=False)
+        return data, validity
 
     def _slice_column(self, name: str, lo: int, hi: int) -> np.ndarray:
         pieces = []
         off = 0
+        if self.row_sel is not None:
+            # logical row space = concatenation of per-part selected rows
+            for p, sel in zip(self.parts, self.row_sel):
+                sp_lo, sp_hi = off, off + len(sel)
+                off = sp_hi
+                if sp_hi <= lo or sp_lo >= hi:
+                    continue
+                idx = sel[max(lo - sp_lo, 0):min(hi - sp_lo, len(sel))]
+                pieces.append(p.columns[name][idx])
+            if not pieces:
+                t = self.table.schema[name]
+                return np.zeros(0, object if t.is_dictionary
+                                else t.np_dtype)
+            return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
         if self.spans is not None:
             # logical row space = concatenation of surviving spans
             for pi, s_lo, s_hi in self.spans:

@@ -114,7 +114,7 @@ class TestParallelStreamedQueries:
     @pytest.mark.parametrize("sql", QUERIES)
     def test_parallel_equals_serial(self, session, sql):
         serial = session.execute(
-            sql, settings=dict(STREAM, max_parallel_replicas=1)).rows()
+            sql, settings=dict(STREAM, stream_readers=1)).rows()
         parallel = session.execute(
-            sql, settings=dict(STREAM, max_parallel_replicas=4)).rows()
+            sql, settings=dict(STREAM, stream_readers=4)).rows()
         assert serial == parallel

@@ -222,13 +222,239 @@ class TestStreamingMechanics:
         assert r.rows() == [(N,)]
         assert session.profile_events.get("StreamedQueries", 0) == before + 1
 
-    def test_not_streamable_falls_back(self, session):
-        # holistic aggregate (quantileExact) needs raw rows -> whole-block
-        before = session.profile_events.get("StreamedQueries", 0)
-        r = session.execute("SELECT quantileExact(0.5)(v) FROM big",
-                            settings=STREAM)
-        assert session.profile_events.get("StreamedQueries", 0) == before
-        assert 95 < r.scalar() < 105
+    def test_holistic_aggregate_streams_via_collect(self, session):
+        # holistic aggregate (quantileExact) needs raw rows: the agg breaker
+        # refuses, but the collect breaker streams the scan to host and
+        # aggregates the collected block
+        p, s = both(session, "SELECT quantileExact(0.5)(v) FROM big")
+        assert p == s
+        assert 95 < s[0][0] < 105
+
+    def test_final_read_falls_back(self):
+        # FINAL folds need the whole table: genuinely not streamable
+        s = ch.connect()
+        s.execute("CREATE TABLE r (k Int64, v Int64) "
+                  "ENGINE = ReplacingMergeTree ORDER BY k")
+        s.insert_pydict("r", {"k": np.arange(2000, dtype=np.int64),
+                              "v": np.ones(2000, np.int64)})
+        before = s.profile_events.get("StreamedQueries", 0)
+        r = s.execute("SELECT count() FROM r FINAL", settings=STREAM)
+        assert s.profile_events.get("StreamedQueries", 0) == before
+        assert r.rows() == [(2000,)]
+
+
+class TestStreamingTopK:
+    """ORDER BY ... LIMIT breaker: per-chunk device top-k carried across
+    chunks (exec/streaming.py TopKProgram)."""
+
+    def test_topk_asc(self, session):
+        p, s = both(session, "SELECT id, v FROM big ORDER BY v LIMIT 7")
+        assert p == s
+
+    def test_topk_desc_with_offset(self, session):
+        p, s = both(session,
+                    "SELECT id, v FROM big ORDER BY v DESC LIMIT 5 OFFSET 3")
+        assert p == s
+
+    def test_topk_multi_key(self, session):
+        p, s = both(session,
+                    "SELECT k, id FROM big ORDER BY k DESC, id LIMIT 9")
+        assert p == s
+
+    def test_topk_string_key(self, session):
+        p, s = both(session,
+                    "SELECT cat, id FROM big ORDER BY cat, id LIMIT 6")
+        assert p == s
+
+    def test_topk_nullable_key(self, session):
+        p, s = both(session,
+                    "SELECT nv, id FROM big ORDER BY nv, id LIMIT 8")
+        assert p == s
+
+    def test_topk_expression_key(self, session):
+        p, s = both(session,
+                    "SELECT id FROM big ORDER BY v * -1 LIMIT 4")
+        assert p == s
+
+    def test_topk_after_filter(self, session):
+        p, s = both(session,
+                    "SELECT id, v FROM big WHERE k < 10 "
+                    "ORDER BY v LIMIT 5")
+        assert p == s
+
+    def test_topk_over_probe_join(self, session):
+        p, s = both(session,
+                    "SELECT id, name FROM big INNER JOIN dim "
+                    "ON big.k = dim.k ORDER BY v, id LIMIT 5")
+        assert p == s
+
+
+class TestStreamingCollect:
+    """Collect breaker: surviving rows stream to host, the rest of the plan
+    runs on the collected block (exec/streaming.py CollectProgram)."""
+
+    def test_filtered_select(self, session):
+        p, s = both(session, "SELECT id, v FROM big WHERE k = 13")
+        assert p == s
+
+    def test_limit_early_stop(self, session):
+        p, s = both(session, "SELECT id FROM big WHERE k >= 0 LIMIT 10")
+        assert len(s) == 10 and p == s
+
+    def test_full_table_scan(self, session):
+        p, s = both(session, "SELECT id, k, v, cat FROM big")
+        assert p == s
+
+    def test_full_order_by_device(self, session):
+        # collected rows fit the budget -> the SortNode runs on device
+        p, s = both(session,
+                    "SELECT id FROM big WHERE k < 3 ORDER BY v DESC")
+        assert p == s
+
+    def test_full_order_by_host_external_sort(self, session):
+        # budget too small for the collected block -> host lexsort finalizer
+        plain = session.execute(
+            "SELECT id, v FROM big ORDER BY v, id").rows()
+        streamed = session.execute(
+            "SELECT id, v FROM big ORDER BY v, id",
+            settings={**STREAM, "max_device_memory_bytes": 1}).rows()
+        assert plain == streamed
+
+    def test_host_sort_desc_nullable(self, session):
+        plain = session.execute(
+            "SELECT nv, id FROM big ORDER BY nv DESC, id LIMIT 20").rows()
+        streamed = session.execute(
+            "SELECT nv, id FROM big ORDER BY nv DESC, id LIMIT 20",
+            settings={**STREAM, "max_device_memory_bytes": 1,
+                      "stream_topk_max": 1}).rows()
+        assert plain == streamed
+
+    def test_distinct_upper(self, session):
+        p, s = both(session, "SELECT DISTINCT cat FROM big ORDER BY cat")
+        assert p == s
+
+    def test_window_upper(self, session):
+        p, s = both(session,
+                    "SELECT id, row_number() OVER (ORDER BY v) AS rn "
+                    "FROM big WHERE k = 5 ORDER BY rn LIMIT 6")
+        assert p == s
+
+
+class TestGraceJoin:
+    """Both join sides exceed the device budget: hash-partition both into
+    host buckets and stream bucket by bucket (GraceHashJoin analog)."""
+
+    GRACE = {**STREAM, "grace_join_buckets": 4}
+
+    @pytest.fixture(scope="class")
+    def gsession(self):
+        s = ch.connect()
+        rng = np.random.default_rng(3)
+        nf, nd = 20_000, 4_000
+        s.execute("CREATE TABLE fact (fk Int64, w Int64)")
+        s.insert_pydict("fact", {
+            "fk": rng.integers(0, nd + 500, nf),   # some unmatched keys
+            "w": rng.integers(0, 100, nf)})
+        s.execute("CREATE TABLE bigdim (k Int64, label Int64, tag String)")
+        s.insert_pydict("bigdim", {
+            "k": np.arange(nd, dtype=np.int64),
+            "label": (np.arange(nd, dtype=np.int64) * 7) % 97,
+            "tag": np.asarray([f"t{i % 11}" for i in range(nd)], object)})
+        s.execute("CREATE TABLE sfact (sk String, w Int64)")
+        s.insert_pydict("sfact", {
+            "sk": np.asarray([f"key{i % 700}" for i in range(10_000)],
+                             object),
+            "w": np.arange(10_000, dtype=np.int64) % 50})
+        s.execute("CREATE TABLE sdim (sk String, lab Int64)")
+        s.insert_pydict("sdim", {
+            "sk": np.asarray([f"key{i}" for i in range(600)], object),
+            "lab": np.arange(600, dtype=np.int64)})
+        return s
+
+    def gboth(self, s, sql):
+        plain = s.execute(sql).rows()
+        before = s.profile_events.get("GraceJoinBuckets", 0)
+        streamed = s.execute(sql, settings=self.GRACE).rows()
+        assert s.profile_events.get("GraceJoinBuckets", 0) > before, \
+            f"grace did not engage: {sql}"
+        return plain, streamed
+
+    def test_inner_agg(self, gsession):
+        p, s = self.gboth(gsession,
+                          "SELECT count(), sum(label), sum(w) FROM fact "
+                          "INNER JOIN bigdim ON fact.fk = bigdim.k")
+        assert p == s
+
+    def test_left_join_group(self, gsession):
+        p, s = self.gboth(gsession,
+                          "SELECT count(), countIf(label >= 0) FROM fact "
+                          "LEFT JOIN bigdim ON fact.fk = bigdim.k")
+        assert p == s
+
+    def test_grouped_by_build_column(self, gsession):
+        p, s = self.gboth(gsession,
+                          "SELECT tag, count() AS c FROM fact "
+                          "INNER JOIN bigdim ON fact.fk = bigdim.k "
+                          "GROUP BY tag ORDER BY tag")
+        assert p == s
+
+    def test_topk_over_grace(self, gsession):
+        p, s = self.gboth(gsession,
+                          "SELECT fk, label FROM fact INNER JOIN bigdim "
+                          "ON fact.fk = bigdim.k "
+                          "ORDER BY label DESC, fk LIMIT 7")
+        assert p == s
+
+    def test_string_keys(self, gsession):
+        p, s = self.gboth(gsession,
+                          "SELECT count(), sum(lab) FROM sfact "
+                          "INNER JOIN sdim ON sfact.sk = sdim.sk")
+        assert p == s
+
+    def test_semi_join(self, gsession):
+        p, s = self.gboth(gsession,
+                          "SELECT count() FROM fact LEFT SEMI JOIN bigdim "
+                          "ON fact.fk = bigdim.k")
+        assert p == s
+
+
+class TestMemoryGovernor:
+    """Over-budget plans raise a catchable MEMORY_LIMIT_EXCEEDED before
+    dispatch (MemoryTracker-hard-limit analog)."""
+
+    def test_unstreamable_over_budget_raises(self):
+        from clickhouse_tpu.core.errors import MemoryLimitExceeded
+        s = ch.connect()
+        s.execute("CREATE TABLE r (k Int64, v Int64) "
+                  "ENGINE = ReplacingMergeTree ORDER BY k")
+        s.insert_pydict("r", {"k": np.arange(3000, dtype=np.int64),
+                              "v": np.ones(3000, np.int64)})
+        with pytest.raises(MemoryLimitExceeded):
+            s.execute("SELECT count() FROM r FINAL",
+                      settings={"max_device_block_bytes": 1,
+                                "max_device_memory_bytes": 1})
+        # the session survives and serves further queries
+        assert s.execute("SELECT count() FROM r").rows() == [(3000,)]
+
+    def test_eager_path_governed(self):
+        from clickhouse_tpu.core.errors import MemoryLimitExceeded
+        s = ch.connect()
+        s.execute("CREATE TABLE t (x Int64)")
+        s.insert_pydict("t", {"x": np.arange(4096, dtype=np.int64)})
+        with pytest.raises(MemoryLimitExceeded):
+            s.execute("SELECT count() FROM t FINAL",
+                      settings={"compile_queries": 0,
+                                "max_device_memory_bytes": 1})
+
+    def test_streaming_rescues_over_budget(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE t (x Int64)")
+        s.insert_pydict("t", {"x": np.arange(5000, dtype=np.int64)})
+        r = s.execute("SELECT sum(x) FROM t",
+                      settings={"max_device_block_bytes": 1,
+                                "stream_chunk_rows": 1024,
+                                "max_device_memory_bytes": 1})
+        assert r.rows() == [(5000 * 4999 // 2,)]
 
 
 class TestPartPruning:
