@@ -20,6 +20,11 @@ import numpy as np
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
 N_ROWS = int(os.environ.get("BENCH_ROWS", str(100_000_000)))
 REPS = int(os.environ.get("BENCH_REPS", "15"))
+# BASELINE-scale configs (BASELINE.md rows 1/2/4): >HBM streamed scan,
+# skewed-key GROUP BY, 1B x 10M join
+STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", str(1_000_000_000)))
+JOIN_ROWS = int(os.environ.get("BENCH_JOIN_ROWS", str(1_000_000_000)))
+JOIN_DIM = int(os.environ.get("BENCH_JOIN_DIM", str(10_000_000)))
 
 
 def log(msg):
@@ -139,7 +144,109 @@ def main():
         "vs_baseline": frac,
     }), flush=True)
 
-    deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "240"))
+    deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "1200"))
+
+    # -- BASELINE-scale streamed configs (the out-of-core engine on real
+    #    data larger than a comfortable device block) ------------------------
+    try:
+        import gc
+        import jax as _jx
+        import jax.numpy as _jnp
+        # raw host->device transfer roofline at this chunk size: a streamed
+        # scan cannot beat moving the bytes onto the chip
+        probe = np.zeros(1 << 28, np.int32)          # 1 GiB
+        _jx.block_until_ready(_jx.device_put(probe))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _jx.block_until_ready(_jx.device_put(probe))
+            ts.append(time.perf_counter() - t0)
+        xfer_bps = probe.nbytes / min(ts)
+        del probe
+        log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
+
+        s5 = ch.connect()
+        t0 = time.time()
+        s5.execute("CREATE TABLE big (x Int64)")
+        CH = 250_000_000
+        for lo in range(0, STREAM_ROWS, CH):
+            hi = min(lo + CH, STREAM_ROWS)
+            xs = (np.arange(lo, hi, dtype=np.int64) * 2654435761) % 1_000_003
+            s5.insert_pydict("big", {"x": xs})
+        log(f"streamed-table ingest ({STREAM_ROWS/1e9:.1f}B rows) "
+            f"{time.time()-t0:.0f}s")
+        ST = {"stream_readers": 2}
+        sql5 = "SELECT count() FROM big WHERE x > 500000"
+        t5 = bench_query(s5, sql5, reps=2)
+        sr = STREAM_ROWS / t5
+        xfer_roof = xfer_bps / 4          # 4 B/row on the wire (i32 narrow)
+        log(f"Q5 STREAMED filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; transfer roofline "
+            f"{xfer_roof/1e9:.2f} G rows/s, fraction {sr/xfer_roof:.3f}")
+        t5b = bench_query(
+            s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
+                "GROUP BY k ORDER BY c DESC LIMIT 10", reps=2)
+        log(f"Q5b STREAMED group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
+            f"transfer fraction {(STREAM_ROWS/t5b)/xfer_roof:.3f}")
+        del s5
+        gc.collect()
+    except Exception as e:
+        log(f"Q5 streamed-1B failed: {e}")
+
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("extras budget exhausted")
+        import gc
+        s6 = ch.connect()
+        t0 = time.time()
+        s6.execute("CREATE TABLE dim (k Int64, label Int64)")
+        s6.insert_pydict("dim", {
+            "k": np.arange(JOIN_DIM, dtype=np.int64),
+            "label": (np.arange(JOIN_DIM, dtype=np.int64) * 7) % 97})
+        s6.execute("CREATE TABLE fact (fk Int64)")
+        CH = 250_000_000
+        for lo in range(0, JOIN_ROWS, CH):
+            hi = min(lo + CH, JOIN_ROWS)
+            s6.insert_pydict("fact", {
+                "fk": (np.arange(lo, hi, dtype=np.int64) * 40503) % JOIN_DIM})
+        log(f"join-table ingest ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M) "
+            f"{time.time()-t0:.0f}s")
+        t6 = bench_query(
+            s6, "SELECT count(), sum(label) FROM fact "
+                "INNER JOIN dim ON fact.fk = dim.k "
+                "SETTINGS stream_readers = 2", reps=2)
+        jr = JOIN_ROWS / t6
+        xfer_roof = xfer_bps / 4
+        log(f"Q6 STREAMED join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
+            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s; transfer-roofline "
+            f"fraction {jr/xfer_roof:.3f}")
+        del s6
+        gc.collect()
+    except Exception as e:
+        log(f"Q6 streamed join failed: {e}")
+
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("extras budget exhausted")
+        # skewed-key GROUP BY (BASELINE row 2: "incl. skewed distribution"):
+        # zipf(1.5) keys — sort-based grouping is skew-insensitive by design
+        rng2 = np.random.default_rng(7)
+        zk = np.minimum(rng2.zipf(1.5, N_ROWS), 10_000_000).astype(np.int64)
+        n_distinct = len(np.unique(zk[:1_000_000]))
+        s.execute("CREATE TABLE zipf (k Int64)")
+        s.insert_pydict("zipf", {"k": zk})
+        del zk
+        t_skew = bench_query(
+            s, "SELECT k, count() AS c FROM zipf GROUP BY k "
+               "ORDER BY c DESC LIMIT 10 SETTINGS max_groups = 16777216",
+            reps=3)
+        log(f"Q2s SKEWED group-by (zipf 1.5, ~{n_distinct} distinct/1M "
+            f"sample): {t_skew*1e3:.1f} ms = {N_ROWS/t_skew/1e9:.2f} "
+            f"G rows/s")
+        s.execute("DROP TABLE zipf")
+    except Exception as e:
+        log(f"Q2s skewed group-by failed: {e}")
 
     # extra operator detail (stderr only)
     # shared rooflines for the BASELINE framings (probe/gather bound for

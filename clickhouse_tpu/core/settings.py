@@ -82,6 +82,9 @@ class Settings:
     # this and not streamable raise MEMORY_LIMIT_EXCEEDED before dispatch
     # instead of hard-aborting in the XLA allocator
     max_device_memory_bytes: int = 12 << 30
+    # reference-compatible per-query memory cap (0 = unlimited); caps the
+    # governor budget when set (src/Core/Settings.cpp max_memory_usage)
+    max_memory_usage: int = 0
     stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
     # streamed ORDER BY ... LIMIT k carries top-k rows across chunks when
     # k+offset is at most this; larger limits fall back to collect/host-sort

@@ -477,8 +477,7 @@ class Session:
                 raise
         streamed = None
         if settings.compile_queries and self._streaming_enabled:
-            from .streaming import try_streaming
-            streamed = try_streaming(self, stmt, settings, sql)
+            streamed = self._try_streaming(stmt, settings, sql)
         if streamed is not None:
             plan, cols, ctx = streamed
             self.profile_events["StreamedQueries"] = \
@@ -519,18 +518,25 @@ class Session:
             self._collect_table_blocks(c, out)
         return out
 
+    def _try_streaming(self, stmt, settings: Settings, sql: str):
+        """Out-of-core streaming hook (DistributedSession overrides with a
+        mesh-aware variant)."""
+        from .streaming import try_streaming
+        return try_streaming(self, stmt, settings, sql)
+
     def _governor_check(self, plan: L.PlanNode, settings: Settings) -> None:
         """Memory governor (MemoryTracker-hard-limit analog): refuse plans
         whose whole-block footprint exceeds the device budget with a
         catchable error instead of aborting in the XLA allocator."""
         from ..core.errors import MemoryLimitExceeded
-        from .streaming import estimate_plan_scan_bytes
-        budget = max(int(settings.max_device_memory_bytes), 1)
-        est = estimate_plan_scan_bytes(plan, self.catalog)
+        from .streaming import (effective_memory_budget,
+                                estimate_plan_device_bytes)
+        budget = effective_memory_budget(settings)
+        est = estimate_plan_device_bytes(plan, self.catalog, settings)
         if est > budget:
             raise MemoryLimitExceeded(
                 f"query would need ~{est >> 20} MiB of device memory "
-                f"(budget {budget >> 20} MiB = max_device_memory_bytes) "
+                f"(budget {budget >> 20} MiB) "
                 "and was not rewritten to streaming")
 
     def _execute(self, plan: L.PlanNode, settings: Settings):
@@ -727,9 +733,13 @@ class Session:
     # -- DDL / DML -----------------------------------------------------------
     def _run_create_table(self, stmt: ast.CreateTable) -> Result:
         db = stmt.database or self.catalog.current_database
+        # CREATE ... AS SELECT ... SETTINGS x=y: the clause parses onto the
+        # inner select and must govern its execution (e.g. max_memory_usage)
+        sel_settings = self._query_settings(stmt.as_select, {}) \
+            if stmt.as_select is not None else self.settings
         if stmt.as_select is not None and not stmt.columns:
             data = self._execute_to_pydict(
-                self._plan(stmt.as_select, self.settings), self.settings)
+                self._plan(stmt.as_select, sel_settings), sel_settings)
             schema = [(name, _infer_dtype(vals))
                       for name, vals in data.items()]
             t = Table(stmt.table, schema, stmt.engine,
@@ -797,7 +807,7 @@ class Session:
                                  backfill=False)
         if stmt.as_select is not None:
             data = self._execute_to_pydict(
-                self._plan(stmt.as_select, self.settings), self.settings)
+                self._plan(stmt.as_select, sel_settings), sel_settings)
             t.insert_pydict(_align_insert(data, t, None))
         return _status_result()
 

@@ -1513,12 +1513,12 @@ def try_streaming(session, stmt, settings: Settings, sql: str):
         # device budget fails with a catchable error BEFORE dispatch rather
         # than aborting the process inside the XLA allocator (reference:
         # MemoryTracker hard limits, src/Common/MemoryTracker.cpp)
-        budget = max(int(settings.max_device_memory_bytes), 1)
-        est = estimate_plan_scan_bytes(plan, catalog)
+        budget = effective_memory_budget(settings)
+        est = estimate_plan_device_bytes(plan, catalog, settings)
         if est > budget:
             raise MemoryLimitExceeded(
                 f"query would need ~{est >> 20} MiB of device memory "
-                f"(budget {budget >> 20} MiB = max_device_memory_bytes) and "
+                f"(budget {budget >> 20} MiB) and "
                 "no streaming rewrite applies to this plan shape")
         return None
     prog = built
@@ -1553,6 +1553,77 @@ def estimate_plan_scan_bytes(plan: L.PlanNode, catalog) -> int:
         if t.num_rows:
             total += t.physical_bytes(cols)
     return total
+
+
+def _field_est_bytes(f: L.Field) -> int:
+    t = f.dtype
+    if t.is_dictionary:
+        return 4
+    if t.is_array:
+        return 8 * 16            # heuristic: avg 16 elements per row
+    if t.agg_state is not None:
+        return 64
+    try:
+        return t.np_dtype.itemsize
+    except Exception:
+        return 8
+
+
+def estimate_plan_device_bytes(plan: L.PlanNode, catalog,
+                               settings: Settings) -> int:
+    """Scan bytes + the largest operator intermediate (capacity x row
+    width).  First-order but catches the catastrophic shapes — cross-join
+    blowups, arrayJoin expansion — before the XLA allocator does."""
+    caps: Dict[int, int] = {}
+
+    def cap_of(node: L.PlanNode) -> int:
+        hit = caps.get(id(node))
+        if hit is not None:
+            return hit
+        if isinstance(node, L.ScanNode):
+            try:
+                v = max(catalog.get_table(node.database,
+                                          node.table).num_rows, 1)
+            except Exception:
+                v = 1
+        elif isinstance(node, L.NumbersNode):
+            v = max(node.count, 1)
+        else:
+            kids = [cap_of(c) for c in node.children()]
+            if isinstance(node, L.JoinNode):
+                v = kids[0] * kids[1] if node.kind == "cross" \
+                    else max(kids[0], 1)
+            elif isinstance(node, L.AggregateNode):
+                v = min(kids[0], settings.max_groups)
+            elif isinstance(node, L.ArrayJoinNode):
+                v = kids[0] * 16
+            elif isinstance(node, L.UnionNode):
+                v = sum(kids)
+            else:
+                v = max(kids) if kids else 1024
+        caps[id(node)] = v
+        return v
+
+    peak = 0
+
+    def walk(n: L.PlanNode):
+        nonlocal peak
+        row = sum(_field_est_bytes(f) for f in n.schema)
+        peak = max(peak, cap_of(n) * row)
+        for c in n.children():
+            walk(c)
+
+    walk(plan)
+    return estimate_plan_scan_bytes(plan, catalog) + peak
+
+
+def effective_memory_budget(settings: Settings) -> int:
+    """Device budget for the governor: max_device_memory_bytes, further
+    capped by the reference-compatible max_memory_usage when set."""
+    budget = max(int(settings.max_device_memory_bytes), 1)
+    if settings.max_memory_usage > 0:
+        budget = min(budget, int(settings.max_memory_usage))
+    return budget
 
 
 def _build_stream_program(session, plan: L.PlanNode, settings: Settings,

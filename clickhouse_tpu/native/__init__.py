@@ -21,7 +21,8 @@ import numpy as np
 __all__ = ["HAVE_NATIVE", "lz4_compress", "lz4_decompress",
            "encode_strings", "decode_strings", "hash64_np",
            "delta_encode", "delta_decode", "dd_encode", "dd_decode",
-           "gorilla_encode", "gorilla_decode", "t64_encode", "t64_decode"]
+           "gorilla_encode", "gorilla_decode", "t64_encode", "t64_decode",
+           "cityhash128"]
 
 _lib = None
 HAVE_NATIVE = False
@@ -52,6 +53,9 @@ def _load():
         lib.chn_hash64.restype = None
         lib.chn_hash64.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
                                    ctypes.c_void_p]
+        lib.chn_cityhash128.restype = None
+        lib.chn_cityhash128.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                        ctypes.c_void_p]
         for nm in ("chn_delta_encode", "chn_delta_decode"):
             fn = getattr(lib, nm)
             fn.restype = None
@@ -98,6 +102,155 @@ def lz4_decompress(data: bytes, decompressed_size: int) -> bytes:
             raise ValueError(f"lz4 decompression failed ({n})")
         return dst.raw
     return _py_lz4_decompress(data, decompressed_size)
+
+
+# -- CityHash128 v1.0.2 (wire-frame checksums) --------------------------------
+
+def cityhash128(data: bytes) -> bytes:
+    """16-byte checksum: low64 LE ++ high64 LE, matching the reference's
+    compressed-frame checksums (src/Compression/CompressedWriteBuffer.cpp)."""
+    lib = _load()
+    if lib:
+        out = (ctypes.c_uint64 * 2)()
+        lib.chn_cityhash128(data, len(data), out)
+        import struct
+        return struct.pack("<QQ", out[0], out[1])
+    return _py_cityhash128(data)
+
+
+_M64 = (1 << 64) - 1
+_CK0 = 0xC3A5C85C97CB3127
+_CK1 = 0xB492B66FBE98F273
+_CK2 = 0x9AE16A3B2F90404F
+_CK3 = 0xC949D7C7509E6557
+
+
+def _py_cityhash128(data: bytes) -> bytes:
+    """Pure-Python CityHash128 v1.0.2 (toolchain-less fallback)."""
+    import struct
+
+    def rot(v, s):
+        return v if s == 0 else ((v >> s) | (v << (64 - s))) & _M64
+
+    def mix(v):
+        return v ^ (v >> 47)
+
+    def f64(s, i=0):
+        return struct.unpack_from("<Q", s, i)[0]
+
+    def f32(s, i=0):
+        return struct.unpack_from("<I", s, i)[0]
+
+    def h16(u, v):
+        m = 0x9DDFEA08EB382D69
+        a = ((u ^ v) * m) & _M64
+        a ^= a >> 47
+        b = ((v ^ a) * m) & _M64
+        b ^= b >> 47
+        return (b * m) & _M64
+
+    def short(s):
+        n = len(s)
+        if n > 8:
+            a, b = f64(s), f64(s, n - 8)
+            return h16(a, rot((b + n) & _M64, n)) ^ b
+        if n >= 4:
+            return h16((n + (f32(s) << 3)) & _M64, f32(s, n - 4))
+        if n > 0:
+            y = s[0] + (s[n >> 1] << 8)
+            z = n + (s[n - 1] << 2)
+            return (mix((y * _CK2 ^ z * _CK3) & _M64) * _CK2) & _M64
+        return _CK2
+
+    def weak32(s, o, a, b):
+        w, x = f64(s, o), f64(s, o + 8)
+        y, z = f64(s, o + 16), f64(s, o + 24)
+        a = (a + w) & _M64
+        b = rot((b + a + z) & _M64, 21)
+        c = a
+        a = (a + x + y) & _M64
+        b = (b + rot(a, 44)) & _M64
+        return (a + z) & _M64, (b + c) & _M64
+
+    def murmur(s, sa, sb):
+        n = len(s)
+        a, b, c, d = sa, sb, 0, 0
+        if n <= 16:
+            a = (mix((a * _CK1) & _M64) * _CK1) & _M64
+            c = (b * _CK1 + short(s)) & _M64
+            d = mix((a + (f64(s) if n >= 8 else c)) & _M64)
+        else:
+            c = h16((f64(s, n - 8) + _CK1) & _M64, a)
+            d = h16((b + n) & _M64, (c + f64(s, n - 16)) & _M64)
+            a = (a + d) & _M64
+            o = 0
+            l = n - 16
+            while True:
+                a = ((a ^ ((mix((f64(s, o) * _CK1) & _M64) * _CK1) & _M64))
+                     * _CK1) & _M64
+                b ^= a
+                c = ((c ^ ((mix((f64(s, o + 8) * _CK1) & _M64) * _CK1)
+                           & _M64)) * _CK1) & _M64
+                d ^= c
+                o += 16
+                l -= 16
+                if l <= 0:
+                    break
+        a = h16(a, c)
+        b = h16(d, b)
+        return a ^ b, h16(b, a)
+
+    def seed128(s, sa, sb):
+        n = len(s)
+        if n < 128:
+            return murmur(s, sa, sb)
+        x, y, z = sa, sb, (n * _CK1) & _M64
+        vlo = (rot(y ^ _CK1, 49) * _CK1 + f64(s)) & _M64
+        vhi = (rot(vlo, 42) * _CK1 + f64(s, 8)) & _M64
+        wlo = (rot((y + z) & _M64, 35) * _CK1 + x) & _M64
+        whi = (rot((x + f64(s, 88)) & _M64, 53) * _CK1) & _M64
+        o = 0
+        while True:
+            for _ in range(2):
+                x = (rot((x + y + vlo + f64(s, o + 16)) & _M64, 37)
+                     * _CK1) & _M64
+                y = (rot((y + vhi + f64(s, o + 48)) & _M64, 42)
+                     * _CK1) & _M64
+                x ^= whi
+                y ^= vlo
+                z = rot(z ^ wlo, 33)
+                vlo, vhi = weak32(s, o, (vhi * _CK1) & _M64,
+                                  (x + wlo) & _M64)
+                wlo, whi = weak32(s, o + 32, (z + whi) & _M64, y)
+                z, x = x, z
+                o += 64
+            n -= 128
+            if n < 128:
+                break
+        y = (y + rot(wlo, 37) * _CK0 + z) & _M64
+        x = (x + rot((vlo + z) & _M64, 49) * _CK0) & _M64
+        done = 0
+        while done < n:
+            done += 32
+            y = (rot((y - x) & _M64, 42) * _CK0 + vhi) & _M64
+            wlo = (wlo + f64(s, o + n - done + 16)) & _M64
+            x = (rot(x, 49) * _CK0 + wlo) & _M64
+            wlo = (wlo + vlo) & _M64
+            vlo, vhi = weak32(s, o + n - done, vlo, vhi)
+        x = h16(x, vlo)
+        y = h16(y, wlo)
+        return (h16((x + vhi) & _M64, whi) + y) & _M64, \
+            h16((x + whi) & _M64, (y + vhi) & _M64)
+
+    n = len(data)
+    if n >= 16:
+        lo, hi = seed128(data[16:], f64(data) ^ _CK3, f64(data, 8))
+    elif n >= 8:
+        lo, hi = seed128(b"", f64(data) ^ ((n * _CK0) & _M64),
+                         f64(data, n - 8) ^ _CK1)
+    else:
+        lo, hi = seed128(data, _CK0, _CK1)
+    return struct.pack("<QQ", lo, hi)
 
 
 # -- Native string column codec ----------------------------------------------

@@ -475,4 +475,150 @@ long long chn_t64_decode(const uint8_t* src, long long src_len, long long n,
     return p - src;
 }
 
+// ----------------------------------------------------- CityHash128 (v1.0.2)
+// The reference checksums every compressed wire frame with Google CityHash
+// v1.0.2 (src/Compression/CompressedWriteBuffer.cpp:38, contrib/cityhash102),
+// so true client interop requires this exact function.  Independent
+// implementation of the published 2011 algorithm; verified against the
+// reference build's outputs in tests/test_native_lib.py.
+
+static inline uint64_t cty_load64(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+static inline uint32_t cty_load32(const uint8_t* p) {
+    uint32_t v; std::memcpy(&v, p, 4); return v;
+}
+static inline uint64_t cty_rot(uint64_t v, int s) {
+    return s == 0 ? v : (v >> s) | (v << (64 - s));
+}
+static inline uint64_t cty_rot1(uint64_t v, int s) {   // s in [1, 63]
+    return (v >> s) | (v << (64 - s));
+}
+static inline uint64_t cty_mix(uint64_t v) { return v ^ (v >> 47); }
+
+static const uint64_t CTY_K0 = 0xc3a5c85c97cb3127ULL;
+static const uint64_t CTY_K1 = 0xb492b66fbe98f273ULL;
+static const uint64_t CTY_K2 = 0x9ae16a3b2f90404fULL;
+static const uint64_t CTY_K3 = 0xc949d7c7509e6557ULL;
+
+static inline uint64_t cty_h16(uint64_t u, uint64_t v) {
+    const uint64_t m = 0x9ddfea08eb382d69ULL;
+    uint64_t a = (u ^ v) * m;
+    a ^= a >> 47;
+    uint64_t b = (v ^ a) * m;
+    b ^= b >> 47;
+    return b * m;
+}
+
+static uint64_t cty_short(const uint8_t* s, size_t n) {   // n <= 16
+    if (n > 8) {
+        uint64_t a = cty_load64(s), b = cty_load64(s + n - 8);
+        return cty_h16(a, cty_rot1(b + n, (int)n)) ^ b;
+    }
+    if (n >= 4) {
+        uint64_t a = cty_load32(s);
+        return cty_h16(n + (a << 3), cty_load32(s + n - 4));
+    }
+    if (n > 0) {
+        uint32_t y = (uint32_t)s[0] + ((uint32_t)s[n >> 1] << 8);
+        uint32_t z = (uint32_t)n + ((uint32_t)s[n - 1] << 2);
+        return cty_mix(y * CTY_K2 ^ z * CTY_K3) * CTY_K2;
+    }
+    return CTY_K2;
+}
+
+struct CtyPair { uint64_t lo, hi; };
+
+static inline CtyPair cty_weak32(const uint8_t* s, uint64_t a, uint64_t b) {
+    uint64_t w = cty_load64(s), x = cty_load64(s + 8);
+    uint64_t y = cty_load64(s + 16), z = cty_load64(s + 24);
+    a += w;
+    b = cty_rot(b + a + z, 21);
+    uint64_t c = a;
+    a += x + y;
+    b += cty_rot(a, 44);
+    return {a + z, b + c};
+}
+
+static CtyPair cty_murmur(const uint8_t* s, size_t n,
+                          uint64_t sa, uint64_t sb) {
+    uint64_t a = sa, b = sb, c = 0, d = 0;
+    if (n <= 16) {
+        a = cty_mix(a * CTY_K1) * CTY_K1;
+        c = b * CTY_K1 + cty_short(s, n);
+        d = cty_mix(a + (n >= 8 ? cty_load64(s) : c));
+    } else {
+        c = cty_h16(cty_load64(s + n - 8) + CTY_K1, a);
+        d = cty_h16(b + n, c + cty_load64(s + n - 16));
+        a += d;
+        int64_t l = (int64_t)n - 16;
+        do {
+            a = (a ^ (cty_mix(cty_load64(s) * CTY_K1) * CTY_K1)) * CTY_K1;
+            b ^= a;
+            c = (c ^ (cty_mix(cty_load64(s + 8) * CTY_K1) * CTY_K1)) * CTY_K1;
+            d ^= c;
+            s += 16;
+            l -= 16;
+        } while (l > 0);
+    }
+    a = cty_h16(a, c);
+    b = cty_h16(d, b);
+    return {a ^ b, cty_h16(b, a)};
+}
+
+static CtyPair cty_128_seed(const uint8_t* s, size_t n,
+                            uint64_t sa, uint64_t sb) {
+    if (n < 128)
+        return cty_murmur(s, n, sa, sb);
+    uint64_t x = sa, y = sb, z = n * CTY_K1;
+    CtyPair v, w;
+    v.lo = cty_rot(y ^ CTY_K1, 49) * CTY_K1 + cty_load64(s);
+    v.hi = cty_rot(v.lo, 42) * CTY_K1 + cty_load64(s + 8);
+    w.lo = cty_rot(y + z, 35) * CTY_K1 + x;
+    w.hi = cty_rot(x + cty_load64(s + 88), 53) * CTY_K1;
+    do {
+        for (int half = 0; half < 2; ++half) {
+            x = cty_rot(x + y + v.lo + cty_load64(s + 16), 37) * CTY_K1;
+            y = cty_rot(y + v.hi + cty_load64(s + 48), 42) * CTY_K1;
+            x ^= w.hi;
+            y ^= v.lo;
+            z = cty_rot(z ^ w.lo, 33);
+            v = cty_weak32(s, v.hi * CTY_K1, x + w.lo);
+            w = cty_weak32(s + 32, z + w.hi, y);
+            uint64_t t = z; z = x; x = t;
+            s += 64;
+        }
+        n -= 128;
+    } while (n >= 128);
+    y += cty_rot(w.lo, 37) * CTY_K0 + z;
+    x += cty_rot(v.lo + z, 49) * CTY_K0;
+    for (size_t done = 0; done < n;) {
+        done += 32;
+        y = cty_rot(y - x, 42) * CTY_K0 + v.hi;
+        w.lo += cty_load64(s + n - done + 16);
+        x = cty_rot(x, 49) * CTY_K0 + w.lo;
+        w.lo += v.lo;
+        v = cty_weak32(s + n - done, v.lo, v.hi);
+    }
+    x = cty_h16(x, v.lo);
+    y = cty_h16(y, w.lo);
+    return {cty_h16(x + v.hi, w.hi) + y, cty_h16(x + w.hi, y + v.hi)};
+}
+
+// CityHash128 of a byte buffer -> out[0] = low64, out[1] = high64.
+void chn_cityhash128(const uint8_t* s, long long n, uint64_t* out) {
+    CtyPair r;
+    if (n >= 16)
+        r = cty_128_seed(s + 16, (size_t)n - 16,
+                         cty_load64(s) ^ CTY_K3, cty_load64(s + 8));
+    else if (n >= 8)
+        r = cty_128_seed(nullptr, 0,
+                         cty_load64(s) ^ ((uint64_t)n * CTY_K0),
+                         cty_load64(s + n - 8) ^ CTY_K1);
+    else
+        r = cty_128_seed(s, (size_t)n, CTY_K0, CTY_K1);
+    out[0] = r.lo;
+    out[1] = r.hi;
+}
+
 }  // extern "C"

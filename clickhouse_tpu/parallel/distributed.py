@@ -69,10 +69,275 @@ def _splitmix64_np(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+class ShardedChunkStream:
+    """Host-side per-shard chunk feed for a Distributed table: the same
+    shard assignment as the device layout (_shard_parts_into), chunked
+    within each shard so a table larger than per-device HBM streams through
+    the sharded program chunk by chunk (reference: per-shard spill compose,
+    MergingAggregatedMemoryEfficientTransform.h:24-45)."""
+
+    def __init__(self, session: "DistributedSession", table: Table,
+                 columns, chunk_rows: int):
+        from ..storage.table import ChunkSource
+        self.columns = list(columns)
+        self.chunk_rows = chunk_rows
+        self.n_shards = session.n_shards
+        # chunk-invariant physical layout + global dictionaries
+        self.layout = ChunkSource(table, self.columns, chunk_rows)
+        st = {"part_ids": [], "chunks": [
+            {nm: [] for nm in table.schema}
+            for _ in range(self.n_shards)], "rr": 0}
+        session._shard_parts_into(st, table.parts, table)
+        self.shard_cols: List[Dict[str, np.ndarray]] = []
+        self.counts: List[int] = []
+        for s_i in range(self.n_shards):
+            cols = {}
+            for nm in self.columns:
+                t = table.schema[nm]
+                pieces = st["chunks"][s_i][nm]
+                if pieces:
+                    cols[nm] = np.concatenate(
+                        [np.asarray(p, object if t.is_dictionary else None)
+                         for p in pieces]) if len(pieces) > 1 \
+                        else np.asarray(pieces[0])
+                else:
+                    cols[nm] = np.zeros(
+                        0, object if t.is_dictionary else t.np_dtype)
+            self.shard_cols.append(cols)
+            self.counts.append(
+                len(cols[self.columns[0]]) if self.columns else 0)
+        self.total_rows = sum(self.counts)
+        self.num_chunks = max(1, -(-max(self.counts + [0]) // chunk_rows))
+
+    def chunk(self, i: int):
+        """-> ({name: (data(n*cap,), validity or None)}, num_rows(n,))."""
+        cap = self.chunk_rows
+        n = self.n_shards
+        nrows = np.zeros(n, np.int64)
+        per_shard = []
+        for s_i in range(n):
+            lo = i * cap
+            hi = min(lo + cap, self.counts[s_i])
+            nrows[s_i] = max(hi - lo, 0)
+            per_shard.append((lo, hi))
+        out = {}
+        for nm in self.columns:
+            datas, valids = [], []
+            any_v = False
+            for s_i in range(n):
+                lo, hi = per_shard[s_i]
+                raw = self.shard_cols[s_i][nm][lo:max(hi, lo)]
+                d, v = self.layout.encode_column(nm, raw, cap)
+                datas.append(d)
+                valids.append(v)
+                any_v = any_v or v is not None
+            data = np.concatenate(datas)
+            validity = None
+            if any_v:
+                validity = np.concatenate(
+                    [v if v is not None else np.zeros(cap, np.uint8)
+                     for v in valids])
+            out[nm] = (data, validity)
+        return out, nrows
+
+
+class DistributedStreamProgram:
+    """Out-of-core ∘ distributed: each shard streams its rows chunk by
+    chunk through the per-chunk partial-aggregation program (local, no
+    collectives), carries mergeable states per shard, and the two-stage
+    exchange (all_to_all by key hash) runs ONCE over the carried states in
+    the finalizer — the reference's memory-efficient distributed merge
+    (src/Processors/Transforms/MergingAggregatedMemoryEfficientTransform.h)."""
+
+    def __init__(self, session: "DistributedSession", split, settings,
+                 table: Table, cap_c: int):
+        from ..exec.streaming import (_chunk_rows_for, _merge_carry,
+                                      _rebuild_blocks, _stage1_on_chunk,
+                                      _widen_carry, _STREAM_KEY)
+        from ..exec.executor import _finalize
+        from . import exchange as ex
+        self.split = split
+        self.settings = settings
+        self.cap_c = cap_c
+        self.mesh = session.mesh
+        axis = self.axis = session.axis
+        n = self.n_shards = session.n_shards
+        catalog = session.catalog
+        self.small_lower = {k: catalog.get_table(*k).read_block()
+                            for k in split.lower_scan_keys}
+        self.small_upper = {k: catalog.get_table(*k).read_block()
+                            for k in split.upper_scan_keys}
+        columns = list(split.scan.column_names)
+        chunk_rows = pad_to(max(
+            _chunk_rows_for(table, columns, settings) // n, 1024))
+        self.stream = ShardedChunkStream(session, table, columns, chunk_rows)
+        struct = self.struct = {}
+        split_ = split
+        src = self.stream.layout
+
+        def init_local(chunk_args, small_args):
+            keys_u, gvalid, flat, lchecks, groups = _stage1_on_chunk(
+                split_, settings, src, table, self.small_lower,
+                chunk_args, small_args, struct)
+            keys, valid, states = _widen_carry(keys_u, gvalid, flat,
+                                               struct["cap_g"], cap_c)
+            return {"keys": keys, "valid": valid, "states": states,
+                    "chunk_groups": jnp.reshape(groups, (1,)),
+                    "lower_checks": [jnp.reshape(c, (1,))
+                                     for c in lchecks]}
+
+        def step_local(carry, chunk_args, small_args):
+            keys_u, gvalid, flat, lchecks, groups = _stage1_on_chunk(
+                split_, settings, src, table, self.small_lower,
+                chunk_args, small_args, struct)
+            merged = _merge_carry(carry, keys_u, gvalid, flat,
+                                  struct["items"], struct["arity"], cap_c)
+            merged.pop("num_groups")
+            merged["chunk_groups"] = jnp.maximum(
+                carry["chunk_groups"], jnp.reshape(groups, (1,)))
+            merged["lower_checks"] = [
+                jnp.maximum(a, jnp.reshape(b, (1,)))
+                for a, b in zip(carry["lower_checks"], lchecks)]
+            return merged
+
+        def fin_local(carry, upper_args):
+            from ..ops import agg_ops
+            from ..exec.executor import Check
+            agg = split_.agg
+            ctx = ExecContext(_rebuild_blocks(self.small_upper, upper_args),
+                              settings, axis_name=axis, n_shards=n)
+            if struct["global_agg"]:
+                keys_rx, valid_rx = ex.all_gather_rows(
+                    carry["keys"], carry["valid"], axis)
+                states_rx, _ = ex.all_gather_rows(
+                    carry["states"], carry["valid"], axis)
+                sharded_out = False
+            else:
+                keys_rx, states_rx, valid_rx, overflow = ex.exchange_by_key(
+                    carry["keys"], carry["states"], carry["valid"],
+                    axis, n, cap_c)
+                ctx.checks.append(Check(
+                    overflow, cap_c,
+                    "streamed aggregation state exchange overflowed "
+                    "per-shard capacity; raise max_groups",
+                    setting="max_groups"))
+                sharded_out = True
+            g2 = agg_ops.group_by_sort(keys_rx, valid_rx, cap_c)
+            if not struct["global_agg"]:
+                ctx.checks.append(Check(
+                    g2.num_groups, cap_c,
+                    "GROUP BY cardinality exceeded max_groups; raise the "
+                    "max_groups setting", setting="max_groups"))
+            merged_counts = g2.reduce("sum", states_rx[0], valid_rx)
+            fake_keys = []
+            for (f, _), (has_v, dic) in zip(agg.keys, struct["key_meta"]):
+                fake_keys.append(ColVal(
+                    f.dtype, jnp.zeros((1,), jnp.int32),
+                    jnp.ones((1,), jnp.uint8) if has_v else None, dic))
+            states_per_agg = []
+            i = 1
+            for item, dic, cnt in zip(struct["items"], struct["agg_dicts"],
+                                      struct["arity"][1:]):
+                ss = states_rx[i:i + cnt]
+                i += cnt
+                mstates = item.fn.merge(ss, g2, valid_rx)
+                fake_args = [ColVal(item.field.dtype,
+                                    jnp.zeros((1,), jnp.int32), None, dic)] \
+                    if item.args else []
+                states_per_agg.append((item, fake_args, mstates))
+            merged_eb = _finalize(
+                agg, fake_keys, g2.unique_keys, g2.num_groups,
+                merged_counts, states_per_agg, cap_c,
+                struct["global_agg"], sharded_out, ctx,
+                group_valid=None if struct["global_agg"]
+                else g2.group_valid())
+            ctx.injected[_STREAM_KEY] = merged_eb
+            out = execute_plan(split_.upper, ctx)
+            out = _gather_block(out, ctx)
+            data_leaves, validity_leaves, dicts, length_leaves = \
+                {}, {}, {}, {}
+            for f in split_.upper.schema:
+                cv = out.cols[f.id].broadcast(out.capacity)
+                data_leaves[f.id] = cv.data
+                if cv.validity is not None:
+                    validity_leaves[f.id] = cv.validity
+                if cv.lengths is not None:
+                    length_leaves[f.id] = cv.lengths
+                dicts[f.id] = cv.dictionary
+            struct["out_dicts"] = dicts
+            struct["capacity"] = out.capacity
+            struct["fin_checks"] = [(c.limit, c.message, c.setting)
+                                    for c in ctx.checks]
+            checks = [jax.lax.pmax(jnp.asarray(c.value), axis)
+                      for c in ctx.checks]
+            carry_checks = [jax.lax.pmax(carry["chunk_groups"][0], axis)] \
+                + [jax.lax.pmax(c[0], axis) for c in carry["lower_checks"]]
+            return {"valid": out.valid, "data": data_leaves,
+                    "validity": validity_leaves, "lengths": length_leaves,
+                    "checks": checks, "carry_checks": carry_checks}
+
+        P_ = P(axis)
+        self.init_fn = jax.jit(shard_map(
+            init_local, self.mesh, in_specs=(P_, P()), out_specs=P_))
+        self.step_fn = jax.jit(shard_map(
+            step_local, self.mesh, in_specs=(P_, P_, P()), out_specs=P_),
+            donate_argnums=(0,))
+        self.fin_fn = jax.jit(shard_map(
+            fin_local, self.mesh, in_specs=(P_, P()), out_specs=P()))
+
+    def run(self, session):
+        from ..exec.executor import Check
+        spec = NamedSharding(self.mesh, P(self.axis))
+
+        def to_dev(data, nrows):
+            cols = {}
+            for nm, (d, v) in data.items():
+                e = {"data": jax.device_put(d, spec)}
+                if v is not None:
+                    e["validity"] = jax.device_put(v, spec)
+                cols[nm] = e
+            return {"cols": cols,
+                    "num_rows": jax.device_put(nrows, spec)}
+
+        lower_args = Session._block_args(self.small_lower)
+        upper_args = Session._block_args(self.small_upper)
+        carry = None
+        for i in range(self.stream.num_chunks):
+            args = to_dev(*self.stream.chunk(i))
+            carry = self.init_fn(args, lower_args) if carry is None \
+                else self.step_fn(carry, args, lower_args)
+        leaves = self.fin_fn(carry, upper_args)
+
+        struct = self.struct
+        ctx = ExecContext({}, self.settings)
+        cvals = leaves["carry_checks"]
+        ctx.checks.append(Check(
+            cvals[0], struct["cap_g"],
+            "per-chunk GROUP BY cardinality exceeded max_groups; raise "
+            "the max_groups setting", setting="max_groups"))
+        for val, (limit, msg, setting) in zip(cvals[1:],
+                                              struct["lower_checks"]):
+            ctx.checks.append(Check(val, limit, msg, setting))
+        for val, (limit, msg, setting) in zip(leaves["checks"],
+                                              struct["fin_checks"]):
+            ctx.checks.append(Check(val, limit, msg, setting))
+        cols = {}
+        for f in self.split.upper.schema:
+            cols[f.id] = ColVal(f.dtype, leaves["data"][f.id],
+                                leaves["validity"].get(f.id),
+                                struct["out_dicts"][f.id],
+                                lengths=leaves["lengths"].get(f.id))
+        out = ExecBlock(cols, leaves["valid"], struct["capacity"])
+        cols_np = materialize(out, self.split.upper.schema, ctx)
+        ctx.profile["rows_scanned"] = self.stream.total_rows
+        ctx.profile["StreamedDistributedQueries"] = 1
+        return cols_np, ctx
+
+
 class DistributedSession(Session):
     """Session whose Distributed-engine tables are sharded over a mesh."""
 
-    _streaming_enabled = False     # sharding, not chunking, scales this path
+    _streaming_enabled = True      # out-of-core composes with sharding
 
     def __init__(self, mesh: Optional[Mesh] = None,
                  settings: Optional[Settings] = None, **kw):
@@ -219,6 +484,87 @@ class DistributedSession(Session):
         if not sharded_keys:
             return super()._execute(plan, settings)
         return self._execute_sharded(plan, blocks, sharded_keys, settings)
+
+    def _try_streaming(self, stmt, settings: Settings, sql: str):
+        """Mesh-aware streaming: a Distributed table over the device budget
+        streams per-shard chunks through the sharded partial-aggregation
+        program with ONE exchange over the carried states; non-distributed
+        big tables fall back to the local streaming engine (correct, just
+        not mesh-parallel)."""
+        from ..exec import streaming as strm
+        thr = strm._stream_threshold(settings)
+        catalog = self.catalog
+        over_any = False
+        for db in catalog.databases.values():
+            for t in db.tables.values():
+                if t.num_rows and t.physical_bytes() > thr:
+                    over_any = True
+                    break
+            if over_any:
+                break
+        if not over_any:
+            return None
+
+        import json
+        skey = json.dumps(settings.as_dict(), sort_keys=True, default=str) \
+            + "@" + catalog.current_database
+        cache = getattr(self, "_dist_stream_cache", None)
+        if cache is None:
+            cache = self._dist_stream_cache = {}
+        hit = cache.get((sql, skey)) if sql else None
+        if hit is not None:
+            prog, sig0 = hit
+            sig = tuple(sorted(
+                (db, tbl, catalog.get_table(db, tbl).version)
+                for (db, tbl) in ([prog.split.big_key]
+                                  + prog.split.lower_scan_keys
+                                  + prog.split.upper_scan_keys)))
+            if sig == sig0:
+                cols, ctx = prog.run(self)
+                return prog.split.upper, cols, ctx
+
+        plan = self._plan(stmt, settings)
+        scans = []
+        strm._collect_scans(plan, scans)
+        over: Dict[Tuple[str, str], int] = {}
+        for s in scans:
+            key = (s.database, s.table)
+            try:
+                t = catalog.get_table(*key)
+            except Exception:
+                continue
+            b = t.physical_bytes(set(s.column_names)) if t.num_rows else 0
+            if b > thr:
+                over[key] = max(over.get(key, 0), b)
+        dist_over = [k for k in over if self._is_distributed(*k)]
+        if len(dist_over) == 1 and len(over) == 1:
+            big = dist_over[0]
+            split = strm.find_split(plan, big)
+            # small lower/upper tables must not themselves be distributed
+            # (they are read whole + replicated into the sharded program)
+            if split is not None and not any(
+                    self._is_distributed(*k)
+                    for k in split.lower_scan_keys + split.upper_scan_keys):
+                table = catalog.get_table(*big)
+                from ..core.column import pad_to as _pad
+                cap_c = _pad(min(table.num_rows, settings.max_groups))
+                prog = DistributedStreamProgram(self, split, settings,
+                                                table, cap_c)
+                cols, ctx = prog.run(self)
+                if sql:
+                    sig = tuple(sorted(
+                        (db, tbl, catalog.get_table(db, tbl).version)
+                        for (db, tbl) in ([big] + split.lower_scan_keys
+                                          + split.upper_scan_keys)))
+                    if len(cache) > 32:
+                        cache.clear()
+                    cache[(sql, skey)] = (prog, sig)
+                return split.upper, cols, ctx
+        if dist_over:
+            # distributed big table without a distributed streaming plan:
+            # fall back to the local streaming engine (reads the same parts)
+            return strm.try_streaming(self, stmt, settings, sql)
+        return super()._try_streaming(stmt, settings, sql)
 
     def _execute_compiled(self, stmt, settings: Settings, sql: str):
         # Distributed plans always go through the shard_map runner (itself

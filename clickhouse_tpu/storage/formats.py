@@ -23,7 +23,8 @@ __all__ = ["read_file", "write_file", "detect_format", "confine_path",
            "FORMATS", "format_rows_text"]
 
 FORMATS = ["Parquet", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
-           "JSONEachRow", "Native", "Values", "Arrow"]
+           "JSONEachRow", "Native", "Values", "Arrow",
+           "RowBinary", "RowBinaryWithNamesAndTypes"]
 
 
 def confine_path(path: str, root: Optional[str]) -> str:
@@ -102,6 +103,14 @@ def read_file(path: str, fmt: Optional[str] = None,
     if f == "native":
         from .native_format import read_native_file
         return read_native_file(path)
+    if f == "rowbinarywithnamesandtypes":
+        from .rowbinary import read_rowbinary
+        with open(path, "rb") as fh:
+            return read_rowbinary(fh.read())
+    if f == "rowbinary":
+        raise NotImplementedError_(
+            "bare RowBinary input needs a schema; use "
+            "RowBinaryWithNamesAndTypes")
     raise NotImplementedError_(f"Input format '{fmt}' is not supported yet")
 
 
@@ -133,7 +142,33 @@ def write_file(path: str, data: Dict[str, np.ndarray],
         from .native_format import write_native_file
         write_native_file(path, data, types)
         return
+    if f in ("rowbinary", "rowbinarywithnamesandtypes"):
+        from .rowbinary import write_rowbinary
+        if types is None:
+            types = [(k, _infer_type_name(v)) for k, v in data.items()]
+        with open(path, "wb") as fh:
+            fh.write(write_rowbinary(
+                data, types, with_names_types=f.endswith("types")))
+        return
     raise NotImplementedError_(f"Output format '{fmt}' is not supported yet")
+
+
+def _infer_type_name(v: np.ndarray) -> str:
+    v = np.asarray(v)
+    if v.dtype == object:
+        non_null = [x for x in v if x is not None]
+        nullable = len(non_null) < len(v)
+        if all(isinstance(x, str) for x in non_null):
+            base = "String"
+        elif all(isinstance(x, (int, np.integer)) for x in non_null):
+            base = "Int64"
+        else:
+            base = "Float64"
+        return f"Nullable({base})" if nullable else base
+    kind = {"i": "Int", "u": "UInt", "f": "Float"}.get(v.dtype.kind)
+    if kind is None:
+        return "String"
+    return f"{kind}{v.dtype.itemsize * 8}"
 
 
 def _py(v):

@@ -6,24 +6,22 @@ Frame layout mirrors the reference's CompressedWriteBuffer
     [16-byte checksum][1-byte method][u32 LE compressed_size]
     [u32 LE decompressed_size][compressed payload]
 
-where compressed_size counts the 9-byte header.  The checksum covers
-method+sizes+payload.  Divergence, by design: the reference checksums with
-CityHash128; this engine uses BLAKE2b-128 (stdlib, keyed "chtpu-wire") —
-frame *structure* is compatible, the hash family is documented as
-different, so corruption detection is equivalent but a reference binary
-cannot validate our frames byte-for-byte.
+where compressed_size counts the 9-byte header.  The checksum is
+CityHash128 v1.0.2 (low64 LE ++ high64 LE) over method+sizes+payload —
+byte-identical to the reference's CompressedWriteBuffer
+(src/Compression/CompressedWriteBuffer.cpp:38-41), so a stock
+clickhouse-client can validate and produce these frames.
 
 Method bytes follow the reference's CompressionMethodByte: 0x82 = LZ4,
 0x02 = None.
 """
 from __future__ import annotations
 
-import hashlib
 import struct
 from typing import BinaryIO
 
 from ..core.errors import EngineError
-from ..native import lz4_compress, lz4_decompress
+from ..native import cityhash128, lz4_compress, lz4_decompress
 
 METHOD_LZ4 = 0x82
 METHOD_NONE = 0x02
@@ -32,8 +30,7 @@ _MAX_FRAME = 1 << 30     # defensive cap, matches reference protections
 
 
 def _checksum(body: bytes) -> bytes:
-    return hashlib.blake2b(body, digest_size=16,
-                           key=b"chtpu-wire").digest()
+    return cityhash128(body)
 
 
 def write_frame(out: BinaryIO, data: bytes, method: int = METHOD_LZ4) -> None:

@@ -143,3 +143,71 @@ class TestNativeCodecRobustness:
         data = (b"hello world " * 1000) + b"tail"
         comp = chn.lz4_compress(data)
         assert chn.lz4_decompress(comp, len(data)) == data
+
+
+class TestRowBinary:
+    """RowBinary[WithNamesAndTypes] (reference:
+    src/Processors/Formats/Impl/BinaryRowInputFormat.cpp)."""
+
+    def test_roundtrip_with_names_types(self, tmp_path):
+        import numpy as np
+        import clickhouse_tpu as ch
+        s = ch.connect()
+        s.execute("CREATE TABLE t (a Int64, b Float64, s String, "
+                  "n Nullable(Int32))")
+        s.execute("INSERT INTO t VALUES (1, 2.5, 'x', 3), "
+                  "(-7, 0.25, 'hello world', NULL)")
+        p = str(tmp_path / "out.rb")
+        s.execute(f"SELECT * FROM t INTO OUTFILE '{p}' "
+                  "FORMAT RowBinaryWithNamesAndTypes")
+        s2 = ch.connect()
+        s2.execute("CREATE TABLE t2 (a Int64, b Float64, s String, "
+                   "n Nullable(Int32))")
+        s2.execute(f"INSERT INTO t2 FROM INFILE '{p}' "
+                   "FORMAT RowBinaryWithNamesAndTypes")
+        assert s2.execute("SELECT * FROM t2 ORDER BY a").rows() == \
+            s.execute("SELECT * FROM t ORDER BY a").rows()
+
+    def test_wire_bytes_exact(self, tmp_path):
+        # byte-level check against the published layout: varint ncols,
+        # names, types, then row-major LE values
+        from clickhouse_tpu.storage.rowbinary import write_rowbinary
+        import numpy as np
+        out = write_rowbinary(
+            {"a": np.asarray([1], np.uint8),
+             "s": np.asarray(["hi"], object)},
+            [("a", "UInt8"), ("s", "String")], with_names_types=True)
+        assert out == (b"\x02" b"\x01a" b"\x01s"
+                       b"\x05UInt8" b"\x06String"
+                       b"\x01" b"\x02hi")
+
+    def test_bare_rowbinary_write(self, tmp_path):
+        from clickhouse_tpu.storage.rowbinary import (read_rowbinary,
+                                                      write_rowbinary)
+        import numpy as np
+        data = {"x": np.asarray([3, -9], np.int64),
+                "f": np.asarray([1.5, 2.25], np.float64)}
+        types = [("x", "Int64"), ("f", "Float64")]
+        blob = write_rowbinary(data, types, with_names_types=False)
+        assert len(blob) == 2 * (8 + 8)
+        back = read_rowbinary(blob, schema=types)
+        assert back["x"].tolist() == [3, -9]
+        assert back["f"].tolist() == [1.5, 2.25]
+
+    def test_arrays_and_dates(self):
+        import datetime
+        import numpy as np
+        from clickhouse_tpu.storage.rowbinary import (read_rowbinary,
+                                                      write_rowbinary)
+        arrs = np.empty(2, object)
+        arrs[0] = [1, 2, 3]
+        arrs[1] = []
+        data = {"d": np.asarray([datetime.date(2020, 1, 2),
+                                 datetime.date(1970, 1, 1)], object),
+                "a": arrs}
+        types = [("d", "Date"), ("a", "Array(Int32)")]
+        blob = write_rowbinary(data, types, with_names_types=True)
+        back = read_rowbinary(blob)
+        assert back["d"].tolist() == [datetime.date(2020, 1, 2),
+                                      datetime.date(1970, 1, 1)]
+        assert back["a"].tolist() == [[1, 2, 3], []]

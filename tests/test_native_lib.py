@@ -77,3 +77,76 @@ class TestHasher:
         host = native.hash64_np(x)
         dev = np.asarray(hash_ops.hash64(jnp.asarray(x)))
         np.testing.assert_array_equal(host, dev)
+
+
+class TestCityHash128:
+    """CityHash128 v1.0.2 — the reference's compressed-frame checksum
+    (src/Compression/CompressedWriteBuffer.cpp:38).  Expected values were
+    produced by compiling the reference's vendored contrib/cityhash102 and
+    hashing prefixes of a fixed LCG byte stream."""
+
+    # (length, low64, high64)
+    VECTORS = [
+        (0, 4463240938071824939, 4374473821787594281),
+        (1, 8844236077112413634, 16069063581692500755),
+        (3, 3142164928783398545, 1726284097749069921),
+        (4, 6528914767755952347, 5824878644558525755),
+        (7, 12619342414558028666, 2504092284577919134),
+        (8, 16058182292754343474, 8473100674131140636),
+        (9, 10720042232786483565, 6243791916291514532),
+        (15, 13256128838049846941, 1804874465203703246),
+        (16, 9612451368687417663, 944840382185044203),
+        (17, 13521379192136727546, 13399382255433260982),
+        (31, 11166308815281013586, 14470909399459285891),
+        (32, 14853371121364875680, 14951053386660795420),
+        (33, 1513705158158276989, 18130248870270302313),
+        (63, 16979915460339597185, 15057940416574015295),
+        (64, 4464895272306789487, 394512510116768730),
+        (65, 14160253492471058802, 850125386272390000),
+        (100, 4924821590460835808, 10743495867110604167),
+        (127, 9293071371313939827, 1604867561506277401),
+        (128, 6525083457041515478, 14512914407863999333),
+        (129, 10818172391934880657, 1977332169125804015),
+        (200, 715751247517763894, 5949353971915929536),
+        (255, 18267273417191066354, 890970985396517982),
+        (256, 8310017627252450208, 17714541661286767308),
+        (257, 1365436217426717722, 3458121658182926419),
+        (500, 13356042617046531056, 3705456797098715513),
+        (1000, 17313149582011185820, 16894989019747783485),
+        (2000, 10528944442454229161, 8212990069430729311),
+    ]
+
+    @staticmethod
+    def _data():
+        out = bytearray()
+        v = 12345
+        for _ in range(2000):
+            v = (v * 1103515245 + 12345) & 0xFFFFFFFF
+            out.append((v >> 16) & 0xFF)
+        return bytes(out)
+
+    def test_reference_vectors(self):
+        import struct
+        from clickhouse_tpu.native import cityhash128
+        data = self._data()
+        for n, lo, hi in self.VECTORS:
+            assert cityhash128(data[:n]) == struct.pack("<QQ", lo, hi), n
+
+    def test_python_fallback_matches(self):
+        from clickhouse_tpu.native import cityhash128, _py_cityhash128
+        data = self._data()
+        for n, _, _ in self.VECTORS:
+            assert _py_cityhash128(data[:n]) == cityhash128(data[:n])
+
+    def test_wire_frame_checksum_is_cityhash(self):
+        import io
+        import struct
+        from clickhouse_tpu.native import cityhash128
+        from clickhouse_tpu.storage import wire_compression as wc
+        buf = io.BytesIO()
+        payload = b"hello columnar world" * 30
+        wc.write_frame(buf, payload)
+        raw = buf.getvalue()
+        assert raw[:16] == cityhash128(raw[16:])
+        buf.seek(0)
+        assert wc.read_frame(buf) == payload
