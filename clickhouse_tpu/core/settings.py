@@ -106,6 +106,11 @@ class Settings:
     # distinct from stream_readers (reference: max_parallel_replicas)
     max_parallel_replicas: int = 1
 
+    # -- background operations -------------------------------------------
+    # inserts leaving at least this many parts schedule a background merge
+    # (MergeTreeBackgroundExecutor analog); 0 disables background merging
+    background_merge_min_parts: int = 64
+
     # -- storage / scan ------------------------------------------------------
     system_numbers_limit: int = 1 << 21   # cap for the virtual system.numbers
     index_granularity: int = 8192

@@ -176,13 +176,17 @@ def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
     from ..storage.table import base_engine
     engine = base_engine(node.engine).lower()
     if engine not in ("replacingmergetree", "summingmergetree",
-                      "aggregatingmergetree") or not node.order_by_cols:
+                      "aggregatingmergetree", "collapsingmergetree",
+                      "versionedcollapsingmergetree") \
+            or not node.order_by_cols:
         return eb
     cap = eb.capacity
     key_ids = [f.id for f, n in zip(node.schema, node.column_names)
                if n in node.order_by_cols]
     if not key_ids:
         return eb            # sort key columns were pruned away entirely
+    if engine in ("collapsingmergetree", "versionedcollapsingmergetree"):
+        return _apply_final_collapsing(node, eb, ctx, engine, key_ids)
     key_cvs = [eb.cols[i] for i in key_ids]
     key_arrays, _ = _key_arrays(key_cvs, cap)
     cap_g = pad_to(min(cap, ctx.settings.max_groups))
@@ -224,6 +228,65 @@ def _apply_final(node: L.ScanNode, eb: ExecBlock, ctx: ExecContext
             packed_g = agg_reg.pack_state_columns(merged)   # (cap_g, B)
             cols[f.id] = ColVal(cv.dtype, packed_g[gid_c], None)
     return ExecBlock(cols, eb.valid & keep, cap, sharded=eb.sharded)
+
+
+def _apply_final_collapsing(node: L.ScanNode, eb: ExecBlock,
+                            ctx: ExecContext, engine: str,
+                            key_ids) -> ExecBlock:
+    """FINAL fold for the Collapsing family, on device (reference:
+    CollapsingSortedAlgorithm.cpp:88-114 — p>n keeps the last positive,
+    p<n the first negative, p==n with a trailing positive keeps both;
+    VersionedCollapsingAlgorithm.cpp — ±1 annihilation per (key, version),
+    the |p-n| surplus rows of the majority sign survive)."""
+    cap = eb.capacity
+    args = list(node.engine_args)
+    name_to_fid = {n: f.id for f, n in zip(node.schema, node.column_names)}
+    sign_fid = name_to_fid.get(args[0] if args else "sign")
+    if sign_fid is None:
+        return eb
+    key_cvs = [eb.cols[i] for i in key_ids]
+    if engine == "versionedcollapsingmergetree":
+        ver_fid = name_to_fid.get(args[1]) if len(args) > 1 else None
+        if ver_fid is None:
+            return eb
+        key_cvs = key_cvs + [eb.cols[ver_fid]]
+    key_arrays, _ = _key_arrays(key_cvs, cap)
+    cap_g = pad_to(min(cap, ctx.settings.max_groups))
+    g = agg_ops.group_by_sort(key_arrays, eb.valid, cap_g)
+    inv = jnp.argsort(g.perm)
+    gid = jnp.minimum(g.group_ids[inv], cap_g - 1)       # per original row
+    rowid = jnp.arange(cap, dtype=jnp.int64)
+    sign = eb.cols[sign_fid].broadcast(cap).data.astype(jnp.int64)
+    isp = eb.valid & (sign > 0)
+    isn = eb.valid & (sign < 0)
+    p = g.reduce("sum", isp.astype(jnp.int64), eb.valid)
+    n_ = g.reduce("sum", isn.astype(jnp.int64), eb.valid)
+    if engine == "collapsingmergetree":
+        last_pos = g.reduce("max", rowid, isp)
+        first_neg = g.reduce("min", rowid, isn)
+        last_row = g.reduce("max", rowid, eb.valid)
+        pr, nr = p[gid], n_[gid]
+        last_is_positive = (last_pos == last_row)[gid] & (pr > 0)
+        keepable = (last_is_positive | (pr != nr)) & ((pr > 0) | (nr > 0))
+        keep = keepable & (
+            ((pr <= nr) & (rowid == first_neg[gid]) & isn)
+            | ((pr >= nr) & (rowid == last_pos[gid]) & isp))
+        return ExecBlock(eb.cols, eb.valid & keep, cap, sharded=eb.sharded)
+    # versioned: the last |p-n| rows of the majority sign survive
+    surplus = p - n_
+    gid_s = jnp.minimum(g.group_ids, cap_g - 1)          # sorted order
+    keep_sorted = jnp.zeros((cap,), jnp.bool_)
+    for s_mask, cnt in ((isp, surplus), (isn, -surplus)):
+        ms = g.take(s_mask)
+        c = jnp.cumsum(ms.astype(jnp.int64))
+        before = jnp.where(g.starts > 0, c[jnp.maximum(g.starts - 1, 0)], 0)
+        pos_in = c - 1 - before[gid_s]
+        total = g.reduce("sum", s_mask.astype(jnp.int64), eb.valid)
+        from_end = total[gid_s] - 1 - pos_in
+        keep_sorted = keep_sorted | (
+            ms & (from_end < jnp.maximum(cnt, 0)[gid_s]))
+    keep = keep_sorted[inv]
+    return ExecBlock(eb.cols, eb.valid & keep, cap, sharded=eb.sharded)
 
 
 def _exec_blocksource(node: L.BlockSourceNode, ctx: ExecContext) -> ExecBlock:

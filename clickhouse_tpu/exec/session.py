@@ -60,9 +60,20 @@ class Session:
     _streaming_enabled = True
 
     def __init__(self, settings: Optional[Settings] = None,
-                 catalog: Optional[Catalog] = None):
+                 catalog: Optional[Catalog] = None,
+                 data_path: Optional[str] = None):
         self.settings = settings or Settings()
         self.catalog = catalog or Catalog()
+        if data_path:
+            # durable catalog: MergeTree-family tables persist to this disk
+            # and reload on the next connect (storage/persist.py)
+            from ..storage.disks import DiskRegistry, LocalDisk
+            disk = LocalDisk("default", data_path)
+            if self.catalog.disks is None:
+                self.catalog.disks = DiskRegistry()
+            self.catalog.disks.register(disk)
+            if self.catalog.store is None:
+                self.catalog.enable_persistence(disk)
         self.query_log: List[QueryLogEntry] = []
         # ProfileEvents analog: monotonic counters (src/Common/ProfileEvents)
         self.profile_events: Dict[str, int] = {}
@@ -84,6 +95,10 @@ class Session:
             from .async_insert import AsyncInsertQueue
             self.catalog.async_inserts = AsyncInsertQueue(self._insert_tail)
         self.async_inserts = self.catalog.async_inserts
+        # background merges (MergeTreeBackgroundExecutor analog), shared per
+        # catalog; lazily started on first insert
+        if not hasattr(self.catalog, "background"):
+            self.catalog.background = None
 
     def login(self, user: str, password: str = "") -> None:
         self.current_user = self.catalog.access.authenticate(user, password)
@@ -238,7 +253,7 @@ class Session:
                               stmt.source_table, attrs)
             return _status_result()
         if isinstance(stmt, ast.Insert):
-            return self._run_insert(stmt)
+            return self._run_insert(stmt, overrides)
         if isinstance(stmt, ast.DropTable):
             if stmt.is_database:
                 self.catalog.drop_database(stmt.table, stmt.if_exists)
@@ -251,6 +266,13 @@ class Session:
                 except Exception:
                     pass
                 self.catalog.drop_table(db, stmt.table, stmt.if_exists)
+            return _status_result()
+        if isinstance(stmt, ast.DetachAttach):
+            db = stmt.database or self.catalog.current_database
+            if stmt.kind == "detach":
+                self.catalog.detach_table(db, stmt.table, stmt.if_exists)
+            else:
+                self.catalog.attach_table(db, stmt.table)
             return _status_result()
         if isinstance(stmt, ast.TruncateTable):
             db = stmt.database or self.catalog.current_database
@@ -273,6 +295,34 @@ class Session:
             from ..storage import backup as bk
             from ..storage.formats import confine_path
             db = stmt.database or self.catalog.current_database
+            if stmt.disk is not None:
+                # Disk('name', 'path') target: stage through a temp file,
+                # store/fetch the blob via the IDisk API (works for object
+                # storage disks too)
+                import os
+                import tempfile
+                if self.catalog.disks is None:
+                    from ..core.errors import EngineError
+                    raise EngineError("No disks registered; pass data_path "
+                                      "or register a DiskRegistry")
+                disk = self.catalog.disks.get(stmt.disk)
+                with tempfile.NamedTemporaryFile(delete=False) as tf:
+                    tmp = tf.name
+                try:
+                    if stmt.kind == "backup":
+                        bk.backup_table(
+                            self.catalog.get_table(db, stmt.table), tmp)
+                        with open(tmp, "rb") as f:
+                            disk.write_file("backups/" + stmt.path, f.read())
+                    else:
+                        with open(tmp, "wb") as f:
+                            f.write(disk.read_file("backups/" + stmt.path))
+                        t = bk.restore_table(tmp)
+                        t.name = stmt.table
+                        self.catalog.create_table(db, t)
+                finally:
+                    os.unlink(tmp)
+                return _status_result()
             bpath = confine_path(stmt.path, self.settings.user_files_path)
             if stmt.kind == "backup":
                 bk.backup_table(self.catalog.get_table(db, stmt.table),
@@ -315,6 +365,20 @@ class Session:
             if cmd.startswith("disable failpoint"):
                 from ..core.failpoints import GLOBAL_FAILPOINTS
                 GLOBAL_FAILPOINTS.disable(stmt.command.split()[2])
+                return _status_result()
+            if cmd.startswith("stop merges"):
+                if self.catalog.background is not None:
+                    self.catalog.background.stop()
+                self.settings = self.settings.copy_with(
+                    {"background_merge_min_parts": 0})
+                return _status_result()
+            if cmd.startswith("start merges"):
+                if self.catalog.background is not None:
+                    self.catalog.background.start()
+                return _status_result()
+            if cmd.startswith("wait merges"):
+                if self.catalog.background is not None:
+                    self.catalog.background.wait_idle()
                 return _status_result()
             if cmd.startswith("reload dictionar"):
                 for dbo in self.catalog.databases.values():
@@ -999,26 +1063,43 @@ class Session:
                     self.catalog.databases["_files"].tables.pop(tmp, None)
 
     def _insert_tail(self, db: str, table_name: str,
-                     aligned: Dict[str, np.ndarray]) -> None:
+                     aligned: Dict[str, np.ndarray],
+                     settings: Optional[Settings] = None) -> None:
         """Synchronous commit tail shared by direct and async inserts:
-        part creation + MV/projection maintenance."""
-        self.catalog.get_table(db, table_name).insert_pydict(aligned)
+        part creation + MV/projection maintenance + merge scheduling."""
+        t = self.catalog.get_table(db, table_name)
+        t.insert_pydict(aligned)
         self._trigger_materialized_views(db, table_name, aligned)
         self._update_projections(db, table_name, aligned)
+        self._maybe_schedule_merge(db, table_name, t,
+                                   settings or self.settings)
+
+    def _maybe_schedule_merge(self, db: str, table_name: str, t,
+                              settings: Optional[Settings] = None) -> None:
+        thr = int((settings or self.settings).background_merge_min_parts)
+        if thr <= 0 or len(t.parts) < thr or t.engine in ("Null", "Memory"):
+            return
+        if self.catalog.background is None:
+            from ..storage.background import BackgroundExecutor
+            self.catalog.background = BackgroundExecutor(self.catalog, thr)
+        self.catalog.background.notify(db, table_name, thr)
 
     def _commit_insert(self, db: str, table_name: str,
-                       aligned: Dict[str, np.ndarray]) -> Result:
+                       aligned: Dict[str, np.ndarray],
+                       settings: Optional[Settings] = None) -> Result:
         """Route one aligned insert through the async queue or directly."""
-        s = self.settings
+        s = settings or self.settings
         if s.async_insert:
             entry = self.async_inserts.push(db, table_name, aligned, s)
             if s.wait_for_async_insert:
                 self.async_inserts.wait(entry)
             return _status_result()
-        self._insert_tail(db, table_name, aligned)
+        self._insert_tail(db, table_name, aligned, s)
         return _status_result()
 
-    def _run_insert(self, stmt: ast.Insert) -> Result:
+    def _run_insert(self, stmt: ast.Insert,
+                    overrides: Optional[Dict[str, Any]] = None) -> Result:
+        qsettings = self._query_settings(stmt, overrides or {})
         db = stmt.database or self.catalog.current_database
         table = self.catalog.get_table(db, stmt.table)
         if stmt.infile is not None:
@@ -1029,7 +1110,8 @@ class Session:
             if stmt.columns:
                 data = {k: data[k] for k in stmt.columns}
             return self._commit_insert(
-                db, stmt.table, _align_insert(data, table, stmt.columns))
+                db, stmt.table, _align_insert(data, table, stmt.columns),
+                qsettings)
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
             cols: Dict[str, list] = {n: [] for n in names}
@@ -1040,7 +1122,8 @@ class Session:
                     cols[n].append(_literal_value(e))
             data = {n: np.asarray(v, dtype=object) for n, v in cols.items()}
             return self._commit_insert(
-                db, stmt.table, _align_insert(data, table, names))
+                db, stmt.table, _align_insert(data, table, names),
+                qsettings)
         # INSERT SELECT always commits synchronously (the reference's async
         # queue only accepts data-carrying inserts,
         # AsynchronousInsertQueue::push precondition)
@@ -1052,7 +1135,7 @@ class Session:
         else:
             data = dict(zip(table.schema.keys(), data.values()))
         aligned = _align_insert(data, table, stmt.columns)
-        self._insert_tail(db, stmt.table, aligned)
+        self._insert_tail(db, stmt.table, aligned, qsettings)
         return _status_result()
 
     def _run_alter(self, stmt: ast.AlterTable) -> Result:
@@ -1097,6 +1180,7 @@ class Session:
                 offset += p.num_rows
             table.version += 1
             table._device_cache = None
+            table.repersist()
             return _status_result()
 
         if stmt.action == "drop_column":
@@ -1108,6 +1192,7 @@ class Session:
                     p.minmax.pop(name, None)
                 table.version += 1
                 table._device_cache = None
+                table.repersist()
             return _status_result()
 
         # DELETE / UPDATE: run a SELECT producing the surviving/updated rows
@@ -1307,7 +1392,34 @@ class Session:
                 "hits": np.asarray([r[2] for r in rows], np.uint64)})
             return t
 
+        def disks_table():
+            t = Table("disks", [("name", dtm.String), ("type", dtm.String),
+                                ("path", dtm.String)])
+            items = self.catalog.disks.items() if self.catalog.disks else []
+            t.insert_pydict({
+                "name": np.asarray([n for n, _ in items], object),
+                "type": np.asarray([d.kind for _, d in items], object),
+                "path": np.asarray([getattr(d, "root", "") for _, d in items],
+                                   object)})
+            return t
+
+        def merges_table():
+            t = Table("merges", [("database", dtm.String),
+                                 ("table", dtm.String),
+                                 ("elapsed", dtm.Float64),
+                                 ("merges_done", dtm.UInt64)])
+            bg = self.catalog.background
+            rows = bg.active() if bg is not None else []
+            done = bg.merges_done if bg is not None else 0
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "elapsed": np.asarray([r[2] for r in rows], np.float64),
+                "merges_done": np.asarray([done] * len(rows), np.uint64)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
+                "disks": disks_table, "merges": merges_table,
                 "functions": functions_table, "events": events_table,
                 "columns": columns_table, "parts": parts_table,
                 "opentelemetry_span_log": span_log_table,

@@ -412,7 +412,10 @@ class Analyzer:
         node = L.ScanNode(db, ref.table, fields, names, final=ref.final,
                           column_stats=stats or None,
                           engine=table.engine,
-                          order_by_cols=tuple(table.order_by or ()))
+                          order_by_cols=tuple(table.order_by or ()),
+                          engine_args=tuple(
+                              a for a in (getattr(table, "engine_args", [])
+                                          or []) if a in table.schema))
         scope = Scope(fields)
         plan: L.PlanNode = node
         # row policies: inject the USING predicate above the scan for

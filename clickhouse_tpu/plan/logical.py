@@ -61,6 +61,8 @@ class ScanNode(PlanNode):
     # engine family + sort key (FINAL fold semantics at read time)
     engine: str = "Memory"
     order_by_cols: Tuple[str, ...] = ()
+    # engine arguments (sign/version columns of the Collapsing family)
+    engine_args: Tuple[str, ...] = ()
 
     def label(self):
         return f"Scan {self.database}.{self.table}"

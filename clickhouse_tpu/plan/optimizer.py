@@ -247,7 +247,8 @@ def _prune_columns(node: L.PlanNode, needed: Set[str]) -> None:
     if isinstance(node, L.ScanNode):
         keep = [(f, n) for f, n in zip(node.schema, node.column_names)
                 if f.id in needed
-                or (node.final and n in node.order_by_cols)]
+                or (node.final and (n in node.order_by_cols
+                                    or n in node.engine_args))]
         if not keep:        # keep at least one column to carry the row count
             keep = [(node.schema[0], node.column_names[0])]
         node.schema = [f for f, _ in keep]

@@ -254,6 +254,16 @@ class TruncateTable:
 
 
 @dataclasses.dataclass
+class DetachAttach:
+    """DETACH TABLE (drop from catalog, keep durable data) / bare
+    ATTACH TABLE (reload from the durable store)."""
+    kind: str                       # detach | attach
+    database: Optional[str]
+    table: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
 class OptimizeTable:
     database: Optional[str]
     table: str
@@ -342,6 +352,7 @@ class BackupRestore:
     database: Optional[str]
     table: str
     path: str
+    disk: Optional[str] = None     # Disk('name', 'path') target
 
 
 @dataclasses.dataclass

@@ -98,7 +98,33 @@ class Parser:
             return self.parse_select_union()
         if t.is_kw("EXPLAIN"):
             return self.parse_explain()
-        if t.is_kw("CREATE", "ATTACH"):
+        if t.is_kw("DETACH"):
+            self.advance()
+            self.expect_kw("TABLE")
+            if_exists = False
+            if self.accept_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            db, tbl = self.parse_table_name()
+            return ast.DetachAttach("detach", db, tbl, if_exists)
+        if t.is_kw("ATTACH"):
+            # bare `ATTACH TABLE [db.]name` reloads from the durable store;
+            # ATTACH with a full definition parses as CREATE (reference
+            # behavior: ATTACH = CREATE without data initialization)
+            save = self.i
+            self.advance()
+            if self.tok.is_kw("TABLE"):
+                self.advance()
+                if_exists = False
+                if self.accept_kw("IF"):
+                    self.expect_kw("EXISTS")
+                    if_exists = True
+                db, tbl = self.parse_table_name()
+                if self.tok.kind == "end" or self.tok.text == ";":
+                    return ast.DetachAttach("attach", db, tbl, if_exists)
+            self.i = save
+            return self.parse_create()
+        if t.is_kw("CREATE"):
             return self.parse_create()
         if t.is_kw("INSERT"):
             return self.parse_insert()
@@ -122,8 +148,26 @@ class Parser:
             db, tbl = self.parse_table_name()
             self.expect_kw("TO" if kind == "backup" else "FROM")
             pt = self.tok
+            if pt.kind == "word" and pt.text.lower() == "disk":
+                # Disk('name', 'path') target (reference: BackupFactory
+                # engine syntax, src/Backups/registerBackupEnginesFileAndDisk)
+                self.advance()
+                self.expect_op("(")
+                dn = self.tok
+                if dn.kind != "string":
+                    raise ParseError("Disk() expects a quoted disk name")
+                self.advance()
+                self.expect_op(",")
+                dp = self.tok
+                if dp.kind != "string":
+                    raise ParseError("Disk() expects a quoted path")
+                self.advance()
+                self.expect_op(")")
+                return ast.BackupRestore(kind, db, tbl, dp.text,
+                                         disk=dn.text)
             if pt.kind != "string":
-                raise ParseError("BACKUP/RESTORE expects a string path")
+                raise ParseError("BACKUP/RESTORE expects a string path "
+                                 "or Disk('name', 'path')")
             self.advance()
             return ast.BackupRestore(kind, db, tbl, pt.text)
         if t.is_kw("SHOW"):

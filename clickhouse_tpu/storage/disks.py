@@ -13,8 +13,11 @@ TPU-native rendering of the reference's storage virtualization
 
 Only a local-backed `LocalObjectStorage` ships (no cloud egress in this
 environment); the blob contract is what matters — S3 would be a drop-in
-`IObjectStorage` with the same five methods.  BACKUP/RESTORE accept
-`Disk('name', 'path')` targets and `system.disks` lists the registry.
+`IObjectStorage` with the same five methods.
+
+Integration points: `Session(data_path=...)` persists MergeTree-family
+tables through a LocalDisk (storage/persist.py), BACKUP/RESTORE accept
+`Disk('name', 'path')` targets, and `system.disks` lists the registry.
 """
 from __future__ import annotations
 

@@ -232,6 +232,11 @@ class Table:
         # replication state machine (storage/replication.py) for
         # Replicated* engines; None for local tables
         self.replication = None
+        # durable-store binding (storage/persist.py attach_store); None for
+        # RAM-resident tables
+        self._store = None
+        self._store_db = None
+        self._store_files: List[str] = []
 
     # -- metadata ------------------------------------------------------------
     @property
@@ -297,21 +302,44 @@ class Table:
         from ..core.failpoints import fail_point
         fail_point("insert_before_commit_part")
         with self._lock:
-            self.parts.append(Part.from_pydict(cols, self.schema))
+            part = Part.from_pydict(cols, self.schema)
+            self.parts.append(part)
             self._version += 1
             self._device_cache = None
+            if self._store is not None:
+                # durability: part blob first, manifest publish second
+                # (write-tmp-then-rename discipline, MergeTreeDataWriter.h:67)
+                fname = self._store.save_part(self._store_db, self, part)
+                self._store_files.append(fname)
+                self._store.publish(self._store_db, self.name,
+                                    self._store_files)
 
     def truncate(self):
         with self._lock:
             self.parts = []
             self._version += 1
             self._device_cache = None
+            if self._store is not None:
+                self._store_files = []
+                self._store.publish(self._store_db, self.name, [])
+
+    def repersist(self):
+        """Rewrite every persisted part (schema-changing ALTERs)."""
+        if self._store is None:
+            return
+        with self._lock:
+            self._store.save_meta(self._store_db, self)
+            files = [self._store.save_part(self._store_db, self, p)
+                     for p in self.parts]
+            self._store_files = files
+            self._store.publish(self._store_db, self.name, files)
 
     def optimize(self, final: bool = False):
         """Merge all parts into one, applying the engine's fold semantics
-        (MergeTask analog: horizontal merge + *SortedAlgorithm fold)."""
-        import pandas as pd
+        (MergeTask analog: horizontal merge + *SortedAlgorithm fold,
+        numpy implementation in storage/merges.py)."""
         from ..core.failpoints import fail_point
+        from .merges import fold_merge
         fail_point("merge_before_commit")
         with self._lock:
             if not self.parts:
@@ -324,37 +352,18 @@ class Table:
                         [np.asarray(p, object) for p in pieces])
                 else:
                     cols[name] = np.concatenate(pieces)
-            engine = base_engine(self.engine).lower()
-            keys = [k for k in self.order_by if k in cols]
-            if keys and engine == "replacingmergetree":
-                df = pd.DataFrame(cols)
-                df = df.drop_duplicates(subset=keys, keep="last")
-                df = df.sort_values(keys, kind="stable")
-                cols = {k: (df[k].to_numpy(dtype=object)
-                            if self.schema[k].is_dictionary
-                            else df[k].to_numpy()) for k in cols}
-            elif keys and engine == "summingmergetree":
-                df = pd.DataFrame(cols)
-                aggs = {}
-                for name, t in self.schema.items():
-                    if name in keys:
-                        continue
-                    aggs[name] = "sum" if (not t.is_dictionary
-                                           and t.np_dtype.kind in "iuf") \
-                        else "first"
-                df = df.groupby(keys, as_index=False, sort=True).agg(aggs)
-                cols = {k: (df[k].to_numpy(dtype=object)
-                            if self.schema[k].is_dictionary
-                            else df[k].to_numpy().astype(
-                                self.schema[k].np_dtype)) for k in cols}
-            elif keys:
-                df = pd.DataFrame(cols).sort_values(keys, kind="stable")
-                cols = {k: (df[k].to_numpy(dtype=object)
-                            if self.schema[k].is_dictionary
-                            else df[k].to_numpy()) for k in cols}
+            cols = fold_merge(cols, self.schema, base_engine(self.engine),
+                              self.order_by,
+                              list(getattr(self, "engine_args", []) or []))
             self.parts = [Part.from_pydict(cols, self.schema)]
             self._version += 1
             self._device_cache = None
+            if self._store is not None:
+                fname = self._store.save_part(self._store_db, self,
+                                              self.parts[0])
+                self._store_files = [fname]
+                self._store.publish(self._store_db, self.name,
+                                    self._store_files)
 
     # -- reads ---------------------------------------------------------------
     def read_block(self, columns: Optional[Sequence[str]] = None) -> Block:
@@ -718,6 +727,40 @@ class Catalog:
         self._file_cache: Dict[Tuple[str, float], str] = {}
         # extra system.* table providers registered by the session
         self.system_providers: Dict[str, "callable"] = {}
+        # durable store (storage/persist.py); None = RAM-resident catalog
+        self.store = None
+        # named disks (storage/disks.py DiskRegistry), lazily created
+        self.disks = None
+
+    # -- durability (storage/persist.py) -------------------------------------
+    def enable_persistence(self, disk) -> None:
+        """Attach a durable store on `disk` and reload every table that
+        survived a previous process (DatabaseCatalog loadTables analog)."""
+        from .persist import TableStore
+        self.store = TableStore(disk)
+        for db, name in self.store.list_tables():
+            self.create_database(db, if_not_exists=True)
+            if name not in self.databases[db].tables:
+                self.databases[db].tables[name] = \
+                    self.store.load_table(db, name)
+
+    def attach_table(self, database: str, name: str) -> None:
+        """ATTACH TABLE: reload a detached table from the durable store."""
+        if self.store is None:
+            raise UnknownTable("No durable store configured")
+        self.create_database(database, if_not_exists=True)
+        self.databases[database].tables[name] = \
+            self.store.load_table(database, name)
+
+    def detach_table(self, database: str, name: str,
+                     if_exists: bool = False) -> None:
+        """DETACH TABLE: drop from the catalog, keep the on-disk data."""
+        db = self.databases.get(database)
+        if db is None or name not in db.tables:
+            if if_exists:
+                return
+            raise UnknownTable(f"Unknown table '{database}.{name}'")
+        del db.tables[name]
 
     def file_table(self, path: str, fmt: Optional[str] = None,
                    files_root: Optional[str] = None) -> Table:
@@ -794,6 +837,13 @@ class Catalog:
                 return
             raise AnalysisError(f"Table '{database}.{table.name}' already exists")
         db.tables[table.name] = table
+        if self.store is not None:
+            from .persist import attach_store, persisted_engine
+            if persisted_engine(table.engine):
+                attach_store(table, self.store, database)
+                self.store.save_meta(database, table)
+                if table.parts:          # CTAS data inserted pre-attach
+                    table.repersist()
 
     def drop_table(self, database: str, name: str, if_exists: bool = False):
         db = self.databases.get(database)
@@ -807,7 +857,9 @@ class Catalog:
             if if_exists:
                 return
             raise UnknownTable(f"Unknown table '{database}.{name}'")
-        del db.tables[name]
+        t = db.tables.pop(name)
+        if self.store is not None and getattr(t, "_store", None) is not None:
+            self.store.drop_table(database, name)
 
     def create_database(self, name: str, if_not_exists: bool = False):
         if name in self.databases:
