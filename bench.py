@@ -229,6 +229,34 @@ def main():
     try:
         if time.time() > deadline:
             raise TimeoutError("extras budget exhausted")
+        # device-ColumnString: high-cardinality string GROUP BY + prefix
+        # predicate; dictionary byte matrix is HBM-resident, the per-unique
+        # LUT computes on device (VERDICT r02 ask #5)
+        ns = min(N_ROWS, 100_000_000)
+        n_distinct_s = ns // 2
+        surl = np.char.add("http://example.com/p",
+                           (np.arange(ns) % n_distinct_s).astype(str))
+        s.execute("CREATE TABLE hits_s (url String)")
+        s.insert_pydict("hits_s", {"url": surl.astype(object)})
+        del surl
+        t_sgrp = bench_query(
+            s, "SELECT count() FROM (SELECT url, count() AS c FROM hits_s "
+               "GROUP BY url) SETTINGS max_groups = 67108864", reps=2)
+        log(f"Q7 string GROUP BY ({n_distinct_s/1e6:.0f}M distinct of "
+            f"{ns/1e6:.0f}M rows): {t_sgrp*1e3:.1f} ms = "
+            f"{ns/t_sgrp/1e9:.2f} G rows/s")
+        t_spre = bench_query(
+            s, "SELECT count() FROM hits_s "
+               "WHERE startsWith(url, 'http://example.com/p1')", reps=3)
+        log(f"Q7b string startsWith filter: {t_spre*1e3:.1f} ms = "
+            f"{ns/t_spre/1e9:.2f} G rows/s")
+        s.execute("DROP TABLE hits_s")
+    except Exception as e:
+        log(f"Q7 string bench failed: {e}")
+
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("extras budget exhausted")
         # skewed-key GROUP BY (BASELINE row 2: "incl. skewed distribution"):
         # zipf(1.5) keys — sort-based grouping is skew-insensitive by design
         rng2 = np.random.default_rng(7)

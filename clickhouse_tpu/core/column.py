@@ -45,16 +45,43 @@ class Dictionary:
 
     values[code] -> python str.  Code -1 is reserved for NULL at the storage
     boundary (device-side NULLs use the validity mask).
+
+    `sorted_` marks dictionaries produced by np.unique (lexicographically
+    sorted): lookups become binary searches, rank LUTs become identity, and
+    unify against small dictionaries vectorizes — the properties that keep
+    100M-distinct string columns tractable.
+
+    `device_bytes()` exposes the values as an HBM-resident fixed-width byte
+    matrix — the TPU-native ColumnString (reference: offsets+chars
+    src/Columns/ColumnString.h): hot string predicates (startsWith /
+    LIKE 'p%' / equality) compute per-UNIQUE on the device and reach rows
+    through the code gather, so per-row work never leaves the chip.
     """
 
-    __slots__ = ("values", "_index")
+    __slots__ = ("values", "_index", "sorted_", "_values_str",
+                 "_dev_bytes", "_dev_rev")
 
-    def __init__(self, values: np.ndarray):
+    # device byte-matrix width cap (prefix ops beyond this fall back to host)
+    DEVICE_BYTES_MAX_W = 64
+    # byte budget for HBM-resident dictionary bytes
+    DEVICE_BYTES_BUDGET = 4 << 30
+
+    def __init__(self, values: np.ndarray, sorted_: bool = False):
         self.values = np.asarray(values, dtype=object)
         self._index: Optional[dict] = None
+        self.sorted_ = sorted_
+        self._values_str: Optional[np.ndarray] = None
+        self._dev_bytes = None
+        self._dev_rev = None
 
     def __len__(self) -> int:
         return len(self.values)
+
+    def values_str(self) -> np.ndarray:
+        """Cached numpy-U view of the values (C-speed vectorized ops)."""
+        if self._values_str is None:
+            self._values_str = self.values.astype(str)
+        return self._values_str
 
     def index(self) -> dict:
         if self._index is None:
@@ -63,7 +90,50 @@ class Dictionary:
 
     def lookup(self, value: str) -> int:
         """Code for value, or -1 if absent."""
+        if self.sorted_ and len(self) > 4096:
+            vs = self.values_str()
+            i = int(np.searchsorted(vs, value))
+            return i if i < len(vs) and vs[i] == value else -1
         return self.index().get(value, -1)
+
+    # -- device byte matrix (TPU-native ColumnString view) --------------------
+    # Cached as HOST numpy (trace-safe); jnp conversion happens at each use
+    # site, where XLA hoists the matrix as a program constant — one buffer
+    # per compiled program, resident in HBM across calls.
+    def device_bytes(self):
+        """-> (u8 matrix (U, W) np, byte lengths (U,) np int32, W) or
+        None when over budget."""
+        if self._dev_bytes is not None:
+            return self._dev_bytes or None
+        u = max(len(self), 1)
+        enc = np.char.encode(self.values_str(), "utf-8") \
+            if len(self) else np.asarray([b""], "S1")
+        full_w = max(enc.dtype.itemsize, 1)
+        w = min(full_w, self.DEVICE_BYTES_MAX_W)
+        if u * w > self.DEVICE_BYTES_BUDGET:
+            self._dev_bytes = False
+            return None
+        lens = np.char.str_len(enc).astype(np.int32)
+        mat = enc.view(np.uint8).reshape(u, full_w)[:, :w]
+        self._dev_bytes = (np.ascontiguousarray(mat), lens, w)
+        return self._dev_bytes
+
+    def device_bytes_reversed(self):
+        """Per-value byte-reversed matrix (endsWith / LIKE '%suffix')."""
+        if self._dev_rev is not None:
+            return self._dev_rev or None
+        db = self.device_bytes()
+        if db is None:
+            self._dev_rev = False
+            return None
+        mat, lens, w = db
+        idx = np.clip(lens[:, None] - 1
+                      - np.arange(w, dtype=np.int32)[None, :], 0, w - 1)
+        rev = np.take_along_axis(mat, idx, axis=1)
+        rev = np.where(np.arange(w)[None, :] < lens[:, None], rev, 0) \
+            .astype(np.uint8)
+        self._dev_rev = (rev, lens, w)
+        return self._dev_rev
 
     @staticmethod
     def unify(a: "Dictionary", b: "Dictionary"):
@@ -77,6 +147,26 @@ class Dictionary:
             n = len(a)
             ident = np.arange(n, dtype=np.int32)
             return a, ident, ident
+        if a.sorted_ and len(a) >= 4096 and len(b) * 16 < len(a):
+            # vectorized path: binary-search the small side into the big
+            # sorted side; misses append at the tail (big dict stays intact
+            # so its cached device bytes/index survive)
+            va = a.values_str()
+            vb = b.values_str() if len(b) else np.zeros(0, str)
+            pos = np.searchsorted(va, vb).clip(0, len(va) - 1) \
+                if len(va) else np.zeros(len(vb), np.int64)
+            found = (va[pos] == vb) if len(va) else np.zeros(len(vb), bool)
+            recode_b = np.where(found, pos, 0).astype(np.int32)
+            miss = ~found
+            if miss.any():
+                extra = vb[miss]
+                merged = Dictionary(np.concatenate(
+                    [a.values, extra.astype(object)]))
+                recode_b[miss] = len(a) + np.arange(int(miss.sum()),
+                                                    dtype=np.int32)
+            else:
+                merged = a
+            return merged, np.arange(len(a), dtype=np.int32), recode_b
         merged_vals = list(a.values)
         idx = dict(a.index())
         recode_b = np.empty(len(b), dtype=np.int32)
@@ -238,7 +328,7 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
                 mat[i, :k] = codes[pos:pos + k]
                 pos += k
             return Column(dtype, jnp.asarray(mat), None,
-                          Dictionary(uniq.astype(object)),
+                          Dictionary(uniq.astype(object), sorted_=True),
                           lengths=jnp.asarray(lens))
         mat = np.zeros((cap, max_len), inner.np_dtype)
         for i, v in enumerate(lists):
@@ -271,7 +361,7 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
         data_np[:n] = codes
         col = Column(dtype if validity_np is None else dt.make_nullable(dtype),
                      jnp.asarray(data_np),
-                     dictionary=Dictionary(uniq.astype(object)))
+                     dictionary=Dictionary(uniq.astype(object), sorted_=True))
     else:
         if dtype is None:
             if values.dtype.kind == "b":

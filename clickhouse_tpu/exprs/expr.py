@@ -173,7 +173,7 @@ def _evaluate_dict_get(expr: "BoundDictGet", env) -> ColVal:
         default_code = int(codes[-1])
         out = jnp.where(hit, lut[pos], default_code)
         return ColVal(expr.dtype, out, k.validity,
-                      Dictionary(uniq.astype(object)))
+                      Dictionary(uniq.astype(object), sorted_=True))
     vals_c = jnp.asarray(np.asarray(expr.values)
                          .astype(expr.dtype.np_dtype))
     out = jnp.where(hit, vals_c[pos],

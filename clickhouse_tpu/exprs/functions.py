@@ -540,12 +540,44 @@ def _string_codes_common(a: ColVal, b: ColVal):
 
 
 def _dict_rank_lut(d: Dictionary) -> jnp.ndarray:
-    """rank[code] = lexicographic rank of the dictionary value (host argsort)."""
+    """rank[code] = lexicographic rank of the dictionary value."""
+    if d.sorted_:
+        # np.unique dictionaries are already in lexicographic order
+        return jnp.arange(len(d), dtype=jnp.int64)
     vals = d.values.astype(str)
     order = np.argsort(vals, kind="stable")
     rank = np.empty(len(vals), np.int64)
     rank[order] = np.arange(len(vals))
     return jnp.asarray(rank)
+
+
+# dictionaries at least this large route prefix/suffix predicates through
+# the HBM-resident byte matrix (device compute per unique value) instead of
+# host numpy over the values — the device-ColumnString hot path
+_DEVICE_STRING_MIN_DICT = 1 << 16
+
+
+def _device_prefix_lut(d: Dictionary, needle: str, reverse: bool):
+    """Device LUT: value startsWith(needle) (or reversed = endsWith).
+    -> bool (U,) jax array, or None when the device path doesn't apply."""
+    if d is None or len(d) < _DEVICE_STRING_MIN_DICT:
+        return None
+    nb = needle.encode()
+    if reverse:
+        nb = nb[::-1]
+    db = d.device_bytes_reversed() if reverse else d.device_bytes()
+    if db is None:
+        return None
+    mat_np, lens_np, w = db
+    p = len(nb)
+    if p > w:
+        return None
+    mat = jnp.asarray(mat_np[:, :p])     # constant-hoisted into the program
+    lens = jnp.asarray(lens_np)
+    if p == 0:
+        return jnp.ones((mat_np.shape[0],), jnp.bool_)
+    pat = jnp.asarray(np.frombuffer(nb, np.uint8))
+    return (mat == pat[None, :]).all(axis=1) & (lens >= p)
 
 
 def _cmp_exec(op, code_op=None, name=None):
@@ -1205,7 +1237,7 @@ def _string_fn_lut(host_fn, out_np_dtype, vec_fn=None):
             lut = jnp.asarray(codes.astype(np.int32))
             data = lut[jnp.maximum(a.data, 0)]
             return ColVal(out_dtype, data, _and_validity(args),
-                          Dictionary(uniq.astype(object)))
+                          Dictionary(uniq.astype(object), sorted_=True))
         lut = jnp.asarray(lut_np)
         data = lut[jnp.maximum(a.data, 0)]
         return ColVal(out_dtype, data, _and_validity(args))
@@ -1271,6 +1303,19 @@ def _like_exec(negate=False, icase=False):
         core = pattern.strip("%")
         plain = "%" not in core and "_" not in core and "\\" not in core
         if plain and not icase:
+            # device-ColumnString path: prefix/suffix LIKE over large
+            # dictionaries computes the per-unique LUT on the device
+            dev = None
+            if a.dtype.is_dictionary:
+                if pattern == f"{core}%":
+                    dev = _device_prefix_lut(a.dictionary, core, False)
+                elif pattern == f"%{core}":
+                    dev = _device_prefix_lut(a.dictionary, core, True)
+            if dev is not None:
+                if negate:
+                    dev = jnp.logical_not(dev)
+                data = dev.astype(jnp.uint8)[jnp.maximum(a.data, 0)]
+                return ColVal(out_dtype, data, _and_validity([a]))
             if pattern == f"{core}%":
                 vec = lambda sv: np.char.startswith(sv, core) != negate
             elif pattern == f"%{core}":
@@ -1297,20 +1342,27 @@ register("match", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
              np.uint8(rx.search(s) is not None), np.uint8)([args[0]], t))
 
 
-def _startswith_exec(args, out_dtype):
-    a, pref = args
-    p = str(pref.dictionary.values[0])
-    return _string_fn_lut(lambda s: np.uint8(s.startswith(p)), np.uint8,
-                          vec_fn=lambda sv: np.char.startswith(sv, p))(
-        [a], out_dtype)
+def _affix_exec(reverse: bool):
+    def ex(args, out_dtype):
+        a, pref = args
+        p = str(pref.dictionary.values[0])
+        dev = _device_prefix_lut(a.dictionary, p, reverse) \
+            if a.dtype.is_dictionary else None
+        if dev is not None:
+            data = dev.astype(jnp.uint8)[jnp.maximum(a.data, 0)]
+            return ColVal(out_dtype, data, _and_validity(args))
+        if reverse:
+            return _string_fn_lut(
+                lambda s: np.uint8(s.endswith(p)), np.uint8,
+                vec_fn=lambda sv: np.char.endswith(sv, p))([a], out_dtype)
+        return _string_fn_lut(
+            lambda s: np.uint8(s.startswith(p)), np.uint8,
+            vec_fn=lambda sv: np.char.startswith(sv, p))([a], out_dtype)
+    return ex
 
 
-def _endswith_exec(args, out_dtype):
-    a, suf = args
-    p = str(suf.dictionary.values[0])
-    return _string_fn_lut(lambda s: np.uint8(s.endswith(p)), np.uint8,
-                          vec_fn=lambda sv: np.char.endswith(sv, p))(
-        [a], out_dtype)
+_startswith_exec = _affix_exec(reverse=False)
+_endswith_exec = _affix_exec(reverse=True)
 
 
 register("startsWith", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
@@ -1372,7 +1424,7 @@ def _concat_exec(args, out_dtype):
                                                      max(len(db), 1)))
     data = lut[jnp.maximum(a.data, 0), jnp.maximum(b.data, 0)]
     out = ColVal(out_dtype, data, _and_validity(args),
-                 Dictionary(uniq.astype(object)))
+                 Dictionary(uniq.astype(object), sorted_=True))
     if len(non_const) > 2:
         rest = [out] + non_const[2:]
         return _concat_exec(rest, out_dtype)
@@ -1464,7 +1516,7 @@ def _array_ctor_exec(args, out_dtype):
             data = np.zeros((ml,), np.int32)
             data[:k] = codes.astype(np.int32)
             return ColVal(out_dtype, jnp.asarray(data), _and_validity(args),
-                          Dictionary(uniq.astype(object)),
+                          Dictionary(uniq.astype(object), sorted_=True),
                           lengths=jnp.asarray(k, jnp.int32),
                           host=list(codes))
     if inner.is_dictionary:
@@ -1688,7 +1740,7 @@ def _exec_hex(args, out_dtype):
         idx = jnp.clip(a.data.astype(jnp.int64) - lo, 0, hi - lo)
         lut = jnp.asarray(codes.astype(np.int32))
         return ColVal(out_dtype, lut[idx], a.validity,
-                      Dictionary(uniq.astype(object)))
+                      Dictionary(uniq.astype(object), sorted_=True))
     raise NotImplementedError_("hex of unbounded numeric columns requires "
                                "materialization")
 
@@ -1798,7 +1850,7 @@ def _exec_transform(args, out_dtype):
             out = jnp.where(x.data == jnp.asarray(fv, x.data.dtype),
                             jnp.int32(int(c)), out)
         return ColVal(out_dtype, out, x.validity,
-                      Dictionary(uniq.astype(object)))
+                      Dictionary(uniq.astype(object), sorted_=True))
     dv = dflt.data if dflt is not None else x.data
     out = jnp.asarray(dv, out_dtype.jnp_dtype) if dflt is not None \
         and dflt.is_const else dv.astype(out_dtype.jnp_dtype)
@@ -1994,7 +2046,7 @@ def _exec_format_datetime(args, out_dtype):
     lut = jnp.asarray(codes.astype(np.int32))
     idx = jnp.clip(a.data.astype(jnp.int64) - lo, 0, hi - lo)
     return ColVal(out_dtype, lut[idx], a.validity,
-                  Dictionary(uniq.astype(object)))
+                  Dictionary(uniq.astype(object), sorted_=True))
 
 
 register("formatDateTime",

@@ -571,7 +571,7 @@ class ChunkSource:
                 uniq = np.unique(non_null.astype(str)) if len(non_null) \
                     else np.zeros(0, str)
                 self._sorted_dict_values[name] = uniq
-                self.dictionaries[name] = Dictionary(uniq.astype(object))
+                self.dictionaries[name] = Dictionary(uniq.astype(object), sorted_=True)
                 self.storage[name] = np.dtype(np.int32)
                 continue
             base = t.np_dtype
