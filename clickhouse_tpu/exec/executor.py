@@ -132,7 +132,10 @@ def _gather_colval(cv: ColVal, idx: jax.Array, capacity: int) -> ColVal:
     data = cv.data[idx]
     validity = cv.validity[idx] if cv.validity is not None else None
     lengths = cv.lengths[idx] if cv.lengths is not None else None
-    return ColVal(cv.dtype, data, validity, cv.dictionary, lengths=lengths)
+    out = ColVal(cv.dtype, data, validity, cv.dictionary, lengths=lengths)
+    if cv.sub is not None:          # composite: gather sub-columns along
+        out.sub = [_gather_colval(s, idx, capacity) for s in cv.sub]
+    return out
 
 
 # -- node execution ----------------------------------------------------------
@@ -693,6 +696,14 @@ def _finalize(node: L.AggregateNode, key_cvs, unique_keys, num_groups,
         out = item.fn.finalize(states)
         data, validity = out[0], out[1]
         lengths = out[2] if len(out) > 2 else None
+        sub = out[3] if len(out) > 3 else None
+        if sub is not None:
+            # composite (tuple-of-arrays) aggregate result: sub-columns
+            # carry the data; the scalar data column is a placeholder
+            cols[item.field.id] = ColVal(item.field.dtype, data, validity,
+                                         None, lengths=lengths)
+            cols[item.field.id].sub = sub
+            continue
         if not isinstance(item.fn, agg_reg.CountAgg):
             zero = jnp.zeros((), data.dtype)
             if data.ndim == 2:      # Array-valued aggregate / packed -State

@@ -1290,13 +1290,23 @@ class Session:
 
         def functions_table():
             from ..exprs.functions import FUNCTIONS
-            from ..exprs.aggregates import AGGREGATES
+            from ..exprs.aggregates import AGGREGATES, APPROX_ALIASES
             names = sorted(FUNCTIONS) + sorted(AGGREGATES)
-            kinds = ["scalar"] * len(FUNCTIONS) + ["aggregate"] * len(AGGREGATES)
+            kinds = ["scalar"] * len(FUNCTIONS) \
+                + ["aggregate"] * len(AGGREGATES)
+            # documented approximation substitutions (honesty over silent
+            # aliasing): the sort-based engine computes these exactly
+            low = {k.lower(): v for k, v in APPROX_ALIASES.items()}
+            descr = [("" if kind == "scalar" else
+                      (f"computed as: {low[n.lower()]}"
+                       if n.lower() in low else ""))
+                     for n, kind in zip(names, kinds)]
             t = Table("functions", [("name", dtm.String),
-                                    ("kind", dtm.String)])
+                                    ("kind", dtm.String),
+                                    ("description", dtm.String)])
             t.insert_pydict({"name": np.asarray(names, object),
-                             "kind": np.asarray(kinds, object)})
+                             "kind": np.asarray(kinds, object),
+                             "description": np.asarray(descr, object)})
             return t
 
         def events_table():

@@ -425,6 +425,9 @@ def find_split(plan: L.PlanNode, big_key: Tuple[str, str]
         return None
     if any(a.fn.holistic for a in agg.aggregates):
         return None                      # needs raw rows per group (v1)
+    for f in agg.schema:
+        if dt.is_composite(f.dtype):
+            return None                  # sub-columns can't cross the carry
     lower_scans: List[L.ScanNode] = []
     _collect_scans(agg.child, lower_scans)
     lower_keys = [(s.database, s.table) for s in lower_scans

@@ -734,11 +734,64 @@ def _register_base() -> Dict[str, type]:
     base["quantile"] = QuantileExactAgg
     base["quantileexact"] = QuantileExactAgg
     base["quantileexactlow"] = QuantileExactAgg
-    base["quantiletdigest"] = QuantileExactAgg
-    base["quantiledeterministic"] = QuantileExactAgg
     base["quantiles"] = QuantileExactAgg
     base["quantilesexact"] = QuantileExactAgg
+    from . import agg_ext as ax
+    for _cls in [ax.SumMapAgg, ax.MinMapAgg, ax.MaxMapAgg, ax.DeltaSumAgg,
+                 ax.QuantileExactWeightedAgg, ax.SumCountAgg, ax.UniqUpToAgg,
+                 ax.SimpleLinearRegressionAgg, ax.StudentTTestAgg,
+                 ax.WelchTTestAgg, ax.GroupArrayMovingSumAgg,
+                 ax.GroupArrayMovingAvgAgg]:
+        base[_cls.name.lower()] = _cls
+    base["varpopstable"] = VarPopAgg
+    base["varsampstable"] = VarSampAgg
+    base["stddevpopstable"] = StddevPopAgg
+    base["stddevsampstable"] = StddevSampAgg
+    base["covarpopstable"] = CovarPopAgg
+    base["covarsampstable"] = CovarSampAgg
+    base["corrstable"] = CorrAgg
+    # documented approximation substitutions (APPROX_ALIASES below): the
+    # sort-based holistic path computes these exactly, so the approximate
+    # reference algorithms are unnecessary here — results are exact, which
+    # may differ from the reference's approximate outputs
+    base["quantiletdigest"] = QuantileExactAgg
+    base["quantiledeterministic"] = QuantileExactAgg
+    base["quantiletiming"] = QuantileExactAgg
+    base["quantilebfloat16"] = QuantileExactAgg
+    base["quantileinterpolatedweighted"] = ax.QuantileExactWeightedAgg
+    base["quantiletimingweighted"] = ax.QuantileExactWeightedAgg
+    base["quantiletdigestweighted"] = ax.QuantileExactWeightedAgg
+    base["uniqtheta"] = sk.HLLUniqAgg
+    base["first_value"] = AnyAgg
+    base["last_value"] = AnyAgg      # insertion-order last ≈ any (no order)
+    base["any_value"] = AnyAgg
+    base["medianexact"] = MedianAgg
+    base["mediantdigest"] = MedianAgg
+    base["mediantiming"] = MedianAgg
     return base
+
+
+# Approximate reference algorithms this engine substitutes with EXACT
+# computation (possible because grouping is a device sort, so per-group
+# order statistics are cheap).  Documented here and surfaced through
+# system.functions: cross-engine results may differ where the reference
+# answers approximately.
+APPROX_ALIASES = {
+    "quantileTDigest": "exact quantile (sort-based)",
+    "quantileTDigestWeighted": "exact weighted quantile",
+    "quantileTiming": "exact quantile (sort-based)",
+    "quantileTimingWeighted": "exact weighted quantile",
+    "quantileBFloat16": "exact quantile (sort-based)",
+    "quantileDeterministic": "exact quantile (sort-based)",
+    "quantileInterpolatedWeighted": "exact weighted quantile",
+    "uniqTheta": "HyperLogLog sketch",
+    "uniqCombined": "HyperLogLog sketch",
+    "uniqCombined64": "HyperLogLog sketch",
+    "uniqHLL12": "HyperLogLog sketch",
+    "anyHeavy": "any (first value)",
+    "topK": "exact top-K by frequency (space-saving unnecessary)",
+    "sumKahan": "pairwise-exact segmented f64 sum",
+}
 
 
 _BASE: Dict[str, type] = _register_base()
@@ -755,8 +808,10 @@ def is_aggregate_name(name: str) -> bool:
     changed = True
     while changed and base not in _BASE:
         changed = False
-        for suf in ("if", "state", "merge"):
-            if base.endswith(suf) and len(base) > len(suf):
+        for suf in ("if", "state", "merge", "array", "foreach", "distinct"):
+            if base.endswith(suf) and len(base) > len(suf) \
+                    and (suf in ("if", "state", "merge")
+                         or base[:-len(suf)] in _BASE):
                 base = base[:-len(suf)]
                 changed = True
                 break
@@ -932,6 +987,7 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
     lname = name.lower()
     has_if = False
     mode = None
+    comb = None                     # array | foreach | distinct
     while lname not in _BASE:
         if lname.endswith("if") and len(lname) > 2:
             has_if = True
@@ -942,12 +998,38 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
         elif lname.endswith("merge") and mode is None and len(lname) > 5:
             mode = "merge"
             lname = lname[:-5]
+        elif lname.endswith("array") and comb is None \
+                and lname[:-5] in _BASE:
+            comb = "array"
+            lname = lname[:-5]
+        elif lname.endswith("foreach") and comb is None \
+                and lname[:-7] in _BASE:
+            comb = "foreach"
+            lname = lname[:-7]
+        elif lname.endswith("distinct") and comb is None \
+                and lname[:-8] in _BASE:
+            comb = "distinct"
+            lname = lname[:-8]
         else:
             break
     if has_if:
         arg_types = arg_types[:-1]  # last arg is the condition
     if lname not in _BASE:
         raise UnknownFunction(f"Unknown aggregate function '{name}'")
+    if comb is not None and mode is None:
+        from . import agg_ext as ax
+        if comb == "array":
+            inst = ax.make_array_combinator(lname, _BASE[lname], arg_types)
+        elif comb == "foreach":
+            inst = ax.make_foreach_combinator(lname, arg_types)
+        else:
+            base_inst, _ = get_aggregate(lname, arg_types, params)
+            inst = ax.DistinctAgg(base_inst)
+        if inst is None:
+            raise NotImplementedError_(
+                f"Combinator '-{comb.capitalize()}' does not apply to "
+                f"'{lname}' with these argument types")
+        return inst, has_if
     if mode == "merge":
         st = dt.remove_nullable(arg_types[0]) if arg_types else None
         if st is None or not dt.is_agg_state(st):
@@ -965,12 +1047,18 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
         inner.pin_state_layout()
         return MergeAgg(inner, state_spec(inner), list(arg_types)), has_if
     cls = _BASE[lname]
+    from . import agg_ext as _ax
     if lname in _MULTI_Q:
         qs = [float(p) for p in params] if params else [0.5]
         inst = QuantileExactAgg(arg_types, qs=qs)
     elif cls is QuantileExactAgg:
         q = float(params[0]) if params else 0.5
         inst = QuantileExactAgg(arg_types, q)
+    elif cls is _ax.QuantileExactWeightedAgg:
+        q = float(params[0]) if params else 0.5
+        inst = _ax.QuantileExactWeightedAgg(arg_types, q)
+    elif cls is _ax.UniqUpToAgg:
+        inst = _ax.UniqUpToAgg(arg_types, int(params[0]) if params else 5)
     elif lname in _SIZED:
         size = int(params[0]) if params else None
         if lname == "topk":

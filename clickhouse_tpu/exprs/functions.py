@@ -491,9 +491,24 @@ register("negate", lambda ts: _signed(_resolve_arith()(ts)),
          _unary_numeric(jnp.negative))
 register("abs", _resolve_arith(), _unary_numeric(jnp.abs), case_insensitive=True)
 
+def _bitwise(op):
+    # float operands are truncated to integers (reference: bit functions
+    # run on the integer image of the argument, FunctionsBinaryArithmetic)
+    def wrapped(x, y):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.int64)
+        if jnp.issubdtype(y.dtype, jnp.floating):
+            y = y.astype(jnp.int64)
+        if x.dtype != y.dtype:
+            y = y.astype(x.dtype)
+        return op(x, y)
+    return wrapped
+
+
 for _n, _op in [("bitAnd", jnp.bitwise_and), ("bitOr", jnp.bitwise_or),
                 ("bitXor", jnp.bitwise_xor)]:
-    register(_n, _resolve_arith(), _binary_numeric(_op))
+    register(_n, _resolve_arith(), _binary_numeric(_bitwise(_op),
+                                                   int_only=True))
 register("bitNot", _resolve_arith(), _unary_numeric(jnp.bitwise_not))
 register("bitShiftLeft", _resolve_arith(),
          _binary_numeric(lambda x, y: jnp.left_shift(x, y.astype(x.dtype))))
@@ -2372,3 +2387,7 @@ register("finalizeAggregation", _resolve_finalize_agg, _exec_finalize_agg,
 # toDateTime, toUUID, toIPv4/6, IPv4 helpers) — keep last so it can reuse
 # everything above.
 from . import conv as _conv_module  # noqa: E402,F401
+
+# Extended registrations (math/bit/string/URL/IP/date/misc families) — keep
+# after conv so they can reference the cast machinery.
+from . import functions_ext as _functions_ext  # noqa: E402,F401

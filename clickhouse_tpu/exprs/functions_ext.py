@@ -1,0 +1,1424 @@
+"""Extended scalar function registrations — breadth toward the reference's
+1263 functions (src/Functions/).  Grouped by family; every entry follows the
+core module's execution models: device elementwise for numerics, device
+byte-matrix or host dictionary-LUT for strings (see functions.py).
+"""
+from __future__ import annotations
+
+import math as _math
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes as dt
+from ..core.column import Dictionary
+from ..core.errors import TypeError_
+from .expr import ColVal
+from .functions import (FUNCTIONS, _and_validity, _as_days, _civil_from_days,
+                        _days_from_civil, _float_unary, _numeric_data,
+                        _resolve_arith, _resolve_float, _string_fn_lut,
+                        _unary_numeric, register)
+
+# ---------------------------------------------------------------- math extras
+
+for _n, _op in [
+    ("sinh", jnp.sinh), ("cosh", jnp.cosh), ("asinh", jnp.arcsinh),
+    ("acosh", jnp.arccosh), ("atanh", jnp.arctanh),
+    ("log1p", jnp.log1p), ("expm1", jnp.expm1),
+    ("degrees", jnp.degrees), ("radians", jnp.radians),
+]:
+    register(_n, _resolve_float, _float_unary(_op), case_insensitive=True)
+
+register("hypot", _resolve_float,
+         lambda args, t: ColVal(t, jnp.hypot(
+             _numeric_data(args[0]).astype(jnp.float64),
+             _numeric_data(args[1]).astype(jnp.float64)),
+             _and_validity(args)), case_insensitive=True)
+register("intExp2", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, (jnp.uint64(1) << jnp.clip(
+                 _numeric_data(args[0]).astype(jnp.uint64), 0, 63)),
+             _and_validity(args)))
+register("intExp10", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, jnp.power(jnp.float64(10.0),
+                          jnp.clip(_numeric_data(args[0]).astype(jnp.float64),
+                                   0, 19)).astype(jnp.uint64),
+             _and_validity(args)))
+
+
+def _factorial_exec(args, out_dtype):
+    x = jnp.clip(_numeric_data(args[0]).astype(jnp.int64), 0, 20)
+    lut = jnp.asarray([_math.factorial(i) for i in range(21)], jnp.uint64)
+    return ColVal(out_dtype, lut[x], _and_validity(args))
+
+
+register("factorial", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _factorial_exec, case_insensitive=True)
+
+
+def _gcd_exec(args, out_dtype):
+    a = jnp.abs(_numeric_data(args[0]).astype(jnp.int64))
+    b = jnp.abs(_numeric_data(args[1]).astype(jnp.int64))
+    # scalar/column mixes must share one shape or the loop carry diverges
+    a, b = jnp.broadcast_arrays(a, b)
+
+    def body(_, st):
+        x, y = st
+        nz = y != 0
+        return jnp.where(nz, y, x), jnp.where(nz, jnp.mod(x, jnp.where(
+            nz, y, 1)), y)
+
+    x, y = jax.lax.fori_loop(0, 63, body, (a, b))
+    return ColVal(out_dtype, x, _and_validity(args))
+
+
+register("gcd", lambda ts: dt.Int64.with_nullable(
+    ts[0].nullable or ts[1].nullable), _gcd_exec, case_insensitive=True)
+
+
+def _lcm_exec(args, out_dtype):
+    g = _gcd_exec(args, out_dtype)
+    a = jnp.abs(_numeric_data(args[0]).astype(jnp.int64))
+    b = jnp.abs(_numeric_data(args[1]).astype(jnp.int64))
+    safe = jnp.maximum(g.data, 1)
+    return ColVal(out_dtype, jnp.where(g.data > 0, a // safe * b, 0),
+                  g.validity)
+
+
+register("lcm", lambda ts: dt.Int64.with_nullable(
+    ts[0].nullable or ts[1].nullable), _lcm_exec, case_insensitive=True)
+
+register("ifNotFinite", lambda ts: dt.Float64.with_nullable(
+    ts[0].nullable or ts[1].nullable),
+    lambda args, t: ColVal(t, jnp.where(
+        jnp.isfinite(_numeric_data(args[0]).astype(jnp.float64)),
+        _numeric_data(args[0]).astype(jnp.float64),
+        _numeric_data(args[1]).astype(jnp.float64)), _and_validity(args)))
+
+register("roundToExp2", _resolve_arith(),
+         lambda args, t: ColVal(t, jnp.where(
+             _numeric_data(args[0]).astype(jnp.int64) <= 0,
+             jnp.zeros((), jnp.int64),
+             jnp.int64(1) << jnp.clip(jnp.floor(jnp.log2(jnp.maximum(
+                 _numeric_data(args[0]).astype(jnp.float64), 1.0))
+             ).astype(jnp.int64), 0, 62)).astype(
+             dt.remove_nullable(t).jnp_dtype), _and_validity(args)))
+
+# ------------------------------------------------------------------ bit extras
+
+
+def _bit_count_exec(args, out_dtype):
+    with jax.numpy_dtype_promotion("standard"):
+        x = _numeric_data(args[0])
+        if x.dtype.kind == "f":
+            x = x.astype(jnp.float64).view(jnp.uint64)
+        else:
+            x = x.astype(jnp.int64).view(jnp.uint64)
+        cnt = jax.lax.population_count(x)
+    return ColVal(out_dtype, cnt.astype(jnp.uint8), _and_validity(args))
+
+
+register("bitCount", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _bit_count_exec)
+
+
+def _rot_exec(left: bool):
+    def ex(args, out_dtype):
+        x = _numeric_data(args[0]).astype(jnp.uint64)
+        s = _numeric_data(args[1]).astype(jnp.uint64) % jnp.uint64(64)
+        if left:
+            data = (x << s) | (x >> ((jnp.uint64(64) - s) % jnp.uint64(64)))
+        else:
+            data = (x >> s) | (x << ((jnp.uint64(64) - s) % jnp.uint64(64)))
+        want = dt.remove_nullable(out_dtype).jnp_dtype
+        return ColVal(out_dtype, data.astype(want), _and_validity(args))
+    return ex
+
+
+register("bitRotateLeft", _resolve_arith(), _rot_exec(True))
+register("bitRotateRight", _resolve_arith(), _rot_exec(False))
+register("bitTest", lambda ts: dt.UInt8.with_nullable(
+    ts[0].nullable or ts[1].nullable),
+    lambda args, t: ColVal(t, ((
+        _numeric_data(args[0]).astype(jnp.int64)
+        >> jnp.clip(_numeric_data(args[1]).astype(jnp.int64), 0, 63))
+        & 1).astype(jnp.uint8), _and_validity(args)))
+register("bitHammingDistance", lambda ts: dt.UInt8.with_nullable(
+    ts[0].nullable or ts[1].nullable),
+    lambda args, t: ColVal(t, jax.lax.population_count(
+        (_numeric_data(args[0]).astype(jnp.int64)
+         ^ _numeric_data(args[1]).astype(jnp.int64)).view(jnp.uint64)
+    ).astype(jnp.uint8), _and_validity(args)))
+
+
+def _byteswap_exec(args, out_dtype):
+    st = dt.remove_nullable(out_dtype)
+    nbytes = st.np_dtype.itemsize
+    x = _numeric_data(args[0]).astype(jnp.uint64)
+    out = jnp.zeros_like(x)
+    for i in range(nbytes):
+        b = (x >> jnp.uint64(8 * i)) & jnp.uint64(0xFF)
+        out = out | (b << jnp.uint64(8 * (nbytes - 1 - i)))
+    return ColVal(out_dtype, out.astype(st.jnp_dtype), _and_validity(args))
+
+
+register("byteSwap", _resolve_arith(), _byteswap_exec)
+
+# -------------------------------------------------------------- string extras
+
+_SLUT = _string_fn_lut
+
+
+def _const_int(cv: ColVal, name: str) -> int:
+    """Trace-safe integer constant (literals carry .host under jit)."""
+    if cv.host is not None:
+        return int(cv.host if not isinstance(cv.host, list) else cv.host[0])
+    try:
+        return int(np.asarray(cv.data))
+    except Exception:
+        raise TypeError_(f"{name} expects a constant integer argument")
+
+
+register("ascii", lambda ts: dt.Int32.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: np.int32(ord(s[0])) if s else np.int32(0), np.int32),
+         case_insensitive=True)
+register("initcap", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.title(), object, vec_fn=np.char.title),
+         case_insensitive=True)
+register("left", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         lambda args, t: _SLUT(
+             lambda s, n=_const_int(args[1], "left"): s[:n] if n >= 0
+             else s[:max(len(s) + n, 0)], object)([args[0]], t),
+         case_insensitive=True)
+register("right", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         lambda args, t: _SLUT(
+             lambda s, n=_const_int(args[1], "right"): (s[-n:] if n else "")
+             if n >= 0 else s[min(-n, len(s)):], object)([args[0]], t),
+         case_insensitive=True)
+
+
+def _pad_exec(right: bool):
+    def ex(args, out_dtype):
+        n = _const_int(args[1], "pad")
+        fill = str(args[2].dictionary.values[0]) if len(args) > 2 else " "
+
+        def fn(s):
+            if len(s) >= n:
+                return s[:n]
+            pad = (fill * n)[:n - len(s)] if fill else ""
+            return s + pad if right else pad + s
+        return _SLUT(fn, object)([args[0]], out_dtype)
+    return ex
+
+
+for _nm, _r in [("leftPad", False), ("lpad", False),
+                ("rightPad", True), ("rpad", True)]:
+    register(_nm, lambda ts: dt.String.with_nullable(ts[0].nullable),
+             _pad_exec(_r), case_insensitive=True)
+
+register("trimLeft", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.lstrip(), object, vec_fn=np.char.lstrip),
+         case_insensitive=True)
+register("trimRight", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.rstrip(), object, vec_fn=np.char.rstrip),
+         case_insensitive=True)
+register("ltrim", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.lstrip(), object, vec_fn=np.char.lstrip),
+         case_insensitive=True)
+register("rtrim", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.rstrip(), object, vec_fn=np.char.rstrip),
+         case_insensitive=True)
+register("trimBoth", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.strip(), object, vec_fn=np.char.strip))
+register("reverseUTF8", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s[::-1], object))
+register("isValidUTF8", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: np.uint8(1), np.uint8))
+register("toValidUTF8", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s, object))
+register("lengthUTF8", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _SLUT(len, np.uint64, vec_fn=np.char.str_len))
+register("substringUTF8", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         FUNCTIONS["substring"]._execute)
+
+
+def _replace_exec(regexp: bool, all_: bool):
+    def ex(args, out_dtype):
+        pat = str(args[1].dictionary.values[0])
+        rep = str(args[2].dictionary.values[0])
+        if regexp:
+            rx = re.compile(pat)
+            rep2 = re.sub(r"\\(\d)", r"\\\1", rep)
+            fn = (lambda s: rx.sub(rep2, s)) if all_ \
+                else (lambda s: rx.sub(rep2, s, count=1))
+        else:
+            fn = (lambda s: s.replace(pat, rep)) if all_ \
+                else (lambda s: s.replace(pat, rep, 1))
+        return _SLUT(fn, object)([args[0]], out_dtype)
+    return ex
+
+
+register("replaceOne", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _replace_exec(False, False))
+register("replaceAll", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _replace_exec(False, True), case_insensitive=True)
+register("replace", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _replace_exec(False, True), case_insensitive=True)
+register("replaceRegexpOne",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _replace_exec(True, False))
+register("replaceRegexpAll",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _replace_exec(True, True))
+register("countSubstrings",
+         lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         lambda args, t: _SLUT(
+             lambda s, sub=str(args[1].dictionary.values[0]):
+             np.uint64(s.count(sub) if sub else 0), np.uint64)([args[0]], t))
+register("positionCaseInsensitive",
+         lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         lambda args, t: _SLUT(
+             lambda s, sub=str(args[1].dictionary.values[0]).lower():
+             np.uint64(s.lower().find(sub) + 1), np.uint64)([args[0]], t))
+register("positionUTF8", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         FUNCTIONS["position"]._execute)
+register("locate", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         FUNCTIONS["position"]._execute, case_insensitive=True)
+
+
+def _extract_exec(args, out_dtype):
+    pat = str(args[1].dictionary.values[0])
+    rx = re.compile(pat)
+
+    def fn(s):
+        m = rx.search(s)
+        if m is None:
+            return ""
+        return m.group(1) if m.groups() else m.group(0)
+    return _SLUT(fn, object)([args[0]], out_dtype)
+
+
+register("extract", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _extract_exec)
+
+
+def _b64e(s: str) -> str:
+    import base64
+    return base64.b64encode(s.encode()).decode()
+
+
+def _b64d(s: str) -> str:
+    import base64
+    try:
+        return base64.b64decode(s.encode()).decode(errors="replace")
+    except Exception:
+        return ""
+
+
+register("base64Encode", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(_b64e, object))
+register("base64Decode", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(_b64d, object))
+register("tryBase64Decode",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(_b64d, object))
+
+
+def _soundex(s: str) -> str:
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4",
+             **{c: "5" for c in "MN"}, "R": "6"}
+    out = s[0]
+    last = codes.get(s[0], "")
+    for c in s[1:]:
+        code = codes.get(c, "")
+        if code and code != last:
+            out += code
+        if c not in "HW":
+            last = code
+        if len(out) == 4:
+            break
+    return (out + "000")[:4]
+
+
+register("soundex", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(_soundex, object))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+register("editDistance", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         lambda args, t: _SLUT(
+             lambda s, o=str(args[1].dictionary.values[0]):
+             np.uint64(_levenshtein(s, o)), np.uint64)([args[0]], t))
+register("levenshteinDistance",
+         lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         FUNCTIONS["editDistance"]._execute)
+
+# ------------------------------------------------------------------ URL family
+
+
+def _url_parts(s: str):
+    from urllib.parse import urlparse
+    try:
+        return urlparse(s if "//" in s or ":" in s else "//" + s)
+    except ValueError:
+        return urlparse("")
+
+
+def _url_fn(name, fn, out=object, ci=False):
+    register(name, lambda ts: (dt.String if out is object else
+                               dt.UInt16).with_nullable(ts[0].nullable),
+             _SLUT(fn, out), case_insensitive=ci)
+
+
+_url_fn("protocol", lambda s: _url_parts(s).scheme)
+_url_fn("domain", lambda s: (_url_parts(s).hostname or ""))
+_url_fn("domainWithoutWWW",
+        lambda s: re.sub(r"^www\.", "", _url_parts(s).hostname or ""))
+_url_fn("topLevelDomain",
+        lambda s: (_url_parts(s).hostname or "").rsplit(".", 1)[-1]
+        if "." in (_url_parts(s).hostname or "") else "")
+_url_fn("firstSignificantSubdomain",
+        lambda s: ((_url_parts(s).hostname or "").split(".")[-2]
+                   if len((_url_parts(s).hostname or "").split(".")) >= 2
+                   else (_url_parts(s).hostname or "")))
+_url_fn("cutToFirstSignificantSubdomain",
+        lambda s: ".".join((_url_parts(s).hostname or "").split(".")[-2:])
+        if len((_url_parts(s).hostname or "").split(".")) >= 2
+        else (_url_parts(s).hostname or ""))
+
+
+def _port(s: str):
+    try:
+        return np.uint16(_url_parts(s).port or 0)
+    except ValueError:
+        return np.uint16(0)
+
+
+register("port", lambda ts: dt.UInt16.with_nullable(ts[0].nullable),
+         _SLUT(_port, np.uint16))
+_url_fn("path", lambda s: _url_parts(s).path)
+_url_fn("pathFull",
+        lambda s: _url_parts(s).path
+        + (("?" + _url_parts(s).query) if _url_parts(s).query else ""))
+_url_fn("queryString", lambda s: _url_parts(s).query)
+_url_fn("fragment", lambda s: _url_parts(s).fragment)
+_url_fn("queryStringAndFragment",
+        lambda s: (_url_parts(s).query
+                   + (("#" + _url_parts(s).fragment)
+                      if _url_parts(s).fragment else "")))
+_url_fn("netloc", lambda s: _url_parts(s).netloc)
+_url_fn("cutWWW", lambda s: s.replace("//www.", "//", 1)
+        if "//www." in s else s)
+_url_fn("cutQueryString", lambda s: s.split("?", 1)[0])
+_url_fn("cutFragment", lambda s: s.split("#", 1)[0])
+_url_fn("cutQueryStringAndFragment",
+        lambda s: s.split("#", 1)[0].split("?", 1)[0])
+
+
+def _decode_url(s: str) -> str:
+    from urllib.parse import unquote
+    return unquote(s)
+
+
+def _encode_url(s: str) -> str:
+    from urllib.parse import quote
+    return quote(s, safe="")
+
+
+_url_fn("decodeURLComponent", _decode_url)
+_url_fn("encodeURLComponent", _encode_url)
+
+
+def _extract_url_param_exec(args, out_dtype):
+    pname = str(args[1].dictionary.values[0])
+
+    def fn(s):
+        from urllib.parse import parse_qs
+        q = _url_parts(s).query
+        vals = parse_qs(q, keep_blank_values=True).get(pname)
+        return vals[0] if vals else ""
+    return _SLUT(fn, object)([args[0]], out_dtype)
+
+
+register("extractURLParameter",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _extract_url_param_exec)
+
+# ------------------------------------------------------------------- IP family
+
+
+def _is_ipv4(s: str) -> np.uint8:
+    parts = s.split(".")
+    if len(parts) != 4:
+        return np.uint8(0)
+    try:
+        return np.uint8(all(p.isdigit() and 0 <= int(p) <= 255
+                            and (p == "0" or not p.startswith("0"))
+                            for p in parts))
+    except ValueError:
+        return np.uint8(0)
+
+
+def _is_ipv6(s: str) -> np.uint8:
+    import ipaddress
+    try:
+        ipaddress.IPv6Address(s)
+        return np.uint8(1)
+    except ValueError:
+        return np.uint8(0)
+
+
+register("isIPv4String", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _SLUT(_is_ipv4, np.uint8))
+register("isIPv6String", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _SLUT(_is_ipv6, np.uint8))
+
+
+def _ip_in_range(args, out_dtype):
+    import ipaddress
+    cidr = str(args[1].dictionary.values[0])
+    try:
+        net = ipaddress.ip_network(cidr, strict=False)
+    except ValueError:
+        net = None
+
+    def fn(s):
+        if net is None:
+            return np.uint8(0)
+        try:
+            return np.uint8(ipaddress.ip_address(s) in net)
+        except ValueError:
+            return np.uint8(0)
+    return _SLUT(fn, np.uint8)([args[0]], out_dtype)
+
+
+register("isIPAddressInRange",
+         lambda ts: dt.UInt8.with_nullable(ts[0].nullable), _ip_in_range)
+
+# ----------------------------------------------------------------- date extras
+
+
+def _quarter_exec(args, out_dtype):
+    _, m, _d = _civil_from_days(_as_days(args[0]))
+    return ColVal(out_dtype, ((m + 2) // 3).astype(jnp.uint8),
+                  _and_validity(args))
+
+
+register("toQuarter", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _quarter_exec, case_insensitive=True)
+
+
+def _doy_exec(args, out_dtype):
+    days = _as_days(args[0])
+    y, _m, _d = _civil_from_days(days)
+    start = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    return ColVal(out_dtype, (days - start + 1).astype(jnp.uint16),
+                  _and_validity(args))
+
+
+register("toDayOfYear", lambda ts: dt.UInt16.with_nullable(ts[0].nullable),
+         _doy_exec)
+
+
+def _iso_year_week(days):
+    # ISO week: week containing the year's first Thursday
+    dow = jnp.mod(days + 3, 7)            # 0 = Monday
+    thursday = days - dow + 3
+    y, _m, _d = _civil_from_days(thursday)
+    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    week = jnp.floor_divide(thursday - jan1, 7) + 1
+    return y, week
+
+
+register("toISOYear", lambda ts: dt.UInt16.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, _iso_year_week(_as_days(args[0]))[0].astype(jnp.uint16),
+             _and_validity(args)))
+register("toISOWeek", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, _iso_year_week(_as_days(args[0]))[1].astype(jnp.uint8),
+             _and_validity(args)))
+
+
+def _start_of_quarter_exec(args, out_dtype):
+    days = _as_days(args[0])
+    y, m, _ = _civil_from_days(days)
+    qm = ((m - 1) // 3) * 3 + 1
+    out = _days_from_civil(y, qm, jnp.ones_like(m))
+    return ColVal(out_dtype, out.astype(jnp.int32), _and_validity(args))
+
+
+register("toStartOfQuarter", lambda ts: dt.Date.with_nullable(ts[0].nullable),
+         _start_of_quarter_exec)
+
+
+def _last_day_exec(args, out_dtype):
+    days = _as_days(args[0])
+    y, m, _ = _civil_from_days(days)
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, 1, m + 1)
+    out = _days_from_civil(ny, nm, jnp.ones_like(m)) - 1
+    return ColVal(out_dtype, out.astype(jnp.int32), _and_validity(args))
+
+
+register("toLastDayOfMonth", lambda ts: dt.Date.with_nullable(ts[0].nullable),
+         _last_day_exec)
+
+
+def _start_of_interval(seconds: int):
+    def ex(args, out_dtype):
+        secs = args[0].data.astype(jnp.int64)
+        out = (secs // seconds) * seconds
+        return ColVal(out_dtype, out, _and_validity(args))
+    return ex
+
+
+register("toStartOfFiveMinutes",
+         lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         _start_of_interval(300))
+register("toStartOfTenMinutes",
+         lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         _start_of_interval(600))
+register("toStartOfFifteenMinutes",
+         lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         _start_of_interval(900))
+register("toStartOfSecond",
+         lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         _start_of_interval(1))
+register("timeSlot", lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         _start_of_interval(1800))
+
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+         "Sunday"]
+
+
+def _month_name_exec(args, out_dtype):
+    _y, m, _d = _civil_from_days(_as_days(args[0]))
+    codes = jnp.clip(m.astype(jnp.int32) - 1, 0, 11)
+    return ColVal(out_dtype, codes, _and_validity(args),
+                  Dictionary(np.asarray(_MONTHS, object)))
+
+
+register("monthName", lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _month_name_exec)
+
+
+def _daytime_trunc_exec(args, out_dtype):
+    unit = str(args[0].dictionary.values[0]).lower()
+    inner = FUNCTIONS.get({
+        "year": "toStartOfYear", "quarter": "toStartOfQuarter",
+        "month": "toStartOfMonth", "week": "toStartOfWeek",
+        "day": "toStartOfDay", "hour": "toStartOfHour",
+        "minute": "toStartOfMinute", "second": "toStartOfSecond",
+    }.get(unit, ""))
+    if inner is None:
+        raise TypeError_(f"dateTrunc: unsupported unit '{unit}'")
+    return inner._execute([args[1]], out_dtype)
+
+
+register("dateTrunc", lambda ts: ts[1], _daytime_trunc_exec,
+         case_insensitive=True)
+register("date_trunc", lambda ts: ts[1], _daytime_trunc_exec,
+         case_insensitive=True)
+register("fromUnixTimestamp",
+         lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(t, args[0].data.astype(jnp.int64),
+                                _and_validity(args)),
+         case_insensitive=True)
+
+# -------------------------------------------------------------- empty arrays
+
+for _tname, _dt in [("Int8", dt.Int8), ("Int16", dt.Int16),
+                    ("Int32", dt.Int32), ("UInt8", dt.UInt8),
+                    ("UInt16", dt.UInt16), ("UInt32", dt.UInt32),
+                    ("UInt64", dt.UInt64), ("Float32", dt.Float32),
+                    ("Float64", dt.Float64), ("Date", dt.Date),
+                    ("String", dt.String)]:
+    def _mk_empty(t=_dt):
+        def ex(args, out_dtype):
+            data = jnp.zeros((1, 8),
+                             jnp.int32 if t.is_dictionary else t.jnp_dtype)
+            cv = ColVal(out_dtype, data[0], None,
+                        Dictionary(np.zeros(0, object))
+                        if t.is_dictionary else None,
+                        lengths=jnp.zeros((), jnp.int32))
+            return cv
+        return ex
+    register(f"emptyArray{_tname}", (lambda t=_dt: lambda ts: dt.Array(t))(),
+             _mk_empty())
+
+# ----------------------------------------------------------------- misc/const
+
+
+def _const_string(val_fn):
+    def ex(args, out_dtype):
+        v = str(val_fn())
+        return ColVal(out_dtype, jnp.zeros((), jnp.int32), None,
+                      Dictionary(np.asarray([v], object)))
+    return ex
+
+
+register("version", lambda ts: dt.String, _const_string(
+    lambda: __import__("clickhouse_tpu").__version__))
+register("currentDatabase", lambda ts: dt.String,
+         _const_string(lambda: "default"), case_insensitive=True)
+register("currentUser", lambda ts: dt.String,
+         _const_string(lambda: "default"), case_insensitive=True)
+register("hostName", lambda ts: dt.String,
+         _const_string(lambda: __import__("socket").gethostname()),
+         case_insensitive=True)
+register("timezone", lambda ts: dt.String, _const_string(lambda: "UTC"),
+         case_insensitive=True)
+register("timeZone", lambda ts: dt.String, _const_string(lambda: "UTC"))
+register("serverUUID", lambda ts: dt.String,
+         _const_string(lambda: "00000000-0000-0000-0000-000000000000"))
+register("uptime", lambda ts: dt.UInt32,
+         lambda args, t: ColVal(t, jnp.zeros((), jnp.uint32)))
+register("zookeeperSessionUptime", lambda ts: dt.UInt32,
+         lambda args, t: ColVal(t, jnp.zeros((), jnp.uint32)))
+register("isConstant", lambda ts: dt.UInt8,
+         lambda args, t: ColVal(t, jnp.asarray(
+             1 if args[0].is_const else 0, jnp.uint8)))
+register("toTypeName", lambda ts: dt.String,
+         lambda args, t: ColVal(t, jnp.zeros((), jnp.int32), None,
+                                Dictionary(np.asarray(
+                                    [str(args[0].dtype)], object))))
+
+# ---------------------------------------------------------------- array extras
+# All operate on the padded (cap, W) element matrix + lengths — device
+# elementwise/gather ops, no host round-trips (reference: src/Functions/array/).
+
+from .functions import _array_arg, _elem_mask  # noqa: E402
+
+
+def _arr_same(ts):
+    return ts[0]
+
+
+def _arrfn(ex):
+    """Normalize const (1-D) array arguments to 2-D for the exec, and
+    return a const result when every array input was const."""
+    def wrapped(args, out_dtype):
+        new_args = []
+        all_const = True
+        saw_array = False
+        for a in args:
+            if dt.remove_nullable(a.dtype).is_array \
+                    and getattr(a.data, "ndim", 0) == 1:
+                lens = a.lengths
+                if getattr(lens, "ndim", 0) == 0:
+                    lens = jnp.atleast_1d(lens)
+                a = ColVal(a.dtype, a.data[None, :], a.validity,
+                           a.dictionary, lengths=lens, host=a.host)
+                saw_array = True
+            elif dt.remove_nullable(a.dtype).is_array:
+                all_const = False
+                saw_array = True
+            new_args.append(a)
+        out = ex(new_args, out_dtype)
+        if saw_array and all_const and getattr(out.data, "ndim", 0) >= 1 \
+                and out.data.shape[0] == 1:
+            lens = out.lengths
+            if lens is not None and getattr(lens, "ndim", 0) == 1:
+                lens = lens[0]
+            return ColVal(out.dtype, out.data[0], out.validity,
+                          out.dictionary, lengths=lens)
+        return out
+    return wrapped
+
+
+def _numeric_inner(cv, name):
+    if cv.dictionary is not None:
+        raise TypeError_(f"{name} expects a numeric array")
+    return cv
+
+
+def _exec_array_reverse(args, out_dtype):
+    a = _array_arg(args[0])
+    W = a.data.shape[1]
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(a.lengths[:, None] - 1 - j, 0, W - 1)
+    data = jnp.take_along_axis(a.data, idx, axis=1)
+    data = jnp.where(j < a.lengths[:, None], data,
+                     jnp.zeros((), data.dtype))
+    return ColVal(out_dtype, data, a.validity, a.dictionary,
+                  lengths=a.lengths)
+
+
+register("arrayReverse", _arr_same, _arrfn(_exec_array_reverse))
+
+
+def _exec_array_slice(args, out_dtype):
+    a = _array_arg(args[0])
+    W = a.data.shape[1]
+    off = _numeric_data(args[1]).astype(jnp.int32)
+    if getattr(off, "ndim", 0) == 0:
+        off = jnp.broadcast_to(off, a.lengths.shape)
+    start = jnp.where(off > 0, off - 1,
+                      jnp.maximum(a.lengths + off, 0))
+    if len(args) > 2:
+        ln = _numeric_data(args[2]).astype(jnp.int32)
+        if getattr(ln, "ndim", 0) == 0:
+            ln = jnp.broadcast_to(ln, a.lengths.shape)
+        ln = jnp.maximum(ln, 0)
+    else:
+        ln = jnp.full_like(a.lengths, W)
+    out_len = jnp.clip(jnp.minimum(a.lengths - start, ln), 0, W)
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + j, 0, W - 1)
+    data = jnp.take_along_axis(a.data, idx, axis=1)
+    data = jnp.where(j < out_len[:, None], data, jnp.zeros((), data.dtype))
+    return ColVal(out_dtype, data, a.validity, a.dictionary,
+                  lengths=out_len)
+
+
+register("arraySlice", _arr_same, _arrfn(_exec_array_slice))
+
+
+def _elem_value_of(a, v_cv, name):
+    """Element-domain value of a scalar argument (dictionary-aware)."""
+    if a.dictionary is not None:
+        if v_cv.dictionary is None:
+            raise TypeError_(f"{name}: type mismatch")
+        code = a.dictionary.lookup(str(v_cv.dictionary.values[0]))
+        return jnp.asarray(code, a.data.dtype)
+    return _numeric_data(v_cv).astype(a.data.dtype)
+
+
+def _exec_array_push(back: bool):
+    def ex(args, out_dtype):
+        a = _array_arg(args[0])
+        W = a.data.shape[1]
+        Wo = W + 1
+        v = _elem_value_of(a, args[1], "arrayPush")
+        j = jnp.arange(Wo, dtype=jnp.int32)[None, :]
+        pad = jnp.concatenate(
+            [a.data, jnp.zeros((a.data.shape[0], 1), a.data.dtype)], axis=1)
+        if back:
+            data = jnp.where(j == a.lengths[:, None],
+                             jnp.broadcast_to(
+                                 jnp.atleast_1d(v)[:, None]
+                                 if getattr(v, "ndim", 0) else v,
+                                 pad.shape), pad)
+        else:
+            shifted = jnp.take_along_axis(
+                pad, jnp.clip(j - 1, 0, Wo - 1), axis=1)
+            data = jnp.where(j == 0,
+                             jnp.broadcast_to(
+                                 jnp.atleast_1d(v)[:, None]
+                                 if getattr(v, "ndim", 0) else v,
+                                 pad.shape), shifted)
+        lens = jnp.minimum(a.lengths + 1, Wo)
+        data = jnp.where(j < lens[:, None], data, jnp.zeros((), data.dtype))
+        return ColVal(out_dtype, data, a.validity, a.dictionary,
+                      lengths=lens)
+    return ex
+
+
+register("arrayPushBack", _arr_same, _arrfn(_exec_array_push(True)))
+register("arrayPushFront", _arr_same, _arrfn(_exec_array_push(False)))
+
+
+def _exec_array_pop(back: bool):
+    def ex(args, out_dtype):
+        a = _array_arg(args[0])
+        W = a.data.shape[1]
+        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+        lens = jnp.maximum(a.lengths - 1, 0)
+        if back:
+            data = a.data
+        else:
+            data = jnp.take_along_axis(a.data,
+                                       jnp.clip(j + 1, 0, W - 1), axis=1)
+        data = jnp.where(j < lens[:, None], data, jnp.zeros((), data.dtype))
+        return ColVal(out_dtype, data, a.validity, a.dictionary,
+                      lengths=lens)
+    return ex
+
+
+register("arrayPopBack", _arr_same, _arrfn(_exec_array_pop(True)))
+register("arrayPopFront", _arr_same, _arrfn(_exec_array_pop(False)))
+
+
+def _exec_array_concat(args, out_dtype):
+    arrs = [_array_arg(a) for a in args]
+    if any(a.dictionary is not None for a in arrs) \
+            and len({id(a.dictionary) for a in arrs}) > 1:
+        raise TypeError_("arrayConcat over differing string dictionaries "
+                         "is not supported yet")
+    cap = arrs[0].data.shape[0]
+    Wo = sum(a.data.shape[1] for a in arrs)
+    j = jnp.arange(Wo, dtype=jnp.int32)[None, :]
+    out = jnp.zeros((cap, Wo), arrs[0].data.dtype)
+    offset = jnp.zeros((cap, 1), jnp.int32)
+    for a in arrs:
+        W = a.data.shape[1]
+        rel = j - offset
+        take = jnp.take_along_axis(
+            a.data.astype(out.dtype), jnp.clip(rel, 0, W - 1), axis=1)
+        here = (rel >= 0) & (rel < a.lengths[:, None])
+        out = jnp.where(here, take, out)
+        offset = offset + a.lengths[:, None]
+    lens = sum(a.lengths for a in arrs)
+    validity = _and_validity(args)
+    return ColVal(out_dtype, out, validity, arrs[0].dictionary,
+                  lengths=jnp.minimum(lens, Wo))
+
+
+register("arrayConcat", _arr_same, _arrfn(_exec_array_concat))
+
+
+def _first_occurrence_mask(a):
+    """keep[i, j] = element j is the first occurrence of its value."""
+    W = a.data.shape[1]
+    m = _elem_mask(a)
+    x = a.data
+    eq = x[:, :, None] == x[:, None, :]              # (cap, W, W)
+    jj = jnp.arange(W)
+    earlier = jj[None, :] < jj[:, None]              # (W, W): k < j
+    dup = jnp.any(eq.transpose(0, 2, 1) & earlier[None, :, :]
+                  & m[:, None, :], axis=2)
+    return m & jnp.logical_not(dup)
+
+
+def _compact_left(a, keep):
+    """Compress kept elements to the row head (order preserving)."""
+    W = a.data.shape[1]
+    order = jnp.argsort(jnp.where(keep, 0, 1)
+                        * (W + 1) + jnp.arange(W)[None, :], axis=1)
+    data = jnp.take_along_axis(a.data, order.astype(jnp.int32), axis=1)
+    lens = jnp.sum(keep, axis=1).astype(jnp.int32)
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    data = jnp.where(j < lens[:, None], data, jnp.zeros((), data.dtype))
+    return data, lens
+
+
+def _exec_array_distinct(args, out_dtype):
+    a = _array_arg(args[0])
+    keep = _first_occurrence_mask(a)
+    data, lens = _compact_left(a, keep)
+    return ColVal(out_dtype, data, a.validity, a.dictionary, lengths=lens)
+
+
+register("arrayDistinct", _arr_same, _arrfn(_exec_array_distinct))
+register("arrayUniq", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _arrfn(lambda args, t: ColVal(
+             t, jnp.sum(_first_occurrence_mask(_array_arg(args[0])),
+                        axis=1).astype(jnp.uint64),
+             _and_validity(args))))
+
+
+def _exec_array_compact(args, out_dtype):
+    a = _array_arg(args[0])
+    m = _elem_mask(a)
+    prev = jnp.concatenate(
+        [jnp.zeros((a.data.shape[0], 1), a.data.dtype), a.data[:, :-1]],
+        axis=1)
+    first = jnp.arange(a.data.shape[1])[None, :] == 0
+    keep = m & (first | (a.data != prev))
+    data, lens = _compact_left(a, keep)
+    return ColVal(out_dtype, data, a.validity, a.dictionary, lengths=lens)
+
+
+register("arrayCompact", _arr_same, _arrfn(_exec_array_compact))
+
+
+def _exec_array_difference(args, out_dtype):
+    a = _numeric_inner(_array_arg(args[0]), "arrayDifference")
+    m = _elem_mask(a)
+    x = a.data.astype(jnp.float64 if a.data.dtype.kind == "f"
+                      else jnp.int64)
+    prev = jnp.concatenate(
+        [jnp.zeros((x.shape[0], 1), x.dtype), x[:, :-1]], axis=1)
+    first = jnp.arange(x.shape[1])[None, :] == 0
+    data = jnp.where(m, jnp.where(first, jnp.zeros((), x.dtype), x - prev),
+                     jnp.zeros((), x.dtype))
+    return ColVal(out_dtype, data, a.validity, None, lengths=a.lengths)
+
+
+register("arrayDifference",
+         lambda ts: dt.Array(dt.Int64
+                             if dt.array_inner(dt.remove_nullable(ts[0]))
+                             .np_dtype.kind in "iu" else dt.Float64)
+         .with_nullable(ts[0].nullable),
+         _arrfn(_exec_array_difference))
+
+
+def _exec_array_cumsum(args, out_dtype):
+    a = _numeric_inner(_array_arg(args[0]), "arrayCumSum")
+    m = _elem_mask(a)
+    x = a.data.astype(jnp.float64 if a.data.dtype.kind == "f"
+                      else jnp.int64)
+    data = jnp.cumsum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis=1)
+    data = jnp.where(m, data, jnp.zeros((), x.dtype))
+    return ColVal(out_dtype, data, a.validity, None, lengths=a.lengths)
+
+
+register("arrayCumSum",
+         lambda ts: dt.Array(dt.Int64
+                             if dt.array_inner(dt.remove_nullable(ts[0]))
+                             .np_dtype.kind in "iu" else dt.Float64)
+         .with_nullable(ts[0].nullable),
+         _arrfn(_exec_array_cumsum))
+
+
+def _exec_count_equal(args, out_dtype):
+    a = _array_arg(args[0])
+    v = _elem_value_of(a, args[1], "countEqual")
+    m = _elem_mask(a)
+    eq = a.data == (v[:, None] if getattr(v, "ndim", 0) else v)
+    return ColVal(out_dtype, jnp.sum(m & eq, axis=1).astype(jnp.uint64),
+                  _and_validity(args))
+
+
+register("countEqual", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _arrfn(_exec_count_equal))
+
+
+def _exec_has_all_any(all_: bool):
+    def ex(args, out_dtype):
+        a = _array_arg(args[0])
+        b = _array_arg(args[1])
+        if (a.dictionary is None) != (b.dictionary is None):
+            raise TypeError_("hasAll/hasAny: element type mismatch")
+        ma = _elem_mask(a)
+        mb = _elem_mask(b)
+        if a.dictionary is not None and a.dictionary is not b.dictionary:
+            # align the needle's codes onto the haystack's dictionary
+            recode = jnp.asarray([
+                a.dictionary.lookup(str(v))
+                for v in b.dictionary.values] or [-1], jnp.int64)
+            bdata = recode[jnp.clip(b.data, 0, max(len(b.dictionary) - 1,
+                                                   0))]
+        else:
+            bdata = b.data.astype(a.data.dtype)
+        eq = a.data[:, :, None] == bdata[:, None, :]   # (cap, Wa, Wb)
+        found = jnp.any(eq & ma[:, :, None] & mb[:, None, :], axis=1)
+        if all_:
+            data = jnp.all(found | jnp.logical_not(mb), axis=1)
+        else:
+            data = jnp.any(found, axis=1)
+        return ColVal(out_dtype, data.astype(jnp.uint8),
+                      _and_validity(args))
+    return ex
+
+
+register("hasAll", lambda ts: dt.UInt8.with_nullable(
+    ts[0].nullable or ts[1].nullable), _arrfn(_exec_has_all_any(True)))
+register("hasAny", lambda ts: dt.UInt8.with_nullable(
+    ts[0].nullable or ts[1].nullable), _arrfn(_exec_has_all_any(False)))
+
+
+def _exec_array_intersect(args, out_dtype):
+    a = _array_arg(args[0])
+    b = _array_arg(args[1])
+    ma = _elem_mask(a)
+    mb = _elem_mask(b)
+    eq = a.data[:, :, None] == b.data.astype(a.data.dtype)[:, None, :]
+    in_b = jnp.any(eq & mb[:, None, :], axis=2) & ma
+    keep = _first_occurrence_mask(a) & in_b
+    data, lens = _compact_left(a, keep)
+    return ColVal(out_dtype, data, _and_validity(args), a.dictionary,
+                  lengths=lens)
+
+
+register("arrayIntersect", _arr_same, _arrfn(_exec_array_intersect))
+
+
+def _exec_array_resize(args, out_dtype):
+    a = _array_arg(args[0])
+    n = _const_int(args[1], "arrayResize")
+    W = a.data.shape[1]
+    Wo = max(n, 1)
+    fill = _elem_value_of(a, args[2], "arrayResize") if len(args) > 2 \
+        else jnp.zeros((), a.data.dtype)
+    j = jnp.arange(Wo, dtype=jnp.int32)[None, :]
+    base = jnp.take_along_axis(
+        jnp.concatenate([a.data,
+                         jnp.zeros((a.data.shape[0], max(Wo - W, 1)),
+                                   a.data.dtype)], axis=1),
+        jnp.clip(j, 0, W + max(Wo - W, 1) - 1), axis=1)
+    data = jnp.where(j < jnp.minimum(a.lengths, n)[:, None], base,
+                     jnp.broadcast_to(fill, base.shape))
+    lens = jnp.full_like(a.lengths, n)
+    data = jnp.where(j < lens[:, None], data, jnp.zeros((), data.dtype))
+    return ColVal(out_dtype, data, a.validity, a.dictionary, lengths=lens)
+
+
+register("arrayResize", _arr_same, _arrfn(_exec_array_resize))
+
+# ----------------------------------------------------------------- hash extras
+
+
+def _inthash64_exec(args, out_dtype):
+    # reference: IntHash64Impl (FunctionsHashing.h:184) = murmur-style
+    # finalizer over x ^ 0x4CF2D2BAAE6DA887 (Common/HashTable/Hash.h:27)
+    x = _numeric_data(args[0]).astype(jnp.uint64) \
+        ^ jnp.uint64(0x4CF2D2BAAE6DA887)
+    x = x ^ (x >> jnp.uint64(33))
+    x = x * jnp.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> jnp.uint64(33))
+    x = x * jnp.uint64(0xC4CEB9FE1A85EC53)
+    x = x ^ (x >> jnp.uint64(33))
+    return ColVal(out_dtype, x, _and_validity(args))
+
+
+register("intHash64", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _inthash64_exec)
+
+
+def _inthash32_exec(args, out_dtype):
+    # reference: IntHash32Impl (FunctionsHashing.h:173) = Hash.h:499 with
+    # the fixed salt 0x75D9543DE018BF45
+    k = _numeric_data(args[0]).astype(jnp.uint64) \
+        ^ jnp.uint64(0x75D9543DE018BF45)
+    k = (~k) + (k << jnp.uint64(18))
+    k = k ^ ((k >> jnp.uint64(31)) | (k << jnp.uint64(33)))
+    k = k * jnp.uint64(21)
+    k = k ^ ((k >> jnp.uint64(11)) | (k << jnp.uint64(53)))
+    k = k + (k << jnp.uint64(6))
+    k = k ^ ((k >> jnp.uint64(22)) | (k << jnp.uint64(42)))
+    return ColVal(out_dtype, k.astype(jnp.uint32), _and_validity(args))
+
+
+register("intHash32", lambda ts: dt.UInt32.with_nullable(ts[0].nullable),
+         _inthash32_exec)
+
+# ------------------------------------------------------- conversions / extras
+
+
+def _reinterpret_exec(to_dt):
+    def ex(args, out_dtype):
+        x = _numeric_data(args[0])
+        src_bytes = np.dtype(x.dtype).itemsize
+        dst = to_dt.jnp_dtype
+        dst_bytes = np.dtype(dst).itemsize
+        if src_bytes == dst_bytes:
+            data = x.view(dst)
+        else:
+            wide = x.astype(jnp.uint64) if x.dtype.kind in "iub" \
+                else x.astype(jnp.float64).view(jnp.uint64)
+            mask = jnp.uint64((1 << (8 * dst_bytes)) - 1) \
+                if dst_bytes < 8 else jnp.uint64(0xFFFFFFFFFFFFFFFF)
+            data = (wide & mask).astype(jnp.uint64)
+            if np.dtype(dst).kind == "f":
+                data = data.astype(jnp.uint64).view(jnp.float64) \
+                    if dst_bytes == 8 else \
+                    data.astype(jnp.uint32).view(jnp.float32)
+            else:
+                data = data.astype(dst)
+        return ColVal(out_dtype, data, _and_validity(args))
+    return ex
+
+
+for _tname, _t in [("UInt8", dt.UInt8), ("UInt16", dt.UInt16),
+                   ("UInt32", dt.UInt32), ("UInt64", dt.UInt64),
+                   ("Int8", dt.Int8), ("Int16", dt.Int16),
+                   ("Int32", dt.Int32), ("Int64", dt.Int64),
+                   ("Float32", dt.Float32), ("Float64", dt.Float64)]:
+    register(f"reinterpretAsUInt{_tname[4:]}" if _tname.startswith("UInt")
+             else f"reinterpretAs{_tname}",
+             (lambda t=_t: lambda ts: t.with_nullable(ts[0].nullable))(),
+             _reinterpret_exec(_t))
+
+
+def _round_lut(breaks, vals):
+    b = jnp.asarray(breaks, jnp.int64)
+    v = jnp.asarray(vals, jnp.int64)
+
+    def ex(args, out_dtype):
+        x = _numeric_data(args[0]).astype(jnp.int64)
+        idx = jnp.clip(jnp.searchsorted(b, x, side="right") - 1,
+                       0, len(vals) - 1)
+        return ColVal(out_dtype, v[idx].astype(jnp.uint8),
+                      _and_validity(args))
+    return ex
+
+
+# reference: FunctionsRound roundAge/roundDuration bucket tables
+register("roundAge", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _round_lut([0, 1, 18, 25, 35, 45, 55],
+                    [0, 17, 18, 25, 35, 45, 55]))
+register("roundDuration", lambda ts: dt.UInt16.with_nullable(ts[0].nullable),
+         _round_lut([0, 1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+                     3600, 7200, 18000, 36000],
+                    [0, 1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+                     3600, 7200, 18000, 36000]))
+
+register("positiveModulo", _resolve_arith(),
+         lambda args, t: ColVal(t, jnp.mod(
+             _numeric_data(args[0]).astype(jnp.int64),
+             jnp.maximum(jnp.abs(
+                 _numeric_data(args[1]).astype(jnp.int64)), 1)).astype(
+             dt.remove_nullable(t).jnp_dtype), _and_validity(args)),
+         case_insensitive=True)
+register("positive_modulo", _resolve_arith(),
+         FUNCTIONS["positiveModulo"]._execute)
+
+register("toStringCutToZero",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.split("\x00", 1)[0], object))
+
+
+def _simple_json_fn(caster, out_np, out_t):
+    def reg(name):
+        def ex(args, out_dtype):
+            field = str(args[1].dictionary.values[0])
+            rx = re.compile(
+                r'"%s"\s*:\s*("(?:[^"\\]|\\.)*"|[^,}\]\s]+)' % re.escape(field))
+
+            def fn(s):
+                m = rx.search(s)
+                if not m:
+                    return caster(None)
+                return caster(m.group(1))
+            return _SLUT(fn, out_np)([args[0]], out_dtype)
+        register(name, lambda ts: out_t.with_nullable(ts[0].nullable), ex)
+    return reg
+
+
+_simple_json_fn(lambda v: np.float64(0) if v is None else
+                (np.float64(float(v)) if not v.startswith('"')
+                 else np.float64(0)), np.float64, dt.Float64)(
+    "simpleJSONExtractFloat")
+_simple_json_fn(lambda v: np.uint64(0) if v is None or v.startswith('"')
+                or v.lstrip("-").split(".")[0].lstrip("-") == "" else
+                np.uint64(max(int(float(v)), 0)), np.uint64, dt.UInt64)(
+    "simpleJSONExtractUInt")
+_simple_json_fn(lambda v: np.uint8(1) if v == "true" else np.uint8(0),
+                np.uint8, dt.UInt8)("simpleJSONExtractBool")
+_simple_json_fn(lambda v: "" if v is None else v, object, dt.String)(
+    "simpleJSONExtractRaw")
+
+
+def _week_exec(args, out_dtype):
+    # toWeek(date[, mode]) — mode 0 (default): Sunday-first, week 0..53
+    days = _as_days(args[0])
+    y, _m, _d = _civil_from_days(days)
+    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    dow_jan1 = jnp.mod(jan1 + 4, 7)        # 0 = Sunday
+    first_sunday = jan1 + jnp.mod(7 - dow_jan1, 7)
+    week = jnp.where(days < first_sunday, 0,
+                     (days - first_sunday) // 7 + 1)
+    return ColVal(out_dtype, week.astype(jnp.uint8), _and_validity(args))
+
+
+register("toWeek", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _week_exec, case_insensitive=True)
+
+
+def _date_add_exec(sub: bool):
+    def ex(args, out_dtype):
+        unit = str(args[0].dictionary.values[0]).lower().rstrip("s")
+        n_cv, d_cv = args[1], args[2]
+        fname = {"year": "Years", "quarter": "Quarters", "month": "Months",
+                 "week": "Weeks", "day": "Days", "hour": "Hours",
+                 "minute": "Minutes", "second": "Seconds"}.get(unit)
+        if fname is None:
+            raise TypeError_(f"dateAdd: unsupported unit '{unit}'")
+        inner = FUNCTIONS[("subtract" if sub else "add") + fname]
+        return inner._execute([d_cv, n_cv], out_dtype)
+    return ex
+
+
+register("dateAdd", lambda ts: ts[2], _date_add_exec(False),
+         case_insensitive=True)
+register("dateSub", lambda ts: ts[2], _date_add_exec(True),
+         case_insensitive=True)
+register("timestampAdd", lambda ts: ts[2], _date_add_exec(False),
+         case_insensitive=True)
+register("timestampSub", lambda ts: ts[2], _date_add_exec(True),
+         case_insensitive=True)
+register("now64", lambda ts: dt.DateTime, FUNCTIONS["now"]._execute)
+
+# --------------------------------------------- tolerant conversions (OrZero /
+# OrNull families, reference: src/Functions/FunctionsConversion.cpp)
+
+_OR_TYPES = [("Int8", dt.Int8), ("Int16", dt.Int16), ("Int32", dt.Int32),
+             ("Int64", dt.Int64), ("UInt8", dt.UInt8), ("UInt16", dt.UInt16),
+             ("UInt32", dt.UInt32), ("UInt64", dt.UInt64),
+             ("Float32", dt.Float32), ("Float64", dt.Float64)]
+
+
+def _parse_or(t: dt.DType, null: bool):
+    kind = t.np_dtype.kind
+
+    def parse(s: str):
+        try:
+            v = float(s) if kind == "f" else int(s.strip())
+            if kind == "u" and v < 0:
+                raise ValueError
+            if kind != "f":
+                info = np.iinfo(t.np_dtype)
+                if not info.min <= v <= info.max:
+                    raise ValueError
+            return (t.np_dtype.type(v), True)
+        except (ValueError, TypeError):
+            return (t.np_dtype.type(0), False)
+    return parse
+
+
+def _or_exec(t: dt.DType, null: bool):
+    def ex(args, out_dtype):
+        a = args[0]
+        if not a.dtype.is_dictionary:
+            # numeric input: plain cast; never fails
+            data = _numeric_data(a).astype(t.jnp_dtype)
+            return ColVal(out_dtype, data, a.validity)
+        parse = _parse_or(t, null)
+        vals = a.dictionary.values if a.dictionary else np.asarray([],
+                                                                   object)
+        pairs = [parse(str(v)) for v in vals] or [parse("")]
+        lut = jnp.asarray(np.asarray([p[0] for p in pairs], t.np_dtype))
+        okl = jnp.asarray(np.asarray([p[1] for p in pairs], np.uint8))
+        data = lut[jnp.maximum(a.data, 0)]
+        ok = okl[jnp.maximum(a.data, 0)]
+        if null:
+            v0 = a.validity if a.validity is not None \
+                else jnp.ones(ok.shape, jnp.uint8)
+            return ColVal(out_dtype, data,
+                          (v0.astype(jnp.bool_)
+                           & ok.astype(jnp.bool_)).astype(jnp.uint8))
+        return ColVal(out_dtype, data, a.validity)
+    return ex
+
+
+for _tn, _t in _OR_TYPES:
+    register(f"to{_tn}OrZero",
+             (lambda t=_t: lambda ts: t.with_nullable(ts[0].nullable))(),
+             _or_exec(_t, null=False))
+    register(f"to{_tn}OrNull",
+             (lambda t=_t: lambda ts: dt.make_nullable(t))(),
+             _or_exec(_t, null=True))
+
+# --------------------------------------------------------- final odds & ends
+
+register("arrayProduct",
+         lambda ts: dt.Float64.with_nullable(ts[0].nullable),
+         _arrfn(lambda args, t: ColVal(
+             t, jnp.prod(jnp.where(_elem_mask(_array_arg(args[0])),
+                                   _array_arg(args[0]).data.astype(
+                                       jnp.float64), 1.0), axis=-1),
+             _and_validity(args))))
+
+
+def _exec_array_pred(mode):
+    def ex(args, out_dtype):
+        a = _array_arg(args[0])
+        m = _elem_mask(a)
+        nz = m & (a.data != jnp.zeros((), a.data.dtype))
+        if mode == "count":
+            data = jnp.sum(nz, axis=-1).astype(jnp.uint64)
+        elif mode == "exists":
+            data = jnp.any(nz, axis=-1).astype(jnp.uint8)
+        else:                     # all
+            data = jnp.all(nz | jnp.logical_not(m),
+                           axis=-1).astype(jnp.uint8)
+        return ColVal(out_dtype, data, _and_validity(args))
+    return ex
+
+
+if "arrayCount" not in FUNCTIONS:
+    register("arrayCount",
+             lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+             _arrfn(_exec_array_pred("count")))
+if "arrayExists" not in FUNCTIONS:
+    register("arrayExists",
+             lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+             _arrfn(_exec_array_pred("exists")))
+if "arrayAll" not in FUNCTIONS:
+    register("arrayAll", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+             _arrfn(_exec_array_pred("all")))
+
+
+def _halfmd5(s: str) -> np.uint64:
+    import hashlib
+    return np.uint64(int.from_bytes(
+        hashlib.md5(s.encode()).digest()[:8], "big"))
+
+
+register("halfMD5", lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _SLUT(_halfmd5, np.uint64))
+
+
+def _javahash(s: str) -> np.int32:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) & 0xFFFFFFFF
+    return np.int32(h - (1 << 32) if h >= (1 << 31) else h)
+
+
+register("javaHash", lambda ts: dt.Int32.with_nullable(ts[0].nullable),
+         _SLUT(_javahash, np.int32))
+
+register("toUnixTimestamp64Milli",
+         lambda ts: dt.Int64.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, args[0].data.astype(jnp.int64) * 1000,
+             _and_validity(args)))
+register("toUnixTimestamp64Micro",
+         lambda ts: dt.Int64.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, args[0].data.astype(jnp.int64) * 1000000,
+             _and_validity(args)))
+register("toUnixTimestamp64Nano",
+         lambda ts: dt.Int64.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, args[0].data.astype(jnp.int64) * 1000000000,
+             _and_validity(args)))
+register("fromUnixTimestamp64Milli",
+         lambda ts: dt.DateTime.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(
+             t, args[0].data.astype(jnp.int64) // 1000,
+             _and_validity(args)))
+
+
+def _bit_test_multi(all_: bool):
+    def ex(args, out_dtype):
+        x = _numeric_data(args[0]).astype(jnp.int64)
+        acc = jnp.ones(x.shape, jnp.bool_) if all_ \
+            else jnp.zeros(x.shape, jnp.bool_)
+        for b in args[1:]:
+            bit = ((x >> jnp.clip(_numeric_data(b).astype(jnp.int64),
+                                  0, 63)) & 1).astype(jnp.bool_)
+            acc = (acc & bit) if all_ else (acc | bit)
+        return ColVal(out_dtype, acc.astype(jnp.uint8), _and_validity(args))
+    return ex
+
+
+register("bitTestAll", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _bit_test_multi(True))
+register("bitTestAny", lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _bit_test_multi(False))
+
+
+def _char_exec(args, out_dtype):
+    vals = []
+    for a in args:
+        vals.append(chr(_const_int(a, "char") & 0xFF))
+    return ColVal(out_dtype, jnp.zeros((), jnp.int32), None,
+                  Dictionary(np.asarray(["".join(vals)], object)))
+
+
+register("char", lambda ts: dt.String, _char_exec, case_insensitive=True)

@@ -82,7 +82,10 @@ def topk_permutation(token: jax.Array, row_valid: jax.Array, k: int
     """
     # top_k selects largest, so invert; invalid rows get the minimum (never
     # selected unless fewer than k valid rows exist — caller masks by count).
-    inv = jnp.where(row_valid, ~token, jnp.uint64(0))
+    # Valid rows are clamped to >= 1 so a NULLS-LAST null (token 2^64-1,
+    # inverted 0) still outranks masked-out rows instead of tying with them.
+    inv = jnp.where(row_valid, jnp.maximum(~token, jnp.uint64(1)),
+                    jnp.uint64(0))
     n = inv.shape[0]
     CHUNK = 8192
     if n >= (1 << 20) and k <= CHUNK:

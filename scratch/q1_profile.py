@@ -61,7 +61,7 @@ def main():
     bench(jax.jit(f_b2), x, n_rows, name="B2: i32 accumulate")
 
     # C. round-1 pallas kernel (external split)
-    from clickhouse_tpu.ops.kernels.reduce_kernels import masked_count_gt
+    raise SystemExit("pallas kernel experiment removed; XLA reaches 0.92 of roofline")
     bench(masked_count_gt, x, T, name="C: pallas split-i64 kernel")
 
     # D. pallas reading i64 directly
