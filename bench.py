@@ -177,18 +177,23 @@ def main():
             f"{time.time()-t0:.0f}s")
         ST = {"stream_readers": 2}
         sql5 = "SELECT count() FROM big WHERE x > 500000"
+        before_stream = s5.profile_events.get("StreamedQueries", 0)
         t5 = bench_query(s5, sql5, reps=2)
+        streamed5 = s5.profile_events.get("StreamedQueries",
+                                          0) > before_stream
         sr = STREAM_ROWS / t5
         xfer_roof = xfer_bps / 4          # 4 B/row on the wire (i32 narrow)
-        log(f"Q5 STREAMED filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; transfer roofline "
-            f"{xfer_roof/1e9:.2f} G rows/s, fraction {sr/xfer_roof:.3f}")
+        tag = "STREAMED" if streamed5 else "whole-block (fits HBM)"
+        roof = xfer_roof if streamed5 else HBM_GBPS * 1e9 / 4
+        log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
+            f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
         t5b = bench_query(
             s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
                 "GROUP BY k ORDER BY c DESC LIMIT 10", reps=2)
-        log(f"Q5b STREAMED group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
+        log(f"Q5b {tag} group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
             f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
-            f"transfer fraction {(STREAM_ROWS/t5b)/xfer_roof:.3f}")
+            f"roofline fraction {(STREAM_ROWS/t5b)/roof:.3f}")
         del s5
         gc.collect()
     except Exception as e:
@@ -212,15 +217,20 @@ def main():
                 "fk": (np.arange(lo, hi, dtype=np.int64) * 40503) % JOIN_DIM})
         log(f"join-table ingest ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M) "
             f"{time.time()-t0:.0f}s")
+        before_stream = s6.profile_events.get("StreamedQueries", 0)
         t6 = bench_query(
             s6, "SELECT count(), sum(label) FROM fact "
                 "INNER JOIN dim ON fact.fk = dim.k "
                 "SETTINGS stream_readers = 2", reps=2)
+        streamed6 = s6.profile_events.get("StreamedQueries",
+                                          0) > before_stream
         jr = JOIN_ROWS / t6
         xfer_roof = xfer_bps / 4
-        log(f"Q6 STREAMED join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
-            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s; transfer-roofline "
-            f"fraction {jr/xfer_roof:.3f}")
+        tag = "STREAMED" if streamed6 else "whole-block (fits HBM)"
+        log(f"Q6 {tag} join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
+            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s"
+            + (f"; transfer-roofline fraction {jr/xfer_roof:.3f}"
+               if streamed6 else ""))
         del s6
         gc.collect()
     except Exception as e:

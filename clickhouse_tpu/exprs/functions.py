@@ -566,16 +566,21 @@ def _dict_rank_lut(d: Dictionary) -> jnp.ndarray:
     return jnp.asarray(rank)
 
 
-# dictionaries at least this large route prefix/suffix predicates through
+# dictionaries in this size range route prefix/suffix predicates through
 # the HBM-resident byte matrix (device compute per unique value) instead of
-# host numpy over the values — the device-ColumnString hot path
+# host numpy over the values — the device-ColumnString hot path.  Above the
+# cap the matrix would ship as a multi-hundred-MB program constant (the
+# compile transport rejects it); host numpy (C-speed np.char) takes over,
+# producing only a U-bit LUT constant.
 _DEVICE_STRING_MIN_DICT = 1 << 16
+_DEVICE_STRING_MAX_DICT = 1 << 22
 
 
 def _device_prefix_lut(d: Dictionary, needle: str, reverse: bool):
     """Device LUT: value startsWith(needle) (or reversed = endsWith).
     -> bool (U,) jax array, or None when the device path doesn't apply."""
-    if d is None or len(d) < _DEVICE_STRING_MIN_DICT:
+    if d is None or not (_DEVICE_STRING_MIN_DICT <= len(d)
+                         <= _DEVICE_STRING_MAX_DICT):
         return None
     nb = needle.encode()
     if reverse:
