@@ -468,6 +468,48 @@ class Analyzer:
                 names.append(cname)
             node = L.ScanNode("_files", table.name, fields, names)
             return node, Scope(fields)
+        if name in ("remote", "remotesecure"):
+            # remote('host:port', db.table | 'db', 'table' [, user, pwd]):
+            # pull the table over the native TCP wire (RemoteQueryExecutor
+            # analog, src/TableFunctions/TableFunctionRemote.cpp) — the
+            # remote server runs the scan; rows arrive as Native blocks
+            lits = []
+            for a in fc.args:
+                if isinstance(a, ast.Literal):
+                    lits.append(str(a.value))
+                elif isinstance(a, ast.Identifier):
+                    lits.append(a.name)
+                elif isinstance(a, ast.FuncCall) and a.name == "dot" \
+                        and len(a.args) == 2:
+                    lits.append(".".join(
+                        x.name if isinstance(x, ast.Identifier)
+                        else str(x.value) for x in a.args))
+                else:
+                    raise AnalysisError(
+                        "remote() expects constant arguments")
+            if len(lits) < 2:
+                raise AnalysisError(
+                    "remote() expects (address, table[, user, password])")
+            addr = lits[0]
+            if len(lits) >= 3 and "." not in lits[1] \
+                    and lits[2] not in ("default",) and len(lits) == 3 \
+                    and not lits[1].startswith("system"):
+                # remote(addr, db, table) form
+                target = f"{lits[1]}.{lits[2]}"
+                creds = []
+            elif "." in lits[1] or len(lits) == 2:
+                target = lits[1]
+                creds = lits[2:4]
+            else:
+                target = f"{lits[1]}.{lits[2]}"
+                creds = lits[4:6] if len(lits) > 4 else []
+            table = self.catalog.remote_table(addr, target, *creds)
+            fields, names = [], []
+            for cname, ctype in table.schema_items():
+                fields.append(self.field(cname, ctype, quals))
+                names.append(cname)
+            node = L.ScanNode("_files", table.name, fields, names)
+            return node, Scope(fields)
         raise UnknownTable(f"Unknown table function '{fc.name}'")
 
     def analyze_join(self, left: L.PlanNode, lscope: Scope, join: ast.Join,

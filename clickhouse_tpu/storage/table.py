@@ -800,6 +800,41 @@ class Catalog:
         self._file_cache[key] = name
         return t
 
+    def remote_table(self, addr: str, target: str, user: str = "default",
+                     password: str = "") -> Table:
+        """remote() backing: pull `db.table` (or a bare table in the remote
+        default database) from another server over the native TCP protocol
+        into a local _files table.  One fetch per catalog version tick —
+        repeated analysis within one query reuses the snapshot."""
+        from ..server.tcp_server import NativeTcpClient
+        from ..core import dtypes as dtm
+        import time as _time
+        cache = getattr(self, "_remote_cache", None)
+        if cache is None:
+            cache = self._remote_cache = {}
+        key = (addr, target, user)
+        hit = cache.get(key)
+        # short TTL: the several analysis passes of ONE query share a
+        # snapshot; the next query re-fetches fresh remote data
+        if hit is not None and hit[0] in self.databases["_files"].tables \
+                and _time.monotonic() - hit[1] < 3.0:
+            return self.databases["_files"].tables[hit[0]]
+        host, _, port = addr.partition(":")
+        client = NativeTcpClient(host, int(port or 9000), user=user,
+                                 password=password, compression=True)
+        try:
+            cols, types = client.execute(f"SELECT * FROM {target}")
+        finally:
+            client.close()
+        schema = [(n, dtm.parse_type_name(t)) for n, t in types]
+        name = f"remote_{abs(hash(key)) % 10**10}"
+        t = Table(name, schema, engine="Remote")
+        if cols:
+            t.insert_pydict({n: cols[n] for n, _ in types})
+        self.databases["_files"].tables[name] = t
+        cache[key] = (name, _time.monotonic())
+        return t
+
     def get_table(self, database: str, name: str) -> Table:
         db = self.databases.get(database)
         if db is None:

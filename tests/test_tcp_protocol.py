@@ -161,3 +161,47 @@ def test_wrong_password_rejected(server):
                         password="secret")
     assert c.ping()
     c.close()
+
+
+class TestRemoteTableFunction:
+    """remote('host:port', db.table) — shard execution over the native TCP
+    wire (TableFunctionRemote analog)."""
+
+    def test_remote_pull_and_aggregate(self, server):
+        import clickhouse_tpu as ch
+        import numpy as np
+        # populate the SERVER's catalog
+        srv_sess = server.session
+        srv_sess.execute("CREATE TABLE IF NOT EXISTS rsrc (k Int64, v Float64)")
+        srv_sess.execute("TRUNCATE TABLE rsrc")
+        srv_sess.insert_pydict("rsrc", {
+            "k": np.arange(100, dtype=np.int64),
+            "v": np.arange(100) * 0.5})
+        # a SEPARATE local session reaches it over the wire
+        local = ch.connect()
+        r = local.execute(
+            f"SELECT count(), sum(k) FROM "
+            f"remote('127.0.0.1:{server.port}', default.rsrc)").rows()
+        assert r == [(100, 4950)]
+        r2 = local.execute(
+            f"SELECT k FROM remote('127.0.0.1:{server.port}', default.rsrc) "
+            f"WHERE k < 3 ORDER BY k").rows()
+        assert r2 == [(0,), (1,), (2,)]
+
+    def test_remote_join_with_local(self, server):
+        import clickhouse_tpu as ch
+        import numpy as np
+        srv_sess = server.session
+        srv_sess.execute("CREATE TABLE IF NOT EXISTS rdim (k Int64, lbl String)")
+        srv_sess.execute("TRUNCATE TABLE rdim")
+        srv_sess.insert_pydict("rdim", {
+            "k": np.arange(5, dtype=np.int64),
+            "lbl": np.asarray([f"L{i}" for i in range(5)], object)})
+        local = ch.connect()
+        local.execute("CREATE TABLE lf (fk Int64)")
+        local.insert_pydict("lf", {"fk": np.asarray([1, 1, 3], np.int64)})
+        r = local.execute(
+            f"SELECT lbl, count() FROM lf INNER JOIN "
+            f"remote('127.0.0.1:{server.port}', default.rdim) AS d "
+            f"ON lf.fk = d.k GROUP BY lbl ORDER BY lbl").rows()
+        assert r == [("L1", 2), ("L3", 1)]
