@@ -153,16 +153,18 @@ def main():
         import jax as _jx
         import jax.numpy as _jnp
         # raw host->device transfer roofline at this chunk size: a streamed
-        # scan cannot beat moving the bytes onto the chip
-        probe = np.zeros(1 << 28, np.int32)          # 1 GiB
-        _jx.block_until_ready(_jx.device_put(probe))
+        # scan cannot beat moving the bytes onto the chip.  DISTINCT buffers
+        # per rep — repeated puts of one buffer can be deduplicated by the
+        # transport and would overstate the roofline.
+        probes = [np.full(1 << 28, i, np.int32) for i in range(3)]  # 1 GiB
+        _jx.block_until_ready(_jx.device_put(np.zeros(1 << 28, np.int32)))
         ts = []
-        for _ in range(3):
+        for p in probes:
             t0 = time.perf_counter()
-            _jx.block_until_ready(_jx.device_put(probe))
+            _jx.block_until_ready(_jx.device_put(p))
             ts.append(time.perf_counter() - t0)
-        xfer_bps = probe.nbytes / min(ts)
-        del probe
+        xfer_bps = probes[0].nbytes / min(ts)
+        del probes
         log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
 
         s5 = ch.connect()

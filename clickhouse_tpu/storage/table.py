@@ -19,7 +19,7 @@ import numpy as np
 from ..core import dtypes as dt
 from ..core.block import Block, block_from_pydict
 from ..core.column import Column, Dictionary, column_from_numpy, pad_to
-from ..core.errors import AnalysisError, UnknownTable
+from ..core.errors import AnalysisError, EngineError, UnknownTable
 
 __all__ = ["Part", "Table", "Database", "Catalog", "SkipIndex"]
 
@@ -804,8 +804,9 @@ class Catalog:
                      password: str = "") -> Table:
         """remote() backing: pull `db.table` (or a bare table in the remote
         default database) from another server over the native TCP protocol
-        into a local _files table.  One fetch per catalog version tick —
-        repeated analysis within one query reuses the snapshot."""
+        into a local _files table.  `addr` may list failover replicas
+        separated by '|' (ConnectionPoolWithFailover analog: tried in
+        order, first healthy one wins, errors accounted)."""
         from ..server.tcp_server import NativeTcpClient
         from ..core import dtypes as dtm
         import time as _time
@@ -819,13 +820,32 @@ class Catalog:
         if hit is not None and hit[0] in self.databases["_files"].tables \
                 and _time.monotonic() - hit[1] < 3.0:
             return self.databases["_files"].tables[hit[0]]
-        host, _, port = addr.partition(":")
-        client = NativeTcpClient(host, int(port or 9000), user=user,
-                                 password=password, compression=True)
-        try:
-            cols, types = client.execute(f"SELECT * FROM {target}")
-        finally:
-            client.close()
+        errors = getattr(self, "_remote_errors", None)
+        if errors is None:
+            errors = self._remote_errors = {}
+        replicas = [a.strip() for a in addr.split("|") if a.strip()]
+        # failover order: fewest accumulated errors first, declared order
+        # as the tie-break (reference: ConnectionPoolWithFailover)
+        replicas.sort(key=lambda a: errors.get(a, 0))
+        last_err = None
+        cols = types = None
+        for rep in replicas:
+            host, _, port = rep.partition(":")
+            try:
+                client = NativeTcpClient(host, int(port or 9000), user=user,
+                                         password=password, compression=True)
+                try:
+                    cols, types = client.execute(f"SELECT * FROM {target}")
+                finally:
+                    client.close()
+                last_err = None
+                break
+            except (OSError, EngineError) as e:
+                errors[rep] = errors.get(rep, 0) + 1
+                last_err = e
+        if last_err is not None:
+            raise EngineError(
+                f"remote(): all replicas of '{addr}' failed: {last_err}")
         schema = [(n, dtm.parse_type_name(t)) for n, t in types]
         name = f"remote_{abs(hash(key)) % 10**10}"
         t = Table(name, schema, engine="Remote")

@@ -205,3 +205,27 @@ class TestRemoteTableFunction:
             f"remote('127.0.0.1:{server.port}', default.rdim) AS d "
             f"ON lf.fk = d.k GROUP BY lbl ORDER BY lbl").rows()
         assert r == [("L1", 2), ("L3", 1)]
+
+    def test_remote_failover(self, server):
+        import clickhouse_tpu as ch
+        import numpy as np
+        srv_sess = server.session
+        srv_sess.execute("CREATE TABLE IF NOT EXISTS rfo (x Int64)")
+        srv_sess.execute("TRUNCATE TABLE rfo")
+        srv_sess.insert_pydict("rfo", {"x": np.arange(7, dtype=np.int64)})
+        local = ch.connect()
+        # first replica is dead; the pool fails over to the live one
+        r = local.execute(
+            f"SELECT count() FROM remote("
+            f"'127.0.0.1:1|127.0.0.1:{server.port}', default.rfo)").rows()
+        assert r == [(7,)]
+        # error accounting: the dead replica is deprioritized next time
+        assert local.catalog._remote_errors.get("127.0.0.1:1", 0) >= 1
+
+    def test_remote_all_dead(self):
+        import clickhouse_tpu as ch
+        from clickhouse_tpu.core.errors import EngineError
+        local = ch.connect()
+        with pytest.raises(EngineError):
+            local.execute("SELECT count() FROM "
+                          "remote('127.0.0.1:1', default.x)")
