@@ -144,10 +144,11 @@ def main():
         "vs_baseline": frac,
     }), flush=True)
 
-    deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "1200"))
-
     # -- BASELINE-scale streamed configs (the out-of-core engine on real
-    #    data larger than a comfortable device block) ------------------------
+    #    data larger than a comfortable device block).  These 1B-row runs
+    #    get their own wall-clock; the small-extras deadline starts AFTER
+    #    them so Q7/Q2s/Q2b/Q3/Q4 always run too. ---------------------------
+    deadline = time.time() + 10**9          # set for real below
     try:
         import gc
         import jax as _jx
@@ -237,6 +238,8 @@ def main():
         gc.collect()
     except Exception as e:
         log(f"Q6 streamed join failed: {e}")
+
+    deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "1200"))
 
     try:
         if time.time() > deadline:

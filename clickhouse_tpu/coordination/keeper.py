@@ -196,10 +196,18 @@ _KLOCK = threading.Lock()
 
 
 def get_keeper(cluster: str = "default") -> Keeper:
+    """In-process keeper by name, or a networked client for
+    'tcp://host:port' clusters (coordination/keeper_net.py)."""
     with _KLOCK:
         k = _KEEPERS.get(cluster)
         if k is None:
-            k = _KEEPERS[cluster] = Keeper()
+            if cluster.startswith("tcp://"):
+                from .keeper_net import KeeperClient
+                host, _, port = cluster[len("tcp://"):].partition(":")
+                k = KeeperClient(host, int(port or 9181))
+            else:
+                k = Keeper()
+            _KEEPERS[cluster] = k
         return k
 
 

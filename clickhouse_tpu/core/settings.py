@@ -135,6 +135,10 @@ class Settings:
     async_insert_busy_timeout_ms: int = 200
     async_insert_max_data_size: int = 10 << 20
 
+    # coordination service for Replicated* engines: "" = in-process keeper
+    # (TestKeeper strategy); "host:port" = networked KeeperServer
+    keeper_address: str = ""
+
     readonly: int = 0
     ignore_unknown_settings: bool = False   # tolerate foreign settings names
                                             # (reference-test compat mode)

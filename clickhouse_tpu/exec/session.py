@@ -892,7 +892,12 @@ class Session:
         zk_path = expand(args[0]) if args \
             else f"/clickhouse/tables/{db}/{stmt.table}"
         replica = expand(args[1]) if len(args) > 1 else macros["replica"]
-        t.replication = Replication(t, zk_path, replica)
+        cluster = "default"
+        if self.settings.keeper_address:
+            # networked coordination: replicas in OTHER processes tail the
+            # same log through the KeeperServer (keeper_net.py)
+            cluster = f"tcp://{self.settings.keeper_address}"
+        t.replication = Replication(t, zk_path, replica, cluster=cluster)
 
     def _run_create_view(self, stmt: ast.CreateView) -> Result:
         from ..storage.table import ViewDef

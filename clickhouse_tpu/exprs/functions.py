@@ -2052,19 +2052,39 @@ def _exec_format_datetime(args, out_dtype):
         return _dt_mod.datetime.fromtimestamp(
             int(v), _dt_mod.timezone.utc).strftime(fmt)
 
+    # quantize by the format's finest-grained specifier: a date-only format
+    # over a DateTime column enumerates DAYS, so unbounded columns still
+    # render (no more dependence on part minmax for the common formats)
+    if is_date:
+        gran = 1
+    elif "%S" in fmt or "%s" in fmt:
+        gran = 1
+    elif "%M" in fmt:
+        gran = 60
+    elif any(x in fmt for x in ("%H", "%I", "%l", "%p", "%k")):
+        gran = 3600
+    else:
+        gran = 86400
+
     b = a.bounds
     if b is None and a.is_const:
         v = _const_int(a)
         if v is not None:
             b = (v, v)
-    if b is None or b[1] - b[0] >= (1 << 18):
+    if b is None:
+        # full epoch domain, quantized: Date = 0..65535 days; DateTime =
+        # 0..2^32 seconds -> ~49.7k days / 1.2M hours
+        b = (0, 65535) if is_date else (0, (1 << 32) - 1)
+    qlo, qhi = int(b[0]) // gran, int(b[1]) // gran
+    if qhi - qlo >= (1 << 21):
         raise NotImplementedError_(
-            "formatDateTime needs a bounded time domain (part minmax)")
-    lo, hi = int(b[0]), int(b[1])
-    texts = np.asarray([render(x) for x in range(lo, hi + 1)], object)
+            "formatDateTime needs a bounded time domain for "
+            "second/minute-granular formats (part minmax)")
+    texts = np.asarray([render(x * gran) for x in range(qlo, qhi + 1)],
+                       object)
     uniq, codes = np.unique(texts.astype(str), return_inverse=True)
     lut = jnp.asarray(codes.astype(np.int32))
-    idx = jnp.clip(a.data.astype(jnp.int64) - lo, 0, hi - lo)
+    idx = jnp.clip(a.data.astype(jnp.int64) // gran - qlo, 0, qhi - qlo)
     return ColVal(out_dtype, lut[idx], a.validity,
                   Dictionary(uniq.astype(object), sorted_=True))
 
