@@ -73,7 +73,15 @@ def cmd_server(args):
     from .exec.session import Session
     from .server.http_server import HttpServer
     from .server.tcp_server import TcpServer
-    session = Session()
+    host, tcp_port, http_port = args.host, args.tcp_port, args.port
+    if getattr(args, "config", None):
+        from .core.config import listener_ports, load_config
+        cfg = load_config(args.config)
+        host, tcp_port, http_port = listener_ports(cfg)
+        session = Session(config_path=args.config)
+    else:
+        session = Session()
+    args.host, args.tcp_port, args.port = host, tcp_port, http_port
     tcp = TcpServer(session=session, host=args.host, port=args.tcp_port)
     tcp.start_background()
     print(f"native TCP protocol on {args.host}:{tcp.port}", flush=True)
@@ -135,6 +143,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_server.add_argument("--host", default="127.0.0.1")
     p_server.add_argument("--port", type=int, default=8123)
     p_server.add_argument("--tcp-port", type=int, default=9000)
+    p_server.add_argument("--config", default=None,
+                          help="server config file (YAML or XML)")
     p_server.set_defaults(fn=cmd_server)
 
     p_client = sub.add_parser("client", help="HTTP client")

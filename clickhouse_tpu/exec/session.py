@@ -61,9 +61,11 @@ class Session:
 
     def __init__(self, settings: Optional[Settings] = None,
                  catalog: Optional[Catalog] = None,
-                 data_path: Optional[str] = None):
+                 data_path: Optional[str] = None,
+                 config_path: Optional[str] = None):
         self.settings = settings or Settings()
         self.catalog = catalog or Catalog()
+        self._config_path = config_path
         if data_path:
             # durable catalog: MergeTree-family tables persist to this disk
             # and reload on the next connect (storage/persist.py)
@@ -99,6 +101,11 @@ class Session:
         # catalog; lazily started on first insert
         if not hasattr(self.catalog, "background"):
             self.catalog.background = None
+        if config_path:
+            # server config file (ConfigProcessor analog, core/config.py):
+            # default settings profile, users, disks, durable path, keeper
+            from ..core.config import load_config, apply_config
+            apply_config(self, load_config(config_path))
 
     def login(self, user: str, password: str = "") -> None:
         self.current_user = self.catalog.access.authenticate(user, password)
@@ -379,6 +386,11 @@ class Session:
             if cmd.startswith("wait merges"):
                 if self.catalog.background is not None:
                     self.catalog.background.wait_idle()
+                return _status_result()
+            if cmd.startswith("reload config"):
+                if getattr(self, "_config_path", None):
+                    from ..core.config import reload_config
+                    reload_config(self, self._config_path)
                 return _status_result()
             if cmd.startswith("reload dictionar"):
                 for dbo in self.catalog.databases.values():
