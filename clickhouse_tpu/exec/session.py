@@ -295,6 +295,7 @@ class Session:
                 self.execute(f"ALTER TABLE {db}.{stmt.table} DELETE "
                              f"WHERE ({ttl}) <= now()")
             t.optimize(stmt.final)
+            self._log_part("MergeParts", db, stmt.table, rows=t.num_rows)
             return _status_result()
         if isinstance(stmt, ast.AlterTable):
             return self._run_alter(stmt)
@@ -1086,10 +1087,25 @@ class Session:
         part creation + MV/projection maintenance + merge scheduling."""
         t = self.catalog.get_table(db, table_name)
         t.insert_pydict(aligned)
+        self._log_part("NewPart", db, table_name, aligned)
         self._trigger_materialized_views(db, table_name, aligned)
         self._update_projections(db, table_name, aligned)
         self._maybe_schedule_merge(db, table_name, t,
                                    settings or self.settings)
+
+    def _log_part(self, event: str, db: str, table_name: str,
+                  data=None, rows: int = -1) -> None:
+        """part_log analog (reference: src/Interpreters/PartLog.cpp):
+        one row per part creation / merge, queryable as system.part_log."""
+        import time as _t
+        log = getattr(self.catalog, "part_log", None)
+        if log is None:
+            log = self.catalog.part_log = []
+        if rows < 0:
+            rows = len(next(iter(data.values()))) if data else 0
+        log.append((_t.time(), event, db, table_name, rows))
+        if len(log) > 100000:
+            del log[:50000]
 
     def _maybe_schedule_merge(self, db: str, table_name: str, t,
                               settings: Optional[Settings] = None) -> None:
@@ -1445,8 +1461,24 @@ class Session:
                 "merges_done": np.asarray([done] * len(rows), np.uint64)})
             return t
 
+        def part_log_table():
+            t = Table("part_log", [("event_time", dtm.Float64),
+                                   ("event_type", dtm.String),
+                                   ("database", dtm.String),
+                                   ("table", dtm.String),
+                                   ("rows", dtm.UInt64)])
+            rows = list(getattr(self.catalog, "part_log", []) or [])
+            t.insert_pydict({
+                "event_time": np.asarray([r[0] for r in rows], np.float64),
+                "event_type": np.asarray([r[1] for r in rows], object),
+                "database": np.asarray([r[2] for r in rows], object),
+                "table": np.asarray([r[3] for r in rows], object),
+                "rows": np.asarray([r[4] for r in rows], np.uint64)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
                 "disks": disks_table, "merges": merges_table,
+                "part_log": part_log_table,
                 "functions": functions_table, "events": events_table,
                 "columns": columns_table, "parts": parts_table,
                 "opentelemetry_span_log": span_log_table,

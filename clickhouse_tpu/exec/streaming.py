@@ -1716,7 +1716,10 @@ def _build_stream_program(session, plan: L.PlanNode, settings: Settings,
         except NotStreamable:
             continue
         if isinstance(split, StreamSplit):
-            cap_c = pad_to(min(table.num_rows, settings.max_groups))
+            # global aggregates carry one group; keyed ones size the carry
+            # by the group cardinality bound
+            cap_c = 1024 if not split.agg.keys \
+                else pad_to(min(table.num_rows, settings.max_groups))
             return StreamProgram(session, split, settings, sources, table,
                                  cap_c, grace)
         if split.kind == "topk":

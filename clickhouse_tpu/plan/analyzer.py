@@ -108,6 +108,47 @@ class Analyzer:
                       for i, f in enumerate(left.schema)]
         return L.SetOpNode(left, right, s.op, s.distinct, out_fields)
 
+    def _analyze_merge_engine(self, db: str, ref, table, quals):
+        """ENGINE = Merge(db, 'regex'): the union of every matching table
+        (reference: src/Storages/StorageMerge.cpp).  Reads only; schema is
+        the Merge table's declared schema, matched by column name."""
+        import re as _re
+        args = list(getattr(table, "engine_args", []) or [])
+        src_db = args[0] if args else db
+        if src_db in ("currentDatabase", "currentDatabase()", ""):
+            src_db = db
+        pattern = _re.compile(args[1] if len(args) > 1 else ".*")
+        dbo = self.catalog.databases.get(src_db)
+        if dbo is None:
+            raise UnknownTable(f"Unknown database '{src_db}'")
+        matches = sorted(
+            n for n, t in dbo.tables.items()
+            if pattern.fullmatch(n) and t is not table
+            and t.engine != "Merge")
+        if not matches:
+            raise AnalysisError(
+                f"Merge engine matched no tables in '{src_db}'")
+        plans = []
+        for name in matches:
+            sub = self.catalog.get_table(src_db, name)
+            fields, names = [], []
+            for cname, ctype in table.schema_items():
+                if cname not in sub.schema:
+                    raise AnalysisError(
+                        f"Merge source '{name}' lacks column '{cname}'")
+                fields.append(self.field(cname, sub.schema[cname], quals))
+                names.append(cname)
+            plans.append(L.ScanNode(src_db, name, fields, names,
+                                    engine=sub.engine,
+                                    order_by_cols=tuple(sub.order_by or ())))
+        out_fields = [self.field(cname, ctype, quals)
+                      for cname, ctype in table.schema_items()]
+        node = L.UnionNode(plans, out_fields) if len(plans) > 1 else plans[0]
+        if len(plans) == 1:
+            node = plans[0]
+            return node, Scope(node.schema)
+        return node, Scope(out_fields)
+
     def analyze_union(self, u: ast.Union, ctes) -> L.PlanNode:
         plans = [self._analyze_any_select(s, ctes) for s in u.selects]
         base = plans[0].schema
@@ -399,6 +440,8 @@ class Analyzer:
             return sub, Scope(fields)
         table = self.catalog.get_table(db, ref.table)
         quals = (ref.alias,) if ref.alias else (ref.table,)
+        if table.engine == "Merge":
+            return self._analyze_merge_engine(db, ref, table, quals)
         fields = []
         names = []
         stats = {}
