@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Set
 
+from ..core import dtypes as dt
 from ..core.settings import Settings
 from ..exprs.expr import BoundCall, BoundColumn, BoundExpr, BoundInList
 from . import logical as L
@@ -34,8 +35,75 @@ def expr_column_refs(e: BoundExpr, out: Optional[Set[str]] = None) -> Set[str]:
     return out
 
 
+_NONDETERMINISTIC = {"now", "today", "yesterday", "rand", "rand32",
+                     "rand64", "randconstant", "now64", "sleep",
+                     "sleepeachrow", "generateuuidv4", "hostname",
+                     "currentuser", "currentdatabase", "uptime", "version"}
+
+
+def _fold_constants(e):
+    """Evaluate pure calls over literals into literals (ActionsDAG constant
+    folding analog) — this is what lets part pruning see through
+    `d >= toDate('2024-03-01')`."""
+    import dataclasses as _dc
+    from ..exprs.expr import BoundCall, BoundLiteral, evaluate
+    if not isinstance(e, BoundCall):
+        return e
+    args = [_fold_constants(a) for a in e.args]
+    e = _dc.replace(e, args=args)
+    if e.name.lower() in _NONDETERMINISTIC or dt.is_composite(e.dtype) \
+            or e.dtype.is_array:
+        return e
+    # fold only dtypes whose literal encoding is unambiguous (decimals /
+    # DateTime64 literals carry scale conventions owned by the analyzer)
+    base = dt.remove_nullable(e.dtype)
+    if not (base.is_dictionary
+            or base.name in ("Date", "Date32", "DateTime", "Bool")
+            or (base.np_dtype.kind in "iuf" and dt.is_decimal(base) is False
+                and not dt.is_enum(base))):
+        return e
+    if dt.is_decimal(base) or dt.is_interval(base):
+        return e
+    if args and all(isinstance(a, BoundLiteral) for a in args):
+        try:
+            cv = evaluate(e, {})
+            if not cv.is_const:
+                return e
+            if cv.dtype.is_dictionary:
+                if cv.dictionary is None or len(cv.dictionary) != 1:
+                    return e
+                return BoundLiteral(str(cv.dictionary.values[0]), e.dtype)
+            v = cv.host
+            if v is None:
+                import numpy as _np
+                arr = _np.asarray(cv.data)
+                if arr.ndim != 0:
+                    return e
+                v = arr.item()
+            if isinstance(v, list):
+                return e
+            if cv.validity is not None:
+                import numpy as _np
+                if not bool(_np.asarray(cv.validity).reshape(-1)[:1].all()):
+                    return e           # NULL results keep the call form
+            return BoundLiteral(v, e.dtype)
+        except Exception:              # noqa: BLE001 — folding is best-effort
+            return e
+    return e
+
+
+def _fold_plan_constants(node: L.PlanNode) -> None:
+    if isinstance(node, L.FilterNode):
+        node.predicate = _fold_constants(node.predicate)
+    elif isinstance(node, L.ProjectNode):
+        node.exprs = [_fold_constants(x) for x in node.exprs]
+    for c in node.children():
+        _fold_plan_constants(c)
+
+
 def optimize_plan(plan: L.PlanNode, settings: Settings,
                   catalog=None) -> L.PlanNode:
+    _fold_plan_constants(plan)
     plan = _fuse_filters(plan)
     if catalog is not None and getattr(settings, "optimize_use_projections",
                                        True):

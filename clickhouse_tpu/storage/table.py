@@ -367,7 +367,13 @@ class Table:
 
     # -- reads ---------------------------------------------------------------
     def read_block(self, columns: Optional[Sequence[str]] = None) -> Block:
-        """Whole-table device block (concatenated parts, padded)."""
+        """Whole-table device block (concatenated parts, padded).
+
+        Deliberately UNPRUNED: the block is a shared device-resident cache
+        amortized across every query on this version; per-query part
+        pruning would fragment it.  IO pruning pays off exactly when data
+        exceeds the device — the streamed path (exec/streaming.py
+        _prune_parts) prunes parts and granules there."""
         self.sync()
         with self._lock:
             if self._device_cache is None:
@@ -531,6 +537,10 @@ class ChunkSource:
         self.spans = None if spans is None else list(spans)
         # explicit per-part row subsets (grace-join buckets)
         self.row_sel = row_sel
+        # chunk plan: when reading whole parts, chunks NEVER cross part
+        # boundaries so every column slice is a zero-copy numpy view (the
+        # cross-part concatenate was the dominant host cost of streaming)
+        self._chunk_plan = None            # [(part_i, lo, hi)] per chunk
         if row_sel is not None:
             self.spans = None
             self.total_rows = sum(len(s) for s in row_sel)
@@ -538,8 +548,16 @@ class ChunkSource:
             self.total_rows = sum(hi - lo for _, lo, hi in self.spans)
         else:
             self.total_rows = sum(p.num_rows for p in self.parts)
-        self.num_chunks = max(
-            1, -(-self.total_rows // chunk_rows))  # ceil div
+            plan = []
+            for pi, p in enumerate(self.parts):
+                for lo in range(0, p.num_rows, chunk_rows):
+                    plan.append((pi, lo, min(lo + chunk_rows, p.num_rows)))
+            self._chunk_plan = plan or [(0, 0, 0)]
+        if self._chunk_plan is not None:
+            self.num_chunks = len(self._chunk_plan)
+        else:
+            self.num_chunks = max(
+                1, -(-self.total_rows // chunk_rows))  # ceil div
         if layout_donor is not None:
             # physical layout decisions (narrowed dtypes, global
             # dictionaries) are table-wide: bucket sources of one grace join
@@ -592,13 +610,44 @@ class ChunkSource:
             else:
                 self.storage[name] = base
 
+    # host-RAM budget for cached ENCODED chunks (narrow dtype, ready for
+    # device_put) — the page-cache analog: repeat streamed scans skip the
+    # slice+cast host pass entirely
+    ENCODE_CACHE_BYTES = 8 << 30
+
     def chunk(self, i: int):
         """-> ({name: (data_np(cap,), validity_np or None)}, num_rows)."""
+        cache = getattr(self, "_enc_cache", None)
+        if cache is None:
+            cache = self._enc_cache = {}
+            self._enc_cache_bytes = 0
+        hit = cache.get(i)
+        if hit is not None:
+            return hit
+        out, n = self._chunk_uncached(i)
+        sz = sum(d.nbytes + (v.nbytes if v is not None else 0)
+                 for d, v in out.values())
+        if self._enc_cache_bytes + sz <= self.ENCODE_CACHE_BYTES:
+            cache[i] = (out, n)
+            self._enc_cache_bytes += sz
+        return out, n
+
+    def _chunk_uncached(self, i: int):
+        cap = self.chunk_rows
+        out = {}
+        if self._chunk_plan is not None:
+            pi, lo, hi = self._chunk_plan[i]
+            n = hi - lo
+            for name in self.columns:
+                raw = self.parts[pi].columns[name][lo:hi] if n else \
+                    np.zeros(0, object
+                             if self.table.schema[name].is_dictionary
+                             else self.table.schema[name].np_dtype)
+                out[name] = self.encode_column(name, raw, cap)
+            return out, n
         lo = i * self.chunk_rows
         hi = min(lo + self.chunk_rows, self.total_rows)
         n = max(hi - lo, 0)
-        cap = self.chunk_rows
-        out = {}
         for name in self.columns:
             raw = self._slice_column(name, lo, hi)
             out[name] = self.encode_column(name, raw, cap)
@@ -629,6 +678,11 @@ class ChunkSource:
                 data[:n] = np.searchsorted(
                     self._sorted_dict_values[name], raw.astype(str)
                 ).astype(np.int32)
+        elif n == cap:
+            # full aligned chunk: one cast at most, zero-copy when the part
+            # is already stored at the streaming dtype
+            data = np.ascontiguousarray(np.asarray(raw).astype(storage,
+                                                               copy=False))
         else:
             data = np.zeros(cap, storage)
             if n:
