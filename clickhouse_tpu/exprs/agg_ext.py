@@ -744,3 +744,52 @@ class GroupArrayMovingSumAgg(AggregateFunction):
 class GroupArrayMovingAvgAgg(GroupArrayMovingSumAgg):
     name = "groupArrayMovingAvg"
     moving_avg = True
+
+
+class OrNullAgg(AggregateFunction):
+    """-OrNull / -OrDefault combinators: empty groups yield NULL (or the
+    default value) instead of the aggregate's zero state (reference:
+    AggregateFunctionOrFill.h)."""
+
+    def __init__(self, inner: AggregateFunction, null: bool):
+        self.inner = inner
+        self.null = null
+        super().__init__(inner.arg_types)
+        self.name = inner.name + ("OrNull" if null else "OrDefault")
+
+    @property
+    def holistic(self):
+        return self.inner.holistic
+
+    @property
+    def sum_only(self):
+        return False
+
+    def result_type(self):
+        t = self.inner.result_type()
+        return dt.make_nullable(t) if self.null else t
+
+    def state_ops(self):
+        return self.inner.state_ops() + ["sum"]
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        states = self.inner.update(ctx, args, cond)
+        cnt = ctx.grouping.reduce("sum", mask.astype(jnp.int64), mask)
+        return states + [cnt]
+
+    def merge(self, states, grouping, mask_raw):
+        inner = self.inner.merge(states[:-1], grouping, mask_raw)
+        return inner + [grouping.reduce("sum", states[-1], mask_raw)]
+
+    def finalize(self, states):
+        out = self.inner.finalize(states[:-1])
+        cnt = states[-1]
+        data, validity = out[0], out[1]
+        rest = out[2:]
+        if self.null:
+            seen = (cnt > 0).astype(jnp.uint8)
+            validity = seen if validity is None \
+                else (validity.astype(jnp.bool_)
+                      & (cnt > 0)).astype(jnp.uint8)
+        return (data, validity) + tuple(rest)

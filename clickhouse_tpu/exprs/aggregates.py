@@ -808,7 +808,8 @@ def is_aggregate_name(name: str) -> bool:
     changed = True
     while changed and base not in _BASE:
         changed = False
-        for suf in ("if", "state", "merge", "array", "foreach", "distinct"):
+        for suf in ("if", "state", "merge", "array", "foreach", "distinct",
+                    "ornull", "ordefault"):
             if base.endswith(suf) and len(base) > len(suf) \
                     and (suf in ("if", "state", "merge")
                          or base[:-len(suf)] in _BASE):
@@ -1010,6 +1011,12 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
                 and lname[:-8] in _BASE:
             comb = "distinct"
             lname = lname[:-8]
+        elif lname.endswith("ornull") and lname[:-6] in _BASE:
+            comb = (comb, "ornull")
+            lname = lname[:-6]
+        elif lname.endswith("ordefault") and lname[:-9] in _BASE:
+            comb = (comb, "ordefault")
+            lname = lname[:-9]
         else:
             break
     if has_if:
@@ -1018,6 +1025,12 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
         raise UnknownFunction(f"Unknown aggregate function '{name}'")
     if comb is not None and mode is None:
         from . import agg_ext as ax
+        orfill = None
+        if isinstance(comb, tuple):
+            comb, orfill = comb[0], comb[1]
+        if comb is None:
+            inst, _ = get_aggregate(lname, arg_types, params)
+            return ax.OrNullAgg(inst, orfill == "ornull"), has_if
         if comb == "array":
             inst = ax.make_array_combinator(lname, _BASE[lname], arg_types)
         elif comb == "foreach":
@@ -1029,6 +1042,8 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
             raise NotImplementedError_(
                 f"Combinator '-{comb.capitalize()}' does not apply to "
                 f"'{lname}' with these argument types")
+        if orfill is not None:
+            inst = ax.OrNullAgg(inst, orfill == "ornull")
         return inst, has_if
     if mode == "merge":
         st = dt.remove_nullable(arg_types[0]) if arg_types else None
