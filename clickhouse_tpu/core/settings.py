@@ -86,6 +86,10 @@ class Settings:
     # governor budget when set (src/Core/Settings.cpp max_memory_usage)
     max_memory_usage: int = 0
     stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
+    # expanding joins (cross / inflating inner) emit blocks of at most this
+    # many output rows; a block this size over the memory budget fails the
+    # query (src/Core/Settings.cpp max_joined_block_size_rows)
+    max_joined_block_size_rows: int = 65536
     # streamed ORDER BY ... LIMIT k carries top-k rows across chunks when
     # k+offset is at most this; larger limits fall back to collect/host-sort
     stream_topk_max: int = 1 << 20
@@ -203,6 +207,8 @@ _doc("skew_salt_factor", "Heavy-hitter keys are split across this many salted "
 _doc("max_device_block_bytes", "Tables above this physical size stream through "
      "the engine chunk by chunk instead of as one device block.")
 _doc("stream_chunk_bytes", "Target physical bytes per chunk when streaming.")
+_doc("max_joined_block_size_rows", "Maximum output rows per block emitted by "
+     "an expanding join; bounds the streamed cross-join chunk size.")
 _doc("stream_readers", "Parallel host readers pulling streamed-scan chunk "
      "tasks from a work-stealing coordinator; 1 disables read parallelism.")
 _doc("stream_buffer_bytes", "Host-RAM budget for in-flight buffered chunks "

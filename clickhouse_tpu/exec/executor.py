@@ -1796,7 +1796,10 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext,
                 else:
                     merged, ra, rb = Dictionary.unify(merged, d)
                     lut = jnp.asarray(rb)
-                    recoded = [jnp.asarray(ra)[jnp.maximum(x, 0)]
+                    # empty remap = that side's dictionary was empty; its
+                    # codes are padding only, keep them inert at 0
+                    recoded = [(jnp.asarray(ra)[jnp.maximum(x, 0)]
+                                if len(ra) else jnp.zeros_like(x))
                                for x in recoded]
                     recoded.append(lut[jnp.maximum(cv.data, 0)]
                                    if len(rb) else cv.data)

@@ -16,8 +16,8 @@ import numpy as np
 
 from ..core import dtypes as dt
 from ..core import typed
-from ..core.errors import (AnalysisError, EngineError, NotImplementedError_,
-                           UnknownTable)
+from ..core.errors import (AnalysisError, EngineError, MemoryLimitExceeded,
+                           NotImplementedError_, UnknownTable)
 from ..core.settings import Settings
 from ..plan.analyzer import Analyzer
 from ..plan import logical as L
@@ -560,10 +560,24 @@ class Session:
             self.profile_events["StreamedQueries"] = \
                 self.profile_events.get("StreamedQueries", 0) + 1
         elif settings.compile_queries and sql:
-            plan, cols, ctx = self._execute_compiled(stmt, settings, sql)
+            try:
+                plan, cols, ctx = self._execute_compiled(stmt, settings, sql)
+            except MemoryLimitExceeded:
+                # second chance: the blowup may be a chunkable operator
+                # intermediate (cross-join expansion), not a big table
+                blown = self._try_blowup_streaming(stmt, settings, sql)
+                if blown is None:
+                    raise
+                plan, cols, ctx = blown
         else:
             plan = self._plan(stmt, settings)
-            cols, ctx = self._execute(plan, settings)
+            try:
+                cols, ctx = self._execute(plan, settings)
+            except MemoryLimitExceeded:
+                blown = self._try_blowup_streaming(stmt, settings, sql)
+                if blown is None:
+                    raise
+                plan, cols, ctx = blown
         types = [(f.display, str(f.dtype)) for f in plan.schema]
         outfile = getattr(stmt, "outfile", None)
         if outfile:
@@ -600,6 +614,12 @@ class Session:
         mesh-aware variant)."""
         from .streaming import try_streaming
         return try_streaming(self, stmt, settings, sql)
+
+    def _try_blowup_streaming(self, stmt, settings: Settings, sql: str):
+        """Chunk the probe side of an over-budget expanding join (cross-join
+        intermediates bigger than every stored input)."""
+        from .streaming import try_blowup_streaming
+        return try_blowup_streaming(self, stmt, settings, sql)
 
     def _governor_check(self, plan: L.PlanNode, settings: Settings) -> None:
         """Memory governor (MemoryTracker-hard-limit analog): refuse plans

@@ -1482,6 +1482,8 @@ def try_streaming(session, stmt, settings: Settings, sql: str):
     # cheap gate: nothing in the catalog is over the threshold
     over = False
     for db in catalog.databases.values():
+        if db.name == _TMP_DB:
+            continue              # hidden materialized numbers() sequences
         for t in db.tables.values():
             if t.num_rows and t.physical_bytes() > thr:
                 over = True
@@ -1629,6 +1631,199 @@ def effective_memory_budget(settings: Settings) -> int:
     return budget
 
 
+# -- expanding-join (blowup) streaming ----------------------------------------
+# A plan can exceed the budget through an operator INTERMEDIATE — a cross
+# join's output — while every stored input is small.  Chunking the probe
+# side bounds each per-chunk joined block, the role
+# max_joined_block_size_rows plays in the reference's JoiningTransform
+# (src/Interpreters/HashJoin/HashJoin.cpp joined-block splitting).
+
+def _subtree_rows(node: L.PlanNode, catalog, settings: Settings) -> int:
+    """First-order output-row estimate of a subtree (build sides)."""
+    if isinstance(node, L.ScanNode):
+        try:
+            return max(catalog.get_table(node.database,
+                                         node.table).num_rows, 1)
+        except Exception:
+            return 1
+    if isinstance(node, L.NumbersNode):
+        return max(node.count, 1)
+    kids = [_subtree_rows(c, catalog, settings) for c in node.children()]
+    if isinstance(node, L.JoinNode):
+        return kids[0] * kids[1] if node.kind == "cross" else max(kids[0], 1)
+    if isinstance(node, L.AggregateNode):
+        return min(kids[0], settings.max_groups)
+    if isinstance(node, L.ArrayJoinNode):
+        return kids[0] * 16
+    if isinstance(node, L.UnionNode):
+        return sum(kids)
+    return max(kids) if kids else 1
+
+
+def _chain_blowup(split, catalog, settings: Settings) -> Tuple[int, int]:
+    """-> (output rows per probe row, widest chain row bytes) over the
+    streamable chain between the breaker and the streamed scan."""
+    path = getattr(split, "path", None)
+    j = getattr(split, "lower_i", None)
+    if path is None or j is None:
+        return 1, 8
+    f, row = 1, 8
+    for i in range(j, len(path) - 1):
+        node = path[i]
+        row = max(row, sum(_field_est_bytes(fl) for fl in node.schema))
+        if isinstance(node, L.JoinNode) and node.kind == "cross" \
+                and node.left is path[i + 1]:
+            f *= _subtree_rows(node.right, catalog, settings)
+    return f, row
+
+
+def _blowup_chunk_rows(split, catalog, settings: Settings,
+                       chunk_rows: int) -> int:
+    """Shrink the streamed chunk so per-chunk expanding-join blocks fit the
+    budget; refuse (reference MEMORY_LIMIT_EXCEEDED) when even a single
+    max_joined_block_size_rows-row block cannot."""
+    f, row = _chain_blowup(split, catalog, settings)
+    if f <= 1:
+        return chunk_rows
+    budget = effective_memory_budget(settings)
+    mjbsr = max(int(settings.max_joined_block_size_rows), 1)
+    try:
+        probe_rows = max(catalog.get_table(*split.big_key).num_rows, 1)
+    except Exception:
+        probe_rows = chunk_rows
+    # one joined block: max_joined_block_size_rows rows, or the whole output
+    # when smaller; our floor is one tile-padded probe chunk's expansion.
+    blk = min(mjbsr, f * probe_rows)
+    floor = pad_to(1) * f
+    if max(blk, floor) * row > budget * 2:      # 2x: tile-padding slack
+        raise MemoryLimitExceeded(
+            f"expanding join emits blocks of ~{max(blk, floor)} rows "
+            f"(~{(max(blk, floor) * row) >> 20} MiB each; "
+            f"max_joined_block_size_rows={mjbsr}), over the "
+            f"{budget >> 20} MiB memory budget")
+    cap = max((budget // 2) // (f * row), 1)
+    return pad_to(min(chunk_rows, cap))
+
+
+_NUMBERS_MAT_LIMIT = 1 << 27     # rows; 1 GiB host for a u64 sequence
+_TMP_DB = "_stream_tmp"
+
+
+def _collect_numbers(node: L.PlanNode, out: List[L.NumbersNode]) -> None:
+    if isinstance(node, L.NumbersNode):
+        out.append(node)
+    for c in node.children():
+        _collect_numbers(c, out)
+
+
+def _materialize_numbers(session, nn: L.NumbersNode) -> None:
+    """Hidden catalog table backing a numbers() source so ChunkSource can
+    stream it (generated sequences have no parts of their own)."""
+    from ..storage.table import Table, Database
+    catalog = session.catalog
+    db = catalog.databases.get(_TMP_DB)
+    if db is None:
+        db = catalog.databases[_TMP_DB] = Database(_TMP_DB)
+    name = f"numbers_{nn.start}_{nn.count}"
+    if name in db.tables:
+        return
+    if len(db.tables) >= 4:
+        db.tables.clear()           # tiny cache: sequences rebuild cheaply
+    t = Table(name, [("number", dt.UInt64)])
+    t.insert_pydict({"number": np.arange(nn.start, nn.start + nn.count,
+                                         dtype=np.uint64)})
+    db.tables[name] = t
+
+
+def try_blowup_streaming(session, stmt, settings: Settings, sql: str):
+    """Second-chance streaming after a governor refusal: when the overflow
+    is an operator intermediate (cross-join expansion) rather than a big
+    stored table, chunk the probe side of the expanding chain.  numbers()
+    probe sources are materialized into hidden tables first.  Returns
+    (upper_plan, cols, ctx) or None (caller re-raises the refusal)."""
+    from ..storage.table import NotStreamable
+    catalog = session.catalog
+    plan = session._plan(stmt, settings)
+    budget = effective_memory_budget(settings)
+    if estimate_plan_device_bytes(plan, catalog, settings) <= budget:
+        return None
+    # chunking candidates: stored scans (largest first), then numbers()
+    cands: List[tuple] = []
+    scans: List[L.ScanNode] = []
+    _collect_scans(plan, scans)
+    seen = set()
+    for s in scans:
+        key = (s.database, s.table)
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            t = catalog.get_table(*key)
+        except Exception:
+            continue
+        b = t.physical_bytes(set(s.column_names)) if t.num_rows else 0
+        cands.append((b, None, key))
+    cands.sort(key=lambda c: -c[0])
+    nums: List[L.NumbersNode] = []
+    _collect_numbers(plan, nums)
+    for nn in nums:
+        if nn.count <= _NUMBERS_MAT_LIMIT:
+            cands.append((nn.count * 8, nn, None))
+    for _, nn, key in cands:
+        if nn is not None:
+            scan2 = L.ScanNode(_TMP_DB, f"numbers_{nn.start}_{nn.count}",
+                               list(nn.schema), ["number"])
+            plan2 = _replace_node(plan, nn, scan2)
+            key2 = (scan2.database, scan2.table)
+        else:
+            plan2, key2 = plan, key
+        split = find_split(plan2, key2)
+        if split is None:
+            split = find_generic_split(plan2, key2, settings)
+        if split is None:
+            continue
+        if nn is not None:
+            _materialize_numbers(session, nn)
+        try:
+            table = catalog.get_table(*key2)
+        except Exception:
+            continue
+        columns = list(split.scan.column_names)
+        try:
+            chunk_rows = _chunk_rows_for(table, columns, settings)
+            if isinstance(split, GenericSplit) and split.kind == "topk":
+                chunk_rows = max(chunk_rows, pad_to(split.k_total))
+            chunk_rows = _blowup_chunk_rows(split, catalog, settings,
+                                            chunk_rows)
+            f, row = _chain_blowup(split, catalog, settings)
+            other = estimate_plan_scan_bytes(plan2, catalog) \
+                - (table.physical_bytes(set(columns)) if table.num_rows
+                   else 0)
+            # 2x slack: chunk_rows is padded up to the tile multiple
+            if other + chunk_rows * max(f, 1) * row > budget * 2:
+                continue      # chunking can't pull this plan under budget
+            src = table.chunk_source(columns, chunk_rows)
+        except NotStreamable:
+            continue
+        sources = [(src, None)]
+        if isinstance(split, StreamSplit):
+            cap_c = 1024 if not split.agg.keys \
+                else pad_to(min(table.num_rows, settings.max_groups))
+            prog = StreamProgram(session, split, settings, sources, table,
+                                 cap_c, None)
+        elif split.kind == "topk":
+            prog = TopKProgram(session, split, settings, sources, table,
+                               None)
+        else:
+            prog = CollectProgram(session, split, settings, sources, table,
+                                  None)
+        cols, ctx = prog.run(session)
+        session.profile_events["BlowupStreamedQueries"] = \
+            session.profile_events.get("BlowupStreamedQueries", 0) + 1
+        return split.upper, cols, ctx
+    return None
+
+
 def _build_stream_program(session, plan: L.PlanNode, settings: Settings,
                           thr: int):
     """Pick the streamed table + breaker + (optional) grace partitioning and
@@ -1680,6 +1875,8 @@ def _build_stream_program(session, plan: L.PlanNode, settings: Settings,
             chunk_rows = _chunk_rows_for(table, columns, settings)
             if isinstance(split, GenericSplit) and split.kind == "topk":
                 chunk_rows = max(chunk_rows, pad_to(split.k_total))
+            chunk_rows = _blowup_chunk_rows(split, catalog, settings,
+                                            chunk_rows)
             grace = None
             if grace_j is None:
                 src = table.chunk_source(columns, chunk_rows,

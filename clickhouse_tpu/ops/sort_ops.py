@@ -77,30 +77,40 @@ def topk_permutation(token: jax.Array, row_valid: jax.Array, k: int
     """Indices of the k smallest tokens among valid rows (ascending order).
 
     Single-token fast path for `ORDER BY ... LIMIT k` (k << n).  Large
-    inputs use a hierarchical two-level top_k (per-chunk then combine):
-    measured 3.5x faster than flat lax.top_k at 100M rows on v5e.
+    inputs use a hierarchical two-level selection (per-chunk sort-and-take,
+    then combine), avoiding the flat full-length sort.
+
+    Validity is a SEPARATE sort key, never folded into the token: tokens
+    legitimately occupy the full u64 range (a DESC UInt64 value 0 and a
+    NULLS-LAST null both map to 2^64-1), so any clamp/bias scheme that makes
+    room for a padding sentinel inside 64 bits collides two real values.
+    The original index is a third key so ties resolve deterministically
+    (first-occurrence order, matching stable sort_permutation).
     """
-    # top_k selects largest, so invert; invalid rows get the minimum (never
-    # selected unless fewer than k valid rows exist — caller masks by count).
-    # Valid rows are clamped to >= 1 so a NULLS-LAST null (token 2^64-1,
-    # inverted 0) still outranks masked-out rows instead of tying with them.
-    inv = jnp.where(row_valid, jnp.maximum(~token, jnp.uint64(1)),
-                    jnp.uint64(0))
-    n = inv.shape[0]
+    n = token.shape[0]
+    invalid = jnp.logical_not(row_valid)
+    rowid = jnp.arange(n, dtype=jnp.int32)
     CHUNK = 8192
     if n >= (1 << 20) and k <= CHUNK:
         pad = (-n) % CHUNK
         if pad:
-            inv = jnp.concatenate([inv, jnp.zeros((pad,), inv.dtype)])
-        rows = inv.shape[0] // CHUNK
-        x2 = inv.reshape(rows, CHUNK)
+            token = jnp.concatenate(
+                [token, jnp.full((pad,), 2**64 - 1, jnp.uint64)])
+            invalid = jnp.concatenate(
+                [invalid, jnp.ones((pad,), jnp.bool_)])
+            # Padding indices point at row 0; rows past the valid count are
+            # masked by the caller, so the value never surfaces.
+            rowid = jnp.concatenate([rowid, jnp.zeros((pad,), jnp.int32)])
+        rows = token.shape[0] // CHUNK
+        inv2 = invalid.reshape(rows, CHUNK)
+        tok2 = token.reshape(rows, CHUNK)
+        id2 = rowid.reshape(rows, CHUNK)
+        s_inv, s_tok, s_id = jax.lax.sort(
+            [inv2, tok2, id2], num_keys=3, is_stable=False)
         kk = min(k, CHUNK)
-        vals, loc = jax.lax.top_k(x2, kk)               # (rows, kk)
-        gidx = (loc.astype(jnp.int32)
-                + (jnp.arange(rows, dtype=jnp.int32) * CHUNK)[:, None])
-        flat_vals = vals.reshape(-1)
-        flat_idx = gidx.reshape(-1)
-        _, sel = jax.lax.top_k(flat_vals, k)
-        return flat_idx[sel]
-    _, idx = jax.lax.top_k(inv, k)
-    return idx.astype(jnp.int32)
+        cand = [s_inv[:, :kk].reshape(-1), s_tok[:, :kk].reshape(-1),
+                s_id[:, :kk].reshape(-1)]
+        f = jax.lax.sort(cand, num_keys=3, is_stable=False)
+        return f[2][:k]
+    s = jax.lax.sort([invalid, token, rowid], num_keys=3, is_stable=False)
+    return s[2][:k]

@@ -505,3 +505,84 @@ class TestPartPruning:
                       settings=self.STREAM)
         assert r.rows() == [(0,)]
         assert s.profile_events.get("PrunedParts") == 4
+
+
+class TestBlowupStreaming:
+    """Expanding-join (cross-join) intermediates over the budget stream the
+    probe side in bounded chunks (max_joined_block_size_rows analog,
+    reference: 01109_inflating_cross_join)."""
+
+    def test_cross_join_streams_under_budget(self):
+        s = ch.connect()
+        r = s.execute(
+            "SELECT count(*) FROM numbers(10000) n1 CROSS JOIN "
+            "numbers(1000) n2",
+            settings={"max_memory_usage": 16000000,
+                      "max_joined_block_size_rows": 1000})
+        assert r.rows() == [(10000000,)]
+        assert s.profile_events.get("BlowupStreamedQueries", 0) >= 1
+
+    def test_cross_join_sum_parity(self):
+        s = ch.connect()
+        streamed = s.execute(
+            "SELECT sum(n1.number + n2.number) FROM numbers(20000) n1 "
+            "CROSS JOIN numbers(500) n2",
+            settings={"max_memory_usage": 20000000}).rows()
+        whole = s.execute(
+            "SELECT sum(n1.number + n2.number) FROM numbers(20000) n1 "
+            "CROSS JOIN numbers(500) n2").rows()
+        assert streamed == whole
+
+    def test_huge_joined_block_refused(self):
+        from clickhouse_tpu.core.errors import MemoryLimitExceeded
+        s = ch.connect()
+        with pytest.raises(MemoryLimitExceeded):
+            s.execute(
+                "SELECT count(*) FROM numbers(10000) n1 CROSS JOIN "
+                "numbers(1000) n2",
+                settings={"max_memory_usage": 16000000,
+                          "max_joined_block_size_rows": 10000000})
+
+    def test_stored_probe_side(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE bp (x Int64) ENGINE = MergeTree ORDER BY x")
+        s.insert_pydict("bp", {"x": np.arange(30000, dtype=np.int64)})
+        r = s.execute(
+            "SELECT count(*), sum(bp.x) FROM bp CROSS JOIN numbers(400)",
+            settings={"max_memory_usage": 30000000})
+        assert r.rows() == [(30000 * 400, 400 * 30000 * 29999 // 2)]
+
+
+class TestTopKDescExtremes:
+    """ORDER BY DESC LIMIT over values whose order tokens hit the u64
+    extremes: validity must be a separate sort key, never folded into the
+    token (regression: 01018_optimize_read_in_order_with_in_subquery)."""
+
+    def test_desc_limit_small_uints(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE dx (x UInt64) ENGINE = MergeTree ORDER BY x")
+        s.execute("INSERT INTO dx VALUES (0),(1),(2)")
+        assert s.execute("SELECT x FROM dx ORDER BY x DESC LIMIT 10"
+                         ).rows() == [(2,), (1,), (0,)]
+        assert s.execute("SELECT x FROM dx ORDER BY x LIMIT 2"
+                         ).rows() == [(0,), (1,)]
+
+    def test_desc_limit_signed_min(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE dsm (x Int64) ENGINE = MergeTree ORDER BY x")
+        s.execute("INSERT INTO dsm VALUES (-9223372036854775808),"
+                  "(-9223372036854775807),(5)")
+        assert s.execute("SELECT x FROM dsm ORDER BY x LIMIT 2").rows() == \
+            [(-9223372036854775808,), (-9223372036854775807,)]
+        assert s.execute("SELECT x FROM dsm ORDER BY x DESC LIMIT 3"
+                         ).rows() == [(5,), (-9223372036854775807,),
+                                      (-9223372036854775808,)]
+
+    def test_nulls_last_with_filter_padding(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE dnl (x Nullable(UInt64), f UInt8) "
+                  "ENGINE = MergeTree ORDER BY f")
+        s.execute("INSERT INTO dnl VALUES (0, 1), (NULL, 1), (1, 0), (2, 1)")
+        assert s.execute("SELECT x FROM dnl WHERE f = 1 "
+                         "ORDER BY x DESC LIMIT 10").rows() == \
+            [(2,), (0,), (None,)]
