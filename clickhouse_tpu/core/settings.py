@@ -85,6 +85,9 @@ class Settings:
     # reference-compatible per-query memory cap (0 = unlimited); caps the
     # governor budget when set (src/Core/Settings.cpp max_memory_usage)
     max_memory_usage: int = 0
+    # grouping() per SQL standard: 1 = bit set when the key is aggregated
+    # away (reference default); 0 = legacy inverted bits
+    force_grouping_standard_compatibility: int = 1
     stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
     # expanding joins (cross / inflating inner) emit blocks of at most this
     # many output rows; a block this size over the memory budget fails the

@@ -291,13 +291,24 @@ class Analyzer:
                 and order_items[0].expr.name == "__order_all__":
             # ORDER BY ALL: every visible select column, ascending
             order_items = [ast.OrderItem(e) for e, _, _ in items]
+        # ORDER BY (a, b) == ORDER BY a, b (reference: tuple sort keys are
+        # flattened, src/Interpreters/sortBlock.cpp lexicographic order)
+        flat = []
+        for it in order_items:
+            if isinstance(it.expr, ast.Tuple_) and it.fill is None:
+                flat.extend(ast.OrderItem(x, it.descending, it.nulls_last)
+                            for x in it.expr.items)
+            else:
+                flat.append(it)
+        order_items = flat
 
         if has_agg:
             plan, scope_after, rewrite = self.plan_aggregation(
                 plan, scope, sel, items, aliases, expand)
             if sel.group_by_modifier and isinstance(plan, L.AggregateNode):
                 plan = self._expand_grouping_sets(plan,
-                                                  sel.group_by_modifier)
+                                                  sel.group_by_modifier,
+                                                  sel.grouping_sets, rewrite)
             bind_post = lambda e, own=None: self.bind_post_agg(
                 expand(e, own), rewrite, scope_after)
             if sel.having is not None:
@@ -925,37 +936,70 @@ class Analyzer:
         field = self.field(ast.format_expr(e), fn.result_type())
         return L.AggregateItem(field, fn, bound_args, cond)
 
-    def _expand_grouping_sets(self, agg: L.AggregateNode, modifier: str
-                              ) -> L.PlanNode:
-        """ROLLUP/CUBE: union of aggregations over key subsets, each padded
-        to the full key list with default values (reference:
-        RollupTransform/CubeTransform re-aggregate the full result; here each
-        set re-aggregates the input — simpler and parallel)."""
+    def _expand_grouping_sets(self, agg: L.AggregateNode, modifier: str,
+                              sets: Optional[List[List[ast.Expr]]] = None,
+                              rewrite: Optional[dict] = None) -> L.PlanNode:
+        """ROLLUP/CUBE/GROUPING SETS: union of aggregations over key
+        subsets, each padded to the full key list with default values
+        (reference: RollupTransform/CubeTransform re-aggregate the full
+        result; here each set re-aggregates the input — simpler and
+        parallel).  Every branch also emits a constant __grouping_mask
+        (bit i set ⟺ key i absent from the set) feeding grouping()
+        (src/Functions/grouping.h)."""
         import copy
         import itertools
         n = len(agg.keys)
+        displays = [kf.display for kf, _ in agg.keys]
+        full = tuple(range(n))
         if modifier == "rollup":
-            subsets = [tuple(range(k)) for k in range(n - 1, -1, -1)]
-        else:
-            subsets = [s for r in range(n - 1, -1, -1)
-                       for s in itertools.combinations(range(n), r)]
-        branches: List[L.PlanNode] = [agg]
+            subsets = [full] + [tuple(range(k))
+                                for k in range(n - 1, -1, -1)]
+        elif modifier == "cube":
+            subsets = [full] + [s for r in range(n - 1, -1, -1)
+                                for s in itertools.combinations(range(n), r)]
+        else:                                   # explicit GROUPING SETS
+            subsets = []
+            for st in sets or []:
+                idx = []
+                for e in st:
+                    t = ast.format_expr(e)
+                    if t not in displays:
+                        raise AnalysisError(
+                            f"GROUPING SETS expression '{t}' did not bind "
+                            "to a grouping key")
+                    i = displays.index(t)
+                    if i not in idx:
+                        idx.append(i)
+                subsets.append(tuple(sorted(idx)))
+        mask_field = self.field("__grouping_mask", dt.UInt64)
+        if rewrite is not None:
+            rewrite["grouping"] = (mask_field, list(displays))
+        branches: List[L.PlanNode] = []
         for subset in subsets:
-            child = copy.deepcopy(agg.child)
-            keys = [(self.field(agg.keys[i][0].display,
-                                agg.keys[i][0].dtype),
-                     copy.deepcopy(agg.keys[i][1])) for i in subset]
-            aggs = []
-            for item in agg.aggregates:
-                it = copy.deepcopy(item)
-                it.field = self.field(item.field.display, item.field.dtype)
-                aggs.append(it)
-            sub_schema = [f for f, _ in keys] + [a.field for a in aggs]
-            sub = L.AggregateNode(child, keys, aggs, sub_schema)
+            mask = sum(1 << (n - 1 - i) for i in range(n)
+                       if i not in subset)
+            if subset == full:
+                sub, by_pos = agg, {i: kf for i, (kf, _)
+                                    in enumerate(agg.keys)}
+                aggs = list(agg.aggregates)
+            else:
+                child = copy.deepcopy(agg.child)
+                keys = [(self.field(agg.keys[i][0].display,
+                                    agg.keys[i][0].dtype),
+                         copy.deepcopy(agg.keys[i][1])) for i in subset]
+                aggs = []
+                for item in agg.aggregates:
+                    it = copy.deepcopy(item)
+                    it.field = self.field(item.field.display,
+                                          item.field.dtype)
+                    aggs.append(it)
+                sub_schema = [f for f, _ in keys] + [a.field for a in aggs]
+                sub = L.AggregateNode(child, keys, aggs, sub_schema)
+                by_pos = {i: f for i, f in zip(subset,
+                                               (f for f, _ in keys))}
             # pad to the full key list: defaults for folded-away keys
             proj_exprs: List[BoundExpr] = []
             proj_fields: List[L.Field] = []
-            by_pos = {i: f for i, f in zip(subset, (f for f, _ in keys))}
             for i, (kf, _) in enumerate(agg.keys):
                 nf = self.field(kf.display, kf.dtype)
                 proj_fields.append(nf)
@@ -969,13 +1013,50 @@ class Analyzer:
                 proj_fields.append(nf)
                 proj_exprs.append(BoundColumn(item.field.id,
                                               item.field.dtype))
+            proj_fields.append(self.field("__grouping_mask", dt.UInt64))
+            proj_exprs.append(BoundLiteral(mask, dt.UInt64))
             branches.append(L.ProjectNode(sub, proj_exprs, proj_fields))
         # the union reuses the primary aggregate's field ids so every
         # post-aggregation reference keeps resolving unchanged
-        return L.UnionNode(branches, list(agg.schema))
+        return L.UnionNode(branches, list(agg.schema) + [mask_field])
+
+    def _bind_grouping(self, e: ast.FuncCall, rewrite) -> BoundExpr:
+        """grouping(k1, ..) over the per-branch __grouping_mask constant.
+        Standard (SQL/reference default force_grouping_standard_compatibility
+        =1): bit j = 1 when arg j is aggregated away in this set; legacy
+        (=0): inverted (src/Functions/grouping.h)."""
+        mask_f, displays = rewrite["grouping"]
+        n = len(displays)
+        standard = bool(getattr(self.settings,
+                                "force_grouping_standard_compatibility", 1))
+        k = len(e.args)
+        if not e.args:
+            raise AnalysisError("grouping() needs at least one argument")
+        tree: Optional[ast.Expr] = None
+        for j, a in enumerate(e.args):
+            t = ast.format_expr(a)
+            if t not in displays:
+                raise AnalysisError(
+                    f"grouping() argument '{t}' is not a GROUP BY key")
+            p = displays.index(t)
+            bit: ast.Expr = ast.FuncCall(
+                "bitAnd", [ast.FuncCall("bitShiftRight",
+                                        [ast.Identifier("__grouping_mask"),
+                                         ast.Literal(n - 1 - p)]),
+                           ast.Literal(1)])
+            if not standard:
+                bit = ast.FuncCall("minus", [ast.Literal(1), bit])
+            w = 1 << (k - 1 - j)
+            if w != 1:
+                bit = ast.FuncCall("multiply", [bit, ast.Literal(w)])
+            tree = bit if tree is None else ast.FuncCall("plus", [tree, bit])
+        return self.bind(tree, Scope([mask_f]), allow_agg=False)
 
     def bind_post_agg(self, e: ast.Expr, rewrite, scope_after: Scope
                       ) -> BoundExpr:
+        if isinstance(e, ast.FuncCall) and e.name.lower() == "grouping" \
+                and "grouping" in rewrite:
+            return self._bind_grouping(e, rewrite)
         text = ast.format_expr(e)
         if text in rewrite["aggs"]:
             f = rewrite["aggs"][text]

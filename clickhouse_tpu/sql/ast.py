@@ -143,7 +143,8 @@ class Select:
     prewhere: Optional[Expr] = None
     group_by: Optional[List[Expr]] = None
     group_by_with_totals: bool = False
-    group_by_modifier: Optional[str] = None   # rollup | cube
+    group_by_modifier: Optional[str] = None   # rollup | cube | grouping_sets
+    grouping_sets: Optional[List[List["Expr"]]] = None
     having: Optional[Expr] = None
     order_by: Optional[List[OrderItem]] = None
     limit: Optional[Expr] = None

@@ -250,24 +250,61 @@ class Parser:
             sel.where = self.parse_expr()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            mod = self.accept_kw("ROLLUP", "CUBE")
-            if mod:
-                sel.group_by_modifier = mod.text.lower()
+            if self.tok.is_kw("GROUPING") \
+                    and self.tokens[self.i + 1].is_kw("SETS"):
+                self.advance()
+                self.advance()
                 self.expect_op("(")
-                sel.group_by = [self.parse_expr()]
-                while self.accept_op(","):
-                    sel.group_by.append(self.parse_expr())
+                sets: list = []
+                while True:
+                    exprs = []
+                    if self.accept_op("("):
+                        if not self.accept_op(")"):
+                            exprs.append(self.parse_expr())
+                            while self.accept_op(","):
+                                exprs.append(self.parse_expr())
+                            self.expect_op(")")
+                    else:
+                        exprs.append(self.parse_expr())
+                    sets.append(exprs)
+                    if not self.accept_op(","):
+                        break
                 self.expect_op(")")
-            else:
-                sel.group_by = [self.parse_expr()]
-                while self.accept_op(","):
-                    sel.group_by.append(self.parse_expr())
-            while self.accept_kw("WITH"):
-                kw = self.expect_kw("TOTALS", "ROLLUP", "CUBE")
-                if kw.text.upper() == "TOTALS":
+                sel.group_by_modifier = "grouping_sets"
+                sel.grouping_sets = sets
+                # keys = union of all set expressions, first-appearance order
+                seen: set = set()
+                sel.group_by = []
+                for st in sets:
+                    for e in st:
+                        k = ast.format_expr(e)
+                        if k not in seen:
+                            seen.add(k)
+                            sel.group_by.append(e)
+                if not sel.group_by:
+                    raise ParseError("GROUPING SETS needs at least one key")
+                if self.accept_kw("WITH"):
+                    self.expect_kw("TOTALS")
                     sel.group_by_with_totals = True
+            else:
+                mod = self.accept_kw("ROLLUP", "CUBE")
+                if mod:
+                    sel.group_by_modifier = mod.text.lower()
+                    self.expect_op("(")
+                    sel.group_by = [self.parse_expr()]
+                    while self.accept_op(","):
+                        sel.group_by.append(self.parse_expr())
+                    self.expect_op(")")
                 else:
-                    sel.group_by_modifier = kw.text.lower()
+                    sel.group_by = [self.parse_expr()]
+                    while self.accept_op(","):
+                        sel.group_by.append(self.parse_expr())
+                while self.accept_kw("WITH"):
+                    kw = self.expect_kw("TOTALS", "ROLLUP", "CUBE")
+                    if kw.text.upper() == "TOTALS":
+                        sel.group_by_with_totals = True
+                    else:
+                        sel.group_by_modifier = kw.text.lower()
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
         if self.accept_kw("ORDER"):
