@@ -1422,3 +1422,38 @@ def _char_exec(args, out_dtype):
 
 
 register("char", lambda ts: dt.String, _char_exec, case_insensitive=True)
+
+
+# ------------------------------------------------------- random generators
+
+def _exec_random_string(charset: str):
+    """randomString family (src/Functions/randomString.cpp and friends):
+    per-row pseudo-random strings of a constant length.  The dictionary is
+    built at trace time (bounded uniques, codes cycle) — the reference makes
+    no distributional promise beyond 'random-looking', and tests only
+    check derived properties (lengths, types)."""
+    def ex(args, out_dtype):
+        import random as _r
+        n = _const_int(args[0], "randomString") if args else 10
+        cap = 1024
+        for a in args:
+            if getattr(a.data, "ndim", 0):
+                cap = max(cap, a.data.shape[0])
+        uniq = min(max(cap, 1), 4096)
+        rng = _r.Random(_r.getrandbits(63))
+        vals = np.asarray(["".join(rng.choices(charset, k=n))
+                           for _ in range(uniq)], object)
+        codes = (jnp.arange(cap, dtype=jnp.int32)
+                 + jnp.int32(rng.randrange(1 << 20))) % jnp.int32(uniq)
+        return ColVal(out_dtype, codes, None, Dictionary(vals))
+    return ex
+
+
+_PRINTABLE = "".join(chr(c) for c in range(32, 127))
+register("randomString", lambda ts: dt.String, _exec_random_string(_PRINTABLE))
+register("randomPrintableASCII", lambda ts: dt.String,
+         _exec_random_string(_PRINTABLE))
+register("randomStringUTF8", lambda ts: dt.String,
+         _exec_random_string(_PRINTABLE))
+register("randomFixedString", lambda ts: dt.String,
+         _exec_random_string(_PRINTABLE))

@@ -484,6 +484,63 @@ class Analyzer:
                 plan = L.FilterNode(plan, pred, plan.schema)
         return plan, scope
 
+    def _analyze_values(self, fc: ast.FuncCall, quals
+                        ) -> Tuple[L.PlanNode, Scope]:
+        """values() table function: literal rows become a union of one-row
+        projections (reference: src/TableFunctions/TableFunctionValues.cpp).
+        Forms: values((1,'x'),(2,'y')) with inferred c1..cN columns, or
+        values('a Int64, b String', (1,'x'), ...) with a declared schema."""
+        args = list(fc.args)
+        declared = None
+        if args and isinstance(args[0], ast.Literal) \
+                and isinstance(args[0].value, str):
+            declared = _parse_structure(str(args[0].value))
+            if declared is not None:
+                args = args[1:]
+        rows: List[List[ast.Expr]] = []
+        for a in args:
+            if isinstance(a, ast.Tuple_):
+                rows.append(list(a.items))
+            elif isinstance(a, ast.FuncCall) and a.name.lower() == "tuple":
+                rows.append(list(a.args))
+            else:
+                rows.append([a])
+        if not rows:
+            raise AnalysisError("values() needs at least one row")
+        ncol = len(rows[0])
+        if any(len(r) != ncol for r in rows):
+            raise AnalysisError("values() rows differ in arity")
+        empty = Scope([])
+        bound_rows = [[self.bind(c, empty, allow_agg=False) for c in r]
+                      for r in rows]
+        if declared is not None:
+            if len(declared) != ncol:
+                raise AnalysisError(
+                    "values() structure does not match the row arity")
+            cols = declared
+        else:
+            cols = []
+            for j in range(ncol):
+                t = bound_rows[0][j].dtype
+                for r in bound_rows[1:]:
+                    t = dt.common_supertype(t, r[j].dtype)
+                cols.append((f"c{j + 1}", t))
+        out_fields = [self.field(nm, t, quals) for nm, t in cols]
+        branches: List[L.PlanNode] = []
+        for r in bound_rows:
+            one = L.OneRowNode([self.field("dummy", dt.UInt8)])
+            fs = [self.field(nm, be.dtype)
+                  for (nm, _), be in zip(cols, r)]
+            branches.append(L.ProjectNode(one, list(r), fs))
+        if len(branches) == 1:
+            node: L.PlanNode = L.ProjectNode(
+                branches[0],
+                [BoundColumn(f.id, f.dtype) for f in branches[0].schema],
+                out_fields)
+        else:
+            node = L.UnionNode(branches, out_fields)
+        return node, Scope(out_fields)
+
     def analyze_table_function(self, ref: ast.TableFunctionRef
                                ) -> Tuple[L.PlanNode, Scope]:
         fc = ref.func
@@ -508,6 +565,8 @@ class Analyzer:
         if name == "one":
             f = L.Field(self.fresh_id(), "dummy", dt.UInt8, quals)
             return L.OneRowNode([f]), Scope([f])
+        if name == "values":
+            return self._analyze_values(fc, quals)
         if name == "file":
             if not fc.args or not isinstance(fc.args[0], ast.Literal):
                 raise AnalysisError("file() expects a constant path")
@@ -1097,6 +1156,12 @@ class Analyzer:
         if isinstance(e, ast.Identifier):
             f = scope.resolve(e.parts)
             if f is None:
+                # bare nan/inf are Float64 literals in the reference lexer
+                # (src/Parsers/Lexer.cpp number tokens)
+                low = e.name.lower()
+                if low in ("nan", "inf", "infinity"):
+                    return _bind_literal(ast.Literal(
+                        float("nan") if low == "nan" else float("inf")))
                 raise UnknownIdentifier(f"Unknown column '{e.name}'")
             return BoundColumn(f.id, f.dtype)
         if isinstance(e, ast.Literal):
@@ -1405,6 +1470,36 @@ class Analyzer:
 
 
 # -- helpers -----------------------------------------------------------------
+
+def _parse_structure(s: str) -> Optional[List[Tuple[str, dt.DType]]]:
+    """'a Int64, b String' -> [(name, dtype)]; None when the string is not
+    a structure spec (then it is a data literal of a values() row)."""
+    parts: List[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    out: List[Tuple[str, dt.DType]] = []
+    for p in parts:
+        p = p.strip()
+        if " " not in p:
+            return None
+        nm, tn = p.split(" ", 1)
+        try:
+            out.append((nm.strip(), dt.parse_type_name(tn.strip())))
+        except Exception:
+            return None
+    return out or None
+
 
 def _default_literal(t: dt.DType) -> BoundLiteral:
     if t.nullable:

@@ -38,7 +38,9 @@ def expr_column_refs(e: BoundExpr, out: Optional[Set[str]] = None) -> Set[str]:
 _NONDETERMINISTIC = {"now", "today", "yesterday", "rand", "rand32",
                      "rand64", "randconstant", "now64", "sleep",
                      "sleepeachrow", "generateuuidv4", "hostname",
-                     "currentuser", "currentdatabase", "uptime", "version"}
+                     "currentuser", "currentdatabase", "uptime", "version",
+                     "randomstring", "randomprintableascii",
+                     "randomstringutf8", "randomfixedstring"}
 
 
 def _fold_constants(e):

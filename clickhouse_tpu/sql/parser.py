@@ -240,6 +240,12 @@ class Parser:
         if self.accept_kw("FROM"):
             sel.from_ = self.parse_table_expression()
             while True:
+                # comma-separated table list = CROSS JOIN (reference:
+                # ParserTablesInSelectQuery comma element)
+                if self.accept_op(","):
+                    sel.joins.append(ast.Join(
+                        "cross", "all", self.parse_table_expression()))
+                    continue
                 join = self.try_parse_join()
                 if join is None:
                     break
