@@ -31,6 +31,9 @@ class Settings:
     max_block_size: int = 1 << 20
     max_threads: int = 0               # 0 = auto (XLA owns intra-chip parallelism)
     max_rows_to_read: int = 0          # 0 = unlimited
+    # implicit LIMIT/OFFSET applied outside the query's own LIMIT clause
+    limit: int = 0                     # 0 = none
+    offset: int = 0
     max_result_rows: int = 0
 
     # -- aggregation ---------------------------------------------------------

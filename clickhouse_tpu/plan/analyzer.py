@@ -165,6 +165,15 @@ class Analyzer:
 
     # -- SELECT --------------------------------------------------------------
     def analyze_select(self, sel: ast.Select, outer_ctes: Dict) -> L.PlanNode:
+        # depth gates session-level limit/offset settings to the top query
+        self._depth = getattr(self, "_depth", 0) + 1
+        try:
+            return self._analyze_select_inner(sel, outer_ctes)
+        finally:
+            self._depth -= 1
+
+    def _analyze_select_inner(self, sel: ast.Select,
+                              outer_ctes: Dict) -> L.PlanNode:
         ctes = dict(outer_ctes)
         scalar_aliases: Dict[str, ast.Expr] = {}
         for cte in sel.ctes:
@@ -371,6 +380,26 @@ class Analyzer:
 
         limit_val = _const_int(sel.limit) if sel.limit is not None else None
         offset_val = _const_int(sel.offset) if sel.offset is not None else 0
+        # `limit` / `offset` SETTINGS wrap OUTSIDE the query's own LIMIT
+        # clause (src/Core/Settings.cpp limit, offset).  A subquery-level
+        # SETTINGS clause scopes to that subquery; session/query settings
+        # apply to the top-level query only.
+        own = getattr(sel, "settings", None) or {}
+        if "limit" in own or "offset" in own:
+            s_lim = int(own.get("limit", 0) or 0)
+            s_off = int(own.get("offset", 0) or 0)
+        elif getattr(self, "_depth", 1) == 1:
+            s_lim = int(getattr(self.settings, "limit", 0) or 0)
+            s_off = int(getattr(self.settings, "offset", 0) or 0)
+        else:
+            s_lim = s_off = 0
+        if s_lim > 0 or s_off > 0:
+            if limit_val is not None:
+                inner = max(limit_val - s_off, 0)
+                limit_val = min(s_lim, inner) if s_lim > 0 else inner
+            elif s_lim > 0:
+                limit_val = s_lim
+            offset_val += s_off
 
         if bound_order:
             hint = None

@@ -426,6 +426,16 @@ class Parser:
             self.expect_op(")")
             alias = self.try_parse_alias()
             return ast.SubqueryRef(q, alias)
+        if self.tok.is_kw("VIEW") \
+                and self.tokens[self.i + 1].kind == "op" \
+                and self.tokens[self.i + 1].text == "(":
+            # view(SELECT ...) table function: an inline subquery
+            # (reference: src/TableFunctions/TableFunctionView.cpp)
+            self.advance()
+            self.expect_op("(")
+            q = self.parse_select_union()
+            self.expect_op(")")
+            return ast.SubqueryRef(q, self.try_parse_alias())
         db, name = self.parse_table_name()
         if self.tok.kind == "op" and self.tok.text == "(" and db is None:
             # table function: numbers(10), file('x.parquet')
