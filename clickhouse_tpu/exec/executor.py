@@ -1727,16 +1727,23 @@ def _exec_join(node: L.JoinNode, ctx: ExecContext) -> ExecBlock:
             data = cv.data[table.row_order][b_idx]
             validity = cv.validity[table.row_order][b_idx] \
                 if cv.validity is not None else None
+            lengths = cv.lengths[table.row_order][b_idx] \
+                if cv.lengths is not None else None
             if left_outer:
                 # join_use_nulls=0 semantics: unmatched -> default value
                 if s.join_use_nulls or cv.dtype.nullable:
                     v = validity if validity is not None \
-                        else jnp.ones(data.shape, jnp.uint8)
+                        else jnp.ones(data.shape[:1], jnp.uint8)
                     validity = jnp.where(mmask, v, 0).astype(jnp.uint8)
                 else:
                     default = _default_scalar(cv)
-                    data = jnp.where(mmask, data, default)
-            cols[f.id] = ColVal(cv.dtype, data, validity, cv.dictionary)
+                    mm = mmask if getattr(data, "ndim", 1) == 1 \
+                        else mmask[:, None]
+                    data = jnp.where(mm, data, default)
+                if lengths is not None:
+                    lengths = jnp.where(mmask, lengths, 0)
+            cols[f.id] = ColVal(cv.dtype, data, validity, cv.dictionary,
+                                lengths=lengths)
 
     j = jnp.arange(out_cap, dtype=jnp.int64)
     valid = j < out_count

@@ -483,6 +483,9 @@ class Session:
         compile cache is keyed by settings, so each tier compiles once) —
         the reference's single->two-level conversion and spill decisions
         (src/Interpreters/Aggregator.cpp:91) recast as re-planning."""
+        from .recursive import has_recursive_ctes, run_recursive_select
+        if has_recursive_ctes(stmt):
+            return run_recursive_select(self, stmt, overrides, sql)
         settings = self._query_settings(stmt, overrides)
         hints = getattr(self, "_capacity_hints", None)
         if hints is None:

@@ -1486,6 +1486,8 @@ register("ignore", lambda ts: dt.UInt8,
 def _elem_mask(cv: ColVal):
     ml = cv.data.shape[-1]
     idx = jax.lax.broadcasted_iota(jnp.int32, cv.data.shape, len(cv.data.shape) - 1)
+    if cv.lengths is None:       # no lengths recorded: full-width rows
+        return idx < jnp.int32(ml)
     return idx < cv.lengths[..., None].astype(jnp.int32)
 
 

@@ -727,12 +727,21 @@ def _arrfn(ex):
             if dt.remove_nullable(a.dtype).is_array \
                     and getattr(a.data, "ndim", 0) == 1:
                 lens = a.lengths
-                if getattr(lens, "ndim", 0) == 0:
+                if lens is None:
+                    # const array with no explicit lengths: full width
+                    lens = jnp.full((1,), a.data.shape[0], jnp.int32)
+                elif getattr(lens, "ndim", 0) == 0:
                     lens = jnp.atleast_1d(lens)
                 a = ColVal(a.dtype, a.data[None, :], a.validity,
                            a.dictionary, lengths=lens, host=a.host)
                 saw_array = True
             elif dt.remove_nullable(a.dtype).is_array:
+                if a.lengths is None:
+                    # full-width rows (e.g. a replicated const)
+                    a = ColVal(a.dtype, a.data, a.validity, a.dictionary,
+                               lengths=jnp.full((a.data.shape[0],),
+                                                a.data.shape[1], jnp.int32),
+                               host=a.host)
                 all_const = False
                 saw_array = True
             new_args.append(a)

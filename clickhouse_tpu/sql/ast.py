@@ -132,6 +132,7 @@ class CTE:
     name: str
     query: Optional[Union["Select", "Union"]] = None
     expr: Optional[Expr] = None         # WITH <expr> AS name scalar form
+    recursive: bool = False             # WITH RECURSIVE name AS (...)
 
 
 @dataclasses.dataclass
@@ -161,6 +162,8 @@ class Select:
 class Union:
     selects: List[Union["Select", "Union"]]
     mode: str = "all"              # all|distinct
+    mode_explicit: bool = True     # False: bare UNION (DISTINCT in WITH
+                                   # RECURSIVE, per SQL standard)
 
 
 @dataclasses.dataclass

@@ -195,16 +195,19 @@ class Parser:
         while True:
             if self.accept_kw("UNION"):
                 mode = "all"
+                explicit = True
                 if self.accept_kw("DISTINCT"):
                     mode = "distinct"
-                else:
-                    self.accept_kw("ALL")
+                elif not self.accept_kw("ALL"):
+                    explicit = False   # bare UNION: DISTINCT in recursion
                 right = self._parse_intersect_chain()
                 # flatten consecutive same-mode unions
                 if isinstance(left, ast.Union) and left.mode == mode:
                     left.selects.append(right)
+                    if not explicit:
+                        left.mode_explicit = False
                 else:
-                    left = ast.Union([left, right], mode)
+                    left = ast.Union([left, right], mode, explicit)
             elif self.accept_kw("EXCEPT"):
                 distinct = bool(self.accept_kw("DISTINCT"))
                 self.accept_kw("ALL")
@@ -213,20 +216,36 @@ class Parser:
             else:
                 return left
 
+    def _parse_select_or_parens(self):
+        """SELECT ..., or a parenthesized (SELECT ... [UNION ...]) branch
+        (reference: ParserUnionQueryElement accepts subquery elements)."""
+        if self.tok.kind == "op" and self.tok.text == "(":
+            nxt = self.tokens[self.i + 1]
+            if nxt.is_kw("SELECT", "WITH") \
+                    or (nxt.kind == "op" and nxt.text == "("):
+                self.expect_op("(")
+                q = self.parse_select_union()
+                self.expect_op(")")
+                return q
+        return self.parse_select()
+
     def _parse_intersect_chain(self):
-        left = self.parse_select()
+        left = self._parse_select_or_parens()
         while self.accept_kw("INTERSECT"):
             distinct = bool(self.accept_kw("DISTINCT"))
             self.accept_kw("ALL")
-            right = self.parse_select()
+            right = self._parse_select_or_parens()
             left = ast.SetOp(left, right, "intersect", distinct)
         return left
 
     def parse_select(self) -> ast.Select:
         ctes: List[ast.CTE] = []
         if self.accept_kw("WITH"):
+            recursive = bool(self.accept_kw("RECURSIVE"))
             while True:
-                ctes.append(self.parse_cte())
+                cte = self.parse_cte()
+                cte.recursive = recursive and cte.query is not None
+                ctes.append(cte)
                 if not self.accept_op(","):
                     break
         self.expect_kw("SELECT")

@@ -745,3 +745,73 @@ class TestLiteralTyping:
                          ).scalar() == "UInt64"
         assert s.execute("SELECT sum(number * 2) FROM numbers(10)"
                          ).scalar() == 90
+
+
+class TestRecursiveCTE:
+    """WITH RECURSIVE: host-side fixpoint over compiled steps
+    (exec/recursive.py; reference ReadFromRecursiveCTEStep)."""
+
+    def test_sequence(self):
+        s = ch.connect()
+        r = s.execute("WITH RECURSIVE t AS (SELECT 1 AS n UNION ALL "
+                      "SELECT n+1 FROM t WHERE n < 5) "
+                      "SELECT * FROM t ORDER BY n")
+        assert r.rows() == [(1,), (2,), (3,), (4,), (5,)]
+
+    def test_fibonacci(self):
+        s = ch.connect()
+        r = s.execute("WITH RECURSIVE f AS (SELECT 0 AS i, 0 AS a, 1 AS b "
+                      "UNION ALL SELECT i+1, b, a+b FROM f WHERE i < 10) "
+                      "SELECT max(b) FROM f")
+        assert r.rows() == [(89,)]
+
+    def test_bare_union_is_distinct(self):
+        s = ch.connect()
+        r = s.execute("WITH RECURSIVE t AS (SELECT 1 AS n UNION "
+                      "SELECT 1 FROM t) SELECT count() FROM t")
+        assert r.rows() == [(1,)]
+
+    def test_tree_with_array_path(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE rc_tree (id UInt64, link Nullable(UInt64)) "
+                  "ENGINE = Memory")
+        s.execute("INSERT INTO rc_tree VALUES (0, NULL), (1, 0), (2, 0), "
+                  "(3, 1)")
+        r = s.execute(
+            "WITH RECURSIVE st AS ("
+            "SELECT id, link, [t.id] AS path FROM rc_tree t WHERE t.id = 0 "
+            "UNION ALL SELECT t.id, t.link, arrayConcat(path, [t.id]) "
+            "FROM rc_tree t, st WHERE t.link = st.id) "
+            "SELECT id, path FROM st ORDER BY id")
+        assert r.rows() == [(0, [0]), (1, [0, 1]), (2, [0, 2]),
+                            (3, [0, 1, 3])]
+
+    def test_nested_in_subquery(self):
+        s = ch.connect()
+        r = s.execute("SELECT sum(n) FROM (WITH RECURSIVE q AS "
+                      "(SELECT 1 AS n UNION ALL SELECT n+1 FROM q "
+                      "WHERE n < 4) SELECT * FROM q)")
+        assert r.rows() == [(10,)]
+
+    def test_scratch_tables_cleaned_up(self):
+        s = ch.connect()
+        s.execute("WITH RECURSIVE t AS (SELECT 1 AS n UNION ALL "
+                  "SELECT n+1 FROM t WHERE n < 3) SELECT * FROM t")
+        names = [r[0] for r in s.execute("SHOW TABLES").rows()]
+        assert not any(str(n).startswith("__rcte") for n in names)
+
+
+class TestArrayThroughJoin:
+    """Array columns keep their lengths when gathered from a join build
+    side (regression: recursive path accumulation through CROSS JOIN)."""
+
+    def test_build_side_array(self):
+        s = ch.connect()
+        s.execute("CREATE TABLE aj_l (k UInt64) ENGINE = Memory")
+        s.execute("INSERT INTO aj_l VALUES (1), (2)")
+        s.execute("CREATE TABLE aj_r (k UInt64, a Array(UInt64)) "
+                  "ENGINE = Memory")
+        s.execute("INSERT INTO aj_r VALUES (1, [10]), (2, [20, 21])")
+        r = s.execute("SELECT aj_l.k, a FROM aj_l INNER JOIN aj_r "
+                      "ON aj_l.k = aj_r.k ORDER BY aj_l.k")
+        assert r.rows() == [(1, [10]), (2, [20, 21])]
