@@ -66,3 +66,9 @@ class MemoryLimitExceeded(ExecutionError):
 
 class NotImplementedError_(EngineError):
     code = 48        # NOT_IMPLEMENTED
+
+
+class RequiresMaterialization(NotImplementedError_):
+    """Raised while TRACING an op whose result needs concrete values
+    (per-row stringification).  The session retries the query eagerly,
+    where the same op sees concrete arrays and succeeds."""

@@ -494,11 +494,18 @@ class Session:
             if getattr(settings, name) < val:
                 settings = settings.copy_with({name: val})
         from ..core.column import pad_to as _pad
-        from ..core.errors import CapacityError
+        from ..core.errors import CapacityError, RequiresMaterialization
         retries = settings.capacity_autotune_max_retries \
             if settings.capacity_autotune else 0
         for attempt in range(retries + 1):
             try:
+                return self._run_select_once(stmt, settings, sql)
+            except RequiresMaterialization:
+                # per-row stringification needs concrete values: run the
+                # plan eagerly (values are real arrays outside the trace)
+                if not settings.compile_queries:
+                    raise
+                settings = settings.copy_with({"compile_queries": 0})
                 return self._run_select_once(stmt, settings, sql)
             except CapacityError as e:
                 if attempt >= retries or not e.setting or e.needed is None:
@@ -1171,11 +1178,21 @@ class Session:
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
             cols: Dict[str, list] = {n: [] for n in names}
+
+            def evalr(e: ast.Expr):
+                import datetime as _dtm
+                sel = ast.Select(items=[ast.SelectItem(e, None)])
+                v = self._run_select(sel, {}).rows()[0][0]
+                if isinstance(v, (_dtm.date, _dtm.datetime)):
+                    return v.isoformat(sep=" ") \
+                        if isinstance(v, _dtm.datetime) else v.isoformat()
+                return v
+
             for row in stmt.values:
                 if len(row) != len(names):
                     raise AnalysisError("INSERT VALUES arity mismatch")
                 for n, e in zip(names, row):
-                    cols[n].append(_literal_value(e))
+                    cols[n].append(_literal_value(e, evalr))
             data = {n: np.asarray(v, dtype=object) for n, v in cols.items()}
             return self._commit_insert(
                 db, stmt.table, _align_insert(data, table, names),
@@ -1530,16 +1547,21 @@ def _status_result() -> Result:
     return Result({}, [])
 
 
-def _literal_value(e: ast.Expr):
+def _literal_value(e: ast.Expr, evalr=None):
     if isinstance(e, ast.Literal):
         return e.value
     if isinstance(e, ast.FuncCall) and e.name == "negate" \
             and isinstance(e.args[0], ast.Literal):
         return -e.args[0].value
     if isinstance(e, ast.FuncCall) and e.name == "array":
-        return [_literal_value(x) for x in e.args]
+        return [_literal_value(x, evalr) for x in e.args]
     if isinstance(e, ast.Tuple_):
-        return tuple(_literal_value(x) for x in e.items)
+        return tuple(_literal_value(x, evalr) for x in e.items)
+    if evalr is not None:
+        # expression cell: evaluate as a scalar SELECT (the reference
+        # parses complex VALUES cells through the full expression
+        # evaluator, src/Processors/Formats/Impl/ValuesBlockInputFormat)
+        return evalr(e)
     raise AnalysisError("INSERT VALUES must be literals")
 
 

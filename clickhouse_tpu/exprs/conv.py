@@ -227,7 +227,11 @@ def cast_exec(args, out_dtype: dt.DType) -> ColVal:
                 codes = (a.data.astype(jnp.int64) - lo).astype(jnp.int32)
                 codes = jnp.clip(codes, 0, hi - lo)
                 return ColVal(out_dtype, codes, v, Dictionary(texts))
-        raise NotImplementedError_(
+        if not isinstance(a.data, _jax.core.Tracer):
+            # eager execution: values are concrete — stringify on host
+            return _materialize_strings(src, a, v, out_dtype)
+        from ..core.errors import RequiresMaterialization
+        raise RequiresMaterialization(
             "toString of non-constant numeric columns requires "
             "materialization; use it at the top level of SELECT")
 
@@ -262,6 +266,21 @@ def _cast_to_numeric(a: ColVal, src: dt.DType, dst: dt.DType):
     return a.data.astype(target)
 
 
+def _materialize_strings(src: dt.DType, a: ColVal, v, out_dtype) -> ColVal:
+    """Eager per-row stringification: concrete device values -> sorted
+    dictionary + codes (the reference's ColumnString materialization in
+    FunctionToString, executed host-side here)."""
+    import jax as _jax
+    vals = np.asarray(_jax.device_get(a.data))
+    if vals.ndim == 0:
+        vals = vals[None]
+    texts = np.asarray([_const_to_text(src, x) for x in vals.tolist()],
+                       object)
+    uniq, codes = np.unique(texts.astype(str), return_inverse=True)
+    return ColVal(out_dtype, jnp.asarray(codes.astype(np.int32)), v,
+                  Dictionary(uniq.astype(object), sorted_=True))
+
+
 def _const_to_text(src: dt.DType, raw) -> str:
     if dt.is_decimal(src) and not dt.is_datetime64(src):
         return typed.format_value(
@@ -281,6 +300,12 @@ def _const_to_text(src: dt.DType, raw) -> str:
             src, np.asarray([int(raw)], object))[0]
     x = np.asarray(raw).item()
     if isinstance(x, float):
+        if x != x:
+            return "nan"
+        if x == float("inf"):
+            return "inf"
+        if x == float("-inf"):
+            return "-inf"
         return repr(x) if x != int(x) else str(int(x))
     return str(x)
 

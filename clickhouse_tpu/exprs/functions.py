@@ -1763,8 +1763,18 @@ def _exec_hex(args, out_dtype):
         lut = jnp.asarray(codes.astype(np.int32))
         return ColVal(out_dtype, lut[idx], a.validity,
                       Dictionary(uniq.astype(object), sorted_=True))
-    raise NotImplementedError_("hex of unbounded numeric columns requires "
-                               "materialization")
+    if not isinstance(a.data, jax.core.Tracer):
+        # eager execution: concrete values — stringify on host
+        vals = np.asarray(jax.device_get(a.data))
+        texts = np.asarray([_hex_host(x, src) for x in vals.tolist()],
+                           object)
+        uniq, codes = np.unique(texts.astype(str), return_inverse=True)
+        return ColVal(out_dtype, jnp.asarray(codes.astype(np.int32)),
+                      a.validity, Dictionary(uniq.astype(object),
+                                             sorted_=True))
+    from ..core.errors import RequiresMaterialization
+    raise RequiresMaterialization(
+        "hex of unbounded numeric columns requires materialization")
 
 
 register("hex", lambda ts: dt.String.with_nullable(ts[0].nullable),
