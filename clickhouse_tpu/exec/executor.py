@@ -50,7 +50,12 @@ class ExecBlock:
     sharded: bool = False
 
     def env(self) -> Dict[str, ColVal]:
-        return self.cols
+        env = dict(self.cols)
+        # reserved key: the block row mask, for mask-aware functions
+        # (throwIf must ignore padding rows)
+        env["__row_valid__"] = ColVal(dt.UInt8,
+                                      self.valid.astype(jnp.uint8), None)
+        return env
 
     def colval(self, field: L.Field) -> ColVal:
         return self.cols[field.id]

@@ -341,6 +341,9 @@ def evaluate(expr: BoundExpr, env: Dict[str, ColVal]) -> ColVal:
         from . import functions
         fn = functions.get(expr.name)
         args = [evaluate(a, env) for a in expr.args]
+        if getattr(fn, "wants_row_mask", False):
+            return fn.execute(args, expr.dtype,
+                              row_mask=env.get("__row_valid__"))
         return fn.execute(args, expr.dtype)
     if isinstance(expr, BoundInList):
         return _evaluate_in_list(expr, env)

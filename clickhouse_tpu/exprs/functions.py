@@ -41,11 +41,17 @@ class ScalarFunction:
         self._resolve = resolve
         self._execute = execute
         self.case_insensitive = case_insensitive
+        # set for functions whose semantics depend on which block rows are
+        # real (throwIf): evaluate() passes the block mask when available
+        self.wants_row_mask = False
 
     def resolve(self, arg_types: List[dt.DType]) -> dt.DType:
         return self._resolve(arg_types)
 
-    def execute(self, args: List[ColVal], out_dtype: dt.DType) -> ColVal:
+    def execute(self, args: List[ColVal], out_dtype: dt.DType,
+                row_mask=None) -> ColVal:
+        if self.wants_row_mask:
+            return self._execute(args, out_dtype, row_mask)
         return self._execute(args, out_dtype)
 
 
@@ -1144,7 +1150,7 @@ for _unit in dt.INTERVAL_UNITS:
 
         def ex(args, out_dtype):
             return ColVal(t, args[0].data.astype(jnp.int64),
-                          _and_validity(args))
+                          _and_validity(args), host=args[0].host)
         return ex
     register(f"toInterval{_unit}",
              (lambda u: lambda ts: dt.INTERVALS[u])(_unit),

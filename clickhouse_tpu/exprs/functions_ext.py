@@ -1466,3 +1466,342 @@ register("randomStringUTF8", lambda ts: dt.String,
          _exec_random_string(_PRINTABLE))
 register("randomFixedString", lambda ts: dt.String,
          _exec_random_string(_PRINTABLE))
+
+
+# ----------------------------------------------- eager per-row host functions
+# Functions whose per-row results cannot be expressed as device math or a
+# per-unique string LUT (multi-column formatting, readable sizes).  Under a
+# trace they raise RequiresMaterialization and the session re-runs the
+# query eagerly (exec/session.py), where values are concrete.
+
+def _host_rows(a: ColVal, cap: int) -> list:
+    """Concrete per-row python values of a ColVal (strings decoded,
+    arrays as lists, NULLs as None)."""
+    d = np.asarray(jax.device_get(a.data))
+    t = dt.remove_nullable(a.dtype)
+    if t.is_array:
+        inner0 = dt.array_inner(t)
+        iv = a.dictionary.values if inner0.is_dictionary \
+            and a.dictionary is not None else None
+        if d.ndim == 1:          # const array (possibly padded)
+            n = d.shape[0]
+            if a.lengths is not None:
+                la = np.asarray(jax.device_get(a.lengths))
+                if la.ndim == 0:
+                    n = int(la)
+                elif la.size:
+                    n = int(la.reshape(-1)[0])
+            row = d.tolist()[:n]
+            if iv is not None:
+                row = [str(iv[int(c)]) for c in row]
+            out = [row] * cap
+        else:
+            lens = np.asarray(jax.device_get(a.lengths)).astype(int) \
+                if a.lengths is not None else np.full(d.shape[0],
+                                                      d.shape[1])
+            out = []
+            for i in range(d.shape[0]):
+                row = d[i, :lens[i]].tolist()
+                if iv is not None:
+                    row = [str(iv[int(c)]) for c in row]
+                out.append(row)
+    elif t.is_dictionary:
+        vals = a.dictionary.values if a.dictionary is not None \
+            else np.asarray([], object)
+        if d.ndim == 0:
+            out = [str(vals[int(d)]) if len(vals) else ""] * cap
+        else:
+            cl = np.clip(d.astype(np.int64), 0,
+                         max(len(vals) - 1, 0))
+            out = [str(vals[c]) if len(vals) else "" for c in cl]
+    else:
+        if d.ndim == 0:
+            out = [d.item()] * cap
+        else:
+            out = d.tolist()
+    if a.validity is not None:
+        vmask = np.asarray(jax.device_get(a.validity))
+        if vmask.ndim == 0:
+            vmask = np.full(cap, int(vmask))
+        out = [x if ok else None for x, ok in zip(out, vmask)]
+    return out
+
+
+def _eager_rowfn(fn, result="str"):
+    """Per-row host function exec: fn(*row_values) -> str | number."""
+    def ex(args, out_dtype):
+        from ..core.errors import RequiresMaterialization
+        if any(isinstance(a.data, jax.core.Tracer) for a in args):
+            raise RequiresMaterialization(
+                "per-row host function needs concrete values")
+        cap = None
+        for a in args:
+            nd = getattr(a.data, "ndim", 0)
+            if (not dt.remove_nullable(a.dtype).is_array and nd >= 1) \
+                    or nd >= 2:
+                cap = max(cap or 1, a.data.shape[0])
+        if cap is None:
+            # every argument is a constant: constant result
+            v = fn(*[_host_rows(a, 1)[0] for a in args])
+            if result == "str":
+                return ColVal(out_dtype, jnp.zeros((), jnp.int32),
+                              _and_validity(args),
+                              Dictionary(np.asarray([str(v)], object)))
+            return ColVal(out_dtype, jnp.asarray(np.asarray(
+                v, dt.remove_nullable(out_dtype).np_dtype)),
+                _and_validity(args))
+        rows = list(zip(*[_host_rows(a, cap) for a in args]))
+        vals = [fn(*r) for r in rows]
+        if result == "str":
+            texts = np.asarray([str(v) for v in vals], object)
+            uniq, codes = np.unique(texts.astype(str), return_inverse=True)
+            return ColVal(out_dtype, jnp.asarray(codes.astype(np.int32)),
+                          _and_validity(args),
+                          Dictionary(uniq.astype(object), sorted_=True))
+        arr = np.asarray(vals, dt.remove_nullable(out_dtype).np_dtype)
+        return ColVal(out_dtype, jnp.asarray(arr), _and_validity(args))
+    return ex
+
+
+def _fmt_readable_size(x) -> str:
+    x = float(x or 0)
+    units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+    n = abs(x)
+    for u in units:
+        if n < 1024 or u == units[-1]:
+            return f"{x:.2f} {u}"
+        x /= 1024.0
+        n /= 1024.0
+    return f"{x:.2f} EiB"
+
+
+def _fmt_readable_qty(x) -> str:
+    x = float(x or 0)
+    for div, suf in ((1e12, " trillion"), (1e9, " billion"),
+                     (1e6, " million"), (1e3, " thousand")):
+        if abs(x) >= div:
+            return f"{x / div:.2f}{suf}"
+    return f"{x:.2f}"
+
+
+def _fmt_readable_delta(x, *rest) -> str:
+    secs = float(x or 0)
+    parts = []
+    for unit, n in (("year", 31536000), ("month", 2592000),
+                    ("day", 86400), ("hour", 3600), ("minute", 60),
+                    ("second", 1)):
+        if secs >= n or (unit == "second" and not parts):
+            q = int(secs // n) if unit != "second" else secs
+            secs -= int(secs // n) * n if unit != "second" else 0
+            if unit == "second":
+                q = round(q, 6)
+                q = int(q) if q == int(q) else q
+            parts.append(f"{q} {unit}" + ("s" if q != 1 else ""))
+    if len(parts) > 1:
+        return ", ".join(parts[:-1]) + " and " + parts[-1]
+    return parts[0]
+
+
+def _format_pattern(pat, *vals) -> str:
+    out, i, vi = [], 0, 0
+    auto = "{}" in str(pat)
+    s = str(pat)
+    while i < len(s):
+        if s[i] == "{":
+            j = s.index("}", i)
+            spec = s[i + 1:j]
+            idx = int(spec) if spec else vi
+            vi += 1
+            v = vals[idx]
+            out.append("\\N" if v is None else str(v))
+            i = j + 1
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+register("format", lambda ts: dt.String, _eager_rowfn(_format_pattern),
+         case_insensitive=True)
+register("formatReadableSize", lambda ts: dt.String,
+         _eager_rowfn(_fmt_readable_size), case_insensitive=True)
+register("formatReadableQuantity", lambda ts: dt.String,
+         _eager_rowfn(_fmt_readable_qty), case_insensitive=True)
+register("formatReadableDecimalSize", lambda ts: dt.String,
+         _eager_rowfn(lambda x: (lambda v: next(
+             (f"{v / d:.2f} {u}" for d, u in
+              ((1e18, "EB"), (1e15, "PB"), (1e12, "TB"), (1e9, "GB"),
+               (1e6, "MB"), (1e3, "KB")) if abs(v) >= d),
+             f"{v:.2f} B"))(float(x or 0))))
+register("formatReadableTimeDelta", lambda ts: dt.String,
+         _eager_rowfn(_fmt_readable_delta))
+register("visibleWidth", lambda ts: dt.UInt64,
+         _eager_rowfn(lambda v: len("\\N" if v is None else
+                                    ("''" if v == "" else str(v))),
+                      result="int"))
+register("arrayStringConcat", lambda ts: dt.String,
+         _eager_rowfn(lambda arr, sep="": str(sep).join(
+             str(x) for x in (arr or []))))
+
+
+def _exec_throw_if(args, out_dtype, row_mask=None):
+    from ..core.errors import RequiresMaterialization, EngineError
+    if isinstance(args[0].data, jax.core.Tracer):
+        raise RequiresMaterialization("throwIf needs concrete values")
+    cap = args[0].data.shape[0] if getattr(args[0].data, "ndim", 0) else 1
+    vals = _host_rows(args[0], cap)
+    if row_mask is not None and getattr(row_mask.data, "ndim", 0):
+        mask = np.asarray(jax.device_get(row_mask.data))[:cap]
+        vals = [v for v, ok in zip(vals, mask) if ok]
+    if any(bool(v) for v in vals if v is not None):
+        msg = "Value passed to 'throwIf' function is non-zero"
+        if len(args) > 1 and args[1].dictionary is not None \
+                and len(args[1].dictionary.values):
+            msg = str(args[1].dictionary.values[0])
+        raise EngineError(msg)
+    return ColVal(out_dtype, jnp.zeros((), jnp.uint8), None)
+
+
+register("throwIf", lambda ts: dt.UInt8, _exec_throw_if)
+FUNCTIONS["throwIf"].wants_row_mask = True
+
+
+# --------------------------------------------------- date-time batch (r3)
+
+register("toMonday", lambda ts: dt.Date.with_nullable(ts[0].nullable),
+         lambda args, t: ColVal(t, (lambda d: d - (d + 3) % 7)(
+             _as_days(args[0]).astype(jnp.int64)).astype(jnp.int32),
+             args[0].validity), case_insensitive=True)
+
+# timezone conversion: the engine stores civil time as-is (single-zone
+# sessions, reference: DateLUT session timezone); toTimeZone re-labels
+register("toTimeZone", lambda ts: ts[0],
+         lambda args, t: ColVal(t, args[0].data, args[0].validity),
+         case_insensitive=True)
+
+
+def _exec_to_start_of_interval(args, out_dtype):
+    iv = args[1]
+    unit = dt.remove_nullable(iv.dtype).name.replace("Interval", "").lower()
+    n = _const_int(iv, "toStartOfInterval")
+    n = max(n, 1)
+    x = args[0]
+    secs_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 604800}
+    if unit in secs_per and dt.remove_nullable(x.dtype).name != "Date":
+        q = jnp.int64(secs_per[unit] * n)
+        v = x.data.astype(jnp.int64)
+        off = jnp.int64(3 * 86400) if unit == "week" else jnp.int64(0)
+        out = ((v + off) // q) * q - off
+        if dt.remove_nullable(out_dtype).name == "Date":
+            out = out // 86400
+        return ColVal(out_dtype, out.astype(
+            dt.remove_nullable(out_dtype).jnp_dtype), x.validity)
+    days = _as_days(x).astype(jnp.int64)
+    if unit in ("day", "week"):
+        q = jnp.int64(n * (7 if unit == "week" else 1))
+        off = jnp.int64(3) if unit == "week" else jnp.int64(0)
+        out = ((days + off) // q) * q - off
+        return ColVal(out_dtype, out.astype(jnp.int32), x.validity)
+    y, m, _ = _civil_from_days(days)
+    months = y * 12 + (m - 1)
+    if unit == "month":
+        months = (months // n) * n
+    elif unit == "quarter":
+        months = (months // (3 * n)) * (3 * n)
+    elif unit == "year":
+        months = (months // (12 * n)) * (12 * n)
+    else:
+        raise TypeError_(f"toStartOfInterval: unsupported unit '{unit}'")
+    out = _days_from_civil(months // 12, months % 12 + 1,
+                           jnp.ones_like(months))
+    return ColVal(out_dtype, out.astype(jnp.int32), x.validity)
+
+
+def _resolve_start_of_interval(ts):
+    unit = ts[1].name.replace("Interval", "").lower()
+    if unit in ("second", "minute", "hour"):
+        return dt.DateTime.with_nullable(ts[0].nullable)
+    return dt.Date.with_nullable(ts[0].nullable)
+
+
+register("toStartOfInterval", _resolve_start_of_interval,
+         _exec_to_start_of_interval, case_insensitive=True)
+
+
+_BEST_EFFORT_FORMATS = (
+    "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M",
+    "%Y-%m-%d", "%d/%m/%Y %H:%M:%S", "%d/%m/%Y", "%d-%m-%Y", "%Y%m%d",
+    "%d %b %Y", "%d-%b-%Y", "%b %d %Y", "%Y/%m/%d %H:%M:%S", "%Y/%m/%d",
+    "%d.%m.%Y", "%m/%d/%Y %H:%M:%S",
+)
+
+
+def _parse_best_effort(s: str):
+    import datetime as _dtm
+    s = (s or "").strip()
+    if not s:
+        return None
+    if s.isdigit() and 8 < len(s) <= 10:     # unix timestamp
+        return int(s)
+    base, frac, tz = s, "", None
+    m = re.match(r"^(.*?)(?:\.(\d+))?(Z|[+-]\d{2}:?\d{2})?$", s)
+    if m:
+        base = m.group(1).strip()
+        tz = m.group(3)
+    for f in _BEST_EFFORT_FORMATS:
+        try:
+            d = _dtm.datetime.strptime(base, f)
+            ts = int((d - _dtm.datetime(1970, 1, 1)).total_seconds())
+            if tz and tz != "Z":
+                sign = 1 if tz[0] == "+" else -1
+                hh, mm = int(tz[1:3]), int(tz[-2:])
+                ts -= sign * (hh * 3600 + mm * 60)
+            return ts
+        except ValueError:
+            continue
+    return None
+
+
+def _exec_parse_best_effort(mode):
+    def ex(args, out_dtype):
+        a = args[0]
+        vals = a.dictionary.values if a.dictionary is not None \
+            else np.asarray([], object)
+        parsed = [_parse_best_effort(str(v)) for v in vals] or [None]
+        if mode == "strict":
+            bad = next((v for v, p in zip(vals, parsed) if p is None), None)
+            if bad is not None:
+                raise TypeError_(f"Cannot parse DateTime from '{bad}'")
+        lut = jnp.asarray(np.asarray(
+            [max(p, 0) if p is not None else 0 for p in parsed], np.int64))
+        okl = jnp.asarray(np.asarray(
+            [1 if p is not None else 0 for p in parsed], np.uint8))
+        data = lut[jnp.maximum(a.data, 0)]
+        if mode == "ornull":
+            v0 = a.validity if a.validity is not None \
+                else jnp.ones(okl[jnp.maximum(a.data, 0)].shape, jnp.uint8)
+            ok = okl[jnp.maximum(a.data, 0)]
+            return ColVal(out_dtype, data,
+                          (v0.astype(jnp.bool_)
+                           & ok.astype(jnp.bool_)).astype(jnp.uint8))
+        return ColVal(out_dtype, data, a.validity)
+    return ex
+
+
+for _nm, _md in (("parseDateTimeBestEffort", "strict"),
+                 ("parseDateTimeBestEffortOrNull", "ornull"),
+                 ("parseDateTimeBestEffortOrZero", "orzero"),
+                 ("parseDateTime64BestEffort", "strict"),
+                 ("parseDateTimeBestEffortUS", "strict")):
+    register(_nm, (lambda md: lambda ts: dt.DateTime.with_nullable(
+        ts[0].nullable or md == "ornull"))(_md),
+        _exec_parse_best_effort(_md), case_insensitive=True)
+
+
+register("lowerUTF8",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.lower(), object, vec_fn=np.char.lower))
+register("upperUTF8",
+         lambda ts: dt.String.with_nullable(ts[0].nullable),
+         _SLUT(lambda s: s.upper(), object, vec_fn=np.char.upper))
