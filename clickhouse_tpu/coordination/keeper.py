@@ -175,6 +175,23 @@ class Keeper:
                 return False
 
     # -- watches -------------------------------------------------------------
+    def snapshot_nodes(self) -> List[Tuple[str, str, str]]:
+        """(name, value, parent path) rows for the system.zookeeper analog
+        (ref: src/Storages/System/StorageSystemZooKeeper.cpp)."""
+        rows: List[Tuple[str, str, str]] = []
+
+        def walk(node: _Node, path: str) -> None:
+            for name, child in sorted(node.children.items()):
+                data = child.data
+                if isinstance(data, bytes):
+                    data = data.decode("utf-8", "replace")
+                rows.append((name, str(data), path or "/"))
+                walk(child, (path or "") + "/" + name)
+
+        with self._lock:
+            walk(self._root, "")
+        return rows
+
     def watch(self, path: str, cb: Callable[[str], None]) -> None:
         with self._lock:
             self._watches.setdefault(path, []).append(cb)

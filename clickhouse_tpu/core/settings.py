@@ -128,6 +128,7 @@ class Settings:
     use_partition_pruning: bool = True
     optimize_move_to_prewhere: bool = True
     optimize_use_projections: bool = True   # aggregate-projection rewrite
+    optimize_move_conditions: bool = True   # predicate pushdown through joins
 
     # -- compilation ---------------------------------------------------------
     compile_queries: bool = True       # jit the whole plan into one XLA program

@@ -77,6 +77,8 @@ class Session:
             if self.catalog.store is None:
                 self.catalog.enable_persistence(disk)
         self.query_log: List[QueryLogEntry] = []
+        self.error_counts: Dict[str, int] = {}
+        self._start_time = time.monotonic()
         # ProfileEvents analog: monotonic counters (src/Common/ProfileEvents)
         self.profile_events: Dict[str, int] = {}
         # Compiled-query cache (CompiledExpressionCache analog, scaled up to
@@ -131,6 +133,10 @@ class Session:
             if self.settings.log_queries:
                 self.query_log.append(QueryLogEntry(
                     sql, time.monotonic() - t0, 0, "Error", str(e)))
+            # system.errors analog: per-error-class counters
+            # (ref: src/Common/ErrorCodes.cpp increment on throw)
+            nm = type(e).__name__
+            self.error_counts[nm] = self.error_counts.get(nm, 0) + 1
             raise
         finally:
             self._end_span(root)
@@ -1516,7 +1522,146 @@ class Session:
                 "rows": np.asarray([r[4] for r in rows], np.uint64)})
             return t
 
+        def query_cache_table():
+            t = Table("query_cache", [("query", dtm.String),
+                                      ("result_size", dtm.UInt64)])
+            cache = getattr(self, "_result_cache", {}) or {}
+            keys = list(cache.keys())
+            t.insert_pydict({
+                "query": np.asarray([k[0] for k in keys], object),
+                "result_size": np.asarray(
+                    [cache[k].row_count for k in keys], np.uint64)})
+            return t
+
+        def parts_columns_table():
+            rows = []
+            for dbn, db in self.catalog.databases.items():
+                for tn, tbl in db.tables.items():
+                    for i, p in enumerate(getattr(tbl, "parts", [])):
+                        for cn, ct in tbl.schema_items():
+                            rows.append((dbn, tn, f"part_{i}", cn, str(ct),
+                                         p.num_rows))
+            t = Table("parts_columns",
+                      [("database", dtm.String), ("table", dtm.String),
+                       ("name", dtm.String), ("column", dtm.String),
+                       ("type", dtm.String), ("rows", dtm.UInt64)])
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "name": np.asarray([r[2] for r in rows], object),
+                "column": np.asarray([r[3] for r in rows], object),
+                "type": np.asarray([r[4] for r in rows], object),
+                "rows": np.asarray([r[5] for r in rows], np.uint64)})
+            return t
+
+        def metrics_table():
+            # current-value gauges (ref: src/Common/CurrentMetrics.cpp)
+            nparts = sum(len(getattr(tbl, "parts", []))
+                         for db in self.catalog.databases.values()
+                         for tbl in db.tables.values())
+            gauges = [("Query", 1),
+                      ("PartsActive", nparts),
+                      ("TablesToDropQueueSize", 0),
+                      ("MemoryTracking", 0),
+                      ("BackgroundMergesAndMutationsPoolTask",
+                       len(self.catalog.background.active())
+                       if self.catalog.background is not None else 0)]
+            t = Table("metrics", [("metric", dtm.String),
+                                  ("value", dtm.Int64),
+                                  ("description", dtm.String)])
+            t.insert_pydict({
+                "metric": np.asarray([g[0] for g in gauges], object),
+                "value": np.asarray([g[1] for g in gauges], np.int64),
+                "description": np.asarray([""] * len(gauges), object)})
+            return t
+
+        def asynchronous_metrics_table():
+            t = Table("asynchronous_metrics", [("metric", dtm.String),
+                                               ("value", dtm.Float64)])
+            ms = [("Uptime", max(time.monotonic() - self._start_time, 0.0)),
+                  ("NumberOfTables",
+                   float(sum(len(db.tables)
+                             for db in self.catalog.databases.values()))),
+                  ("NumberOfDatabases", float(len(self.catalog.databases)))]
+            t.insert_pydict({
+                "metric": np.asarray([m[0] for m in ms], object),
+                "value": np.asarray([m[1] for m in ms], np.float64)})
+            return t
+
+        def processes_table():
+            t = Table("processes", [("query", dtm.String),
+                                    ("user", dtm.String),
+                                    ("elapsed", dtm.Float64)])
+            t.insert_pydict({
+                "query": np.asarray(["SELECT * FROM system.processes"],
+                                    object),
+                "user": np.asarray(
+                    [getattr(self.current_user, "name", "default")], object),
+                "elapsed": np.asarray([0.0], np.float64)})
+            return t
+
+        def errors_table():
+            items = sorted(self.error_counts.items())
+            t = Table("errors", [("name", dtm.String),
+                                 ("value", dtm.UInt64)])
+            t.insert_pydict({
+                "name": np.asarray([k for k, _ in items], object),
+                "value": np.asarray([v for _, v in items], np.uint64)})
+            return t
+
+        def text_log_table():
+            t = Table("text_log", [("event_time", dtm.Float64),
+                                   ("level", dtm.String),
+                                   ("message", dtm.String)])
+            t.insert_pydict({
+                "event_time": np.asarray([], np.float64),
+                "level": np.asarray([], object),
+                "message": np.asarray([], object)})
+            return t
+
+        def data_skipping_indices_table():
+            rows = []
+            for dbn, db in self.catalog.databases.items():
+                for tn, tbl in db.tables.items():
+                    for ix in getattr(tbl, "skip_indexes", []):
+                        rows.append((dbn, tn, ix.name, ix.kind,
+                                     ix.column or "", ix.granularity))
+            t = Table("data_skipping_indices",
+                      [("database", dtm.String), ("table", dtm.String),
+                       ("name", dtm.String), ("type", dtm.String),
+                       ("expr", dtm.String), ("granularity", dtm.UInt64)])
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "name": np.asarray([r[2] for r in rows], object),
+                "type": np.asarray([r[3] for r in rows], object),
+                "expr": np.asarray([r[4] for r in rows], object),
+                "granularity": np.asarray([r[5] for r in rows], np.uint64)})
+            return t
+
+        def zookeeper_table():
+            from ..coordination.keeper import get_keeper
+            keeper = get_keeper()
+            rows = keeper.snapshot_nodes() \
+                if hasattr(keeper, "snapshot_nodes") else []
+            t = Table("zookeeper", [("name", dtm.String),
+                                    ("value", dtm.String),
+                                    ("path", dtm.String)])
+            t.insert_pydict({
+                "name": np.asarray([r[0] for r in rows], object),
+                "value": np.asarray([r[1] for r in rows], object),
+                "path": np.asarray([r[2] for r in rows], object)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
+                "query_cache": query_cache_table,
+                "parts_columns": parts_columns_table,
+                "metrics": metrics_table,
+                "asynchronous_metrics": asynchronous_metrics_table,
+                "processes": processes_table, "errors": errors_table,
+                "text_log": text_log_table,
+                "data_skipping_indices": data_skipping_indices_table,
+                "zookeeper": zookeeper_table,
                 "disks": disks_table, "merges": merges_table,
                 "part_log": part_log_table,
                 "functions": functions_table, "events": events_table,

@@ -107,6 +107,9 @@ def optimize_plan(plan: L.PlanNode, settings: Settings,
                   catalog=None) -> L.PlanNode:
     _fold_plan_constants(plan)
     plan = _fuse_filters(plan)
+    if getattr(settings, "optimize_move_conditions", True):
+        plan = _push_filters(plan)
+        plan = _fuse_filters(plan)
     if catalog is not None and getattr(settings, "optimize_use_projections",
                                        True):
         plan = _apply_projections(plan, catalog)
@@ -295,6 +298,194 @@ def _push_limit_into_numbers(node: L.PlanNode) -> None:
             child.count = min(child.count, node.limit + max(node.offset, 0))
     for c in node.children():
         _push_limit_into_numbers(c)
+
+
+# -- predicate pushdown --------------------------------------------------------
+# (filterPushDown.cpp / optimizePrimaryKeyCondition analog): move WHERE
+# conjuncts below joins / projections / unions / array joins / GROUP BY keys
+# so they reach the scans, where part/granule pruning and streamed chunk
+# skipping can use them, and shrink join inputs before the gather.
+
+def _split_conj(e: BoundExpr, out: List[BoundExpr]) -> None:
+    if isinstance(e, BoundCall) and e.name.lower() == "and":
+        for a in e.args:
+            _split_conj(a, out)
+    else:
+        out.append(e)
+
+
+def _and_all(parts: Sequence[BoundExpr]) -> BoundExpr:
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = BoundCall("and", [acc, p], dt.UInt8)
+    return acc
+
+
+def _is_deterministic(e: BoundExpr) -> bool:
+    if isinstance(e, BoundCall) and e.name.lower() in _NONDETERMINISTIC:
+        return False
+    return all(_is_deterministic(c) for c in e.children())
+
+
+def _subst_fields(e: BoundExpr, mapping: Dict[str, BoundExpr]):
+    """Clone e with BoundColumn ids replaced by mapped expressions.
+    Returns None when a referenced id has no mapping."""
+    import dataclasses as _dc
+    if isinstance(e, BoundColumn):
+        return mapping.get(e.name)
+    kids = list(e.children())
+    if not kids:
+        return e
+    for f in _dc.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, BoundExpr):
+            nv = _subst_fields(v, mapping)
+            if nv is None:
+                return None
+            try:
+                e = _dc.replace(e, **{f.name: nv})
+            except TypeError:
+                return None
+        elif isinstance(v, list) and v and any(isinstance(x, BoundExpr)
+                                               for x in v):
+            nl = []
+            for x in v:
+                if isinstance(x, BoundExpr):
+                    nx = _subst_fields(x, mapping)
+                    if nx is None:
+                        return None
+                    nl.append(nx)
+                else:
+                    nl.append(x)
+            try:
+                e = _dc.replace(e, **{f.name: nl})
+            except TypeError:
+                return None
+    return e
+
+
+def _push_filters(node: L.PlanNode) -> L.PlanNode:
+    import dataclasses as _dc
+    for f in _dc.fields(node) if _dc.is_dataclass(node) else ():
+        v = getattr(node, f.name)
+        if isinstance(v, L.PlanNode):
+            object.__setattr__(node, f.name, _push_filters(v))
+        elif isinstance(v, list) and v and isinstance(v[0], L.PlanNode):
+            object.__setattr__(node, f.name, [_push_filters(x) for x in v])
+    if not isinstance(node, L.FilterNode):
+        return node
+    child = node.child
+    conj: List[BoundExpr] = []
+    _split_conj(node.predicate, conj)
+
+    def _wrap(rest: List[BoundExpr], new_child: L.PlanNode) -> L.PlanNode:
+        if not rest:
+            return new_child
+        return L.FilterNode(new_child, _and_all(rest), node.schema)
+
+    if isinstance(child, L.JoinNode):
+        left_ids = {f.id for f in child.left.schema}
+        right_ids = {f.id for f in child.right.schema}
+        # right-side pushes change ANY/ASOF match selection — only ALL inner
+        right_ok = (child.kind in ("inner", "cross")
+                    and child.strictness == "all"
+                    and child.asof_left is None)
+        to_left: List[BoundExpr] = []
+        to_right: List[BoundExpr] = []
+        rest: List[BoundExpr] = []
+        for c in conj:
+            refs = expr_column_refs(c)
+            if refs and refs <= left_ids and _is_deterministic(c):
+                to_left.append(c)
+            elif refs and refs <= right_ids and right_ok \
+                    and _is_deterministic(c):
+                to_right.append(c)
+            else:
+                rest.append(c)
+        if not to_left and not to_right:
+            return node
+        if to_left:
+            child.left = _push_filters(
+                L.FilterNode(child.left, _and_all(to_left),
+                             list(child.left.schema)))
+        if to_right:
+            child.right = _push_filters(
+                L.FilterNode(child.right, _and_all(to_right),
+                             list(child.right.schema)))
+        return _wrap(rest, child)
+
+    if isinstance(child, L.ProjectNode):
+        mapping = {f.id: e for f, e in zip(child.schema, child.exprs)}
+        pushed: List[BoundExpr] = []
+        rest = []
+        for c in conj:
+            refs = expr_column_refs(c)
+            ok = all(r in mapping and _is_deterministic(mapping[r])
+                     for r in refs)
+            nc = _subst_fields(c, mapping) if ok else None
+            if nc is not None:
+                pushed.append(nc)
+            else:
+                rest.append(c)
+        if not pushed:
+            return node
+        child.child = _push_filters(
+            L.FilterNode(child.child, _and_all(pushed),
+                         list(child.child.schema)))
+        return _wrap(rest, child)
+
+    if isinstance(child, L.AggregateNode) and child.mode == "single":
+        key_map = {f.id: e for f, e in child.keys}
+        pushed, rest = [], []
+        for c in conj:
+            refs = expr_column_refs(c)
+            ok = refs and all(r in key_map and _is_deterministic(key_map[r])
+                              for r in refs)
+            nc = _subst_fields(c, key_map) if ok else None
+            if nc is not None:
+                pushed.append(nc)
+            else:
+                rest.append(c)
+        if not pushed:
+            return node
+        child.child = _push_filters(
+            L.FilterNode(child.child, _and_all(pushed),
+                         list(child.child.schema)))
+        return _wrap(rest, child)
+
+    if isinstance(child, L.UnionNode):
+        pos_of = {f.id: i for i, f in enumerate(child.schema)}
+        if not all(r in pos_of for c in conj for r in expr_column_refs(c)):
+            return node
+        for i, inp in enumerate(child.inputs):
+            mapping = {fid: BoundColumn(inp.schema[p].id, inp.schema[p].dtype)
+                       for fid, p in pos_of.items()}
+            parts = [_subst_fields(c, mapping) for c in conj]
+            if any(p is None for p in parts):
+                return node
+            child.inputs[i] = _push_filters(
+                L.FilterNode(inp, _and_all(parts), list(inp.schema)))
+        return child
+
+    if isinstance(child, L.ArrayJoinNode):
+        pushed, rest = [], []
+        for c in conj:
+            refs = expr_column_refs(c)
+            if child.out_field.id not in refs and refs \
+                    and _is_deterministic(c):
+                pushed.append(c)
+            else:
+                rest.append(c)
+        if not pushed:
+            return _wrap(conj, child)
+        child.child = _push_filters(
+            L.FilterNode(child.child, _and_all(pushed),
+                         list(child.child.schema)))
+        f = L.FilterNode(child, _and_all(rest), child.schema) if rest \
+            else child
+        return f
+
+    return node
 
 
 def _fuse_filters(node: L.PlanNode) -> L.PlanNode:

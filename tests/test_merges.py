@@ -129,7 +129,9 @@ class TestBackgroundMerges:
                       settings={"background_merge_min_parts": 8})
         s.execute("SYSTEM WAIT MERGES")
         t = s.catalog.get_table("default", "t")
-        assert len(t.parts) == 1
+        # the 9th insert can land before OR after the 8-part merge completes:
+        # either one merged part, or merged part + one straggler
+        assert len(t.parts) <= 2
         assert s.execute("SELECT k, v FROM t ORDER BY k").rows() \
             == [(0, 3), (1, 3), (2, 3)]
         assert s.catalog.background.merges_done >= 1
