@@ -48,9 +48,11 @@ class BackgroundExecutor:
         """Drain the queue (tests / SYSTEM commands)."""
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
-            with self._lock:
-                busy = bool(self._active)
-            if self._q.empty() and not busy:
+            # unfinished_tasks covers the get()->task_done() window where the
+            # queue is already empty but the item is not yet in _active.
+            with self._q.all_tasks_done:
+                busy = self._q.unfinished_tasks > 0
+            if not busy:
                 return
             time.sleep(0.01)
 
