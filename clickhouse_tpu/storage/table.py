@@ -854,13 +854,214 @@ class Catalog:
         self._file_cache[key] = name
         return t
 
+    def inline_format_table(self, fmt: str, text: str,
+                            schema=None) -> Table:
+        """format() table function backing (reference:
+        src/TableFunctions/TableFunctionFormat.cpp): parse an inline data
+        literal with the named input format.  Reuses the file readers via a
+        temp file; columns without a declared structure get the file()
+        inference (c1..cN for headerless formats)."""
+        import os
+        import tempfile
+        from . import formats
+        from .table import Table as _T
+        db = self.databases["_files"]
+        key = ("__format__", fmt, text)
+        name = self._file_cache.get(key)
+        if name is not None and name in db.tables:
+            return db.tables[name]
+        suffix = ".bin" if fmt.lower().startswith("rowbinary") else ".txt"
+        fd, path = tempfile.mkstemp(suffix=suffix)
+        try:
+            mode = "wb" if suffix == ".bin" else "w"
+            with os.fdopen(fd, mode) as fh:
+                fh.write(text.encode("latin-1") if mode == "wb" else text)
+            data = formats.read_file(path, fmt)
+        finally:
+            os.unlink(path)
+        if schema is None:
+            schema = []
+            for cname, vals in data.items():
+                v = np.asarray(vals)
+                if v.dtype == object:
+                    non_null = [x for x in v if x is not None]
+                    nullable = len(non_null) < len(v)
+                    if all(isinstance(x, str) for x in non_null):
+                        t = dt.String
+                    elif all(isinstance(x, (int, np.integer))
+                             for x in non_null):
+                        t = dt.Int64
+                    else:
+                        t = dt.Float64
+                    if nullable:
+                        t = dt.make_nullable(t)
+                else:
+                    t = dt.from_numpy_dtype(v.dtype)
+                schema.append((cname, t))
+        name = f"fmt{len(db.tables)}_{abs(hash(key)) % 10**8}"
+        t = _T(name, schema, engine="File")
+        if data:
+            t.insert_pydict({c: data[c] for c, _ in schema if c in data})
+        db.tables[name] = t
+        self._file_cache[key] = name
+        return t
+
+    GENERATE_RANDOM_ROWS = 1 << 17     # enough for typical `LIMIT n` uses
+
+    def generate_random_table(self, schema, seed=None, max_str=10,
+                              max_arr=10) -> Table:
+        """generateRandom('structure'[, seed[, max_string_len[,
+        max_array_len]]]) backing (reference:
+        src/Storages/StorageGenerateRandom.cpp).  A fixed-size random block:
+        the engine has no infinite-stream scans, so callers LIMIT within
+        GENERATE_RANDOM_ROWS rows."""
+        from .table import Table as _T
+        rng = np.random.default_rng(0 if seed is None else int(seed) & (2**63 - 1))
+        n = self.GENERATE_RANDOM_ROWS
+        alphabet = np.array(list(
+            "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
+
+        def gen_scalar(t, rows):
+            k = t.np_dtype.kind
+            if t.is_dictionary:
+                lens = rng.integers(0, max(1, max_str) + 1, rows)
+                return np.asarray(
+                    ["".join(rng.choice(alphabet, ln)) for ln in lens],
+                    dtype=object)
+            if k in "iu":
+                info = np.iinfo(t.np_dtype)
+                return rng.integers(info.min, info.max, rows,
+                                    dtype=t.np_dtype, endpoint=False)
+            if k == "f":
+                return rng.standard_normal(rows).astype(t.np_dtype) * 1e3
+            if k == "b":
+                return rng.integers(0, 2, rows).astype(bool)
+            raise EngineError(
+                f"generateRandom: unsupported type {t.name}")
+
+        data = {}
+        for cname, t in schema:
+            if t.is_array:
+                inner = dt.array_inner(t)
+                lens = rng.integers(0, max(1, max_arr) + 1, n)
+                flat = gen_scalar(inner, int(lens.sum()))
+                out = np.empty(n, dtype=object)
+                off = 0
+                for i, ln in enumerate(lens):
+                    out[i] = list(flat[off:off + ln])
+                    off += ln
+                data[cname] = out
+            elif t.nullable:
+                vals = gen_scalar(dt.remove_nullable(t), n)
+                mask = rng.random(n) < 0.1
+                out = np.asarray(vals, dtype=object)
+                out[mask] = None
+                data[cname] = out
+            else:
+                data[cname] = gen_scalar(t, n)
+        db = self.databases["_files"]
+        name = f"genrand_{len(db.tables)}"
+        t = _T(name, list(schema), engine="GenerateRandom")
+        t.insert_pydict(data)
+        db.tables[name] = t
+        return t
+
+    @staticmethod
+    def _expand_shards(addr: str) -> List[str]:
+        """Expand one `{a,b}` / `{lo..hi}` brace group into shard addresses
+        (reference: parseRemoteDescription, src/Common/parseRemoteDescription
+        .cpp) — each element of the comma list / range is a separate SHARD;
+        '|' inside an element separates failover replicas."""
+        lo = addr.find("{")
+        hi = addr.find("}", lo + 1)
+        if lo < 0 or hi < 0:
+            return [addr]
+        head, body, tail = addr[:lo], addr[lo + 1:hi], addr[hi + 1:]
+        parts: List[str] = []
+        for piece in body.split(","):
+            if ".." in piece:
+                a, _, b = piece.partition("..")
+                width = len(a) if a.startswith("0") else 0
+                for i in range(int(a), int(b) + 1):
+                    parts.append(str(i).zfill(width))
+            else:
+                parts.append(piece)
+        return [head + p + tail for p in parts]
+
+    @staticmethod
+    def _is_loopback(host: str) -> bool:
+        return host in ("localhost", "") or host.startswith("127.")
+
+    def _local_snapshot(self, target: str) -> Tuple[list, Dict[str, np.ndarray]]:
+        """Read a local table's raw column data (plain scan: parts
+        concatenated, no FINAL) for loopback remote()/cluster() shards."""
+        if "." in target:
+            db, _, name = target.partition(".")
+        else:
+            db, name = self.current_database, target
+        t = self.get_table(db, name)
+        t.sync()
+        schema = list(t.schema_items())
+        data: Dict[str, np.ndarray] = {}
+        for cname, _ in schema:
+            arrs = [p.columns[cname] for p in t.parts if cname in p.columns]
+            if arrs:
+                data[cname] = np.concatenate(arrs)
+            else:
+                data[cname] = np.asarray([], dtype=object)
+        return schema, data
+
     def remote_table(self, addr: str, target: str, user: str = "default",
                      password: str = "") -> Table:
         """remote() backing: pull `db.table` (or a bare table in the remote
         default database) from another server over the native TCP protocol
         into a local _files table.  `addr` may list failover replicas
         separated by '|' (ConnectionPoolWithFailover analog: tried in
-        order, first healthy one wins, errors accounted)."""
+        order, first healthy one wins, errors accounted) and shard brace
+        patterns `127.0.0.{1,2}` — each shard's rows are concatenated
+        (reference: TableFunctionRemote multi-shard read).  Loopback
+        addresses read the local catalog in-process (the reference's own
+        stateless tests treat 127.0.0.x as self)."""
+        shard_addrs = self._expand_shards(addr)
+
+        def serve_in_process(rep: str) -> bool:
+            # loopback reads the LOCAL catalog only when the table exists
+            # here; an explicit port with no such local table means a real
+            # separate server (server<->server pull tests)
+            if not self._is_loopback(rep.partition(":")[0]):
+                return False
+            tgt = target if "." in target \
+                else f"{self.current_database}.{target}"
+            db, _, nm = tgt.partition(".")
+            return self.has_table(db, nm)
+
+        if len(shard_addrs) > 1 or serve_in_process(
+                shard_addrs[0].split("|")[0].strip()):
+            blocks = []
+            schema = None
+            for sa in shard_addrs:
+                rep = sa.split("|")[0].strip()
+                if serve_in_process(rep):
+                    schema, data = self._local_snapshot(target)
+                    blocks.append(data)
+                else:
+                    t = self._remote_fetch(sa, target, user, password)
+                    schema = list(t.schema_items())
+                    blocks.append({c: np.concatenate(
+                        [p.columns[c] for p in t.parts]) if t.parts
+                        else np.asarray([], dtype=object)
+                        for c, _ in schema})
+            name = f"remote_{abs(hash((addr, target))) % 10**10}"
+            out = Table(name, schema, engine="Remote")
+            for data in blocks:
+                if len(next(iter(data.values()), ())):
+                    out.insert_pydict(data)
+            self.databases["_files"].tables[name] = out
+            return out
+        return self._remote_fetch(addr, target, user, password)
+
+    def _remote_fetch(self, addr: str, target: str, user: str = "default",
+                      password: str = "") -> Table:
         from ..server.tcp_server import NativeTcpClient
         from ..core import dtypes as dtm
         import time as _time
