@@ -1805,3 +1805,412 @@ register("lowerUTF8",
 register("upperUTF8",
          lambda ts: dt.String.with_nullable(ts[0].nullable),
          _SLUT(lambda s: s.upper(), object, vec_fn=np.char.upper))
+
+
+# ------------------------------------------------ round-3 long-tail batch 2
+# (reference families: src/Functions/reverse.cpp, splitByChar.cpp,
+#  makeDate.cpp, age(), array norms/distances, translate.cpp)
+
+from .functions import _and_validity as _andv
+
+
+def _exec_reverse_poly(args, out_dtype):
+    """reverse(): strings reverse bytes, arrays reverse elements
+    (ref: src/Functions/reverse.cpp dispatching on column type)."""
+    a = args[0]
+    if dt.remove_nullable(a.dtype).is_array:
+        return _arrfn(_exec_array_reverse)(args, out_dtype)
+    return _string_fn_lut(lambda s: s[::-1], object)(args, out_dtype)
+
+
+register("reverse",
+         lambda ts: ts[0] if ts[0].is_array
+         else dt.String.with_nullable(ts[0].nullable),
+         _exec_reverse_poly, case_insensitive=True)
+
+
+def _string_to_array_lut(host_fn):
+    """Per-dictionary-value host fn returning a LIST of strings; result is
+    a device Array(String): per-unique padded code LUT gathered by code."""
+    def ex(args, out_dtype):
+        a = args[0]
+        if not a.dtype.is_dictionary:
+            raise TypeError_("String function expects a String argument")
+        vals = a.dictionary.values if a.dictionary else np.asarray([], object)
+        lists = [host_fn(str(v)) for v in vals] or [host_fn("")]
+        W = max(1, max(len(l) for l in lists))
+        flat = sorted(set(x for l in lists for x in l)) or [""]
+        code_of = {s: i for i, s in enumerate(flat)}
+        lut = np.zeros((len(lists), W), np.int32)
+        lens = np.zeros(len(lists), np.int32)
+        for i, l in enumerate(lists):
+            lens[i] = len(l)
+            for j, x in enumerate(l):
+                lut[i, j] = code_of[x]
+        codes = jnp.maximum(a.data, 0)
+        if getattr(codes, "ndim", 0) == 0:
+            data = jnp.asarray(lut)[codes]
+            lengths = jnp.asarray(lens)[codes]
+        else:
+            data = jnp.asarray(lut)[codes]
+            lengths = jnp.asarray(lens)[codes]
+        return ColVal(out_dtype, data, _andv(args),
+                      Dictionary(np.asarray(flat, object), sorted_=True),
+                      lengths=lengths)
+    return ex
+
+
+def _resolve_str_array(ts):
+    return dt.Array(dt.String).with_nullable(ts[0].nullable if ts else False)
+
+
+def _exec_split_by_char(args, out_dtype):
+    sep = args[0]
+    if sep.dictionary is None or len(sep.dictionary) != 1:
+        raise TypeError_("splitByChar: separator must be a constant")
+    ch = str(sep.dictionary.values[0])
+    maxn = None
+    if len(args) > 2:
+        maxn = int(np.asarray(jax.device_get(args[2].data)).reshape(-1)[0])
+    def split(s):
+        parts = s.split(ch, maxn) if maxn else s.split(ch)
+        return parts
+    return _string_to_array_lut(split)([args[1]], out_dtype)
+
+
+register("splitByChar", lambda ts: _resolve_str_array(ts[1:]),
+         _exec_split_by_char)
+register("splitByString", lambda ts: _resolve_str_array(ts[1:]),
+         _exec_split_by_char)
+
+
+register("splitByWhitespace", _resolve_str_array,
+         _string_to_array_lut(lambda s: s.split()))
+register("alphaTokens", _resolve_str_array,
+         _string_to_array_lut(
+             lambda s: [t for t in re.split(r"[^a-zA-Z]+", s) if t]))
+register("splitByNonAlpha", _resolve_str_array,
+         _string_to_array_lut(
+             lambda s: [t for t in re.split(r"[^a-zA-Z0-9]+", s) if t]))
+
+
+def _exec_extract_all(args, out_dtype):
+    pat = args[1]
+    if pat.dictionary is None or len(pat.dictionary) != 1:
+        raise TypeError_("extractAll: pattern must be a constant")
+    rx = re.compile(str(pat.dictionary.values[0]))
+    def go(s):
+        out = []
+        for m in rx.finditer(s):
+            out.append(m.group(1) if m.groups() else m.group(0))
+        return out
+    return _string_to_array_lut(go)([args[0]], out_dtype)
+
+
+register("extractAll", lambda ts: _resolve_str_array(ts),
+         _exec_extract_all)
+
+
+def _exec_translate(args, out_dtype):
+    f_d, t_d = args[1].dictionary, args[2].dictionary
+    if f_d is None or t_d is None or len(f_d) != 1 or len(t_d) != 1:
+        raise TypeError_("translate: from/to must be constants")
+    table = str.maketrans(str(f_d.values[0]), str(t_d.values[0]))
+    return _string_fn_lut(lambda s: s.translate(table), object)(
+        [args[0]], out_dtype)
+
+
+register("translate",
+         lambda ts: dt.String.with_nullable(ts[0].nullable), _exec_translate)
+
+
+def _exec_multi_match(mode):
+    def ex(args, out_dtype):
+        pats = args[1]
+        # constant array of patterns: read trace-safe host values
+        if pats.host is not None:
+            # host carries dictionary CODES for string arrays
+            if pats.dictionary is not None:
+                needles = [str(pats.dictionary.values[int(c)])
+                           for c in pats.host]
+            else:
+                needles = [str(x) for x in pats.host]
+        elif not isinstance(pats.data, jax.core.Tracer):
+            pd = np.asarray(jax.device_get(pats.data)).reshape(-1)
+            vals = pats.dictionary.values \
+                if pats.dictionary is not None else []
+            n = None
+            if pats.lengths is not None:
+                ln = np.asarray(jax.device_get(pats.lengths)).reshape(-1)
+                n = int(ln[0]) if ln.size else 0
+            codes = pd[:n] if n is not None else pd
+            needles = [str(vals[int(c)]) for c in codes]
+        else:
+            raise TypeError_("multiMatch: patterns must be constant")
+        if mode == "substr":
+            # multiSearch*: literal substrings, not regexes
+            f = lambda s: np.uint8(any(p in s for p in needles))
+            return _string_fn_lut(f, np.uint8)([args[0]], out_dtype)
+        rxs = [re.compile(p) for p in needles]
+        if mode == "any":
+            f = lambda s: np.uint8(any(r.search(s) for r in rxs))
+            return _string_fn_lut(f, np.uint8)([args[0]], out_dtype)
+        f = lambda s: np.uint64(next(
+            (i + 1 for i, r in enumerate(rxs) if r.search(s)), 0))
+        return _string_fn_lut(f, np.uint64)([args[0]], out_dtype)
+    return ex
+
+
+register("multiMatchAny",
+         lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _exec_multi_match("any"))
+register("multiMatchAnyIndex",
+         lambda ts: dt.UInt64.with_nullable(ts[0].nullable),
+         _exec_multi_match("index"))
+register("multiSearchAny",
+         lambda ts: dt.UInt8.with_nullable(ts[0].nullable),
+         _exec_multi_match("substr"))
+
+
+def _exec_reinterpret_as_string(args, out_dtype):
+    a = args[0]
+    if a.dtype.is_dictionary:
+        return ColVal(out_dtype, a.data, a.validity, a.dictionary)
+    width = dt.remove_nullable(a.dtype).np_dtype.itemsize
+    def f(v):
+        b = int(v).to_bytes(width, "little", signed=v < 0)
+        return b.rstrip(b"\x00").decode("latin-1")
+    from .functions_ext import _eager_rowfn
+    return _eager_rowfn(f)(args, out_dtype)
+
+
+register("reinterpretAsString", lambda ts: dt.String,
+         _exec_reinterpret_as_string)
+
+
+# makeDate / makeDate32 / makeDateTime (ref: src/Functions/makeDate.cpp)
+def _exec_make_date(args, out_dtype):
+    y = _numeric_data(args[0]).astype(jnp.int64)
+    m = _numeric_data(args[1]).astype(jnp.int64)
+    d = _numeric_data(args[2]).astype(jnp.int64)
+    days = _days_from_civil(y, m, d)
+    return ColVal(out_dtype, days.astype(jnp.int32), _andv(args))
+
+
+def _exec_make_datetime(args, out_dtype):
+    y, mo, d, h, mi, s = [_numeric_data(a).astype(jnp.int64)
+                          for a in args[:6]]
+    days = _days_from_civil(y, mo, d)
+    return ColVal(out_dtype, days * 86400 + h * 3600 + mi * 60 + s,
+                  _andv(args))
+
+
+register("makeDate", lambda ts: dt.Date, _exec_make_date)
+register("makeDate32", lambda ts: dt.Date32 if hasattr(dt, "Date32")
+         else dt.Date, _exec_make_date)
+register("makeDateTime", lambda ts: dt.DateTime, _exec_make_datetime)
+
+
+def _exec_age(args, out_dtype):
+    """age('unit', a, b): COMPLETE elapsed units from a to b, truncated
+    toward zero (ref: src/Functions/dateDiff.cpp age mode)."""
+    unit_d = args[0].dictionary
+    if unit_d is None or len(unit_d) != 1:
+        raise TypeError_("age: unit must be a constant string")
+    unit = str(unit_d.values[0]).lower()
+    def secs(a):
+        base = dt.remove_nullable(a.dtype)
+        v = a.data.astype(jnp.int64)
+        if base.name.startswith("Date") and not base.name.startswith(
+                "DateTime"):
+            return v * 86400
+        return v
+    sa, sb = secs(args[1]), secs(args[2])
+    k = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+         "week": 604800}.get(unit)
+    if k is not None:
+        diff = sb - sa
+        q = jnp.where(diff >= 0, diff // k, -((-diff) // k))
+        return ColVal(out_dtype, q, _andv(args))
+    if unit not in ("month", "quarter", "year"):
+        raise TypeError_(f"age: unknown unit '{unit}'")
+    da, db_ = sa // 86400, sb // 86400
+    ta, tb = sa % 86400, sb % 86400
+    ya, ma, dda = _civil_from_days(da)
+    yb, mb, ddb = _civil_from_days(db_)
+    months = (yb - ya) * 12 + (mb - ma)
+    # incomplete trailing month: day-of-month+time earlier than start's
+    before = (ddb < dda) | ((ddb == dda) & (tb < ta))
+    after = (ddb > dda) | ((ddb == dda) & (tb > ta))
+    months = jnp.where((months > 0) & before, months - 1, months)
+    months = jnp.where((months < 0) & after, months + 1, months)
+    div = {"month": 1, "quarter": 3, "year": 12}[unit]
+    q = jnp.where(months >= 0, months // div, -((-months) // div))
+    return ColVal(out_dtype, q.astype(jnp.int64), _andv(args))
+
+
+register("age", lambda ts: dt.Int64.with_nullable(
+    any(t.nullable for t in ts)), _exec_age, case_insensitive=True)
+
+
+# min2/max2 (ref: src/Functions/minmax2.cpp): 2-ary greatest/least
+register("min2", lambda ts: dt.Float64.with_nullable(
+    any(t.nullable for t in ts)),
+    lambda args, out: ColVal(out, jnp.minimum(
+        _numeric_data(args[0]).astype(jnp.float64),
+        _numeric_data(args[1]).astype(jnp.float64)), _andv(args)))
+register("max2", lambda ts: dt.Float64.with_nullable(
+    any(t.nullable for t in ts)),
+    lambda args, out: ColVal(out, jnp.maximum(
+        _numeric_data(args[0]).astype(jnp.float64),
+        _numeric_data(args[1]).astype(jnp.float64)), _andv(args)))
+
+
+# --- array vector math (ref: src/Functions/array/arrayDistance.cpp) -------
+def _vec_pair(args):
+    from .functions import _array_arg
+    a, b = _array_arg(args[0]), _array_arg(args[1])
+    W = max(a.data.shape[-1], b.data.shape[-1])
+    def pad2(x):
+        d = x.data if getattr(x.data, "ndim", 0) == 2 else x.data[None, :]
+        if d.shape[-1] < W:
+            d = jnp.pad(d, ((0, 0), (0, W - d.shape[-1])))
+        return d.astype(jnp.float64)
+    da, db_ = pad2(a), pad2(b)
+    la = a.lengths if getattr(a.lengths, "ndim", 0) else None
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens = jnp.broadcast_to(lens, (max(da.shape[0], db_.shape[0]),))
+    mask = jnp.arange(W)[None, :] < lens[:, None]
+    return da * mask, db_ * mask, mask
+
+
+def _register_distance(name, fn):
+    register(name, lambda ts: dt.Float64.with_nullable(
+        any(t.nullable for t in ts)),
+        _arrfn(lambda args, out: ColVal(out, fn(*_vec_pair(args)),
+                                        _andv(args))))
+
+
+_register_distance("L2Distance",
+                   lambda a, b, m: jnp.sqrt(jnp.sum((a - b) ** 2, -1)))
+_register_distance("L2SquaredDistance",
+                   lambda a, b, m: jnp.sum((a - b) ** 2, -1))
+_register_distance("L1Distance",
+                   lambda a, b, m: jnp.sum(jnp.abs(a - b), -1))
+_register_distance("LinfDistance",
+                   lambda a, b, m: jnp.max(jnp.abs(a - b), -1))
+_register_distance("dotProduct", lambda a, b, m: jnp.sum(a * b, -1))
+_register_distance("cosineDistance", lambda a, b, m: 1.0 - jnp.sum(
+    a * b, -1) / jnp.maximum(jnp.sqrt(jnp.sum(a * a, -1))
+                             * jnp.sqrt(jnp.sum(b * b, -1)), 1e-300))
+
+
+def _exec_l2norm(args, out_dtype):
+    from .functions import _array_arg
+    a = _array_arg(args[0])
+    d = a.data if getattr(a.data, "ndim", 0) == 2 else a.data[None, :]
+    W = d.shape[-1]
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens = jnp.broadcast_to(lens, (d.shape[0],))
+    mask = jnp.arange(W)[None, :] < lens[:, None]
+    x = d.astype(jnp.float64) * mask
+    return ColVal(out_dtype, jnp.sqrt(jnp.sum(x * x, -1)), _andv(args))
+
+
+register("L2Norm", lambda ts: dt.Float64.with_nullable(ts[0].nullable),
+         _arrfn(_exec_l2norm))
+def _exec_l1norm(args, out_dtype):
+    from .functions import _array_arg
+    a = _array_arg(args[0])
+    d = a.data if getattr(a.data, "ndim", 0) == 2 else a.data[None, :]
+    W = d.shape[-1]
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens = jnp.broadcast_to(lens, (d.shape[0],))
+    mask = jnp.arange(W)[None, :] < lens[:, None]
+    x = jnp.abs(d.astype(jnp.float64)) * mask
+    return ColVal(out_dtype, jnp.sum(x, -1), _andv(args))
+
+
+register("L1Norm", lambda ts: dt.Float64.with_nullable(ts[0].nullable),
+         _arrfn(_exec_l1norm))
+
+
+# arrayCumSumNonNegative: y_i = c_i - min(0, cummin(c_i))  — the classic
+# clamped-prefix-sum identity, one pass, no scan
+def _exec_cumsum_nonneg(args, out_dtype):
+    from .functions import _array_arg
+    a = _array_arg(args[0])
+    d = a.data if getattr(a.data, "ndim", 0) == 2 else a.data[None, :]
+    W = d.shape[-1]
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens = jnp.broadcast_to(lens, (d.shape[0],))
+    mask = jnp.arange(W)[None, :] < lens[:, None]
+    x = jnp.where(mask, d, 0)
+    c = jnp.cumsum(x, -1)
+    y = c - jnp.minimum(0, jax.lax.cummin(jnp.minimum(c, 0), axis=1))
+    y = jnp.where(mask, y, 0)
+    return ColVal(out_dtype, y, _andv(args), lengths=a.lengths)
+
+
+register("arrayCumSumNonNegative", lambda ts: ts[0],
+         _arrfn(_exec_cumsum_nonneg))
+
+
+def _exec_array_enum_uniq(args, out_dtype):
+    """arrayEnumerateUniq: 1-based occurrence index of each element among
+    its equals so far (O(W^2) device compare — W is the padded width)."""
+    from .functions import _array_arg
+    a = _array_arg(args[0])
+    d = a.data if getattr(a.data, "ndim", 0) == 2 else a.data[None, :]
+    W = d.shape[-1]
+    lens = a.lengths
+    if getattr(lens, "ndim", 0) == 0:
+        lens = jnp.broadcast_to(lens, (d.shape[0],))
+    mask = jnp.arange(W)[None, :] < lens[:, None]
+    eq = (d[:, :, None] == d[:, None, :])
+    tri = jnp.arange(W)[None, :] <= jnp.arange(W)[:, None]
+    cnt = jnp.sum(eq & tri[None, :, :] & mask[:, None, :], -1)
+    cnt = jnp.where(mask, cnt, 0).astype(jnp.uint32)
+    return ColVal(out_dtype, cnt, _andv(args), lengths=a.lengths)
+
+
+register("arrayEnumerateUniq",
+         lambda ts: dt.Array(dt.UInt32).with_nullable(ts[0].nullable),
+         _arrfn(_exec_array_enum_uniq))
+
+
+def _exec_generate_uuid(args, out_dtype):
+    import uuid
+    return ColVal(out_dtype, jnp.zeros((), jnp.int32), None,
+                  Dictionary(np.asarray([str(uuid.uuid4())], object)))
+
+
+register("generateUUIDv4", lambda ts: dt.UUID, _exec_generate_uuid)
+register("generateUUIDv7", lambda ts: dt.UUID, _exec_generate_uuid)
+
+
+# indexHint: always 1; arguments only steer index analysis
+# (ref: src/Functions/indexHint.cpp)
+register("indexHint", lambda ts: dt.UInt8,
+         lambda args, out: ColVal(out, jnp.ones((), jnp.uint8), None),
+         case_insensitive=True)
+
+
+def _exec_tuple_hamming(args, out_dtype):
+    a, b = args[0], args[1]
+    if a.sub is None or b.sub is None:
+        raise TypeError_("tupleHammingDistance expects Tuples")
+    total = None
+    for x, y in zip(a.sub, b.sub):
+        ne = (x.data != y.data).astype(jnp.uint64)
+        total = ne if total is None else total + ne
+    return ColVal(out_dtype, total, _andv(args))
+
+
+register("tupleHammingDistance",
+         lambda ts: dt.UInt64.with_nullable(any(t.nullable for t in ts)),
+         _exec_tuple_hamming)

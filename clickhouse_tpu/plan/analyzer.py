@@ -1254,8 +1254,14 @@ class Analyzer:
                 return self._bind_dict_get(e, scope)
             if e.name.lower() == "joinget":
                 return self._bind_join_get(e, scope)
-            if e.name == "CAST":
-                return self._bind_cast(e, scope)
+            if e.name == "CAST" or e.name.lower() in (
+                    "cast", "_cast", "accuratecast", "accuratecastornull"):
+                bc = self._bind_cast(e, scope)
+                if e.name.lower().endswith("ornull") \
+                        and not bc.dtype.nullable:
+                    return BoundCall("toNullable", [bc],
+                                     dt.make_nullable(bc.dtype))
+                return bc
             if e.name.lower() == "exists":
                 return self._execute_exists(e)
             if any(isinstance(a, ast.Lambda) for a in e.args):
