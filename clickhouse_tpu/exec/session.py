@@ -480,7 +480,8 @@ class Session:
                 walk(c)
         walk(plan)
         return tuple(sorted(
-            (db, t, self.catalog.get_table(db, t).version) for db, t in blocks))
+            (db, t, getattr(self.catalog.get_table(db, t), "uid", 0),
+             self.catalog.get_table(db, t).version) for db, t in blocks))
 
     def _run_select(self, stmt, overrides: Dict[str, Any],
                     sql: str = "") -> Result:
@@ -689,7 +690,8 @@ class Session:
         if fast is not None:
             fn, plan_c, struct, sig0, table_keys = fast
             sig = tuple(sorted(
-                (db, tbl, self.catalog.get_table(db, tbl).version)
+                (db, tbl, getattr(self.catalog.get_table(db, tbl), "uid", 0),
+                 self.catalog.get_table(db, tbl).version)
                 for (db, tbl) in table_keys))
             if sig == sig0:
                 self._governor_check(plan_c, settings)
@@ -703,7 +705,8 @@ class Session:
         self._governor_check(plan, settings)
         blocks = self._collect_table_blocks(plan)
         sig = tuple(sorted(
-            (db, tbl, self.catalog.get_table(db, tbl).version)
+            (db, tbl, getattr(self.catalog.get_table(db, tbl), "uid", 0),
+             self.catalog.get_table(db, tbl).version)
             for (db, tbl) in blocks))
         fn, plan_c, struct = self._compile_plan(plan, blocks, settings)
         if not nondet:

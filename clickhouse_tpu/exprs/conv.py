@@ -58,21 +58,21 @@ def _num(a: ColVal):
 
 def _dec_parse(s: str, scale: int) -> int:
     try:
-        return typed.decimal_to_int(s.strip(), scale)
+        return typed.decimal_to_int(s.strip().rstrip('\x00'), scale)
     except (decimal.InvalidOperation, ValueError):
         return 0
 
 
 def _date_parse(s: str) -> int:
     try:
-        return typed._parse_date(s)
+        return typed._parse_date(s.rstrip('\x00'))
     except (ValueError, TypeError):
         return 0
 
 
 def _datetime_parse(s: str) -> int:
     try:
-        return typed._parse_datetime(s)
+        return typed._parse_datetime(s.rstrip('\x00'))
     except (ValueError, TypeError):
         return 0
 
@@ -258,7 +258,8 @@ def _cast_to_numeric(a: ColVal, src: dt.DType, dst: dt.DType):
     if src.is_dictionary:
         def parse(s):
             try:
-                f = float(s.strip() or 0)
+                # FixedString zero padding parses as its unpadded value
+                f = float(s.strip().rstrip('\x00') or 0)
             except ValueError:
                 f = 0.0
             return f if np.dtype(target).kind == "f" else int(f)

@@ -471,7 +471,21 @@ def _or_zero(base_exec):
     return ex
 
 
-register("intDivOrZero", _resolve_intdiv, _or_zero(_intdiv_exec))
+def _intdiv_orzero_exec(args, out_dtype):
+    out = _or_zero(_intdiv_exec)(args, out_dtype)
+    st = dt.remove_nullable(out_dtype)
+    if st.np_dtype.kind == "i":
+        # signed MIN / -1 overflows: the reference returns 0, not a trap
+        info = np.iinfo(st.np_dtype)
+        x = _numeric_data(args[0]).astype(st.jnp_dtype)
+        y = _numeric_data(args[1]).astype(st.jnp_dtype)
+        ovf = (x == info.min) & (y == -1)
+        return ColVal(out.dtype, jnp.where(ovf, jnp.zeros((), out.data.dtype),
+                                           out.data), out.validity)
+    return out
+
+
+register("intDivOrZero", _resolve_intdiv, _intdiv_orzero_exec)
 
 
 def _mod_exec(args, out_dtype):
@@ -493,8 +507,15 @@ def _mod_exec(args, out_dtype):
 
 register("modulo", _resolve_intdiv, _mod_exec)
 register("moduloOrZero", _resolve_intdiv, _or_zero(_mod_exec))
-register("negate", lambda ts: _signed(_resolve_arith()(ts)),
-         _unary_numeric(jnp.negative))
+def _negate_exec(args, out_dtype):
+    # widen BEFORE negating: -UInt32(1) must be -1 in the signed result
+    # type, not the wrapped unsigned value (ref: src/Functions/negate.cpp)
+    st = dt.remove_nullable(out_dtype).jnp_dtype
+    x = _numeric_data(args[0]).astype(st)
+    return ColVal(out_dtype, jnp.negative(x), _and_validity(args))
+
+
+register("negate", lambda ts: _signed(_resolve_arith()(ts)), _negate_exec)
 register("abs", _resolve_arith(), _unary_numeric(jnp.abs), case_insensitive=True)
 
 def _bitwise(op):
@@ -997,6 +1018,11 @@ register("toBool", lambda ts: dt.Boolean.with_nullable(ts[0].nullable),
 def _to_string_exec(args, out_dtype):
     a = args[0]
     if a.dtype.is_dictionary:
+        if dt.remove_nullable(a.dtype).name.startswith("FixedString"):
+            # toString(FixedString) strips the zero-byte padding
+            # (ref: src/Functions/toString with FixedString input)
+            return _string_fn_lut(lambda s: s.rstrip("\x00"), object)(
+                args, out_dtype)
         return ColVal(out_dtype, a.data, a.validity, a.dictionary)
     from .conv import cast_exec
     return cast_exec(args[:1], out_dtype)   # enums, constants

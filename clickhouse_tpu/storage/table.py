@@ -211,6 +211,8 @@ def base_engine(name: str) -> str:
 class Table:
     """A named table: schema + list of parts + device cache."""
 
+    _NEXT_UID = 0
+
     def __init__(self, name: str, schema: List[Tuple[str, dt.DType]],
                  engine: str = "Memory",
                  order_by: Optional[List[str]] = None,
@@ -227,6 +229,10 @@ class Table:
         self.parts: List[Part] = []
         self.codecs: Dict[str, str] = {}   # column -> codec chain text
         self._version = 0
+        # unique instance id: DROP+CREATE restarts version at 0, so compile
+        # caches keyed on (name, version) alone would alias the old schema
+        Table._NEXT_UID += 1
+        self.uid = Table._NEXT_UID
         self._device_cache: Optional[Block] = None
         self._lock = threading.Lock()
         # replication state machine (storage/replication.py) for

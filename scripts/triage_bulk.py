@@ -56,7 +56,7 @@ def worker(listfile):
             signal.alarm(0)
 
 
-def driver(n_workers=3, budget_s=9000):
+def driver(n_workers=4, budget_s=2400):
     from test_reference_compat import CASES
     done = set(CASES)
     if os.path.exists(OUT):
