@@ -150,6 +150,12 @@ class Settings:
     # (TestKeeper strategy); "host:port" = networked KeeperServer
     keeper_address: str = ""
 
+    # quorum inserts (ref: src/Storages/MergeTree/ReplicatedMergeTreeSink.cpp)
+    insert_quorum: int = 0                  # 0/1 = no quorum
+    insert_quorum_parallel: bool = True
+    insert_quorum_timeout: int = 600000     # ms; 0 = fail immediately
+    select_sequential_consistency: bool = False
+
     readonly: int = 0
     ignore_unknown_settings: bool = False   # tolerate foreign settings names
                                             # (reference-test compat mode)

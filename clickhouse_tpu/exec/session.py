@@ -362,6 +362,17 @@ class Session:
                     db, name = name.split(".", 1)
                 self.catalog.get_table(db, name).sync()
                 return _status_result()
+            if cmd.startswith(("stop fetches", "start fetches")):
+                name = stmt.command.split()[-1]
+                db = self.catalog.current_database
+                if "." in name:
+                    db, name = name.split(".", 1)
+                t = self.catalog.get_table(db, name)
+                if t.replication is not None:
+                    t.replication.fetches_stopped = cmd.startswith("stop")
+                    if cmd.startswith("start"):
+                        t.replication.pull()
+                return _status_result()
             if cmd.startswith("flush async insert queue"):
                 self.async_inserts.flush()
                 return _status_result()
@@ -1125,7 +1136,8 @@ class Session:
         """Synchronous commit tail shared by direct and async inserts:
         part creation + MV/projection maintenance + merge scheduling."""
         t = self.catalog.get_table(db, table_name)
-        t.insert_pydict(aligned)
+        t.insert_pydict(aligned, quorum=int(
+            (settings or self.settings).insert_quorum))
         self._log_part("NewPart", db, table_name, aligned)
         self._trigger_materialized_views(db, table_name, aligned)
         self._update_projections(db, table_name, aligned)

@@ -743,6 +743,10 @@ def _register_base() -> Dict[str, type]:
                  ax.WelchTTestAgg, ax.GroupArrayMovingSumAgg,
                  ax.GroupArrayMovingAvgAgg]:
         base[_cls.name.lower()] = _cls
+    from . import agg_ext2 as ax2
+    for _cls in [ax2.WindowFunnelAgg, ax2.SequenceMatchAgg, ax2.RetentionAgg,
+                 ax2.RankCorrAgg, ax2.BoundingRatioAgg]:
+        base[_cls.name.lower()] = _cls
     base["varpopstable"] = VarPopAgg
     base["varsampstable"] = VarSampAgg
     base["stddevpopstable"] = StddevPopAgg
@@ -1080,6 +1084,8 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
             inst = cls(arg_types, size or 10)
         else:
             inst = cls(arg_types, size)
+    elif getattr(cls, "param_ctor", False):
+        inst = cls(arg_types, params)
     else:
         inst = cls(arg_types)
     if mode == "state":

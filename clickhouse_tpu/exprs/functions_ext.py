@@ -2214,3 +2214,6 @@ def _exec_tuple_hamming(args, out_dtype):
 register("tupleHammingDistance",
          lambda ts: dt.UInt64.with_nullable(any(t.nullable for t in ts)),
          _exec_tuple_hamming)
+
+# third batch (r3 continuation)
+from . import functions_ext2 as _functions_ext2  # noqa: E402,F401

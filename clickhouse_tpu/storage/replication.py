@@ -49,6 +49,12 @@ def block_id_of(data: Dict[str, np.ndarray]) -> str:
 class Replication:
     """Per-table replica state machine."""
 
+    # live replica objects per (keeper identity, zk_path): lets quorum
+    # inserts ask sibling replicas whether they can confirm a part
+    # (the reference tracks this via is_active ephemerals + quorum znodes,
+    # ReplicatedMergeTreeSink::waitForQuorum)
+    _LIVE: Dict[tuple, Dict[str, "Replication"]] = {}
+
     def __init__(self, table, zk_path: str, replica: str,
                  cluster: str = "default", deduplicate: bool = True):
         self.table = table
@@ -56,8 +62,11 @@ class Replication:
         self.replica = replica
         self.keeper = get_keeper(cluster)
         self.deduplicate = deduplicate
+        self.fetches_stopped = False   # SYSTEM STOP FETCHES
         self._lock = threading.RLock()
         self._pulling = False
+        Replication._LIVE.setdefault(
+            (id(self.keeper), self.zk_path), {})[replica] = self
         k = self.keeper
         k.create_if_missing(f"{self.zk_path}/log")
         k.create_if_missing(f"{self.zk_path}/blocks")
@@ -82,6 +91,31 @@ class Replication:
         except NodeExistsError:
             return None
 
+    def abort_insert(self, block_id: str) -> None:
+        """Roll back a begin_insert that never committed (failed quorum):
+        drop the dedup marker so a retry is not absorbed."""
+        if self.deduplicate:
+            try:
+                self.keeper.remove(f"{self.zk_path}/blocks/{block_id}")
+            except Exception:   # noqa: BLE001 — marker may not exist
+                pass
+
+    def confirming_replicas(self) -> int:
+        """Replicas that would confirm a new part now: this one plus every
+        registered sibling whose live object has fetches running.  A replica
+        with SYSTEM STOP FETCHES (or no live object to apply the log) cannot
+        confirm — the reference's quorum wait would time out on it
+        (ReplicatedMergeTreeSink::waitForQuorum)."""
+        live = Replication._LIVE.get((id(self.keeper), self.zk_path), {})
+        n = 1
+        for name in self.replicas:
+            if name == self.replica:
+                continue
+            sib = live.get(name)
+            if sib is not None and not sib.fetches_stopped:
+                n += 1
+        return n
+
     def log_insert(self, data: Dict[str, np.ndarray], block_id: str) -> None:
         """Commit the replication log entry AFTER the local part exists."""
         with self._lock:
@@ -97,7 +131,7 @@ class Replication:
     def pull(self) -> int:
         """Apply log entries this replica has not seen; -> entries applied."""
         with self._lock:
-            if self._pulling:
+            if self._pulling or self.fetches_stopped:
                 return 0
             self._pulling = True
             try:

@@ -270,13 +270,25 @@ class Table:
         return sum(p.num_rows for p in self.parts)
 
     # -- writes --------------------------------------------------------------
-    def insert_pydict(self, data: Dict[str, np.ndarray]):
+    def insert_pydict(self, data: Dict[str, np.ndarray], quorum: int = 0):
         if self.engine == "Null":
             return                        # StorageNull: writes vanish
         if self.replication is not None:
             bid = self.replication.begin_insert(data)
             if bid is None:
                 return                    # deduplicated retry
+            if quorum and quorum > 1 \
+                    and self.replication.confirming_replicas() < quorum:
+                # quorum unreachable (stopped fetches / missing replicas):
+                # the reference raises UNKNOWN_STATUS_OF_INSERT and
+                # sequential-consistency reads never see the part
+                # (ReplicatedMergeTreeSink::waitForQuorum timeout)
+                self.replication.abort_insert(bid)
+                from ..core.errors import ExecutionError
+                raise ExecutionError(
+                    f"UNKNOWN_STATUS_OF_INSERT: quorum {quorum} is "
+                    f"unreachable ({self.replication.confirming_replicas()} "
+                    f"replica(s) can confirm)")
             self._insert_local(data)
             self.replication.log_insert(data, bid)
             return
