@@ -27,7 +27,23 @@ from ..storage.table import Catalog, Table
 from .executor import ExecContext, execute_plan, materialize
 from .result import Result
 
-__all__ = ["Session"]
+__all__ = ["Session", "active_session", "set_active_session"]
+
+# Thread-local "current query context" so context-dependent scalar
+# functions (currentUser/currentDatabase) resolve against the session
+# actually running the query — the Context analog of
+# src/Interpreters/Context.h carried implicitly here.
+import threading as _threading
+
+_ACTIVE = _threading.local()
+
+
+def set_active_session(s) -> None:
+    _ACTIVE.session = s
+
+
+def active_session():
+    return getattr(_ACTIVE, "session", None)
 
 
 @dataclasses.dataclass
@@ -117,6 +133,7 @@ class Session:
                 ) -> Result:
         t0 = time.monotonic()
         root = self._begin_span("query", attrs=(("db.statement", sql),))
+        set_active_session(self)
         try:
             self.catalog.access.check_quota(self.current_user, time.time())
             with self._span("parse"):

@@ -681,10 +681,23 @@ def _const_string(val_fn):
 
 register("version", lambda ts: dt.String, _const_string(
     lambda: __import__("clickhouse_tpu").__version__))
+def _session_attr(fn, default):
+    def val():
+        from ..exec.session import active_session
+        s = active_session()
+        return fn(s) if s is not None else default
+    return val
+
+
 register("currentDatabase", lambda ts: dt.String,
-         _const_string(lambda: "default"), case_insensitive=True)
+         _const_string(_session_attr(
+             lambda s: s.catalog.current_database, "default")),
+         case_insensitive=True)
 register("currentUser", lambda ts: dt.String,
-         _const_string(lambda: "default"), case_insensitive=True)
+         _const_string(_session_attr(
+             lambda s: getattr(s.current_user, "name", "default"),
+             "default")),
+         case_insensitive=True)
 register("hostName", lambda ts: dt.String,
          _const_string(lambda: __import__("socket").gethostname()),
          case_insensitive=True)
