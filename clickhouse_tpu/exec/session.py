@@ -978,6 +978,21 @@ class Session:
             # same log through the KeeperServer (keeper_net.py)
             cluster = f"tcp://{self.settings.keeper_address}"
         t.replication = Replication(t, zk_path, replica, cluster=cluster)
+        ex = getattr(self, "parts_exchange", None)
+        if ex is not None:
+            # networked part fetch: log entries carry metadata only and
+            # peers pull part data from this endpoint (DataPartsExchange)
+            t.replication.attach_exchange(ex)
+
+    def enable_parts_exchange(self, host: str = "127.0.0.1", port: int = 0):
+        """Start (or return) this process's interserver part-exchange
+        endpoint; replicated tables created afterwards serve and fetch
+        part data over it instead of by in-process reference."""
+        if getattr(self, "parts_exchange", None) is None:
+            from ..storage.parts_exchange import PartsExchangeServer
+            self.parts_exchange = \
+                PartsExchangeServer(host, port).start_background()
+        return self.parts_exchange
 
     def _run_create_view(self, stmt: ast.CreateView) -> Result:
         from ..storage.table import ViewDef

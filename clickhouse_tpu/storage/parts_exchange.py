@@ -1,0 +1,117 @@
+"""Interserver part exchange: replicas fetch part DATA peer-to-peer.
+
+Analog of the reference's DataPartsExchange
+(src/Storages/MergeTree/DataPartsExchange.h:31 Service, :60 Fetcher): the
+replication log in Keeper carries only METADATA (block_id, source); the
+part bytes travel replica-to-replica over a dedicated endpoint.  Each
+replica publishes its endpoint under ``{zk_path}/replicas/{name}/host``
+(the reference stores the interserver address in the same znode), and a
+puller resolves the source's host, fetches the part as a compressed
+Native block, and falls back to ANY other live replica when the source is
+gone — the reference's Fetcher retries over all replicas the same way.
+
+Framing reuses the networked Keeper's wire helpers
+(coordination/keeper_net.py): length-prefixed JSON frames in which column
+dicts ride as LZ4-compressed Native-format blocks.
+"""
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core.errors import EngineError
+from ..coordination.keeper_net import _dec_value, _enc_value, _recv_frame, \
+    _send_frame
+
+__all__ = ["PartsExchangeServer", "fetch_part"]
+
+
+class PartsExchangeServer:
+    """Serves part data for every Replication attached to it.
+
+    One per engine process (the reference runs one InterserverIOHTTPHandler
+    per server); replicas attach via ``Replication.attach_exchange``.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        # (zk_path, replica) -> Replication
+        self._replicas: Dict[Tuple[str, str], object] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                f = self.request.makefile("rwb")
+                try:
+                    while True:
+                        req = _recv_frame(f)
+                        if req is None:
+                            return
+                        _send_frame(f, outer._dispatch(req))
+                except (ConnectionError, BrokenPipeError, OSError):
+                    pass
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Server((host, port), _Handler)
+        self.host, self.port = self._server.server_address
+
+    @property
+    def address(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def attach(self, replication) -> None:
+        with self._lock:
+            self._replicas[(replication.zk_path, replication.replica)] = \
+                replication
+
+    def _dispatch(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ping":
+            return {"ok": True}
+        if op == "fetch":
+            key = (req["zk_path"], req["replica"])
+            with self._lock:
+                rep = self._replicas.get(key)
+            if rep is None:
+                return {"ok": False,
+                        "error": f"no replica {key[1]} for {key[0]} here"}
+            data = rep.serve_part(req["block_id"])
+            if data is None:
+                return {"ok": False,
+                        "error": f"part {req['block_id']} not found on "
+                                 f"{key[1]}"}
+            return {"ok": True, "data": _enc_value(data)}
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+    def start_background(self) -> "PartsExchangeServer":
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def fetch_part(address: str, zk_path: str, replica: str,
+               block_id: str) -> Optional[Dict[str, np.ndarray]]:
+    """Fetch one part from a peer endpoint; -> columns or None on miss.
+    Raises on transport failure (caller decides about failover)."""
+    host, port_s = address.rsplit(":", 1)
+    with socket.create_connection((host, int(port_s)), timeout=10) as sock:
+        f = sock.makefile("rwb")
+        _send_frame(f, {"op": "fetch", "zk_path": zk_path,
+                        "replica": replica, "block_id": block_id})
+        resp = _recv_frame(f)
+    if resp is None:
+        raise EngineError(f"part exchange peer {address} closed connection")
+    if not resp.get("ok"):
+        return None
+    return _dec_value(resp["data"])

@@ -28,7 +28,13 @@ import numpy as np
 from ..coordination import get_keeper
 from ..coordination.keeper import NodeExistsError
 
-__all__ = ["Replication", "block_id_of"]
+__all__ = ["Replication", "ReplicaFetchError", "block_id_of"]
+
+
+class ReplicaFetchError(Exception):
+    """A part could not be fetched from any replica (transient: the entry
+    stays unapplied and the next pull retries, like the reference's
+    replication queue re-executing failed entries)."""
 
 
 def block_id_of(data: Dict[str, np.ndarray]) -> str:
@@ -63,6 +69,8 @@ class Replication:
         self.keeper = get_keeper(cluster)
         self.deduplicate = deduplicate
         self.fetches_stopped = False   # SYSTEM STOP FETCHES
+        self._exchange = None          # PartsExchangeServer when networked
+        self._block_store: Dict[str, Dict[str, np.ndarray]] = {}
         self._lock = threading.RLock()
         self._pulling = False
         Replication._LIVE.setdefault(
@@ -117,10 +125,19 @@ class Replication:
         return n
 
     def log_insert(self, data: Dict[str, np.ndarray], block_id: str) -> None:
-        """Commit the replication log entry AFTER the local part exists."""
+        """Commit the replication log entry AFTER the local part exists.
+
+        With a parts-exchange endpoint attached, the entry carries only
+        metadata and peers fetch the part over the wire (the reference's
+        Keeper-log + DataPartsExchange split); without one, the entry
+        carries the arrays by reference (TestKeeper strategy)."""
         with self._lock:
-            entry = {"block_id": block_id, "source": self.replica,
-                     "data": data}
+            if self._exchange is not None:
+                self._block_store[block_id] = data
+                entry = {"block_id": block_id, "source": self.replica}
+            else:
+                entry = {"block_id": block_id, "source": self.replica,
+                         "data": data}
             self.keeper.create(f"{self.zk_path}/log/entry-", entry,
                                sequential=True)
             # our own entry is skipped by pull() via its source tag; the
@@ -138,18 +155,75 @@ class Replication:
                 entries = self.keeper.get_children(f"{self.zk_path}/log")
                 ptr, _ = self.keeper.get(self._ptr_path)
                 applied = 0
-                for name in entries[ptr:]:
-                    from ..core.failpoints import fail_point
-                    fail_point("replica_before_apply_log")
-                    entry, _ = self.keeper.get(f"{self.zk_path}/log/{name}")
-                    if entry["source"] != self.replica:
-                        self.table._insert_local(entry["data"])
-                    applied += 1
-                if applied:
-                    self.keeper.set(self._ptr_path, ptr + applied)
+                try:
+                    for name in entries[ptr:]:
+                        from ..core.failpoints import fail_point
+                        fail_point("replica_before_apply_log")
+                        entry, _ = self.keeper.get(
+                            f"{self.zk_path}/log/{name}")
+                        if entry["source"] != self.replica:
+                            data = entry.get("data")
+                            if data is None:
+                                data = self._fetch_over_wire(entry)
+                            self.table._insert_local(data)
+                            if self._exchange is not None:
+                                # keep a serveable copy: peers can fetch
+                                # from us if the source dies (Fetcher
+                                # failover)
+                                self._block_store[entry["block_id"]] = data
+                        applied += 1
+                finally:
+                    # advance past everything actually applied, even when a
+                    # later entry's fetch failed — a retry must not
+                    # re-insert applied parts
+                    if applied:
+                        self.keeper.set(self._ptr_path, ptr + applied)
                 return applied
             finally:
                 self._pulling = False
+
+    # -- interserver part exchange ------------------------------------------
+    def attach_exchange(self, server) -> None:
+        """Serve/fetch parts over the wire through this endpoint; publishes
+        the address at replicas/{name}/host (the reference's interserver
+        address znode)."""
+        self._exchange = server
+        server.attach(self)
+        host_path = f"{self.zk_path}/replicas/{self.replica}/host"
+        if self.keeper.exists(host_path):
+            self.keeper.set(host_path, server.address)
+        else:
+            self.keeper.create(host_path, server.address, make_parents=True)
+
+    def serve_part(self, block_id: str):
+        """Part data for a peer's fetch request (DataPartsExchange Service
+        side); None when this replica does not hold the part."""
+        return self._block_store.get(block_id)
+
+    def _fetch_over_wire(self, entry: dict) -> Dict[str, np.ndarray]:
+        """Resolve the source replica's endpoint and fetch; fall back to
+        every other replica with a published host (Fetcher retry loop)."""
+        from .parts_exchange import fetch_part
+        bid = entry["block_id"]
+        candidates = [entry["source"]] + \
+            [r for r in self.replicas
+             if r not in (entry["source"], self.replica)]
+        last_err = None
+        for peer in candidates:
+            host_path = f"{self.zk_path}/replicas/{peer}/host"
+            if not self.keeper.exists(host_path):
+                continue
+            address, _ = self.keeper.get(host_path)
+            try:
+                data = fetch_part(address, self.zk_path, peer, bid)
+            except Exception as e:          # noqa: BLE001 — peer down
+                last_err = e
+                continue
+            if data is not None:
+                return data
+        raise ReplicaFetchError(
+            f"part {bid} unavailable from any replica of {self.zk_path}"
+            + (f" (last transport error: {last_err})" if last_err else ""))
 
     def drop_replica(self) -> None:
         k = self.keeper
