@@ -140,6 +140,8 @@ class AsyncInsertQueue:
 
     def _flush_shard(self, shard: _Shard) -> None:
         from ..core.failpoints import fail_point
+        from ..core.thread_fuzzer import fuzz_yield
+        fuzz_yield("async_insert_flush_shard")
         db, table, names = shard.key
         try:
             # inside the try: an injected fault must reach waiters through

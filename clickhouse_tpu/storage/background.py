@@ -69,6 +69,8 @@ class BackgroundExecutor:
             if item is None:
                 return
             db, name, min_parts = item
+            from ..core.thread_fuzzer import fuzz_yield
+            fuzz_yield("background_merge_dequeue")
             try:
                 if not self.enabled:
                     continue

@@ -97,10 +97,13 @@ class ParallelChunkReader:
             self._threads.append(t)
 
     def _reader_loop(self, name: str) -> None:
+        from ..core.thread_fuzzer import fuzz_yield
         while True:
+            fuzz_yield("read_pool_before_get_task")
             task = self.coord.get_task(name)
             if task is None:
                 return
+            fuzz_yield("read_pool_after_get_task")
             try:
                 data, n = self.src.chunk(task)
             except BaseException as e:        # surfaced on the consumer

@@ -158,7 +158,9 @@ class Replication:
                 try:
                     for name in entries[ptr:]:
                         from ..core.failpoints import fail_point
+                        from ..core.thread_fuzzer import fuzz_yield
                         fail_point("replica_before_apply_log")
+                        fuzz_yield("replica_apply_log")
                         entry, _ = self.keeper.get(
                             f"{self.zk_path}/log/{name}")
                         if entry["source"] != self.replica:
