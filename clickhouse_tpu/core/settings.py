@@ -115,6 +115,13 @@ class Settings:
     # distributed-semantics setting (parallel replicas of one shard); kept
     # distinct from stream_readers (reference: max_parallel_replicas)
     max_parallel_replicas: int = 1
+    # hedged requests against remote() failover replicas: when the primary
+    # has not answered within the timeout, a duplicate request starts on
+    # the next replica and the first answer wins (reference:
+    # use_hedged_requests + hedged_connection_timeout_ms,
+    # src/Client/HedgedConnections.h:29)
+    use_hedged_requests: bool = True
+    hedged_connection_timeout_ms: int = 100
 
     # -- background operations -------------------------------------------
     # inserts leaving at least this many parts schedule a background merge

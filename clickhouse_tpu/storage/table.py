@@ -1078,6 +1078,54 @@ class Catalog:
             return out
         return self._remote_fetch(addr, target, user, password)
 
+    @staticmethod
+    def _hedged_fetch(replicas, fetch_one, errors, stagger_s, addr):
+        """Hedged request runner (HedgedConnections analog,
+        src/Client/HedgedConnections.h:29): start the best replica; every
+        ``stagger_s`` without an answer, start a duplicate request on the
+        next replica; first success wins, failures are accounted and
+        trigger an immediate hedge."""
+        import queue as _queue
+        import threading as _threading
+        results: "_queue.Queue" = _queue.Queue()
+
+        def run(rep: str) -> None:
+            try:
+                results.put(("ok", rep, fetch_one(rep)))
+            except Exception as e:      # noqa: BLE001 — surfaced below
+                results.put(("err", rep, e))
+
+        started = 0
+        pending = 0
+        last_err = None
+
+        def launch_next():
+            nonlocal started, pending
+            _threading.Thread(target=run, args=(replicas[started],),
+                              daemon=True).start()
+            started += 1
+            pending += 1
+
+        launch_next()
+        while True:
+            try:
+                timeout = stagger_s if started < len(replicas) else None
+                kind, rep, val = results.get(timeout=timeout)
+            except _queue.Empty:
+                launch_next()            # primary is slow: hedge
+                continue
+            pending -= 1
+            if kind == "ok":
+                return val               # late losers are daemon threads
+            errors[rep] = errors.get(rep, 0) + 1
+            last_err = val
+            if started < len(replicas):
+                launch_next()            # failure: hedge immediately
+            elif pending == 0:
+                raise EngineError(
+                    f"remote(): all replicas of '{addr}' failed: "
+                    f"{last_err}")
+
     def _remote_fetch(self, addr: str, target: str, user: str = "default",
                       password: str = "") -> Table:
         from ..server.tcp_server import NativeTcpClient
@@ -1100,25 +1148,40 @@ class Catalog:
         # failover order: fewest accumulated errors first, declared order
         # as the tie-break (reference: ConnectionPoolWithFailover)
         replicas.sort(key=lambda a: errors.get(a, 0))
-        last_err = None
-        cols = types = None
-        for rep in replicas:
+
+        def fetch_one(rep: str):
             host, _, port = rep.partition(":")
+            client = NativeTcpClient(host, int(port or 9000), user=user,
+                                     password=password, compression=True)
             try:
-                client = NativeTcpClient(host, int(port or 9000), user=user,
-                                         password=password, compression=True)
+                return client.execute(f"SELECT * FROM {target}")
+            finally:
+                client.close()
+
+        from ..exec.session import active_session
+        s = active_session()
+        hedge = s is not None and s.settings.use_hedged_requests \
+            and len(replicas) > 1
+        stagger_s = (s.settings.hedged_connection_timeout_ms / 1000.0
+                     if s is not None else 0.1)
+        if hedge:
+            cols, types = self._hedged_fetch(replicas, fetch_one, errors,
+                                             stagger_s, addr)
+        else:
+            last_err = None
+            cols = types = None
+            for rep in replicas:
                 try:
-                    cols, types = client.execute(f"SELECT * FROM {target}")
-                finally:
-                    client.close()
-                last_err = None
-                break
-            except (OSError, EngineError) as e:
-                errors[rep] = errors.get(rep, 0) + 1
-                last_err = e
-        if last_err is not None:
-            raise EngineError(
-                f"remote(): all replicas of '{addr}' failed: {last_err}")
+                    cols, types = fetch_one(rep)
+                    last_err = None
+                    break
+                except (OSError, EngineError) as e:
+                    errors[rep] = errors.get(rep, 0) + 1
+                    last_err = e
+            if last_err is not None:
+                raise EngineError(
+                    f"remote(): all replicas of '{addr}' failed: "
+                    f"{last_err}")
         schema = [(n, dtm.parse_type_name(t)) for n, t in types]
         name = f"remote_{abs(hash(key)) % 10**10}"
         t = Table(name, schema, engine="Remote")

@@ -229,3 +229,66 @@ class TestRemoteTableFunction:
         with pytest.raises(EngineError):
             local.execute("SELECT count() FROM "
                           "remote('127.0.0.1:1', default.x)")
+
+
+class TestHedgedRequests:
+    """use_hedged_requests: a stalled primary replica is raced by a
+    duplicate request on the next replica after
+    hedged_connection_timeout_ms (HedgedConnections analog,
+    src/Client/HedgedConnections.h:29)."""
+
+    @pytest.fixture()
+    def stall_server(self):
+        """Accepts connections, never answers the Hello — a hung peer."""
+        import socketserver
+        import threading
+
+        class _H(socketserver.BaseRequestHandler):
+            def handle(self):
+                import time
+                time.sleep(30)
+
+        class _S(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        srv = _S(("127.0.0.1", 0), _H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv.server_address
+        srv.shutdown()
+        srv.server_close()
+
+    def test_hedge_beats_stalled_primary(self, server, stall_server):
+        import time
+        import clickhouse_tpu as ch
+        import numpy as np
+        srv_sess = server.session
+        srv_sess.execute("CREATE TABLE IF NOT EXISTS rh (x Int64)")
+        srv_sess.execute("TRUNCATE TABLE rh")
+        srv_sess.insert_pydict("rh", {"x": np.arange(9, dtype=np.int64)})
+        local = ch.connect()
+        stall = f"{stall_server[0]}:{stall_server[1]}"
+        t0 = time.monotonic()
+        r = local.execute(
+            f"SELECT count() FROM remote("
+            f"'{stall}|127.0.0.1:{server.port}', default.rh)",
+            settings={"hedged_connection_timeout_ms": 50}).rows()
+        elapsed = time.monotonic() - t0
+        assert r == [(9,)]
+        # the stalled primary never errors — only hedging explains speed
+        assert elapsed < 5.0
+
+    def test_hedging_disabled_falls_back_sequential(self, server):
+        import clickhouse_tpu as ch
+        import numpy as np
+        srv_sess = server.session
+        srv_sess.execute("CREATE TABLE IF NOT EXISTS rh2 (x Int64)")
+        srv_sess.execute("TRUNCATE TABLE rh2")
+        srv_sess.insert_pydict("rh2", {"x": np.arange(4, dtype=np.int64)})
+        local = ch.connect()
+        r = local.execute(
+            f"SELECT count() FROM remote("
+            f"'127.0.0.1:1|127.0.0.1:{server.port}', default.rh2)",
+            settings={"use_hedged_requests": 0}).rows()
+        assert r == [(4,)]
