@@ -23,7 +23,7 @@ __all__ = ["read_file", "write_file", "detect_format", "confine_path",
            "FORMATS", "format_rows_text"]
 
 FORMATS = ["Parquet", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
-           "JSONEachRow", "Native", "Values", "Arrow",
+           "JSONEachRow", "Native", "Values", "Arrow", "ORC", "Avro",
            "RowBinary", "RowBinaryWithNamesAndTypes"]
 
 
@@ -62,6 +62,7 @@ def detect_format(path: str) -> str:
         ".tsv": "TSVWithNames", ".json": "JSONEachRow",
         ".jsonl": "JSONEachRow", ".ndjson": "JSONEachRow",
         ".native": "Native", ".arrow": "Arrow",
+        ".orc": "ORC", ".avro": "Avro",
     }.get(ext, "CSVWithNames")
 
 
@@ -78,6 +79,13 @@ def read_file(path: str, fmt: Optional[str] = None,
         with pa.memory_map(path) as src:
             table = pa.ipc.open_file(src).read_all()
         return _arrow_to_pydict(table)
+    if f == "orc":
+        import pyarrow.orc as orc
+        return _arrow_to_pydict(orc.read_table(path))
+    if f == "avro":
+        from .avro_format import read_avro
+        with open(path, "rb") as fh:
+            return read_avro(fh.read())
     if f in ("csv", "csvwithnames", "tsv", "tsvwithnames"):
         import pandas as pd
         sep = "\t" if f.startswith("tsv") else ","
@@ -141,6 +149,16 @@ def write_file(path: str, data: Dict[str, np.ndarray],
     if f == "native":
         from .native_format import write_native_file
         write_native_file(path, data, types)
+        return
+    if f == "orc":
+        import pyarrow as pa
+        import pyarrow.orc as orc
+        orc.write_table(pa.table(_to_arrow_cols(data)), path)
+        return
+    if f == "avro":
+        from .avro_format import write_avro
+        with open(path, "wb") as fh:
+            fh.write(write_avro(data, types))
         return
     if f in ("rowbinary", "rowbinarywithnamesandtypes"):
         from .rowbinary import write_rowbinary

@@ -59,7 +59,7 @@ class TestNativeFormat:
 
 
 class TestFileFormats:
-    @pytest.mark.parametrize("ext", ["parquet", "csv", "jsonl", "native"])
+    @pytest.mark.parametrize("ext", ["parquet", "csv", "jsonl", "native", "orc", "avro"])
     def test_roundtrip(self, tmp_path, sample, ext):
         p = str(tmp_path / f"t.{ext}")
         formats.write_file(p, sample)
@@ -211,3 +211,52 @@ class TestRowBinary:
         assert back["d"].tolist() == [datetime.date(2020, 1, 2),
                                       datetime.date(1970, 1, 1)]
         assert back["a"].tolist() == [[1, 2, 3], []]
+
+
+class TestOrcAvro:
+    """ORC (via arrow) + Avro OCF (from-scratch codec, storage/avro_format.py
+    — ref src/Processors/Formats/Impl/AvroRowInputFormat.cpp)."""
+
+    def test_avro_nullable_union(self, tmp_path):
+        p = str(tmp_path / "n.avro")
+        data = {"v": np.asarray([1, None, 3], dtype=object),
+                "s": np.asarray(["a", None, "c"], dtype=object)}
+        formats.write_file(p, data, types=[("v", "Nullable(Int64)"),
+                                           ("s", "Nullable(String)")])
+        back = formats.read_file(p)
+        assert list(back["v"]) == [1, None, 3]
+        assert list(back["s"]) == ["a", None, "c"]
+
+    def test_avro_header_is_spec_conformant(self, tmp_path):
+        import json
+        p = str(tmp_path / "h.avro")
+        formats.write_file(p, {"x": np.arange(4, dtype=np.int64)})
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"Obj\x01"            # OCF magic per the spec
+        assert b"avro.schema" in raw
+        schema_start = raw.index(b'{"type"')
+        depth = 0
+        for i in range(schema_start, len(raw)):
+            if raw[i:i+1] == b"{":
+                depth += 1
+            elif raw[i:i+1] == b"}":
+                depth -= 1
+                if depth == 0:
+                    schema = json.loads(raw[schema_start:i+1])
+                    break
+        assert schema["type"] == "record"
+        assert schema["fields"][0]["name"] == "x"
+
+    def test_orc_file_table_function(self, tmp_path, session, sample):
+        p = str(tmp_path / "d.orc")
+        formats.write_file(p, sample)
+        r = session.execute(f"SELECT count(), sum(id) FROM file('{p}')")
+        assert r.rows()[0] == (100, int(np.asarray(sample["id"]).sum()))
+
+    def test_avro_file_table_function(self, tmp_path, session, sample):
+        p = str(tmp_path / "d.avro")
+        formats.write_file(p, sample)
+        r = session.execute(
+            f"SELECT name, count() AS c FROM file('{p}') "
+            f"GROUP BY name ORDER BY name LIMIT 1")
+        assert r.rows()[0] == ("name_0", 10)
