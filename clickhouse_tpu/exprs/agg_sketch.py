@@ -108,7 +108,8 @@ class GroupArrayAgg(AggregateFunction):
             keep = mask
         g2 = agg_ops.group_by_sort(ctx.keys, ctx.row_valid,
                                    ctx.num_groups_cap,
-                                   secondary=[jnp.logical_not(keep)],
+                                   secondary=[jnp.logical_not(keep)]
+                                   + self._order_cols(ctx, value),
                                    payloads=[value])
         keep_s = jnp.logical_not(g2.take(jnp.logical_not(keep)))
         v_s = g2.take(value)
@@ -121,7 +122,18 @@ class GroupArrayAgg(AggregateFunction):
                 f"{self.name} result exceeded group_array_max_size; "
                 "raise the group_array_max_size setting",
                 setting="group_array_max_size"))
+        mat = self._post_matrix(mat, lens_c)
         return [mat, lens_c.astype(jnp.int32)]
+
+    def _order_cols(self, ctx, value):
+        """Extra within-group sort keys BEFORE row order (subclass hook:
+        groupArraySorted orders by value, groupArrayLast by recency,
+        groupArraySample by a hash token)."""
+        return []
+
+    def _post_matrix(self, mat, lens):
+        """Per-group row transform after collection (subclass hook)."""
+        return mat
 
     def merge(self, states, grouping, mask_raw):
         raise TypeError_(f"{self.name} cannot merge partial states")

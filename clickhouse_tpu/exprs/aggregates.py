@@ -747,6 +747,20 @@ def _register_base() -> Dict[str, type]:
     for _cls in [ax2.WindowFunnelAgg, ax2.SequenceMatchAgg, ax2.RetentionAgg,
                  ax2.RankCorrAgg, ax2.BoundingRatioAgg]:
         base[_cls.name.lower()] = _cls
+    from . import agg_ext3 as ax3
+    for _cls in [ax3.ExponentialMovingAverageAgg,
+                 ax3.ExponentialTimeDecayedSumAgg,
+                 ax3.ExponentialTimeDecayedCountAgg,
+                 ax3.ExponentialTimeDecayedAvgAgg,
+                 ax3.ExponentialTimeDecayedMaxAgg,
+                 ax3.IntervalLengthSumAgg, ax3.MaxIntersectionsAgg,
+                 ax3.MaxIntersectionsPositionAgg, ax3.MeanZTestAgg,
+                 ax3.MannWhitneyUTestAgg, ax3.CramersVAgg,
+                 ax3.CramersVBiasCorrectedAgg, ax3.TheilsUAgg,
+                 ax3.ContingencyAgg, ax3.SingleValueOrNullAgg,
+                 ax3.GroupArraySortedAgg, ax3.GroupArrayLastAgg,
+                 ax3.GroupArraySampleAgg]:
+        base[_cls.name.lower()] = _cls
     base["varpopstable"] = VarPopAgg
     base["varsampstable"] = VarSampAgg
     base["stddevpopstable"] = StddevPopAgg
@@ -772,6 +786,33 @@ def _register_base() -> Dict[str, type]:
     base["medianexact"] = MedianAgg
     base["mediantdigest"] = MedianAgg
     base["mediantiming"] = MedianAgg
+    # further quantile spellings: all served exactly by the sort path
+    base["quantileexacthigh"] = QuantileExactAgg
+    base["quantileexactexclusive"] = QuantileExactAgg
+    base["quantileexactinclusive"] = QuantileExactAgg
+    base["quantilegk"] = QuantileExactAgg
+    base["quantilesexactexclusive"] = QuantileExactAgg
+    base["quantilesexactinclusive"] = QuantileExactAgg
+    base["quantilesgk"] = QuantileExactAgg
+    base["quantilestiming"] = QuantileExactAgg
+    base["quantilestdigest"] = QuantileExactAgg
+    base["medianexactlow"] = MedianAgg
+    base["medianexacthigh"] = MedianAgg
+    base["medianbfloat16"] = MedianAgg
+    base["mediandeterministic"] = MedianAgg
+    base["medianexactweighted"] = ax.QuantileExactWeightedAgg
+    base["mediantimingweighted"] = ax.QuantileExactWeightedAgg
+    base["mediantdigestweighted"] = ax.QuantileExactWeightedAgg
+    base["medianinterpolatedweighted"] = ax.QuantileExactWeightedAgg
+    # RESPECT NULLS spellings (engine aggregates skip NULLs by mask; the
+    # respect-nulls variants only differ on all-NULL groups)
+    base["any_respect_nulls"] = AnyAgg
+    base["anylast_respect_nulls"] = AnyAgg
+    base["first_value_respect_nulls"] = AnyAgg
+    base["last_value_respect_nulls"] = AnyAgg
+    # groupBitmap = cardinality of an integer set (bitmap structure is an
+    # implementation detail; exact distinct count here)
+    base["groupbitmap"] = UniqExactAgg
     return base
 
 
@@ -795,12 +836,20 @@ APPROX_ALIASES = {
     "anyHeavy": "any (first value)",
     "topK": "exact top-K by frequency (space-saving unnecessary)",
     "sumKahan": "pairwise-exact segmented f64 sum",
+    "quantileGK": "exact quantile (GK sketch accuracy param ignored)",
+    "quantilesGK": "exact quantiles (GK sketch accuracy param ignored)",
+    "groupBitmap": "exact distinct count (no roaring bitmap state)",
+    "groupArraySample": "deterministic position-hash sample (no RNG seed)",
+    "mannWhitneyUTest": "normal approximation with tie correction",
 }
 
 
 _BASE: Dict[str, type] = _register_base()
-_MULTI_Q = {"quantiles", "quantilesexact"}
-_SIZED = {"grouparray", "groupuniqarray", "grouparraydistinct", "topk"}
+_MULTI_Q = {"quantiles", "quantilesexact", "quantilesexactexclusive",
+            "quantilesexactinclusive", "quantilesgk", "quantilestiming",
+            "quantilestdigest"}
+_SIZED = {"grouparray", "groupuniqarray", "grouparraydistinct", "topk",
+          "grouparraysorted", "grouparraylast", "grouparraysample"}
 
 AGGREGATES = _BASE
 
@@ -1067,6 +1116,8 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
         return MergeAgg(inner, state_spec(inner), list(arg_types)), has_if
     cls = _BASE[lname]
     from . import agg_ext as _ax
+    if lname in ("quantilegk", "quantilesgk") and params:
+        params = params[1:]        # leading param is the GK sketch accuracy
     if lname in _MULTI_Q:
         qs = [float(p) for p in params] if params else [0.5]
         inst = QuantileExactAgg(arg_types, qs=qs)
