@@ -811,3 +811,5 @@ def _exec_to_decimal_string(args, out_dtype):
 
 register("toDecimalString", lambda ts: dt.String.with_nullable(
     ts[0].nullable), _exec_to_decimal_string)
+
+from . import functions_ext3 as _functions_ext3  # noqa: E402,F401

@@ -71,6 +71,10 @@ def _fold_constants(e):
             cv = evaluate(e, {})
             if not cv.is_const:
                 return e
+            if cv.validity is not None:
+                import numpy as _np
+                if not bool(_np.asarray(cv.validity).reshape(-1)[:1].all()):
+                    return e           # NULL results keep the call form
             if cv.dtype.is_dictionary:
                 if cv.dictionary is None or len(cv.dictionary) != 1:
                     return e
