@@ -57,12 +57,17 @@ def jax_sort_chk(a):
     return (o.astype(jnp.int64) * (jnp.arange(o.shape[0]) % 127)).sum()
 
 
-def device_time_repeat(s, sql, k_lo=4, k_hi=36):
+def device_time_repeat(s, sql, k_lo=4, k_hi=68, reps=7, trials=3):
     """Isolate DEVICE time of a compiled query from the ~50 ms per-call
     dispatch overhead of the dev tunnel: run the query body k times inside
     ONE dispatch (optimization_barrier threads each iteration's input
     through the previous accumulator so XLA can neither hoist nor CSE the
-    copies), then difference two repeat counts."""
+    copies), then difference two repeat counts.
+
+    r04: the r03 estimator (span 32, min-of-3, one trial) had ±20%
+    trial-to-trial spread — the apparent Q1 0.915→0.866 'regression' was
+    noise.  Now: span 64 iterations to dilute the several-ms per-dispatch
+    jitter, min-of-7 per k, median slope across 3 trials."""
     import jax
     import jax.numpy as jnp
     s.execute(sql)                      # compile + cache
@@ -82,17 +87,22 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=36):
             return acc
         return jax.jit(rep)
 
-    out = []
+    fns = {}
     for k in (k_lo, k_hi):
-        f = make(k)
-        int(f(args))                 # warm; VALUE fetch forces completion
-        ts = []                      # (block_until_ready returns early for
-        for _ in range(3):           # x64 scalars on the axon platform)
-            t0 = time.perf_counter()
-            int(f(args))
-            ts.append(time.perf_counter() - t0)
-        out.append(min(ts))
-    return max((out[1] - out[0]) / (k_hi - k_lo), 1e-6)
+        fns[k] = make(k)
+        int(fns[k](args))            # warm; VALUE fetch forces completion
+    slopes = []                      # (block_until_ready returns early for
+    for _ in range(trials):          # x64 scalars on the axon platform)
+        out = []
+        for k in (k_lo, k_hi):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                int(fns[k](args))
+                ts.append(time.perf_counter() - t0)
+            out.append(min(ts))
+        slopes.append((out[1] - out[0]) / (k_hi - k_lo))
+    return max(float(np.median(slopes)), 1e-6)
 
 
 def main():
@@ -144,101 +154,11 @@ def main():
         "vs_baseline": frac,
     }), flush=True)
 
-    # -- BASELINE-scale streamed configs (the out-of-core engine on real
-    #    data larger than a comfortable device block).  These 1B-row runs
-    #    get their own wall-clock; the small-extras deadline starts AFTER
-    #    them so Q7/Q2s/Q2b/Q3/Q4 always run too. ---------------------------
-    deadline = time.time() + 10**9          # set for real below
-    try:
-        import gc
-        import jax as _jx
-        import jax.numpy as _jnp
-        # raw host->device transfer roofline at this chunk size: a streamed
-        # scan cannot beat moving the bytes onto the chip.  DISTINCT buffers
-        # per rep — repeated puts of one buffer can be deduplicated by the
-        # transport and would overstate the roofline.
-        probes = [np.full(1 << 28, i, np.int32) for i in range(3)]  # 1 GiB
-        _jx.block_until_ready(_jx.device_put(np.zeros(1 << 28, np.int32)))
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            _jx.block_until_ready(_jx.device_put(p))
-            ts.append(time.perf_counter() - t0)
-        xfer_bps = probes[0].nbytes / min(ts)
-        del probes
-        log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
-
-        s5 = ch.connect()
-        t0 = time.time()
-        s5.execute("CREATE TABLE big (x Int64)")
-        CH = 250_000_000
-        for lo in range(0, STREAM_ROWS, CH):
-            hi = min(lo + CH, STREAM_ROWS)
-            xs = (np.arange(lo, hi, dtype=np.int64) * 2654435761) % 1_000_003
-            s5.insert_pydict("big", {"x": xs})
-        log(f"streamed-table ingest ({STREAM_ROWS/1e9:.1f}B rows) "
-            f"{time.time()-t0:.0f}s")
-        ST = {"stream_readers": 2}
-        sql5 = "SELECT count() FROM big WHERE x > 500000"
-        before_stream = s5.profile_events.get("StreamedQueries", 0)
-        t5 = bench_query(s5, sql5, reps=2)
-        streamed5 = s5.profile_events.get("StreamedQueries",
-                                          0) > before_stream
-        sr = STREAM_ROWS / t5
-        xfer_roof = xfer_bps / 4          # 4 B/row on the wire (i32 narrow)
-        tag = "STREAMED" if streamed5 else "whole-block (fits HBM)"
-        roof = xfer_roof if streamed5 else HBM_GBPS * 1e9 / 4
-        log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
-            f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
-        t5b = bench_query(
-            s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
-                "GROUP BY k ORDER BY c DESC LIMIT 10", reps=2)
-        log(f"Q5b {tag} group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
-            f"roofline fraction {(STREAM_ROWS/t5b)/roof:.3f}")
-        del s5
-        gc.collect()
-    except Exception as e:
-        log(f"Q5 streamed-1B failed: {e}")
-
-    try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
-        import gc
-        s6 = ch.connect()
-        t0 = time.time()
-        s6.execute("CREATE TABLE dim (k Int64, label Int64)")
-        s6.insert_pydict("dim", {
-            "k": np.arange(JOIN_DIM, dtype=np.int64),
-            "label": (np.arange(JOIN_DIM, dtype=np.int64) * 7) % 97})
-        s6.execute("CREATE TABLE fact (fk Int64)")
-        CH = 250_000_000
-        for lo in range(0, JOIN_ROWS, CH):
-            hi = min(lo + CH, JOIN_ROWS)
-            s6.insert_pydict("fact", {
-                "fk": (np.arange(lo, hi, dtype=np.int64) * 40503) % JOIN_DIM})
-        log(f"join-table ingest ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M) "
-            f"{time.time()-t0:.0f}s")
-        before_stream = s6.profile_events.get("StreamedQueries", 0)
-        t6 = bench_query(
-            s6, "SELECT count(), sum(label) FROM fact "
-                "INNER JOIN dim ON fact.fk = dim.k "
-                "SETTINGS stream_readers = 2", reps=2)
-        streamed6 = s6.profile_events.get("StreamedQueries",
-                                          0) > before_stream
-        jr = JOIN_ROWS / t6
-        xfer_roof = xfer_bps / 4
-        tag = "STREAMED" if streamed6 else "whole-block (fits HBM)"
-        log(f"Q6 {tag} join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
-            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s"
-            + (f"; transfer-roofline fraction {jr/xfer_roof:.3f}"
-               if streamed6 else ""))
-        del s6
-        gc.collect()
-    except Exception as e:
-        log(f"Q6 streamed join failed: {e}")
-
+    # -- Small on-device benches run FIRST (VERDICT r03 item 1: the 1B
+    #    streamed configs previously ran first and exhausted the driver
+    #    budget, losing every Q2/Q3/Q4/Q7 number).  The streamed tier runs
+    #    LAST under its own sub-budget (BENCH_1B_BUDGET_S) and skips
+    #    gracefully when exceeded. -----------------------------------------
     deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "1200"))
 
     try:
@@ -400,8 +320,109 @@ def main():
         log(f"Q4 join {n_fact/1e6:.0f}M x 1M: {t_join*1e3:.1f} ms "
             f"({n_fact/t_join/1e9:.2f} G rows/s); probe roofline "
             f"{t_gather*1e3:.1f} ms -> fraction {frac_j:.3f}")
+        del s2, idx_d, tbl_d
+        gc.collect()
     except Exception as e:
         log(f"Q4 failed: {e}")
+
+    # -- BASELINE-scale streamed configs (out-of-core engine on data larger
+    #    than a comfortable device block), LAST, under their own budget.
+    budget_1b = float(os.environ.get("BENCH_1B_BUDGET_S", "1500"))
+    deadline_1b = time.time() + budget_1b
+    try:
+        import gc
+        import jax as _jx
+        # raw host->device transfer roofline at this chunk size: a streamed
+        # scan cannot beat moving the bytes onto the chip.  DISTINCT buffers
+        # per rep — repeated puts of one buffer can be deduplicated by the
+        # transport and would overstate the roofline.
+        probes = [np.full(1 << 28, i, np.int32) for i in range(3)]  # 1 GiB
+        _jx.block_until_ready(_jx.device_put(np.zeros(1 << 28, np.int32)))
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            _jx.block_until_ready(_jx.device_put(p))
+            ts.append(time.perf_counter() - t0)
+        xfer_bps = probes[0].nbytes / min(ts)
+        del probes
+        log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
+
+        s5 = ch.connect()
+        t0 = time.time()
+        s5.execute("CREATE TABLE big (x Int64)")
+        CH = 250_000_000
+        for lo in range(0, STREAM_ROWS, CH):
+            hi = min(lo + CH, STREAM_ROWS)
+            xs = (np.arange(lo, hi, dtype=np.int64) * 2654435761) % 1_000_003
+            s5.insert_pydict("big", {"x": xs})
+        log(f"streamed-table ingest ({STREAM_ROWS/1e9:.1f}B rows) "
+            f"{time.time()-t0:.0f}s")
+        # stream_readers=2: overlap host chunk prep + transfer with device
+        # compute (the dead-ST bug from r03 — the setting now really rides
+        # the SQL)
+        sql5 = ("SELECT count() FROM big WHERE x > 500000 "
+                "SETTINGS stream_readers = 2")
+        before_stream = s5.profile_events.get("StreamedQueries", 0)
+        t5 = bench_query(s5, sql5, reps=1)
+        streamed5 = s5.profile_events.get("StreamedQueries",
+                                          0) > before_stream
+        sr = STREAM_ROWS / t5
+        xfer_roof = xfer_bps / 4          # 4 B/row on the wire (i32 narrow)
+        tag = "STREAMED" if streamed5 else "whole-block (fits HBM)"
+        roof = xfer_roof if streamed5 else HBM_GBPS * 1e9 / 4
+        log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
+            f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
+        if time.time() > deadline_1b:
+            raise TimeoutError("1B budget exhausted after Q5")
+        t5b = bench_query(
+            s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
+                "GROUP BY k ORDER BY c DESC LIMIT 10 "
+                "SETTINGS stream_readers = 2", reps=1)
+        log(f"Q5b {tag} group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
+            f"roofline fraction {(STREAM_ROWS/t5b)/roof:.3f}")
+        del s5
+        gc.collect()
+    except Exception as e:
+        log(f"Q5 streamed-1B failed: {e}")
+
+    try:
+        if time.time() > deadline_1b:
+            raise TimeoutError("1B budget exhausted before Q6")
+        import gc
+        s6 = ch.connect()
+        t0 = time.time()
+        s6.execute("CREATE TABLE dim (k Int64, label Int64)")
+        s6.insert_pydict("dim", {
+            "k": np.arange(JOIN_DIM, dtype=np.int64),
+            "label": (np.arange(JOIN_DIM, dtype=np.int64) * 7) % 97})
+        s6.execute("CREATE TABLE fact (fk Int64)")
+        CH = 250_000_000
+        for lo in range(0, JOIN_ROWS, CH):
+            hi = min(lo + CH, JOIN_ROWS)
+            s6.insert_pydict("fact", {
+                "fk": (np.arange(lo, hi, dtype=np.int64) * 40503) % JOIN_DIM})
+        log(f"join-table ingest ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M) "
+            f"{time.time()-t0:.0f}s")
+        before_stream = s6.profile_events.get("StreamedQueries", 0)
+        t6 = bench_query(
+            s6, "SELECT count(), sum(label) FROM fact "
+                "INNER JOIN dim ON fact.fk = dim.k "
+                "SETTINGS stream_readers = 2", reps=1)
+        streamed6 = s6.profile_events.get("StreamedQueries",
+                                          0) > before_stream
+        jr = JOIN_ROWS / t6
+        xfer_roof = xfer_bps / 4
+        tag = "STREAMED" if streamed6 else "whole-block (fits HBM)"
+        log(f"Q6 {tag} join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
+            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s"
+            + (f"; transfer-roofline fraction {jr/xfer_roof:.3f}"
+               if streamed6 else ""))
+        del s6
+        gc.collect()
+    except Exception as e:
+        log(f"Q6 streamed join failed: {e}")
 
 
 if __name__ == "__main__":

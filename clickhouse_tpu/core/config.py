@@ -79,6 +79,15 @@ def apply_config(session, cfg: Dict[str, Any]) -> None:
         session.settings = session.settings.copy_with(
             {k: v for k, v in profile.items()})
 
+    # -- interserver credentials (shared secret for part exchange; the
+    # reference's <interserver_http_credentials>) ---------------------------
+    ic = cfg.get("interserver_credentials") or cfg.get(
+        "interserver_http_credentials")
+    if ic:
+        if isinstance(ic, dict):     # {user, password} like the reference
+            ic = f"{ic.get('user', '')}:{ic.get('password', '')}"
+        session.interserver_secret = str(ic)
+
     # -- durable catalog -----------------------------------------------------
     data_path = cfg.get("path") or cfg.get("data_path")
     if data_path:

@@ -575,7 +575,10 @@ def _stage1(node: L.AggregateNode, child: ExecBlock,
         cond = None
         if item.cond is not None:
             cond = _bool_mask(evaluate(item.cond, child.env()), cap)
-        premask = agg_reg.compose_row_mask(child.valid, arg_cvs, cond)
+        # RESPECT NULLS selectors consume NULL rows as first-class values:
+        # their row mask must not AND in the argument validities
+        mask_args = [] if getattr(item.fn, "respect_nulls", False) else arg_cvs
+        premask = agg_reg.compose_row_mask(child.valid, mask_args, cond)
         per_agg_inputs.append((item, arg_cvs, cond, premask))
 
     if global_agg:

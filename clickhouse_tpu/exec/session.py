@@ -984,14 +984,20 @@ class Session:
             # peers pull part data from this endpoint (DataPartsExchange)
             t.replication.attach_exchange(ex)
 
-    def enable_parts_exchange(self, host: str = "127.0.0.1", port: int = 0):
+    def enable_parts_exchange(self, host: str = "127.0.0.1", port: int = 0,
+                              secret: str = None):
         """Start (or return) this process's interserver part-exchange
         endpoint; replicated tables created afterwards serve and fetch
-        part data over it instead of by in-process reference."""
+        part data over it instead of by in-process reference.  `secret`
+        (or the config's interserver_credentials) gates fetches —
+        InterserverCredentials analog."""
         if getattr(self, "parts_exchange", None) is None:
             from ..storage.parts_exchange import PartsExchangeServer
+            if secret is None:
+                secret = getattr(self, "interserver_secret", "")
             self.parts_exchange = \
-                PartsExchangeServer(host, port).start_background()
+                PartsExchangeServer(host, port,
+                                    secret=secret).start_background()
         return self.parts_exchange
 
     def _run_create_view(self, stmt: ast.CreateView) -> Result:

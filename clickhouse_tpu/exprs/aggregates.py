@@ -284,6 +284,41 @@ class AnyAgg(AggregateFunction):
         return states[0], None
 
 
+class AnyRespectNullsAgg(AggregateFunction):
+    """any/first_value/last_value ... RESPECT NULLS: select a row of the
+    group with NULLs treated as first-class values — any(x) RESPECT NULLS
+    over [NULL, 1] is NULL, not 1 (ref:
+    src/AggregateFunctions/AggregateFunctionAnyRespectNulls.cpp).  Two
+    states pick the SAME row ('any' reduce = deterministic first masked-in
+    row): the value and that row's validity."""
+    name = "any_respect_nulls"
+    respect_nulls = True        # executor: keep NULL rows in the premask
+
+    def result_type(self):
+        return self.arg_types[0]
+
+    def state_ops(self):
+        return ["any", "any"]
+
+    def update(self, ctx, args, cond):
+        mask = self._row_mask(ctx, args, cond)
+        cap = ctx.row_valid.shape[0]
+        v = self._value(ctx, args[0])
+        av = _arg_valid(args[0], cap)
+        av = (jnp.ones((cap,), jnp.int32) if av is None
+              else av.astype(jnp.int32))
+        return [ctx.grouping.reduce("any", v, mask),
+                ctx.grouping.reduce("any", av, mask)]
+
+    def _row_mask(self, ctx, args, cond):
+        if ctx.premask is not None:
+            return ctx.premask
+        return compose_row_mask(ctx.row_valid, [], cond)
+
+    def finalize(self, states):
+        return states[0], states[1].astype(jnp.uint8)
+
+
 class SumSquaresMixin(AggregateFunction):
     """Shared states for the variance family: [sum, sum_sq, count]."""
 
@@ -804,12 +839,12 @@ def _register_base() -> Dict[str, type]:
     base["mediantimingweighted"] = ax.QuantileExactWeightedAgg
     base["mediantdigestweighted"] = ax.QuantileExactWeightedAgg
     base["medianinterpolatedweighted"] = ax.QuantileExactWeightedAgg
-    # RESPECT NULLS spellings (engine aggregates skip NULLs by mask; the
-    # respect-nulls variants only differ on all-NULL groups)
-    base["any_respect_nulls"] = AnyAgg
-    base["anylast_respect_nulls"] = AnyAgg
-    base["first_value_respect_nulls"] = AnyAgg
-    base["last_value_respect_nulls"] = AnyAgg
+    # RESPECT NULLS spellings: NULL rows are selectable values (advisor r03
+    # fix — these differ from any() whenever the selected row is NULL)
+    base["any_respect_nulls"] = AnyRespectNullsAgg
+    base["anylast_respect_nulls"] = AnyRespectNullsAgg
+    base["first_value_respect_nulls"] = AnyRespectNullsAgg
+    base["last_value_respect_nulls"] = AnyRespectNullsAgg
     # groupBitmap = cardinality of an integer set (bitmap structure is an
     # implementation detail; exact distinct count here)
     base["groupbitmap"] = UniqExactAgg

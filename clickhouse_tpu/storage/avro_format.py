@@ -211,6 +211,10 @@ def read_avro(raw: bytes) -> Dict[str, np.ndarray]:
             break
         buf.seek(-1, 1)
         count = _zigzag_decode(buf)
+        if count < 0:
+            # Avro spec: a negative block count means |count| objects and
+            # an extra byte-size varint follows (before the regular one)
+            count = -count
         _zigzag_decode(buf)               # block byte size
         for _ in range(count):
             for n, at in zip(names, ftypes):

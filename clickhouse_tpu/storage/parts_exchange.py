@@ -37,10 +37,16 @@ class PartsExchangeServer:
     per server); replicas attach via ``Replication.attach_exchange``.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 secret: str = ""):
         # (zk_path, replica) -> Replication
         self._replicas: Dict[Tuple[str, str], object] = {}
         self._lock = threading.Lock()
+        # interserver credentials (advisor r03: the endpoint answered any
+        # caller): when non-empty, every data op must present the shared
+        # secret — the reference's InterserverCredentials check
+        # (InterserverIOHTTPHandler::checkAuthentication)
+        self.secret = secret
         outer = self
 
         class _Handler(socketserver.BaseRequestHandler):
@@ -75,13 +81,22 @@ class PartsExchangeServer:
         op = req.get("op")
         if op == "ping":
             return {"ok": True}
-        if op == "fetch":
+        if op in ("fetch", "snapshot"):
+            if self.secret and req.get("secret", "") != self.secret:
+                return {"ok": False,
+                        "error": "interserver credentials mismatch"}
             key = (req["zk_path"], req["replica"])
             with self._lock:
                 rep = self._replicas.get(key)
             if rep is None:
                 return {"ok": False,
                         "error": f"no replica {key[1]} for {key[0]} here"}
+            if op == "snapshot":
+                # clone-replica recovery: full current content + the log
+                # position it reflects (replicas attaching after block GC)
+                cols, pos = rep.serve_snapshot()
+                return {"ok": True, "data": _enc_value(cols),
+                        "log_position": pos}
             data = rep.serve_part(req["block_id"])
             if data is None:
                 return {"ok": False,
@@ -101,17 +116,38 @@ class PartsExchangeServer:
 
 
 def fetch_part(address: str, zk_path: str, replica: str,
-               block_id: str) -> Optional[Dict[str, np.ndarray]]:
+               block_id: str, secret: str = ""
+               ) -> Optional[Dict[str, np.ndarray]]:
     """Fetch one part from a peer endpoint; -> columns or None on miss.
     Raises on transport failure (caller decides about failover)."""
     host, port_s = address.rsplit(":", 1)
     with socket.create_connection((host, int(port_s)), timeout=10) as sock:
         f = sock.makefile("rwb")
         _send_frame(f, {"op": "fetch", "zk_path": zk_path,
-                        "replica": replica, "block_id": block_id})
+                        "replica": replica, "block_id": block_id,
+                        "secret": secret})
         resp = _recv_frame(f)
     if resp is None:
         raise EngineError(f"part exchange peer {address} closed connection")
     if not resp.get("ok"):
+        if "credentials" in str(resp.get("error", "")):
+            raise EngineError(resp["error"])   # auth failure is not a miss
         return None
     return _dec_value(resp["data"])
+
+
+def fetch_snapshot(address: str, zk_path: str, replica: str,
+                   secret: str = ""):
+    """-> (full table columns, log position they reflect); raises on any
+    failure (transport or peer refusal)."""
+    host, port_s = address.rsplit(":", 1)
+    with socket.create_connection((host, int(port_s)), timeout=30) as sock:
+        f = sock.makefile("rwb")
+        _send_frame(f, {"op": "snapshot", "zk_path": zk_path,
+                        "replica": replica, "secret": secret})
+        resp = _recv_frame(f)
+    if resp is None or not resp.get("ok"):
+        raise EngineError(
+            f"snapshot from {address} failed: "
+            f"{resp.get('error') if resp else 'connection closed'}")
+    return _dec_value(resp["data"]), int(resp["log_position"])

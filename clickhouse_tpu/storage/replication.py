@@ -71,6 +71,7 @@ class Replication:
         self.fetches_stopped = False   # SYSTEM STOP FETCHES
         self._exchange = None          # PartsExchangeServer when networked
         self._block_store: Dict[str, Dict[str, np.ndarray]] = {}
+        self._block_entry: Dict[str, str] = {}   # block_id -> log entry name
         self._lock = threading.RLock()
         self._pulling = False
         Replication._LIVE.setdefault(
@@ -138,8 +139,11 @@ class Replication:
             else:
                 entry = {"block_id": block_id, "source": self.replica,
                          "data": data}
-            self.keeper.create(f"{self.zk_path}/log/entry-", entry,
-                               sequential=True)
+            path = self.keeper.create(f"{self.zk_path}/log/entry-", entry,
+                                      sequential=True)
+            if self._exchange is not None:
+                self._block_entry[block_id] = path.rsplit("/", 1)[-1]
+                self._gc_block_store()
             # our own entry is skipped by pull() via its source tag; the
             # pointer only ever advances over entries actually examined, so
             # entries interleaved by other replicas are never jumped over
@@ -155,6 +159,7 @@ class Replication:
                 entries = self.keeper.get_children(f"{self.zk_path}/log")
                 ptr, _ = self.keeper.get(self._ptr_path)
                 applied = 0
+                cloned_pos = None
                 try:
                     for name in entries[ptr:]:
                         from ..core.failpoints import fail_point
@@ -166,23 +171,68 @@ class Replication:
                         if entry["source"] != self.replica:
                             data = entry.get("data")
                             if data is None:
-                                data = self._fetch_over_wire(entry)
+                                try:
+                                    data = self._fetch_over_wire(entry)
+                                except ReplicaFetchError:
+                                    # part gone everywhere (GC'd before we
+                                    # registered): clone a healthy peer's
+                                    # full content instead of replaying
+                                    cloned_pos = self._clone_from_replica()
+                                    if cloned_pos is None:
+                                        raise
+                                    applied = 0
+                                    break
                             self.table._insert_local(data)
                             if self._exchange is not None:
                                 # keep a serveable copy: peers can fetch
                                 # from us if the source dies (Fetcher
                                 # failover)
                                 self._block_store[entry["block_id"]] = data
+                                self._block_entry[entry["block_id"]] = name
                         applied += 1
                 finally:
                     # advance past everything actually applied, even when a
                     # later entry's fetch failed — a retry must not
                     # re-insert applied parts
-                    if applied:
+                    if cloned_pos is not None:
+                        # snapshot reflects the peer's log tail, which is at
+                        # or beyond our position (serve_snapshot pulls first)
+                        self.keeper.set(self._ptr_path,
+                                        max(cloned_pos, ptr))
+                        applied = 1
+                    elif applied:
                         self.keeper.set(self._ptr_path, ptr + applied)
+                if applied and self._exchange is not None:
+                    self._gc_block_store()
                 return applied
             finally:
                 self._pulling = False
+
+    def _gc_block_store(self) -> None:
+        """Evict serveable part copies every registered replica has applied
+        (advisor r03: _block_store grew without bound — it duplicated all
+        data ever inserted).  A block is evictable once min(log_pointer)
+        over all replicas has advanced past its log entry: no peer can
+        still need to fetch it.  Lagging/dead replicas hold eviction back,
+        matching the reference's log-GC-behind-slowest-replica semantics
+        (ReplicatedMergeTreeCleanupThread)."""
+        try:
+            ptrs = []
+            for r in self.replicas:
+                p = f"{self.zk_path}/replicas/{r}/log_pointer"
+                if not self.keeper.exists(p):
+                    return        # replica mid-registration: keep everything
+                ptrs.append(self.keeper.get(p)[0])
+            if not ptrs:
+                return
+            entries = self.keeper.get_children(f"{self.zk_path}/log")
+            passed = set(entries[:min(ptrs)])
+        except Exception:         # noqa: BLE001 — GC must never break inserts
+            return
+        for bid in [b for b, name in self._block_entry.items()
+                    if name in passed]:
+            self._block_store.pop(bid, None)
+            self._block_entry.pop(bid, None)
 
     # -- interserver part exchange ------------------------------------------
     def attach_exchange(self, server) -> None:
@@ -202,6 +252,33 @@ class Replication:
         side); None when this replica does not hold the part."""
         return self._block_store.get(block_id)
 
+    def serve_snapshot(self):
+        """-> (full current table columns, log position reflected): the
+        clone-replica recovery source (the reference clones the part set of
+        a healthy replica when log entries are gone —
+        ReplicatedMergeTreeRestartingThread / cloneReplica).  Pulls first so
+        the content corresponds to the log tail."""
+        self.pull()
+        t = self.table
+        with t._lock:
+            cols: Dict[str, np.ndarray] = {}
+            for name, ctype in t.schema.items():
+                pieces = [p.columns[name] for p in t.parts]
+                if ctype.is_dictionary:
+                    cols[name] = (np.concatenate(
+                        [np.asarray(p, object) for p in pieces])
+                        if pieces else np.zeros(0, object))
+                else:
+                    cols[name] = (np.concatenate(pieces) if pieces
+                                  else np.zeros(0, ctype.np_dtype))
+        pos, _ = self.keeper.get(self._ptr_path)
+        return cols, pos
+
+    @property
+    def _secret(self) -> str:
+        return getattr(self._exchange, "secret", "") if self._exchange \
+            else ""
+
     def _fetch_over_wire(self, entry: dict) -> Dict[str, np.ndarray]:
         """Resolve the source replica's endpoint and fetch; fall back to
         every other replica with a published host (Fetcher retry loop)."""
@@ -217,7 +294,8 @@ class Replication:
                 continue
             address, _ = self.keeper.get(host_path)
             try:
-                data = fetch_part(address, self.zk_path, peer, bid)
+                data = fetch_part(address, self.zk_path, peer, bid,
+                                  secret=self._secret)
             except Exception as e:          # noqa: BLE001 — peer down
                 last_err = e
                 continue
@@ -226,6 +304,30 @@ class Replication:
         raise ReplicaFetchError(
             f"part {bid} unavailable from any replica of {self.zk_path}"
             + (f" (last transport error: {last_err})" if last_err else ""))
+
+    def _clone_from_replica(self) -> Optional[int]:
+        """Recovery when a log entry's part is gone everywhere (GC'd after
+        every then-registered replica applied it): replace local content
+        with a healthy peer's snapshot; -> the log position to resume from,
+        or None when no peer could serve one."""
+        from .parts_exchange import fetch_snapshot
+        for peer in self.replicas:
+            if peer == self.replica:
+                continue
+            host_path = f"{self.zk_path}/replicas/{peer}/host"
+            if not self.keeper.exists(host_path):
+                continue
+            address, _ = self.keeper.get(host_path)
+            try:
+                cols, pos = fetch_snapshot(address, self.zk_path, peer,
+                                           secret=self._secret)
+            except Exception:       # noqa: BLE001 — peer down, try next
+                continue
+            self.table.truncate()
+            if len(next(iter(cols.values()), [])):
+                self.table._insert_local(cols)
+            return pos
+        return None
 
     def drop_replica(self) -> None:
         k = self.keeper

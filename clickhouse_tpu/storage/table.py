@@ -1092,8 +1092,10 @@ class Catalog:
         def run(rep: str) -> None:
             try:
                 results.put(("ok", rep, fetch_one(rep)))
-            except Exception as e:      # noqa: BLE001 — surfaced below
+            except (OSError, EngineError) as e:   # replica failure: hedge
                 results.put(("err", rep, e))
+            except BaseException as e:  # noqa: BLE001 — programming error:
+                results.put(("bug", rep, e))      # propagate, don't retry
 
         started = 0
         pending = 0
@@ -1117,6 +1119,8 @@ class Catalog:
             pending -= 1
             if kind == "ok":
                 return val               # late losers are daemon threads
+            if kind == "bug":
+                raise val                # not a replica failure
             errors[rep] = errors.get(rep, 0) + 1
             last_err = val
             if started < len(replicas):

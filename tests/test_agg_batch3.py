@@ -153,3 +153,22 @@ def test_decayed_if_combinator_and_groupby():
         "SELECT g, singleValueOrNullIf(t, v < 50) FROM dc "
         "GROUP BY g ORDER BY g").rows()
     assert len(r) == 2
+
+
+def test_any_respect_nulls_selects_null_rows(session):
+    """Advisor r03: RESPECT NULLS treats NULL as a selectable value (ref
+    AggregateFunctionAnyRespectNulls.cpp) — any(x) RESPECT NULLS over a
+    group whose first row is NULL returns NULL, not the first non-NULL."""
+    session.execute("CREATE TABLE arn (g Int64, x Nullable(Int64))")
+    session.insert_pydict("arn", {"g": [1, 1, 2, 2, 3],
+                                  "x": [None, 1, 2, None, 7]})
+    rows = session.execute(
+        "SELECT g, any_respect_nulls(x), any(x) FROM arn "
+        "GROUP BY g ORDER BY g").rows()
+    assert rows == [(1, None, 1), (2, 2, 2), (3, 7, 7)]
+    assert session.execute(
+        "SELECT first_value_respect_nulls(x) FROM arn WHERE g = 1"
+    ).rows() == [(None,)]
+    # non-nullable args behave exactly like any()
+    assert session.execute(
+        "SELECT any_respect_nulls(g) FROM arn").rows() == [(1,)]

@@ -95,3 +95,62 @@ def test_unfetchable_part_is_retried_not_skipped(kserver):
     rep_a.attach_exchange(a.parts_exchange)
     b.execute("SYSTEM SYNC REPLICA r")
     assert b.execute("SELECT count() FROM r").rows() == [(1,)]
+
+
+def test_block_store_gc_and_clone_recovery(kserver):
+    """Advisor r03: _block_store must not retain every block forever.  Once
+    every registered replica applied an entry, its block is evicted; a
+    replica attaching later recovers by cloning a peer's snapshot."""
+    a = _mk_session(kserver, "ra")
+    b = _mk_session(kserver, "rb")
+    a.execute(DDL)
+    b.execute(DDL)
+    rep_a = a.catalog.get_table("default", "r").replication
+    rep_b = b.catalog.get_table("default", "r").replication
+    a.execute("INSERT INTO r VALUES (1, 1.0, 'a')")
+    b.execute("SYSTEM SYNC REPLICA r")
+    a.execute("INSERT INTO r VALUES (2, 2.0, 'b')")
+    b.execute("SYSTEM SYNC REPLICA r")
+    # ra pulls -> sees every pointer advanced past entry 1 -> evicts it
+    a.execute("SYSTEM SYNC REPLICA r")
+    assert len(rep_a._block_store) <= 1          # entry-2 may remain
+    assert len(rep_b._block_store) <= 1
+    # a replica registering AFTER eviction replays -> miss -> clones
+    late = _mk_session(kserver, "rc")
+    late.execute(DDL.replace("'ra'", "'rc'"))
+    late.execute("SYSTEM SYNC REPLICA r")
+    assert late.execute("SELECT k, v, s FROM r ORDER BY k").rows() \
+        == [(1, 1.0, "a"), (2, 2.0, "b")]
+    # and it keeps receiving NEW entries normally afterwards
+    a.execute("INSERT INTO r VALUES (3, 3.0, 'c')")
+    late.execute("SYSTEM SYNC REPLICA r")
+    assert late.execute("SELECT sum(k) FROM r").rows() == [(6,)]
+
+
+def test_interserver_credentials(kserver):
+    """Fetches without the shared secret are rejected (InterserverCredentials
+    analog); matching secrets replicate normally."""
+    a = ch.connect(catalog=Catalog())
+    a.execute(f"SET keeper_address = '{kserver.host}:{kserver.port}'")
+    a.replica_name = "ra"
+    a.enable_parts_exchange(secret="topsecret")
+    a.execute(DDL)
+    a.execute("INSERT INTO r VALUES (1, 1.0, 'a')")
+    rep = a.catalog.get_table("default", "r").replication
+    bid = next(iter(rep._block_store))
+    # wrong/missing secret -> auth error, not a silent miss
+    with pytest.raises(Exception, match="credentials"):
+        fetch_part(a.parts_exchange.address, "/t/px", "ra", bid)
+    with pytest.raises(Exception, match="credentials"):
+        fetch_part(a.parts_exchange.address, "/t/px", "ra", bid,
+                   secret="wrong")
+    assert fetch_part(a.parts_exchange.address, "/t/px", "ra", bid,
+                      secret="topsecret")["k"].tolist() == [1]
+    # a peer configured with the same secret replicates fine
+    b = ch.connect(catalog=Catalog())
+    b.execute(f"SET keeper_address = '{kserver.host}:{kserver.port}'")
+    b.replica_name = "rb"
+    b.enable_parts_exchange(secret="topsecret")
+    b.execute(DDL)
+    b.execute("SYSTEM SYNC REPLICA r")
+    assert b.execute("SELECT count() FROM r").rows() == [(1,)]
