@@ -122,6 +122,14 @@ class Settings:
     # src/Client/HedgedConnections.h:29)
     use_hedged_requests: bool = True
     hedged_connection_timeout_ms: int = 100
+    # cross-process distributed query execution (RemoteQueryExecutor
+    # analog): ship the rewritten per-shard query over the native TCP wire
+    # — aggregations as WithMergeableState (-State spellings, initiator
+    # merges partial states), other queries as column pruning + WHERE
+    # pushdown — instead of pulling whole tables with SELECT *
+    # (reference: src/Interpreters/ClusterProxy/executeQuery.cpp,
+    # src/Core/QueryProcessingStage.h)
+    distributed_pushdown: bool = True
 
     # -- background operations -------------------------------------------
     # inserts leaving at least this many parts schedule a background merge

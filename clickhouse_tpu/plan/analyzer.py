@@ -648,50 +648,13 @@ class Analyzer:
             return node, Scope(fields)
         if name in ("remote", "remotesecure", "cluster", "clusterallreplicas"):
             # remote('host:port', db.table | 'db', 'table' [, user, pwd]):
-            # pull the table over the native TCP wire (RemoteQueryExecutor
-            # analog, src/TableFunctions/TableFunctionRemote.cpp) — the
-            # remote server runs the scan; rows arrive as Native blocks
-            lits = []
-            for a in fc.args:
-                if isinstance(a, ast.Literal):
-                    lits.append(str(a.value))
-                elif isinstance(a, ast.Identifier):
-                    lits.append(a.name)
-                elif isinstance(a, ast.FuncCall) and a.name == "dot" \
-                        and len(a.args) == 2:
-                    lits.append(".".join(
-                        x.name if isinstance(x, ast.Identifier)
-                        else str(x.value) for x in a.args))
-                elif isinstance(a, ast.FuncCall) \
-                        and a.name == "currentDatabase" and not a.args:
-                    lits.append(self.catalog.current_database)
-                else:
-                    raise AnalysisError(
-                        "remote() expects constant arguments")
-            if name in ("cluster", "clusterallreplicas"):
-                # cluster('name', db.table): the built-in test clusters are
-                # all loopback; two_shards clusters read the table twice
-                # (reference: TableFunctionRemote cluster mode over
-                # test_cluster_two_shards defined in tests/config)
-                cl = lits[0]
-                n_shards = 2 if "two_shards" in cl else 1
-                lits[0] = "127.0.0.{1,2}" if n_shards == 2 else "127.0.0.1"
-            if len(lits) < 2:
-                raise AnalysisError(
-                    "remote() expects (address, table[, user, password])")
-            addr = lits[0]
-            if len(lits) >= 3 and "." not in lits[1] \
-                    and lits[2] not in ("default",) and len(lits) == 3 \
-                    and not lits[1].startswith("system"):
-                # remote(addr, db, table) form
-                target = f"{lits[1]}.{lits[2]}"
-                creds = []
-            elif "." in lits[1] or len(lits) == 2:
-                target = lits[1]
-                creds = lits[2:4]
-            else:
-                target = f"{lits[1]}.{lits[2]}"
-                creds = lits[4:6] if len(lits) > 4 else []
+            # pull the table over the native TCP wire (the legacy
+            # whole-table path for shapes the pushdown rewriter in
+            # parallel/remote_query.py does not handle — joins, subqueries;
+            # ref src/TableFunctions/TableFunctionRemote.cpp)
+            from ..parallel.remote_query import parse_remote_args
+            addr, target, creds = parse_remote_args(
+                fc, self.catalog.current_database)
             table = self.catalog.remote_table(addr, target, *creds)
             fields, names = [], []
             for cname, ctype in table.schema_items():

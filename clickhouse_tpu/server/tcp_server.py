@@ -413,6 +413,30 @@ def serve(host: str = "127.0.0.1", port: int = 9000,
 
 # -- reference-protocol client (for tests and the CLI) -----------------------
 
+class _CountingReader:
+    """File-like wrapper counting raw bytes read off the socket."""
+
+    def __init__(self, f):
+        self._f = f
+        self.count = 0
+
+    def read(self, n=-1):
+        b = self._f.read(n)
+        self.count += len(b)
+        return b
+
+    def readinto(self, b):
+        n = self._f.readinto(b)
+        self.count += n or 0
+        return n
+
+    def seekable(self):
+        return False
+
+    def close(self):
+        self._f.close()
+
+
 class NativeTcpClient:
     """Minimal client speaking the same wire protocol (clickhouse-client
     analog for driving the server in tests)."""
@@ -422,10 +446,16 @@ class NativeTcpClient:
                  revision: int = 54477, compression: bool = False):
         self.compression = compression
         self.sock = socket.create_connection((host, port))
-        self.inp = self.sock.makefile("rb")
+        self.inp = _CountingReader(self.sock.makefile("rb"))
         self.out = self.sock.makefile("wb")
         self.client_revision = revision
         self._hello(user, password, database)
+
+    @property
+    def bytes_received(self) -> int:
+        """Raw wire bytes read so far (NetworkReceiveBytes analog — lets
+        distributed tests assert states, not rows, crossed the wire)."""
+        return self.inp.count
 
     def _hello(self, user, password, database):
         o = self.out

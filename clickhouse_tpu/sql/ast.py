@@ -426,6 +426,10 @@ def format_expr(e: Expr) -> str:
         return base
     if isinstance(e, Tuple_):
         return "(" + ", ".join(format_expr(i) for i in e.items) + ")"
+    if isinstance(e, Lambda):
+        head = e.params[0] if len(e.params) == 1 \
+            else "(" + ", ".join(e.params) + ")"
+        return f"{head} -> {format_expr(e.body)}"
     if isinstance(e, Subquery):
         return "(<subquery>)"
     return repr(e)

@@ -99,6 +99,26 @@ def _write_column_data(out: BinaryIO, type_name: str, v: np.ndarray) -> None:
              for x in v], dtype=object)
         _write_column_data(out, inner, filled)
         return
+    if type_name.startswith("AggregateFunction("):
+        # Mergeable partial states as packed fixed-width byte rows (this
+        # engine's ColumnAggregateFunction layout): varuint state width,
+        # then rows*width raw bytes.  Engine-private framing — reference
+        # states are likewise version-gated (the stage-2 initiator and the
+        # shards must run the same engine), see
+        # src/Columns/ColumnAggregateFunction.h.  Carries the
+        # WithMergeableState stage of distributed queries over the wire.
+        if v.dtype == object:
+            rows = [bytes(x) if x is not None else b"" for x in v]
+        elif v.ndim == 2:
+            rows = [r.tobytes() for r in np.ascontiguousarray(
+                v.astype(np.uint8))]
+        else:
+            rows = [bytes(x) for x in v]
+        width = max((len(r) for r in rows), default=0)
+        _write_varuint(out, width)
+        for r in rows:
+            out.write(r.ljust(width, b"\0"))
+        return
     if type_name in ("String", "FixedString"):
         from .. import native as chnative
         out.write(chnative.encode_strings(np.asarray(v, dtype=object)))
@@ -119,6 +139,13 @@ def _read_column_data(inp: BinaryIO, type_name: str, n_rows: int) -> np.ndarray:
         vals = _read_column_data(inp, inner, n_rows)
         out = vals.astype(object)
         out[nulls == 1] = None
+        return out
+    if type_name.startswith("AggregateFunction("):
+        width = _read_varuint(inp)
+        buf = inp.read(width * n_rows)
+        out = np.empty(n_rows, object)
+        for i in range(n_rows):
+            out[i] = buf[i * width:(i + 1) * width]
         return out
     if type_name == "String":
         if n_rows == 0:

@@ -1130,6 +1130,115 @@ class Catalog:
                     f"remote(): all replicas of '{addr}' failed: "
                     f"{last_err}")
 
+    def remote_query(self, addr: str, sql_text: str, user: str = "default",
+                     password: str = "", local_exec=None,
+                     table_name: Optional[str] = None):
+        """Cross-process distributed query execution, data path: run
+        `sql_text` on every shard of `addr` over the native TCP wire (the
+        RemoteQueryExecutor analog — the QUERY ships to the data; rows or
+        mergeable -State columns come back), concatenate the shard results,
+        and register them as a `_files` table.  Loopback shards run
+        in-process through `local_exec(sql) -> (cols, types)`.  Returns
+        (Table, wire_bytes_received).  Ref:
+        src/QueryPipeline/RemoteQueryExecutor.cpp,
+        src/Interpreters/ClusterProxy/executeQuery.cpp."""
+        from ..core import dtypes as dtm
+        shard_addrs = self._expand_shards(addr)
+        per_shard: list = [None] * len(shard_addrs)
+        wire_bytes = [0]
+
+        def is_local(sa: str) -> bool:
+            return local_exec is not None and \
+                self._is_loopback(sa.split("|")[0].strip()
+                                  .partition(":")[0])
+
+        def run_shard(i: int, sa: str) -> None:
+            if is_local(sa):
+                per_shard[i] = local_exec(sql_text)
+            else:
+                cols, types, nbytes = self._fetch_sql(sa, sql_text, user,
+                                                      password)
+                per_shard[i] = (cols, types)
+                wire_bytes[0] += nbytes
+
+        if len(shard_addrs) == 1:
+            run_shard(0, shard_addrs[0])
+        else:
+            import threading as _th
+            errs: list = []
+
+            def guard(i, sa):
+                try:
+                    run_shard(i, sa)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+            ts = [_th.Thread(target=guard, args=(i, sa), daemon=True)
+                  for i, sa in enumerate(shard_addrs)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errs:
+                raise errs[0]
+        types = next(t for _, t in per_shard if t is not None)
+        schema = [(n, dtm.parse_type_name(t)) for n, t in types]
+        name = table_name or \
+            f"remoteq_{abs(hash((addr, sql_text))) % 10**10}"
+        t = Table(name, schema, engine="Remote")
+        for cols, stypes in per_shard:
+            if cols and len(next(iter(cols.values()), ())):
+                t.insert_pydict({n: cols[n] for n, _ in stypes})
+        self.databases["_files"].tables[name] = t
+        return t, wire_bytes[0]
+
+    def _fetch_sql(self, addr: str, sql_text: str, user: str = "default",
+                   password: str = ""):
+        """Run one SQL text against a '|'-failover replica list; ->
+        (cols, types, wire_bytes).  Hedged duplicates per settings."""
+        from ..server.tcp_server import NativeTcpClient
+        errors = getattr(self, "_remote_errors", None)
+        if errors is None:
+            errors = self._remote_errors = {}
+        replicas = [a.strip() for a in addr.split("|") if a.strip()]
+        replicas.sort(key=lambda a: errors.get(a, 0))
+        nbytes = [0]
+
+        def fetch_one(rep: str):
+            host, _, port = rep.partition(":")
+            client = NativeTcpClient(host, int(port or 9000), user=user,
+                                     password=password, compression=True)
+            try:
+                return client.execute(sql_text)
+            finally:
+                nbytes[0] += client.bytes_received
+                client.close()
+
+        from ..exec.session import active_session
+        s = active_session()
+        hedge = s is not None and s.settings.use_hedged_requests \
+            and len(replicas) > 1
+        stagger_s = (s.settings.hedged_connection_timeout_ms / 1000.0
+                     if s is not None else 0.1)
+        if hedge:
+            cols, types = self._hedged_fetch(replicas, fetch_one, errors,
+                                             stagger_s, addr)
+        else:
+            last_err = None
+            cols = types = None
+            for rep in replicas:
+                try:
+                    cols, types = fetch_one(rep)
+                    last_err = None
+                    break
+                except (OSError, EngineError) as e:
+                    errors[rep] = errors.get(rep, 0) + 1
+                    last_err = e
+            if last_err is not None:
+                raise EngineError(
+                    f"remote(): all replicas of '{addr}' failed: "
+                    f"{last_err}")
+        return cols, types, nbytes[0]
+
     def _remote_fetch(self, addr: str, target: str, user: str = "default",
                       password: str = "") -> Table:
         from ..server.tcp_server import NativeTcpClient
