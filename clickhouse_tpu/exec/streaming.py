@@ -231,6 +231,167 @@ def _prune_parts(lower_root: L.PlanNode, scan: L.ScanNode, table, session):
     return part_idx, spans
 
 
+class _NotHostEval(Exception):
+    pass
+
+
+# operators whose numpy semantics provably match the device engine's
+# (comparisons, boolean algebra, wrapping int arithmetic); anything else —
+# modulo/division sign rules, float edge cases, string ops — stays on
+# device, where the filter re-runs over the survivors anyway
+_HOST_CMP = {"equals": np.equal, "notequals": np.not_equal,
+             "greater": np.greater, "less": np.less,
+             "greaterorequals": np.greater_equal,
+             "lessorequals": np.less_equal}
+_HOST_ARITH = {"plus": np.add, "minus": np.subtract,
+               "multiply": np.multiply}
+
+
+def _host_eval(e, cols):
+    """Evaluate a bound predicate over raw host part columns; raises
+    _NotHostEval for anything outside the proven-identical subset."""
+    from ..exprs.expr import (BoundCall, BoundColumn, BoundInList,
+                              BoundLiteral)
+    if isinstance(e, BoundColumn):
+        a = cols.get(e.name)
+        if a is None or a.dtype == object or a.dtype.kind not in "iufb":
+            raise _NotHostEval
+        return a
+    if isinstance(e, BoundLiteral):
+        if isinstance(e.value, bool) or isinstance(e.value,
+                                                   (int, float, np.number)):
+            return e.value
+        raise _NotHostEval
+    if isinstance(e, BoundInList):
+        base = _host_eval(e.arg, cols)
+        vals = np.asarray(e.values)
+        if vals.dtype == object or vals.dtype.kind not in "iufb":
+            raise _NotHostEval
+        m = np.isin(base, vals)
+        return ~m if e.negated else m
+    if isinstance(e, BoundCall):
+        n = e.name.lower()
+        if n in _HOST_CMP and len(e.args) == 2:
+            return _HOST_CMP[n](_host_eval(e.args[0], cols),
+                                _host_eval(e.args[1], cols))
+        if n in _HOST_ARITH and len(e.args) == 2:
+            with np.errstate(over="ignore"):
+                return _HOST_ARITH[n](_host_eval(e.args[0], cols),
+                                      _host_eval(e.args[1], cols))
+        if n == "and":
+            out = None
+            for a in e.args:
+                v = _host_eval(a, cols)
+                out = v if out is None else (out & v)
+            return out
+        if n == "or":
+            out = None
+            for a in e.args:
+                v = _host_eval(a, cols)
+                out = v if out is None else (out | v)
+            return out
+        if n == "not" and len(e.args) == 1:
+            v = _host_eval(e.args[0], cols)
+            return ~np.asarray(v, bool)
+    raise _NotHostEval
+
+
+def _pred_conjuncts(pred):
+    from ..exprs.expr import BoundCall
+    if isinstance(pred, BoundCall) and pred.name == "and":
+        for a in pred.args:
+            yield from _pred_conjuncts(a)
+    else:
+        yield pred
+
+
+def host_prewhere_sel(lower_root: L.PlanNode, scan: L.ScanNode, table,
+                      part_idx, spans, session, settings):
+    """Host-side PREWHERE for streamed scans (the two-pass read of
+    src/Storages/MergeTree/MergeTreeRangeReader.h recast for the
+    host->device wire): predicate columns are read on the HOST — where
+    bandwidth is ~free relative to the transfer link — and only surviving
+    rows of the scan columns are transferred.  The device filter re-runs
+    over the survivors, so host evaluation only ever has to agree with the
+    engine on the conjuncts it claims (see _HOST_CMP/_HOST_ARITH); any
+    non-provable conjunct simply stays device-side.
+
+    -> (row_sel per surviving part, sel_key) or (None, None) when nothing
+    is host-evaluable or the predicate is unselective (survivors > 7/8:
+    the zero-copy aligned-chunk path wins)."""
+    if not settings.optimize_move_to_prewhere:
+        return None, None
+    preds = []
+
+    def walk(n):
+        if isinstance(n, L.FilterNode):
+            ss: List[L.ScanNode] = []
+            _collect_scans(n, ss)
+            if len(ss) == 1 and ss[0] is scan:
+                preds.append(n.predicate)
+        for c in n.children():
+            walk(c)
+
+    walk(lower_root)
+    conjs = [c for p in preds for c in _pred_conjuncts(p)]
+    if not conjs:
+        return None, None
+    col_of = {f.id: nm for f, nm in zip(scan.schema, scan.column_names)}
+    parts = table.parts if part_idx is None \
+        else [table.parts[i] for i in part_idx]
+    spans_of: Dict[int, list] = {}
+    if spans is not None:
+        for pi, lo, hi in spans:
+            spans_of.setdefault(pi, []).append((lo, hi))
+    sel, total, kept = [], 0, 0
+    any_eval = False
+    for pi, p in enumerate(parts):
+        ranges = spans_of.get(pi, [(0, p.num_rows)]) if spans is not None \
+            else [(0, p.num_rows)]
+        idxs = []
+        for lo, hi in ranges:
+            if hi <= lo:
+                continue
+            total += hi - lo
+            cols = {}
+            for fid, nm in col_of.items():
+                c = p.columns.get(nm)
+                cols[fid] = c[lo:hi] if c is not None else None
+            mask = None
+            for c in conjs:
+                try:
+                    m = _host_eval(c, cols)
+                except _NotHostEval:
+                    continue
+                any_eval = True
+                m = np.asarray(m, bool)
+                mask = m if mask is None else (mask & m)
+            if mask is None:
+                idxs.append(np.arange(lo, hi, dtype=np.int64))
+                kept += hi - lo
+            else:
+                w = np.nonzero(mask)[0] + lo
+                idxs.append(w)
+                kept += len(w)
+        sel.append(np.concatenate(idxs) if idxs
+                   else np.zeros(0, np.int64))
+    if not any_eval or total == 0 or kept * 8 > total * 7:
+        return None, None
+    session.profile_events["PrewhereStreamedScans"] = \
+        session.profile_events.get("PrewhereStreamedScans", 0) + 1
+    session.profile_events["PrewhereRowsDropped"] = \
+        session.profile_events.get("PrewhereRowsDropped", 0) \
+        + (total - kept)
+    # the selection itself is the cache identity: any two predicates that
+    # survive to the same row set can safely share the chunk source
+    import hashlib
+    h = hashlib.sha1()
+    for s in sel:
+        h.update(s.tobytes())
+    sel_key = ("prewhere", h.hexdigest(), part_idx, spans)
+    return sel, sel_key
+
+
 def _equality_constraints(pred, col_of):
     """Flatten a predicate's top-level conjuncts into (column_name, values)
     membership constraints usable by set/bloom granule summaries: conjuncts
@@ -1879,8 +2040,12 @@ def _build_stream_program(session, plan: L.PlanNode, settings: Settings,
                                             chunk_rows)
             grace = None
             if grace_j is None:
+                psel, sel_key = host_prewhere_sel(
+                    lower_root, split.scan, table, part_idx, spans,
+                    session, settings)
                 src = table.chunk_source(columns, chunk_rows,
-                                         part_idx=part_idx, spans=spans)
+                                         part_idx=part_idx, spans=spans,
+                                         row_sel=psel, sel_key=sel_key)
                 sources = [(src, None)]
             else:
                 build_table = catalog.get_table(*grace_j.build_key)

@@ -425,7 +425,8 @@ class Table:
     def chunk_source(self, columns: Sequence[str], chunk_rows: int,
                      part_idx: Optional[tuple] = None,
                      spans: Optional[tuple] = None,
-                     row_sel: Optional[list] = None) -> "ChunkSource":
+                     row_sel: Optional[list] = None,
+                     sel_key=None) -> "ChunkSource":
         """Chunked read plan: fixed-capacity host chunks with table-wide
         consistent physical dtypes and global dictionaries, so one compiled
         per-chunk XLA program serves every chunk (the streaming analog of the
@@ -434,16 +435,19 @@ class Table:
         row ranges surviving skip-index pruning: ((part_i, lo, hi), ...).
         ``row_sel`` (one int index array per surviving part) restricts the
         read to an explicit row subset — the grace-join bucket path."""
-        if row_sel is not None:
+        if row_sel is not None and sel_key is None:
             return ChunkSource(self, list(columns), chunk_rows,
                                part_idx=part_idx, row_sel=row_sel)
+        # sel_key: identity of a deterministic row selection (host PREWHERE
+        # predicate text) — lets repeated queries reuse the source and its
+        # encode cache
         key = (self.version, tuple(sorted(columns)), chunk_rows, part_idx,
-               spans)
+               spans, sel_key)
         cached = getattr(self, "_chunk_source_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
         src = ChunkSource(self, list(columns), chunk_rows,
-                          part_idx=part_idx, spans=spans)
+                          part_idx=part_idx, spans=spans, row_sel=row_sel)
         self._chunk_source_cache = (key, src)
         return src
 

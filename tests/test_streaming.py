@@ -586,3 +586,53 @@ class TestTopKDescExtremes:
         assert s.execute("SELECT x FROM dnl WHERE f = 1 "
                          "ORDER BY x DESC LIMIT 10").rows() == \
             [(2,), (0,), (None,)]
+
+
+class TestHostPrewhere:
+    """Host-side PREWHERE for streamed scans (streaming.host_prewhere_sel —
+    the MergeTreeRangeReader two-pass read recast for the host->device
+    wire): predicate columns are evaluated on the host and only surviving
+    rows are transferred; the device filter re-runs over survivors."""
+
+    def test_selective_filter_streams_survivors_only(self, session):
+        before = session.profile_events.get("PrewhereRowsDropped", 0)
+        plain, streamed = both(
+            session,
+            "SELECT count(), sum(v) FROM big WHERE k = 13")
+        assert plain == streamed
+        dropped = session.profile_events.get("PrewhereRowsDropped", 0) \
+            - before
+        assert dropped > 0.9 * N          # ~1/97 of rows survive
+
+    def test_prewhere_disabled_setting(self, session):
+        st = dict(STREAM, optimize_move_to_prewhere=0)
+        before = session.profile_events.get("PrewhereStreamedScans", 0)
+        rows = session.execute(
+            "SELECT count() FROM big WHERE k = 13", settings=st).rows()
+        assert session.profile_events.get("PrewhereStreamedScans",
+                                          0) == before
+        assert rows == session.execute(
+            "SELECT count() FROM big WHERE k = 13").rows()
+
+    def test_unselective_predicate_keeps_aligned_path(self, session):
+        before = session.profile_events.get("PrewhereStreamedScans", 0)
+        plain, streamed = both(
+            session, "SELECT count() FROM big WHERE k >= 0")  # keeps all
+        assert plain == streamed
+        assert session.profile_events.get("PrewhereStreamedScans",
+                                          0) == before
+
+    def test_mixed_conjuncts_partial_host_eval(self, session):
+        """String conjunct stays on device; numeric conjunct pre-filters."""
+        plain, streamed = both(
+            session,
+            "SELECT count(), avg(v) FROM big "
+            "WHERE k = 13 AND cat != 'c1'")
+        assert plain == streamed
+
+    def test_prewhere_with_order_by_limit(self, session):
+        plain, streamed = both(
+            session,
+            "SELECT id, v FROM big WHERE k = 13 AND id > 100 "
+            "ORDER BY id LIMIT 7")
+        assert plain == streamed
