@@ -131,6 +131,12 @@ class Settings:
     # src/Core/QueryProcessingStage.h)
     distributed_pushdown: bool = True
 
+    # -- profiling ---------------------------------------------------------
+    # wall-clock stack sampler period (QueryProfiler analog, ref
+    # src/Common/QueryProfiler.h:54); 0 disables.  Samples land in
+    # system.trace_log as frame strings.
+    query_profiler_real_time_period_ns: int = 0
+
     # -- background operations -------------------------------------------
     # inserts leaving at least this many parts schedule a background merge
     # (MergeTreeBackgroundExecutor analog); 0 disables background merging

@@ -142,6 +142,19 @@ class Session:
         self._exec_depth = depth + 1
         if depth == 0:
             self.catalog._remote_cache = {}
+        self._current_sql = sql
+        prof = None
+        period = self.settings.query_profiler_real_time_period_ns
+        if period and depth == 0:
+            # wall-clock stack sampler -> system.trace_log (QueryProfiler
+            # analog, exec/profiler.py)
+            from .profiler import QueryProfiler
+            if not hasattr(self, "trace_samples"):
+                self.trace_samples = []
+            import threading as _th
+            prof = QueryProfiler(period, _th.get_ident(), sql,
+                                 self.trace_samples)
+            prof.__enter__()
         try:
             self.catalog.access.check_quota(self.current_user, time.time())
             with self._span("parse"):
@@ -164,6 +177,8 @@ class Session:
             self.error_counts[nm] = self.error_counts.get(nm, 0) + 1
             raise
         finally:
+            if prof is not None:
+                prof.__exit__()
             self._exec_depth = depth
             self._end_span(root)
 
@@ -1781,7 +1796,48 @@ class Session:
                 "path": np.asarray([r[2] for r in rows], object)})
             return t
 
+        def trace_log_table():
+            # QueryProfiler samples (ref: system.trace_log): trace is the
+            # sampled stack as "file:func:line;..." — queryable with LIKE
+            # the way reference traces are after symbolization
+            t = Table("trace_log",
+                      [("event_time_us", dtm.UInt64),
+                       ("trace_type", dtm.String),
+                       ("query", dtm.String), ("trace", dtm.String)])
+            rows = list(getattr(self, "trace_samples", []))
+            t.insert_pydict({
+                "event_time_us": np.asarray(
+                    [r.event_time_us for r in rows], np.uint64),
+                "trace_type": np.asarray(
+                    [r.trace_type for r in rows], object),
+                "query": np.asarray([r.query for r in rows], object),
+                "trace": np.asarray([r.trace for r in rows], object)})
+            return t
+
+        def processors_profile_table():
+            # per-stage wall timings (ProcessorsProfileLog analog, ref
+            # src/Interpreters/ProcessorsProfileLog.cpp); streamed queries
+            # split transfer from compute (exec/streaming.py _record_io)
+            t = Table("processors_profile_log",
+                      [("query", dtm.String), ("name", dtm.String),
+                       ("elapsed_us", dtm.UInt64),
+                       ("input_rows", dtm.UInt64),
+                       ("output_rows", dtm.UInt64)])
+            rows = list(getattr(self, "processors_log", []))
+            t.insert_pydict({
+                "query": np.asarray([r.query for r in rows], object),
+                "name": np.asarray([r.name for r in rows], object),
+                "elapsed_us": np.asarray(
+                    [r.elapsed_us for r in rows], np.uint64),
+                "input_rows": np.asarray(
+                    [r.input_rows for r in rows], np.uint64),
+                "output_rows": np.asarray(
+                    [r.output_rows for r in rows], np.uint64)})
+            return t
+
         return {"query_log": query_log, "settings": settings_table,
+                "trace_log": trace_log_table,
+                "processors_profile_log": processors_profile_table,
                 "query_cache": query_cache_table,
                 "parts_columns": parts_columns_table,
                 "metrics": metrics_table,

@@ -925,6 +925,60 @@ def _widen_carry(keys_u, gvalid, flat, cap_g, cap_c):
     return keys, valid, states
 
 
+def _device_prefetch(it, depth: int = 2, stats: Optional[dict] = None):
+    """Run an iterator on a feeder thread with a bounded handoff queue:
+    the feeder's device_put of chunk i+1 (and its host slice/encode work)
+    overlaps the consumer's compute on chunk i.  depth bounds extra
+    device-resident chunks (each ≤ stream_chunk_bytes).  `stats`
+    accumulates the consumer's blocking wait ("wait_s" — pipeline
+    starvation = transfer-bound) for system.processors_profile_log."""
+    import queue as _queue
+    import threading as _threading
+    import time as _time
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+    done = object()
+    err: list = []
+    stop = [False]
+
+    def feed():
+        try:
+            for x in it:
+                if stop[0]:
+                    return
+                q.put(x)
+        except BaseException as e:      # noqa: BLE001 — re-raised below
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = _threading.Thread(target=feed, daemon=True)
+    t.start()
+    try:
+        while True:
+            t0 = _time.perf_counter()
+            x = q.get()
+            if stats is not None:
+                stats["wait_s"] = stats.get("wait_s", 0.0) \
+                    + (_time.perf_counter() - t0)
+            if x is done:
+                break
+            yield x
+        t.join()
+        if err:
+            raise err[0]
+    finally:
+        # consumer abandoned the stream (capacity retune, error): unblock
+        # the feeder so it can exit instead of parking on a full queue
+        stop[0] = True
+        while t.is_alive():
+            try:
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
+            t.join(timeout=0.05)
+
+
 def _to_device(data, n):
     cols = {}
     for name, (d, v) in data.items():
@@ -962,6 +1016,29 @@ class _StreamProgramBase:
         self.small_upper = {k: catalog.get_table(*k).read_block()
                             for k in upper_scan_keys}
         self.total_rows = sum(src.total_rows for src, _ in sources)
+        # transfer-vs-compute split for system.processors_profile_log
+        self.io_stats = {"transfer_s": 0.0, "prep_s": 0.0, "wait_s": 0.0,
+                         "chunks": 0}
+
+    def _record_io(self, session, loop_s: float, fin_s: float) -> None:
+        """Publish this run's stage timings (ProcessorsProfileLog analog):
+        StreamTransfer = host->device device_put (feeder thread, overlapped
+        with compute), StreamHostPrep = chunk slice/encode, StreamStepWait =
+        consumer starvation (transfer-bound when high), StreamLoop = whole
+        chunk loop wall, StreamFinalize = merge/fin + materialize."""
+        from .profiler import record_processor
+        s = self.io_stats
+        rows = self.total_rows
+        record_processor(session, "StreamTransfer", s["transfer_s"],
+                         input_rows=rows)
+        if s["prep_s"]:
+            record_processor(session, "StreamHostPrep", s["prep_s"],
+                             input_rows=rows)
+        record_processor(session, "StreamStepWait", s["wait_s"],
+                         input_rows=rows)
+        record_processor(session, "StreamLoop", loop_s, input_rows=rows,
+                         output_rows=s["chunks"])
+        record_processor(session, "StreamFinalize", fin_s)
 
     def small_args(self, blocks) -> Dict[str, Any]:
         from .session import Session
@@ -976,25 +1053,54 @@ class _StreamProgramBase:
         return out
 
     def _iter_chunks(self, src):
-        """Yield device-ready chunk args in index order."""
+        """Yield device-ready chunk args in index order.
+
+        The host->device transfer of chunk i+1 runs on a feeder thread
+        UNDER chunk i's device compute (_device_prefetch): without the
+        overlap, transfer and per-chunk compute serialize and the streamed
+        throughput is their SUM, not their MAX (the r03 Q5b gap)."""
+        import time as _time
         n_readers = max(int(self.settings.stream_readers), 1)
-        if n_readers > 1 and src.num_chunks > 1:
-            # work-stealing read pool: host chunk prep overlaps device
-            # compute (MergeTreeReadPool analog, storage/read_pool.py);
-            # index order preserved so float merges stay deterministic.
-            # Buffered chunks capped by the host-RAM budget.
-            from ..storage.read_pool import ParallelChunkReader
-            chunk_b = max(int(self.settings.stream_chunk_bytes), 1)
-            budget = max(int(self.settings.stream_buffer_bytes)
-                         // chunk_b, 1)
-            reader = ParallelChunkReader(src, n_readers,
-                                         max_buffered=min(n_readers + 2,
-                                                          budget))
-            for _i, data, n in reader.iter_ordered():
-                yield _to_device(data, n)
+        stats = self.io_stats
+
+        def instrumented():
+            if n_readers > 1 and src.num_chunks > 1:
+                # work-stealing read pool: host chunk prep overlaps device
+                # compute (MergeTreeReadPool analog, storage/read_pool.py);
+                # index order preserved so float merges stay deterministic.
+                # Buffered chunks capped by the host-RAM budget.
+                from ..storage.read_pool import ParallelChunkReader
+                chunk_b = max(int(self.settings.stream_chunk_bytes), 1)
+                budget = max(int(self.settings.stream_buffer_bytes)
+                             // chunk_b, 1)
+                reader = ParallelChunkReader(src, n_readers,
+                                             max_buffered=min(n_readers + 2,
+                                                              budget))
+                for _i, data, n in reader.iter_ordered():
+                    t1 = _time.perf_counter()
+                    args = _to_device(data, n)
+                    jax.block_until_ready(args)
+                    stats["transfer_s"] += _time.perf_counter() - t1
+                    stats["chunks"] += 1
+                    yield args
+            else:
+                for i in range(src.num_chunks):
+                    t0 = _time.perf_counter()
+                    data, n = src.chunk(i)
+                    t1 = _time.perf_counter()
+                    args = _to_device(data, n)
+                    jax.block_until_ready(args)
+                    t2 = _time.perf_counter()
+                    stats["prep_s"] += t1 - t0
+                    stats["transfer_s"] += t2 - t1
+                    stats["chunks"] += 1
+                    yield args
+
+        if src.num_chunks > 1:
+            yield from _device_prefetch(instrumented(), depth=2,
+                                        stats=stats)
         else:
-            for i in range(src.num_chunks):
-                yield _to_device(*src.chunk(i))
+            yield from instrumented()
 
 
 class StreamProgram(_StreamProgramBase):
@@ -1088,9 +1194,11 @@ class StreamProgram(_StreamProgramBase):
         self.fin_fn = jax.jit(fin_fn)
 
     def run(self, session) -> Tuple[Dict[str, np.ndarray], ExecContext]:
+        import time as _time
         base_args = self.small_args(self.small_lower)
         upper_args = self.small_args(self.small_upper)
 
+        t_loop = _time.perf_counter()
         carry = None
         for src, bucket in self.sources:
             lower_args = self._lower_args_for(base_args, bucket)
@@ -1104,6 +1212,8 @@ class StreamProgram(_StreamProgramBase):
             carry = self.init_fn(
                 _to_device(*src0.chunk(0)),
                 self._lower_args_for(base_args, self.sources[0][1]))
+        t_loop = _time.perf_counter() - t_loop
+        t_fin = _time.perf_counter()
         leaves = self.fin_fn(carry, upper_args)
 
         struct = self.struct
@@ -1136,6 +1246,7 @@ class StreamProgram(_StreamProgramBase):
         out = ExecBlock(cols, leaves["valid"], struct["capacity"])
         cols_np = materialize(out, self.split.upper.schema, ctx)
         ctx.profile["rows_scanned"] = self.total_rows
+        self._record_io(session, t_loop, _time.perf_counter() - t_fin)
         return cols_np, ctx
 
 
@@ -1295,8 +1406,10 @@ class TopKProgram(_StreamProgramBase):
         self.fin_fn = jax.jit(fin_fn)
 
     def run(self, session) -> Tuple[Dict[str, np.ndarray], ExecContext]:
+        import time as _time
         base_args = self.small_args(self.small_lower)
         upper_args = self.small_args(self.small_upper)
+        t_loop = _time.perf_counter()
         carry = None
         for src, bucket in self.sources:
             lower_args = self._lower_args_for(base_args, bucket)
@@ -1310,6 +1423,8 @@ class TopKProgram(_StreamProgramBase):
             carry = self.init_fn(
                 _to_device(*src0.chunk(0)),
                 self._lower_args_for(base_args, self.sources[0][1]))
+        t_loop = _time.perf_counter() - t_loop
+        t_fin = _time.perf_counter()
         leaves = self.fin_fn(carry, upper_args)
 
         struct = self.struct
@@ -1329,6 +1444,7 @@ class TopKProgram(_StreamProgramBase):
         out = ExecBlock(cols, leaves["valid"], struct["capacity"])
         cols_np = materialize(out, self.split.upper.schema, ctx)
         ctx.profile["rows_scanned"] = self.total_rows
+        self._record_io(session, t_loop, _time.perf_counter() - t_fin)
         return cols_np, ctx
 
 
@@ -1376,6 +1492,7 @@ class CollectProgram(_StreamProgramBase):
     def run(self, session) -> Tuple[Dict[str, np.ndarray], ExecContext]:
         base_args = self.small_args(self.small_lower)
         schema = self.split.lower.schema
+        import time as _time
         acc = {f.id: [] for f in schema}
         acc_v = {f.id: [] for f in schema}
         acc_l = {f.id: [] for f in schema}
@@ -1383,6 +1500,7 @@ class CollectProgram(_StreamProgramBase):
         limit_total = self.split.limit_total
         struct = self.struct
         stop = False
+        t_loop = _time.perf_counter()
         for src, bucket in self.sources:
             if stop:
                 break
@@ -1431,7 +1549,11 @@ class CollectProgram(_StreamProgramBase):
                 if limit_total is not None and total >= limit_total:
                     stop = True
                     break
-        return self._finalize(session, acc, acc_v, acc_l, total)
+        t_loop = _time.perf_counter() - t_loop
+        t_fin = _time.perf_counter()
+        out = self._finalize(session, acc, acc_v, acc_l, total)
+        self._record_io(session, t_loop, _time.perf_counter() - t_fin)
+        return out
 
     # -- collected-rows finalization ------------------------------------------
     def _host_arrays(self, acc, acc_v, acc_l, total):
