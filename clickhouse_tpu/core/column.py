@@ -59,7 +59,7 @@ class Dictionary:
     """
 
     __slots__ = ("values", "_index", "sorted_", "_values_str",
-                 "_dev_bytes", "_dev_rev")
+                 "_dev_bytes", "_dev_rev", "_hash_sorted")
 
     # device byte-matrix width cap (prefix ops beyond this fall back to host)
     DEVICE_BYTES_MAX_W = 64
@@ -73,6 +73,11 @@ class Dictionary:
         self._values_str: Optional[np.ndarray] = None
         self._dev_bytes = None
         self._dev_rev = None
+        # hash-token dictionaries (factorize_strings): uniq CityHash128
+        # tokens sorted as (lo, hi) structs, aligned with `values` — lookups
+        # hash the needle and binary-search here instead of building a
+        # python dict over tens of millions of entries
+        self._hash_sorted: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.values)
@@ -94,6 +99,12 @@ class Dictionary:
             vs = self.values_str()
             i = int(np.searchsorted(vs, value))
             return i if i < len(vs) and vs[i] == value else -1
+        if self._hash_sorted is not None:
+            hv = _hash_struct(hash_tokens128(
+                np.asarray([value], object)))[0]
+            i = int(np.searchsorted(self._hash_sorted, hv))
+            return i if i < len(self.values) \
+                and self._hash_sorted[i] == hv else -1
         return self.index().get(value, -1)
 
     # -- device byte matrix (TPU-native ColumnString view) --------------------
@@ -272,6 +283,52 @@ def narrow_storage(data_np: np.ndarray) -> np.ndarray:
     return data_np
 
 
+# above this many rows, string factorization switches from the
+# lexicographic np.unique (a full string sort) to 128-bit hash tokens:
+# CityHash128 per row at C speed, unique/inverse over the 16-byte hashes,
+# representative values gathered at first occurrence.  This is what keeps
+# ~100M-row / ~50M-distinct string GROUP BY off the host sort path — the
+# grouping itself always runs on device over the int32 codes (reference:
+# src/Columns/ColumnString.h ColumnString + low-cardinality hash grouping).
+# Known caveat: strings differing only in TRAILING NUL bytes ('a' vs
+# 'a\x00') share a hash token (the fixed-width 'S' encoding trims them).
+HASH_FACTORIZE_MIN_ROWS = 8_000_000
+
+
+def hash_tokens128(values: np.ndarray) -> np.ndarray:
+    """(n, 2) uint64 CityHash128 tokens of a string array (C loop)."""
+    from ..native import cityhash128_rows
+    try:
+        s = values.astype(bytes)               # ascii fast path
+    except (UnicodeEncodeError, UnicodeDecodeError, ValueError):
+        s = np.char.encode(values.astype(str), "utf-8")
+    if s.dtype.itemsize == 0:
+        s = s.astype("S1")
+    return cityhash128_rows(s)
+
+
+def _hash_struct(h: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(h).view(
+        [("lo", "<u8"), ("hi", "<u8")]).reshape(-1)
+
+
+def factorize_strings(values: np.ndarray):
+    """-> (codes int32 (n,), Dictionary).  Sorted-unique for small inputs;
+    hash-token factorization beyond HASH_FACTORIZE_MIN_ROWS."""
+    n = len(values)
+    if n < HASH_FACTORIZE_MIN_ROWS:
+        uniq, codes = np.unique(values.astype(str), return_inverse=True)
+        return codes.astype(np.int32), \
+            Dictionary(uniq.astype(object), sorted_=True)
+    hv = _hash_struct(hash_tokens128(values))
+    uniq_h, first, codes = np.unique(hv, return_index=True,
+                                     return_inverse=True)
+    uniq = np.asarray(values, object)[first]
+    dic = Dictionary(uniq, sorted_=False)
+    dic._hash_sorted = uniq_h          # hash->code lookups stay O(log U)
+    return codes.astype(np.int32), dic
+
+
 def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
                       capacity: Optional[int] = None) -> Column:
     """Build a Column from host data, dictionary-encoding strings.
@@ -355,13 +412,11 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
     if values.dtype.kind in ("U", "S", "O"):
         if dtype is None:
             dtype = dt.String
-        uniq, codes = np.unique(values.astype(str), return_inverse=True)
-        codes = codes.astype(np.int32)
+        codes, dic = factorize_strings(values)
         data_np = np.full(cap, -1, dtype=np.int32)
         data_np[:n] = codes
         col = Column(dtype if validity_np is None else dt.make_nullable(dtype),
-                     jnp.asarray(data_np),
-                     dictionary=Dictionary(uniq.astype(object), sorted_=True))
+                     jnp.asarray(data_np), dictionary=dic)
     else:
         if dtype is None:
             if values.dtype.kind == "b":

@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = ["HAVE_NATIVE", "lz4_compress", "lz4_decompress",
            "encode_strings", "decode_strings", "hash64_np",
+           "cityhash128_rows",
            "delta_encode", "delta_decode", "dd_encode", "dd_decode",
            "gorilla_encode", "gorilla_decode", "t64_encode", "t64_decode",
            "cityhash128"]
@@ -53,6 +54,10 @@ def _load():
         lib.chn_hash64.restype = None
         lib.chn_hash64.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
                                    ctypes.c_void_p]
+        lib.chn_cityhash128_rows.restype = None
+        lib.chn_cityhash128_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p]
         lib.chn_cityhash128.restype = None
         lib.chn_cityhash128.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                         ctypes.c_void_p]
@@ -314,6 +319,25 @@ def decode_strings(data: bytes, n_rows: int) -> Tuple[np.ndarray, int]:
         out[i] = data[pos:pos + ln].decode(errors="replace")
         pos += ln
     return out, pos
+
+
+def cityhash128_rows(fixed: np.ndarray) -> np.ndarray:
+    """Fixed-width 'S' byte rows -> (n, 2) uint64 CityHash128 per row
+    (trailing NUL bytes trimmed — the 'S'-array length convention).  The
+    hash-token path for high-cardinality string factorization."""
+    a = np.ascontiguousarray(fixed)
+    n = len(a)
+    w = a.dtype.itemsize
+    out = np.empty((n, 2), np.uint64)
+    lib = _load()
+    if lib:
+        lib.chn_cityhash128_rows(a.ctypes.data, w, n, out.ctypes.data)
+        return out
+    for i in range(n):
+        h = cityhash128(bytes(a[i]))       # bytes() of an S scalar trims NULs
+        out[i, 0] = int.from_bytes(h[:8], "little")
+        out[i, 1] = int.from_bytes(h[8:], "little")
+    return out
 
 
 def hash64_np(x: np.ndarray) -> np.ndarray:

@@ -621,4 +621,18 @@ void chn_cityhash128(const uint8_t* s, long long n, uint64_t* out) {
     out[1] = r.hi;
 }
 
+// CityHash128 per fixed-width byte row, trailing NULs trimmed: the
+// hash-token string factorization path (high-cardinality GROUP BY builds
+// codes from 128-bit hashes instead of a lexicographic unique over the
+// raw strings — core/column.py factorize_strings).
+void chn_cityhash128_rows(const uint8_t* data, long long width,
+                          long long n, uint64_t* out) {
+    for (long long i = 0; i < n; ++i) {
+        const uint8_t* row = data + i * width;
+        long long len = width;
+        while (len > 0 && row[len - 1] == 0) --len;
+        chn_cityhash128(row, len, out + 2 * i);
+    }
+}
+
 }  // extern "C"

@@ -587,11 +587,13 @@ class ChunkSource:
             self.storage = layout_donor.storage
             self.dictionaries = layout_donor.dictionaries
             self._sorted_dict_values = layout_donor._sorted_dict_values
+            self._dict_hashes = layout_donor._dict_hashes
             self.nullable = layout_donor.nullable
             return
         self.storage: Dict[str, np.dtype] = {}
         self.dictionaries: Dict[str, "Dictionary"] = {}
         self._sorted_dict_values: Dict[str, np.ndarray] = {}
+        self._dict_hashes: Dict[str, np.ndarray] = {}
         self.nullable: Dict[str, bool] = {}
         for name in columns:
             t = table.schema[name]
@@ -608,6 +610,21 @@ class ChunkSource:
                 non_null = flat[np.asarray(
                     [v is not None for v in flat], bool)] \
                     if self.nullable[name] else flat
+                from ..core.column import (HASH_FACTORIZE_MIN_ROWS,
+                                           _hash_struct, hash_tokens128)
+                if len(non_null) >= HASH_FACTORIZE_MIN_ROWS:
+                    # hash-token dictionary: no lexicographic string sort;
+                    # per-chunk encode is a hash + binary search over u128
+                    # tokens (core/column.py factorize_strings)
+                    hv = _hash_struct(hash_tokens128(non_null))
+                    uniq_h, first = np.unique(hv, return_index=True)
+                    dic = Dictionary(np.asarray(non_null, object)[first],
+                                     sorted_=False)
+                    dic._hash_sorted = uniq_h
+                    self.dictionaries[name] = dic
+                    self._dict_hashes[name] = uniq_h
+                    self.storage[name] = np.dtype(np.int32)
+                    continue
                 uniq = np.unique(non_null.astype(str)) if len(non_null) \
                     else np.zeros(0, str)
                 self._sorted_dict_values[name] = uniq
@@ -697,9 +714,16 @@ class ChunkSource:
         if t.is_dictionary:
             data = np.zeros(cap, np.int32)
             if n:
-                data[:n] = np.searchsorted(
-                    self._sorted_dict_values[name], raw.astype(str)
-                ).astype(np.int32)
+                hs = self._dict_hashes.get(name)
+                if hs is not None:
+                    from ..core.column import _hash_struct, hash_tokens128
+                    chv = _hash_struct(hash_tokens128(
+                        np.asarray(raw, object)))
+                    data[:n] = np.searchsorted(hs, chv).astype(np.int32)
+                else:
+                    data[:n] = np.searchsorted(
+                        self._sorted_dict_values[name], raw.astype(str)
+                    ).astype(np.int32)
         elif n == cap:
             # full aligned chunk: one cast at most, zero-copy when the part
             # is already stored at the streaming dtype

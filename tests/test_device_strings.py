@@ -128,3 +128,53 @@ class TestDeviceStringPredicates:
         s.execute("INSERT INTO t VALUES ('héllo'), ('hello'), ('héllo2')")
         assert s.execute("SELECT count() FROM t "
                          "WHERE startsWith(s, 'héllo')").scalar() == 2
+
+
+class TestHashTokenDictionary:
+    """Hash-token factorization for high-cardinality strings
+    (core/column.py factorize_strings): beyond HASH_FACTORIZE_MIN_ROWS the
+    dictionary is built from 128-bit CityHash tokens (no lexicographic
+    string sort); grouping stays on int32 codes on device, literal lookups
+    binary-search the sorted token array."""
+
+    @pytest.fixture()
+    def hash_session(self, monkeypatch):
+        from clickhouse_tpu.core import column as C
+        monkeypatch.setattr(C, "HASH_FACTORIZE_MIN_ROWS", 64)
+        s = ch.connect()
+        s.execute("CREATE TABLE ht (u String, k Int64)")
+        n = 4000
+        s.insert_pydict("ht", {
+            "u": np.array([f"http://e.com/p{i % 900}" for i in range(n)],
+                          object),
+            "k": np.arange(n, dtype=np.int64) % 5})
+        return s
+
+    def test_group_by_and_lookup(self, hash_session):
+        s = hash_session
+        t = s.catalog.get_table("default", "ht")
+        blk = t.read_block()
+        dic = blk.columns["u"].dictionary
+        assert dic is not None and not dic.sorted_
+        assert dic._hash_sorted is not None        # hash-token mode engaged
+        assert s.execute("SELECT count(DISTINCT u) FROM ht").rows() \
+            == [(900,)]
+        top = s.execute("SELECT u, count() AS c FROM ht GROUP BY u "
+                        "ORDER BY c DESC, u LIMIT 2").rows()
+        assert top[0][1] >= top[1][1]
+        assert s.execute(
+            "SELECT count() FROM ht WHERE u = 'http://e.com/p7'"
+        ).rows() == [(5,)]
+        assert s.execute(
+            "SELECT count() FROM ht WHERE u = 'missing'").rows() == [(0,)]
+
+    def test_streamed_group_by_on_hash_tokens(self, hash_session):
+        s = hash_session
+        st = {"max_device_block_bytes": 1, "stream_chunk_rows": 1024}
+        plain = s.execute(
+            "SELECT u, count() AS c FROM ht GROUP BY u "
+            "ORDER BY c DESC, u LIMIT 5").rows()
+        streamed = s.execute(
+            "SELECT u, count() AS c FROM ht GROUP BY u "
+            "ORDER BY c DESC, u LIMIT 5", settings=st).rows()
+        assert plain == streamed
