@@ -110,7 +110,21 @@ def apply_config(session, cfg: Dict[str, Any]) -> None:
             spec = spec or {}
             kind = str(spec.get("type", "local"))
             root = str(spec.get("path", name))
-            if kind == "object_storage":
+            if kind == "s3":
+                # S3-backed disk (ref: src/Disks/ObjectStorages/S3/):
+                # endpoint + bucket + SigV4 credentials
+                from ..storage.s3 import S3ObjectStorage
+                store = S3ObjectStorage(
+                    str(spec.get("endpoint", "")),
+                    str(spec.get("bucket", name)),
+                    access_key_id=str(spec.get("access_key_id", "")),
+                    secret_access_key=str(
+                        spec.get("secret_access_key", "")),
+                    region=str(spec.get("region", "us-east-1")),
+                    prefix=str(spec.get("prefix", "")))
+                session.catalog.disks.register(
+                    ObjectStorageDisk(name, store))
+            elif kind == "object_storage":
                 session.catalog.disks.register(
                     ObjectStorageDisk(name, LocalObjectStorage(root)))
             else:
