@@ -212,6 +212,28 @@ _KEEPERS: Dict[str, Keeper] = {}
 _KLOCK = threading.Lock()
 
 
+def dump_tree(keeper: Keeper) -> dict:
+    """Serialize the whole znode tree (Raft snapshot payload)."""
+    def enc(node: _Node) -> dict:
+        return {"d": node.data, "v": node.version, "s": node.seq_counter,
+                "e": node.ephemeral,
+                "c": {k: enc(v) for k, v in node.children.items()}}
+    with keeper._lock:
+        return enc(keeper._root)
+
+
+def load_tree(keeper: Keeper, snap: dict) -> None:
+    """Replace the znode tree with a snapshot (Raft install_snapshot)."""
+    def dec(d: dict) -> _Node:
+        n = _Node(d.get("d", b""), d.get("e"))
+        n.version = d.get("v", 0)
+        n.seq_counter = d.get("s", 0)
+        n.children = {k: dec(v) for k, v in d.get("c", {}).items()}
+        return n
+    with keeper._lock:
+        keeper._root = dec(snap)
+
+
 def get_keeper(cluster: str = "default") -> Keeper:
     """In-process keeper by name, or a networked client for
     'tcp://host:port' clusters (coordination/keeper_net.py)."""
@@ -219,9 +241,16 @@ def get_keeper(cluster: str = "default") -> Keeper:
         k = _KEEPERS.get(cluster)
         if k is None:
             if cluster.startswith("tcp://"):
-                from .keeper_net import KeeperClient
-                host, _, port = cluster[len("tcp://"):].partition(":")
-                k = KeeperClient(host, int(port or 9181))
+                addrs = cluster[len("tcp://"):]
+                if "," in addrs:
+                    # Raft ensemble: 'tcp://a:p,b:p,c:p' — the client finds
+                    # the leader and fails over (coordination/raft.py)
+                    from .raft import RaftKeeperClient
+                    k = RaftKeeperClient(addrs.split(","))
+                else:
+                    from .keeper_net import KeeperClient
+                    host, _, port = addrs.partition(":")
+                    k = KeeperClient(host, int(port or 9181))
             else:
                 k = Keeper()
             _KEEPERS[cluster] = k

@@ -45,6 +45,12 @@ class FailPointRegistry:
         "exchange_before_all_to_all",     # distributed exchange dispatch
         "backup_before_write",            # BACKUP: before writing the archive
         "async_insert_before_flush",      # async INSERT queue flush
+        # raft partition injection (coordination/raft.py _rpc): drop all
+        # RPCs from/to a node — network partition simulation
+        "raft_drop_from_0", "raft_drop_from_1", "raft_drop_from_2",
+        "raft_drop_from_3", "raft_drop_from_4",
+        "raft_drop_to_0", "raft_drop_to_1", "raft_drop_to_2",
+        "raft_drop_to_3", "raft_drop_to_4",
     )
 
     def __init__(self) -> None:
