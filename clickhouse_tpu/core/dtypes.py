@@ -24,7 +24,7 @@ __all__ = [
     "Int8", "Int16", "Int32", "Int64",
     "UInt8", "UInt16", "UInt32", "UInt64",
     "Float32", "Float64",
-    "Boolean", "String", "Date", "DateTime", "Nothing",
+    "Boolean", "String", "JSON", "Date", "DateTime", "Nothing",
     "Decimal", "DateTime64", "Enum8", "Enum16", "FixedString",
     "UUID", "IPv4", "IPv6",
     "Nullable", "make_nullable", "remove_nullable",
@@ -77,6 +77,14 @@ class DType:
     # Array(Tuple(K, V)), src/Columns/ColumnMap.h — same nested layout,
     # struct-of-arrays instead of array-of-structs)
     map_types: Optional[tuple] = None       # (key type name, value type name)
+    # JSON (semi-structured): parts hold canonical serialized documents;
+    # discovered scalar paths shred into ordinary typed device subcolumns
+    # at block build (reference: src/Columns/ColumnObject.h — typed path
+    # subcolumns + shared-data residue; here the full document IS the
+    # residue and doubles as the printable value).  The base column itself
+    # is dictionary-encoded serialized text (device codes), so whole-doc
+    # GROUP BY / DISTINCT / equality work like any String.
+    is_json: bool = False
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -112,6 +120,7 @@ Float64 = DType("Float64", "float64")
 Boolean = DType("Bool", "uint8")
 # Strings: dictionary codes on device (int32), dictionary on host.
 String = DType("String", "int32", is_dictionary=True)
+JSON = DType("JSON", "int32", is_dictionary=True, is_json=True)
 # Days since epoch / seconds since epoch, like the reference's Date/DateTime.
 Date = DType("Date", "int32")
 DateTime = DType("DateTime", "int64")
@@ -377,6 +386,11 @@ def parse_type_name(name: str) -> DType:
     if inner is not None:
         # Dictionary encoding is our default physical layout already.
         return parse_type_name(inner)
+    if name == "JSON" or name.startswith("JSON("):
+        return JSON        # path type hints parse but shredding discovers
+    inner = _strip_call(name, "Object")
+    if inner is not None:          # legacy Object('json') spelling
+        return JSON
     inner = _strip_call(name, "Array")
     if inner is not None:
         return Array(parse_type_name(inner))

@@ -47,8 +47,14 @@ class Scope:
                     return visible[0]    # USING key: the left side wins
                 raise AnalysisError(f"Ambiguous column '{name}'")
             return matches[0] if matches else None
-        if len(parts) == 2:
-            qual, name = parts
+        if len(parts) >= 2:
+            # dotted displays first: JSON subcolumns ("j.price.usd") are
+            # single fields whose display contains dots
+            dotted = ".".join(parts)
+            matches = [f for f in self.fields if f.display == dotted]
+            if len(matches) == 1:
+                return matches[0]
+            qual, name = parts[0], ".".join(parts[1:])
             matches = [f for f in self.fields
                        if f.display == name and qual in f.qualifiers]
             if len(matches) > 1:
@@ -492,6 +498,13 @@ class Analyzer:
             b = table.column_bounds(name)
             if b is not None:
                 stats[f.id] = b
+            if getattr(ctype, "is_json", False):
+                # shredded JSON subcolumns are ordinary scan fields named
+                # "<col>.<path>" (ColumnObject typed-path analog); the
+                # device block materializes them (table._build_device_block)
+                for path, pdt in table.json_paths(name).items():
+                    fields.append(self.field(f"{name}.{path}", pdt, quals))
+                    names.append(f"{name}.{path}")
         node = L.ScanNode(db, ref.table, fields, names, final=ref.final,
                           column_stats=stats or None,
                           engine=table.engine,
@@ -1322,6 +1335,15 @@ class Analyzer:
         name = fn_reg.canonical_name(e.name)
         fn = fn_reg.get(name)
         out = fn.resolve([a.dtype for a in args])
+        if name == "tupleElement" and len(args) == 2 \
+                and dt.is_tuple(args[0].dtype) \
+                and isinstance(args[1], BoundLiteral) \
+                and isinstance(args[1].value, int):
+            # the element's REAL type (resolve sees only types; the
+            # constant index selects it here) — tuple(1,'a').2 is String
+            tts = args[0].dtype.tuple_types
+            if 1 <= args[1].value <= len(tts):
+                out = dt.parse_type_name(tts[args[1].value - 1])
         # x % CONST / intDiv(x, CONST) with a nonzero literal divisor cannot
         # produce the zero-divide NULL — strip the speculative nullability
         if name in ("modulo", "intDiv") and len(args) == 2 \

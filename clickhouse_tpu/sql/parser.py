@@ -1238,6 +1238,38 @@ class Parser:
                 idx = self.parse_expr()
                 self.expect_op("]")
                 e = ast.FuncCall("arrayElement", [e, idx])
+            elif self.tok.kind == "op" and self.tok.text == "." \
+                    and self.tokens[self.i + 1].kind in ("word", "number"):
+                # postfix element access (ref ExpressionListParsers.cpp):
+                # tuple(1,'a').2, deep dotted names j.geo.cc
+                nxt = self.tokens[self.i + 1]
+                if nxt.kind == "number":
+                    if not nxt.text.isdigit():
+                        return e
+                    self.advance()
+                    self.advance()
+                    e = ast.FuncCall("tupleElement",
+                                     [e, ast.Literal(int(nxt.text))])
+                else:
+                    self.advance()
+                    self.advance()
+                    if isinstance(e, ast.Identifier):
+                        parts = tuple(e.parts) + (nxt.text,)
+                        e = ast.Identifier(".".join(parts), parts)
+                    else:
+                        e = ast.FuncCall("tupleElement",
+                                         [e, ast.Literal(nxt.text)])
+            elif self.tok.kind == "number" \
+                    and self.tok.text.startswith(".") \
+                    and all(p.isdigit()
+                            for p in self.tok.text[1:].split(".")):
+                # the lexer folds '.2' (or a chain '.2.1') into one number
+                # token after ')': each segment is an element access
+                t = self.tok
+                self.advance()
+                for seg in t.text[1:].split("."):
+                    e = ast.FuncCall("tupleElement",
+                                     [e, ast.Literal(int(seg))])
             elif self.tok.kind == "op" and self.tok.text == "(" \
                     and isinstance(e, ast.FuncCall) and e.params is None:
                 # parameterized aggregate: quantile(0.5)(x) — the first

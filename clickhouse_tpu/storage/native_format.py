@@ -119,7 +119,8 @@ def _write_column_data(out: BinaryIO, type_name: str, v: np.ndarray) -> None:
         for r in rows:
             out.write(r.ljust(width, b"\0"))
         return
-    if type_name in ("String", "FixedString"):
+    if type_name in ("String", "FixedString", "JSON"):
+        # JSON columns materialize as canonical serialized text
         from .. import native as chnative
         out.write(chnative.encode_strings(np.asarray(v, dtype=object)))
         return
@@ -147,7 +148,7 @@ def _read_column_data(inp: BinaryIO, type_name: str, n_rows: int) -> np.ndarray:
         for i in range(n_rows):
             out[i] = buf[i * width:(i + 1) * width]
         return out
-    if type_name == "String":
+    if type_name in ("String", "JSON"):
         if n_rows == 0:
             return np.asarray([], object)
         if not inp.seekable():

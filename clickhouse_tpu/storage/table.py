@@ -201,6 +201,99 @@ class Part:
         return Part({k: np.asarray(v) for k, v in data.items()}, n, minmax)
 
 
+def _normalize_json_column(v: np.ndarray) -> np.ndarray:
+    """Dicts / JSON strings / None -> canonical serialized documents
+    (sorted keys, compact separators) so equal documents dictionary-encode
+    to one code regardless of the input spelling."""
+    import json as _json
+    out = np.empty(len(v), object)
+    for i, x in enumerate(v):
+        if x is None:
+            out[i] = "{}"
+        elif isinstance(x, (dict, list)):
+            out[i] = _json.dumps(x, sort_keys=True,
+                                 separators=(",", ":"))
+        else:
+            try:
+                out[i] = _json.dumps(_json.loads(str(x)), sort_keys=True,
+                                     separators=(",", ":"))
+            except ValueError:
+                raise AnalysisError(
+                    f"Cannot parse JSON value: {str(x)[:80]!r}")
+    return out
+
+
+def _json_flatten(doc, prefix: str, out: dict) -> None:
+    """Scalar paths of one document: nested dicts recurse with dotted
+    prefixes; arrays and nulls stay in the full-document residue only."""
+    if not isinstance(doc, dict):
+        return
+    for k, val in doc.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(val, dict):
+            _json_flatten(val, path, out)
+        elif isinstance(val, (int, float, str, bool)) and val is not None:
+            out[path] = val
+
+
+def json_shred(part: Part, name: str):
+    """-> ({path: object array (None = missing)}, {path: type tag}) for a
+    part's JSON column; parsed once, cached on the part.  Type tags:
+    'i' int, 'f' float, 'b' bool, 's' str — mixed numeric widens to 'f',
+    any other mix widens to 's' (the Dynamic-ish least-surprise rule)."""
+    import json as _json
+    cache = getattr(part, "_json_shred", None)
+    if cache is None:
+        cache = part._json_shred = {}
+    if name in cache:
+        return cache[name]
+    raw = part.columns[name]
+    n = len(raw)
+    rows = []
+    for x in raw:
+        flat: dict = {}
+        try:
+            _json_flatten(_json.loads(x), "", flat)
+        except ValueError:
+            pass
+        rows.append(flat)
+    paths: Dict[str, str] = {}
+    for flat in rows:
+        for path, val in flat.items():
+            tag = ("b" if isinstance(val, bool) else
+                   "i" if isinstance(val, int) else
+                   "f" if isinstance(val, float) else "s")
+            prev = paths.get(path)
+            if prev is None or prev == tag:
+                paths[path] = tag
+            elif {prev, tag} <= {"i", "f", "b"}:
+                paths[path] = "f" if "f" in (prev, tag) else "i"
+            else:
+                paths[path] = "s"
+    cols: Dict[str, np.ndarray] = {}
+    for path, tag in paths.items():
+        arr = np.empty(n, object)
+        for i, flat in enumerate(rows):
+            val = flat.get(path)
+            if val is None:
+                arr[i] = None
+            elif tag == "s":
+                arr[i] = val if isinstance(val, str) else _json.dumps(val)
+            elif tag == "b":
+                arr[i] = bool(val)
+            elif tag == "f":
+                arr[i] = float(val)
+            else:
+                arr[i] = int(val)
+        cols[path] = arr
+    cache[name] = (cols, paths)
+    return cache[name]
+
+
+_JSON_TAG_DTYPE = {"i": "Int64", "f": "Float64", "b": "Bool",
+                   "s": "String"}
+
+
 def base_engine(name: str) -> str:
     """Replicated<X> merges like <X> locally (coordination is orthogonal)."""
     if name.startswith("Replicated"):
@@ -311,8 +404,12 @@ class Table:
                 v = np.asarray(data[name])
                 if len(v) != n:
                     raise AnalysisError("INSERT column length mismatch")
+                if ctype.is_json:
+                    v = _normalize_json_column(v)
             else:  # missing column -> default value
-                if ctype.is_dictionary:
+                if ctype.is_json:
+                    v = np.asarray(["{}"] * n, dtype=object)
+                elif ctype.is_dictionary:
                     v = np.asarray([""] * n, dtype=object)
                 else:
                     v = np.zeros(n, ctype.np_dtype)
@@ -401,6 +498,26 @@ class Table:
             return blk.select(list(columns))
         return blk
 
+    def json_paths(self, name: str) -> Dict[str, "dt.DType"]:
+        """Discovered scalar paths of a JSON column, unioned across parts
+        (always derived from the data — reload-safe); {path: Nullable(T)}.
+        The analyzer turns these into ordinary scan fields so `j.path`
+        reads a typed device column (ColumnObject shredding analog)."""
+        tags: Dict[str, str] = {}
+        for p in self.parts:
+            _, ptags = json_shred(p, name)
+            for path, tag in ptags.items():
+                prev = tags.get(path)
+                if prev is None or prev == tag:
+                    tags[path] = tag
+                elif {prev, tag} <= {"i", "f", "b"}:
+                    tags[path] = "f" if "f" in (prev, tag) else "i"
+                else:
+                    tags[path] = "s"
+        return {path: dt.make_nullable(
+            dt.parse_type_name(_JSON_TAG_DTYPE[tag]))
+            for path, tag in sorted(tags.items())}
+
     def _build_device_block(self) -> Block:
         total = self.num_rows
         cap = pad_to(total)
@@ -415,6 +532,21 @@ class Table:
             else:
                 merged = np.concatenate(pieces)
             cols[name] = column_from_numpy(merged, ctype, capacity=cap)
+            if ctype.is_json:
+                # shredded typed subcolumns ride the block as ordinary
+                # columns named "<col>.<path>"
+                for path, pdt in self.json_paths(name).items():
+                    vals = []
+                    for p in self.parts:
+                        shred, _ = json_shred(p, name)
+                        arr = shred.get(path)
+                        if arr is None:
+                            arr = np.full(p.num_rows, None, object)
+                        vals.append(arr)
+                    merged_p = np.concatenate(vals) if vals \
+                        else np.zeros(0, object)
+                    cols[f"{name}.{path}"] = column_from_numpy(
+                        merged_p, pdt, capacity=cap)
         return Block(cols, total)
 
     def part_stats(self):
@@ -596,7 +728,10 @@ class ChunkSource:
         self._dict_hashes: Dict[str, np.ndarray] = {}
         self.nullable: Dict[str, bool] = {}
         for name in columns:
-            t = table.schema[name]
+            t = table.schema.get(name)
+            if t is None:
+                # JSON shredded subcolumn: exists only in device blocks
+                raise NotStreamable(f"derived subcolumn '{name}'")
             if t.is_array:
                 raise NotStreamable(f"Array column '{name}'")
             parts = [p for p in self.parts if p.num_rows]
