@@ -325,6 +325,35 @@ def main():
     except Exception as e:
         log(f"Q4 failed: {e}")
 
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("extras budget exhausted")
+        # Q8: brute-force vector similarity on the MXU (the reference
+        # answers this with an HNSW index, MergeTreeIndexVectorSimilarity;
+        # here distances are (N,D)x(D,) matmuls + device top-k).  Roofline:
+        # the HBM read of the f32 vector matrix (memory-bound at D=128).
+        import gc
+        s8 = ch.connect()
+        NV, DV = 10_000_000, 128
+        rng8 = np.random.default_rng(8)
+        V8 = rng8.normal(size=(NV, DV)).astype(np.float32)
+        s8.execute("CREATE TABLE vecs (id Int64, v Array(Float32))")
+        s8.insert_pydict("vecs", {"id": np.arange(NV, dtype=np.int64),
+                                  "v": V8})
+        q8 = rng8.normal(size=DV).astype(np.float32)
+        qs8 = "[" + ",".join(f"{x:.5f}" for x in q8) + "]"
+        t_vec = bench_query(
+            s8, f"SELECT id FROM vecs ORDER BY cosineDistance(v, {qs8}) "
+                f"LIMIT 10", reps=5)
+        roof_vec = NV * DV * 4 / (HBM_GBPS * 1e9)
+        log(f"Q8 vector top-10 of {NV/1e6:.0f}M x {DV}: {t_vec*1e3:.1f} ms "
+            f"({NV/t_vec/1e9:.2f} G vecs/s); HBM roofline "
+            f"{roof_vec*1e3:.1f} ms -> fraction {roof_vec/t_vec:.3f}")
+        del s8, V8
+        gc.collect()
+    except Exception as e:
+        log(f"Q8 vector bench failed: {e}")
+
     # -- BASELINE-scale streamed configs (out-of-core engine on data larger
     #    than a comfortable device block), LAST, under their own budget.
     budget_1b = float(os.environ.get("BENCH_1B_BUDGET_S", "1500"))

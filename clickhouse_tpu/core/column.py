@@ -356,6 +356,23 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
                 mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
         return Column(dtype, jnp.asarray(mat), None)
 
+    # Array(T): uniform 2-D numeric matrix fast path (vector columns —
+    # 10M x 128 embeddings must not take a per-element python loop)
+    if values.ndim == 2 and values.dtype != object \
+            and (dtype is None or dtype.is_array):
+        if dtype is None:
+            inner0 = dt.Float64 if values.dtype.kind == "f" else dt.Int64
+            dtype = dt.Array(inner0)
+        inner = dt.array_inner(dtype)
+        d = values.shape[1]
+        max_len = max(((d + 7) // 8) * 8, 8)
+        mat = np.zeros((cap, max_len), inner.np_dtype)
+        mat[:n, :d] = values.astype(inner.np_dtype, copy=False)
+        lens = np.zeros(cap, np.int32)
+        lens[:n] = d
+        return Column(dtype, jnp.asarray(mat), None,
+                      lengths=jnp.asarray(lens))
+
     # Array(T): object array of python lists -> (cap, max_len) + lengths
     if (dtype is not None and dtype.is_array) or (
             values.dtype == object and n > 0

@@ -2095,28 +2095,63 @@ def _vec_pair(args):
     if getattr(lens, "ndim", 0) == 0:
         lens = jnp.broadcast_to(lens, (max(da.shape[0], db_.shape[0]),))
     mask = jnp.arange(W)[None, :] < lens[:, None]
-    return da * mask, db_ * mask, mask
+    return da * mask, db_ * mask, mask, db_
 
 
-def _register_distance(name, fn):
+# Brute-force vector search on the MXU: for a BIG (N, W) vector column
+# against one query vector, distances become three (N,W)x(W,) matmuls —
+# a @ q, (a*a) @ 1, mask @ (q*q) — which XLA tiles onto the systolic array
+# in f32 (vs the f64 elementwise+VPU-reduce exact path used for small N /
+# ragged semantics).  ORDER BY cosineDistance(vec, [..]) LIMIT k then runs
+# matmul -> device top-k: the TPU-native answer to the reference's HNSW
+# vector-similarity index (MergeTreeIndexVectorSimilarity.cpp) — at
+# moderate scale brute force on the MXU beats graph walks.
+_MXU_DISTANCE_MIN_ROWS = 1 << 16
+
+
+def _mxu_dist_parts(a, b, m):
+    af = a.astype(jnp.float32)
+    q = b[0].astype(jnp.float32) if b.shape[0] == 1 else None
+    if q is None:
+        return None
+    dot = af @ q
+    anorm2 = (af * af) @ jnp.ones((af.shape[-1],), jnp.float32)
+    bnorm2 = m.astype(jnp.float32) @ (q * q)   # per-row masked query norm
+    return dot.astype(jnp.float64), anorm2.astype(jnp.float64), \
+        bnorm2.astype(jnp.float64)
+
+
+def _register_distance(name, fn, mxu=None):
+    def exec_(args, out):
+        a, b, m, braw = _vec_pair(args)
+        if mxu is not None and a.shape[0] >= _MXU_DISTANCE_MIN_ROWS:
+            parts = _mxu_dist_parts(a, braw, m)
+            if parts is not None:
+                return ColVal(out, mxu(*parts), _andv(args))
+        return ColVal(out, fn(a, b, m), _andv(args))
     register(name, lambda ts: dt.Float64.with_nullable(
-        any(t.nullable for t in ts)),
-        _arrfn(lambda args, out: ColVal(out, fn(*_vec_pair(args)),
-                                        _andv(args))))
+        any(t.nullable for t in ts)), _arrfn(exec_))
 
 
 _register_distance("L2Distance",
-                   lambda a, b, m: jnp.sqrt(jnp.sum((a - b) ** 2, -1)))
+                   lambda a, b, m: jnp.sqrt(jnp.sum((a - b) ** 2, -1)),
+                   mxu=lambda dot, a2, b2: jnp.sqrt(
+                       jnp.maximum(a2 - 2.0 * dot + b2, 0.0)))
 _register_distance("L2SquaredDistance",
-                   lambda a, b, m: jnp.sum((a - b) ** 2, -1))
+                   lambda a, b, m: jnp.sum((a - b) ** 2, -1),
+                   mxu=lambda dot, a2, b2: jnp.maximum(
+                       a2 - 2.0 * dot + b2, 0.0))
 _register_distance("L1Distance",
                    lambda a, b, m: jnp.sum(jnp.abs(a - b), -1))
 _register_distance("LinfDistance",
                    lambda a, b, m: jnp.max(jnp.abs(a - b), -1))
-_register_distance("dotProduct", lambda a, b, m: jnp.sum(a * b, -1))
+_register_distance("dotProduct", lambda a, b, m: jnp.sum(a * b, -1),
+                   mxu=lambda dot, a2, b2: dot)
 _register_distance("cosineDistance", lambda a, b, m: 1.0 - jnp.sum(
     a * b, -1) / jnp.maximum(jnp.sqrt(jnp.sum(a * a, -1))
-                             * jnp.sqrt(jnp.sum(b * b, -1)), 1e-300))
+                             * jnp.sqrt(jnp.sum(b * b, -1)), 1e-300),
+    mxu=lambda dot, a2, b2: 1.0 - dot / jnp.maximum(
+        jnp.sqrt(a2) * jnp.sqrt(b2), 1e-300))
 
 
 def _exec_l2norm(args, out_dtype):
