@@ -64,6 +64,15 @@ class MemoryLimitExceeded(ExecutionError):
     code = 241       # MEMORY_LIMIT_EXCEEDED
 
 
+class TimeoutExceeded(ExecutionError):
+    """max_execution_time elapsed (reference: TIMEOUT_EXCEEDED,
+    src/QueryPipeline/ExecutionSpeedLimits.cpp)."""
+
+
+class QueryCancelled(ExecutionError):
+    """Query killed via KILL QUERY (reference: QUERY_WAS_CANCELLED)."""
+
+
 class NotImplementedError_(EngineError):
     code = 48        # NOT_IMPLEMENTED
 

@@ -131,6 +131,12 @@ class Settings:
     # src/Core/QueryProcessingStage.h)
     distributed_pushdown: bool = True
 
+    # -- query management --------------------------------------------------
+    # hard wall-clock limit (seconds; 0 = unlimited).  Checked at host
+    # sync points: streamed chunk boundaries, plan retries, pre-dispatch
+    # (reference: max_execution_time / ExecutionSpeedLimits)
+    max_execution_time: float = 0.0
+
     # -- profiling ---------------------------------------------------------
     # wall-clock stack sampler period (QueryProfiler analog, ref
     # src/Common/QueryProfiler.h:54); 0 disables.  Samples land in

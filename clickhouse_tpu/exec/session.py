@@ -143,6 +143,22 @@ class Session:
         if depth == 0:
             self.catalog._remote_cache = {}
         self._current_sql = sql
+        # ProcessList registration (KILL QUERY / system.processes)
+        qid = (settings or {}).get("query_id")
+        if qid is not None:
+            settings = {k: v for k, v in settings.items()
+                        if k != "query_id"}
+        if depth == 0:
+            import uuid as _uuid
+            self._query_id = str(qid) if qid else _uuid.uuid4().hex[:16]
+            self.catalog.running_queries[self._query_id] = {
+                "query": sql, "user": getattr(self.current_user, "name",
+                                              "default"),
+                "t0": time.monotonic(), "kill": False}
+            self._query_deadline = None
+            if self.settings.max_execution_time > 0:
+                self._query_deadline = time.monotonic() \
+                    + self.settings.max_execution_time
         prof = None
         period = self.settings.query_profiler_real_time_period_ns
         if period and depth == 0:
@@ -179,6 +195,9 @@ class Session:
         finally:
             if prof is not None:
                 prof.__exit__()
+            if depth == 0:
+                self.catalog.running_queries.pop(
+                    getattr(self, "_query_id", ""), None)
             self._exec_depth = depth
             self._end_span(root)
 
@@ -279,6 +298,8 @@ class Session:
                 else:
                     self.catalog.access.revoke(stmt.user, p, stmt.target)
             return _status_result()
+        if isinstance(stmt, ast.KillQuery):
+            return self._run_kill_query(stmt)
         if isinstance(stmt, (ast.Select, ast.Union, ast.SetOp)):
             return self._run_select(stmt, overrides, sql)
         if isinstance(stmt, ast.Explain):
@@ -535,6 +556,69 @@ class Session:
             (db, t, getattr(self.catalog.get_table(db, t), "uid", 0),
              self.catalog.get_table(db, t).version) for db, t in blocks))
 
+    def _run_kill_query(self, stmt) -> Result:
+        """KILL QUERY WHERE <cond>: flips the kill flag of matching running
+        queries; they terminate at their next host sync point
+        (InterpreterKillQuery analog)."""
+        def value(e, row):
+            if isinstance(e, ast.Literal):
+                return e.value
+            if isinstance(e, ast.Identifier):
+                return row.get(e.name.lower())
+            raise NotImplementedError_(
+                "KILL QUERY WHERE supports query_id/user/query "
+                "comparisons")
+
+        def match(e, row) -> bool:
+            if isinstance(e, ast.FuncCall):
+                n = e.name.lower()
+                if n == "and":
+                    return all(match(a, row) for a in e.args)
+                if n == "or":
+                    return any(match(a, row) for a in e.args)
+                if n == "not":
+                    return not match(e.args[0], row)
+                if n in ("equals", "notequals") and len(e.args) == 2:
+                    eq = value(e.args[0], row) == value(e.args[1], row)
+                    return eq if n == "equals" else not eq
+                if n == "like" and len(e.args) == 2:
+                    import fnmatch
+                    pat = str(value(e.args[1], row)).replace("%", "*") \
+                        .replace("_", "?")
+                    return fnmatch.fnmatch(str(value(e.args[0], row)), pat)
+                if n == "in" and len(e.args) == 2 \
+                        and isinstance(e.args[1], ast.Tuple_):
+                    vals = [value(x, row) for x in e.args[1].items]
+                    return value(e.args[0], row) in vals
+            raise NotImplementedError_(
+                f"KILL QUERY WHERE: unsupported predicate "
+                f"{ast.format_expr(e)!r}")
+
+        killed = []
+        own = getattr(self, "_query_id", None)
+        for qid, info in list(self.catalog.running_queries.items()):
+            if qid == own:
+                continue                 # the KILL statement itself
+            row = {"query_id": qid, "query": info.get("query", ""),
+                   "user": info.get("user", ""),
+                   "elapsed": time.monotonic() - info.get("t0", 0)}
+            if match(stmt.where, row):
+                info["kill"] = True
+                killed.append((qid, info.get("user", "")))
+        if stmt.sync:
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline and any(
+                    q in self.catalog.running_queries
+                    for q, _ in killed):
+                time.sleep(0.02)
+        status = "waiting" if not stmt.sync else "killed"
+        return Result(
+            {"kill_status": np.asarray([status] * len(killed), object),
+             "query_id": np.asarray([q for q, _ in killed], object),
+             "user": np.asarray([u for _, u in killed], object)},
+            [("kill_status", "String"), ("query_id", "String"),
+             ("user", "String")])
+
     def _run_select(self, stmt, overrides: Dict[str, Any],
                     sql: str = "") -> Result:
         """SELECT with capacity autotuning: a CapacityError carrying a
@@ -546,6 +630,10 @@ class Session:
         if has_recursive_ctes(stmt):
             return run_recursive_select(self, stmt, overrides, sql)
         settings = self._query_settings(stmt, overrides)
+        if settings.max_execution_time > 0:
+            dl = time.monotonic() + settings.max_execution_time
+            cur = getattr(self, "_query_deadline", None)
+            self._query_deadline = dl if cur is None else min(cur, dl)
         # cross-process distributed execution: a SELECT over a single
         # remote()/cluster() ships the rewritten per-shard query (partial
         # aggregation states or pruned+filtered columns) instead of pulling
@@ -584,8 +672,26 @@ class Session:
                 self.profile_events["CapacityRetunes"] = \
                     self.profile_events.get("CapacityRetunes", 0) + 1
 
+    def check_limits(self) -> None:
+        """KILL QUERY flag + max_execution_time deadline; called at host
+        sync points (streamed chunk boundaries, plan retries,
+        pre-dispatch).  Whole-block single-program queries are checked
+        before dispatch — one compiled XLA program is not interruptible."""
+        from ..core.errors import QueryCancelled, TimeoutExceeded
+        q = self.catalog.running_queries.get(
+            getattr(self, "_query_id", ""), None)
+        if q is not None and q.get("kill"):
+            raise QueryCancelled(
+                f"Query '{self._query_id}' was killed (KILL QUERY)")
+        dl = getattr(self, "_query_deadline", None)
+        if dl is not None and time.monotonic() > dl:
+            raise TimeoutExceeded(
+                "Timeout exceeded: max_execution_time "
+                f"{self.settings.max_execution_time or ''} elapsed")
+
     def _run_select_once(self, stmt, settings: Settings,
                          sql: str = "") -> Result:
+        self.check_limits()
         if settings.use_query_cache and sql:
             # QueryResultCache analog: materialized results keyed by query
             # text + settings + table versions
@@ -963,6 +1069,7 @@ class Session:
                   index_granularity=int(stmt.settings.get(
                       "index_granularity", 8192)))
         t.ttl_text = getattr(stmt, "ttl", None)
+        t.sample_by = getattr(stmt, "sample_by", None)
         t.projections = {}
         t.engine_args = list(getattr(stmt, "engine_args", []) or [])
         if t.engine.startswith("Join") and t.engine_args:
@@ -1732,15 +1839,24 @@ class Session:
             return t
 
         def processes_table():
-            t = Table("processes", [("query", dtm.String),
+            # ProcessList analog: every running query of this catalog
+            t = Table("processes", [("query_id", dtm.String),
+                                    ("query", dtm.String),
                                     ("user", dtm.String),
-                                    ("elapsed", dtm.Float64)])
+                                    ("elapsed", dtm.Float64),
+                                    ("is_cancelled", dtm.UInt8)])
+            now = time.monotonic()
+            rows = [(qid, i.get("query", ""), i.get("user", ""),
+                     now - i.get("t0", now), 1 if i.get("kill") else 0)
+                    for qid, i in
+                    list(self.catalog.running_queries.items())]
             t.insert_pydict({
-                "query": np.asarray(["SELECT * FROM system.processes"],
-                                    object),
-                "user": np.asarray(
-                    [getattr(self.current_user, "name", "default")], object),
-                "elapsed": np.asarray([0.0], np.float64)})
+                "query_id": np.asarray([r[0] for r in rows], object),
+                "query": np.asarray([r[1] for r in rows], object),
+                "user": np.asarray([r[2] for r in rows], object),
+                "elapsed": np.asarray([r[3] for r in rows], np.float64),
+                "is_cancelled": np.asarray([r[4] for r in rows],
+                                           np.uint8)})
             return t
 
         def errors_table():

@@ -1060,8 +1060,14 @@ class _StreamProgramBase:
         overlap, transfer and per-chunk compute serialize and the streamed
         throughput is their SUM, not their MAX (the r03 Q5b gap)."""
         import time as _time
+        from .session import active_session
         n_readers = max(int(self.settings.stream_readers), 1)
         stats = self.io_stats
+        sess = active_session()
+
+        def _limits():
+            if sess is not None:
+                sess.check_limits()     # KILL QUERY / max_execution_time
 
         def instrumented():
             if n_readers > 1 and src.num_chunks > 1:
@@ -1077,6 +1083,7 @@ class _StreamProgramBase:
                                              max_buffered=min(n_readers + 2,
                                                               budget))
                 for _i, data, n in reader.iter_ordered():
+                    _limits()
                     t1 = _time.perf_counter()
                     args = _to_device(data, n)
                     jax.block_until_ready(args)
@@ -1085,6 +1092,7 @@ class _StreamProgramBase:
                     yield args
             else:
                 for i in range(src.num_chunks):
+                    _limits()
                     t0 = _time.perf_counter()
                     data, n = src.chunk(i)
                     t1 = _time.perf_counter()

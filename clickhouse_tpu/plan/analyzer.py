@@ -505,6 +505,11 @@ class Analyzer:
                 for path, pdt in table.json_paths(name).items():
                     fields.append(self.field(f"{name}.{path}", pdt, quals))
                     names.append(f"{name}.{path}")
+        if getattr(ref, "sample", None) is not None \
+                and getattr(table, "sample_by", None) is None:
+            raise AnalysisError(
+                f"Table {ref.table} does not support sampling "
+                f"(no SAMPLE BY in its definition)")
         node = L.ScanNode(db, ref.table, fields, names, final=ref.final,
                           column_stats=stats or None,
                           engine=table.engine,
@@ -514,6 +519,23 @@ class Analyzer:
                                           or []) if a in table.schema))
         scope = Scope(fields)
         plan: L.PlanNode = node
+        if getattr(ref, "sample", None) is not None:
+            # SAMPLE ratio: deterministic subset by the declared sampling
+            # key — intHash64(key) % M < ratio*M above the scan (the
+            # reference reads a prefix of the sampling-key range,
+            # MergeTreeDataSelectExecutor::sampling; hash-threshold here)
+            ratio = float(ref.sample)
+            if not (0.0 < ratio <= 1.0):
+                raise AnalysisError("SAMPLE ratio must be in (0, 1]")
+            if ratio < 1.0:
+                m = 1_000_003
+                pred_ast = ast.FuncCall("less", [
+                    ast.FuncCall("modulo", [
+                        ast.FuncCall("intHash64", [table.sample_by]),
+                        ast.Literal(m)]),
+                    ast.Literal(int(ratio * m))])
+                pred = self.bind(pred_ast, scope, allow_agg=False)
+                plan = L.FilterNode(plan, pred, plan.schema)
         # row policies: inject the USING predicate above the scan for
         # matching users (reference: RowPolicyFilter in the analyzer,
         # src/Access/EnabledRowPolicies.h)

@@ -94,6 +94,7 @@ class TableRef:
     table: str
     alias: Optional[str] = None
     final: bool = False
+    sample: Optional[float] = None     # SAMPLE ratio in (0, 1]
 
 
 @dataclasses.dataclass
@@ -210,6 +211,7 @@ class CreateTable:
     if_not_exists: bool = False
     as_select: Optional[Union[Select, "Union"]] = None
     ttl: Optional[str] = None          # table-level TTL expression text
+    sample_by: Optional[Expr] = None   # SAMPLE BY key expression
     # PROJECTION name (SELECT ... GROUP BY ...) declarations
     projections: List[tuple] = dataclasses.field(default_factory=list)
     # INDEX declarations (skip indexes)
@@ -388,6 +390,13 @@ class SystemCommand:
     that manage background machinery (FLUSH LOGS, STOP MERGES, SYNC
     REPLICA...) are no-ops in this engine's synchronous model."""
     command: str
+
+
+@dataclasses.dataclass
+class KillQuery:
+    """KILL QUERY WHERE <cond> [SYNC|ASYNC] (ref: InterpreterKillQuery)."""
+    where: Expr
+    sync: bool = False
 
 
 @dataclasses.dataclass

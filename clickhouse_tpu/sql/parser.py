@@ -21,7 +21,8 @@ RESERVED = {
     "SETTINGS", "WITH", "SELECT", "DISTINCT", "AND", "OR", "NOT", "IN",
     "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
     "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
-    "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "ROLLUP", "CUBE",
+    "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "SAMPLE", "ROLLUP",
+    "CUBE",
     "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE", "OVER",
     "INTERSECT", "EXCEPT",
 }
@@ -124,6 +125,14 @@ class Parser:
                     return ast.DetachAttach("attach", db, tbl, if_exists)
             self.i = save
             return self.parse_create()
+        if t.is_kw("KILL"):
+            self.advance()
+            self.expect_kw("QUERY")
+            self.expect_kw("WHERE")
+            cond = self.parse_expr()
+            sync = bool(self.accept_kw("SYNC"))
+            self.accept_kw("ASYNC")
+            return ast.KillQuery(cond, sync)
         if t.is_kw("CREATE"):
             return self.parse_create()
         if t.is_kw("INSERT"):
@@ -475,7 +484,20 @@ class Parser:
             alias = self.try_parse_alias()
             if self.accept_kw("FINAL"):
                 final = True
-        return ast.TableRef(db, name, alias, final)
+        sample = None
+        if self.accept_kw("SAMPLE"):
+            t = self.tok
+            if t.kind != "number":
+                raise ParseError("SAMPLE expects a numeric ratio")
+            self.advance()
+            sample = float(_parse_number(t.text))
+            if self.accept_op("/"):
+                d = self.tok
+                if d.kind != "number":
+                    raise ParseError("SAMPLE a/b expects numbers")
+                self.advance()
+                sample = sample / float(_parse_number(d.text))
+        return ast.TableRef(db, name, alias, final, sample)
 
     def try_parse_join(self) -> Optional[ast.Join]:
         save = self.i
@@ -807,7 +829,7 @@ class Parser:
                 ct.primary_key = self._parse_key_list()
             elif self.accept_kw("SAMPLE"):
                 self.expect_kw("BY")
-                self.parse_expr()        # sampling keys: accepted, unused
+                ct.sample_by = self.parse_expr()
             elif self.accept_kw("TTL"):
                 ct.ttl = ast.format_expr(self.parse_expr())
             elif self.accept_kw("COMMENT"):

@@ -966,6 +966,10 @@ class Catalog:
         self.store = None
         # named disks (storage/disks.py DiskRegistry), lazily created
         self.disks = None
+        # ProcessList analog: running queries across every session of this
+        # catalog; KILL QUERY flips the kill flag, checked at host sync
+        # points (streamed chunk boundaries, plan retries)
+        self.running_queries: Dict[str, dict] = {}
 
     # -- durability (storage/persist.py) -------------------------------------
     def enable_persistence(self, disk) -> None:
