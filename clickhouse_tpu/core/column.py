@@ -420,9 +420,24 @@ def column_from_numpy(values: np.ndarray, dtype: Optional[dt.DType] = None,
             values = values.copy()
             sample = next((v for v in values if v is not None), "")
             values[none_mask] = sample if isinstance(sample, str) else 0
-        # All-string object arrays -> String; else numeric object -> float64
+        # All-string object arrays -> String; temporal objects -> epoch
+        # storage; else numeric object -> float64
+        import datetime as _dtime
         if all(isinstance(v, str) for v in values):
             values = values.astype(object)
+        elif len(values) and all(isinstance(v, (_dtime.datetime,
+                                                _dtime.date)) for v in values):
+            import calendar as _cal
+            scale = 1
+            if dtype is not None and dtype.name.startswith("DateTime64"):
+                scale = 10 ** (dtype.decimal_scale or 3)
+
+            def to_num(v):
+                if isinstance(v, _dtime.datetime):
+                    return int(_cal.timegm(v.timetuple())) * scale \
+                        + (v.microsecond * scale // 1_000_000)
+                return (v - _dtime.date(1970, 1, 1)).days
+            values = np.asarray([to_num(v) for v in values], np.int64)
         else:
             values = values.astype(np.float64)
 

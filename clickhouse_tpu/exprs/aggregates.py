@@ -828,6 +828,11 @@ def _register_base() -> Dict[str, type]:
     base["quantilegk"] = QuantileExactAgg
     base["quantilesexactexclusive"] = QuantileExactAgg
     base["quantilesexactinclusive"] = QuantileExactAgg
+    base["quantilesexactlow"] = QuantileExactAgg
+    base["quantilesexacthigh"] = QuantileExactAgg
+    base["quantilesbfloat16"] = QuantileExactAgg
+    base["quantilesdeterministic"] = QuantileExactAgg
+    base["quantilesinterpolated"] = QuantileExactAgg
     base["quantilesgk"] = QuantileExactAgg
     base["quantilestiming"] = QuantileExactAgg
     base["quantilestdigest"] = QuantileExactAgg
@@ -839,6 +844,35 @@ def _register_base() -> Dict[str, type]:
     base["mediantimingweighted"] = ax.QuantileExactWeightedAgg
     base["mediantdigestweighted"] = ax.QuantileExactWeightedAgg
     base["medianinterpolatedweighted"] = ax.QuantileExactWeightedAgg
+    # batch 4 (agg_ext4.py)
+    from . import agg_ext4 as ax4
+    for _cls in [ax4.TopKWeightedAgg, ax4.DeltaSumTimestampAgg,
+                 ax4.KolmogorovSmirnovTestAgg, ax4.AnalysisOfVarianceAgg,
+                 ax4.NothingAgg, ax4.AggThrowAgg]:
+        base[_cls.name.lower()] = _cls
+    base["anova"] = ax4.AnalysisOfVarianceAgg
+    base["kolmogorovsmirnovtest"] = ax4.KolmogorovSmirnovTestAgg
+    # exact/canonical substitutions for further reference spellings
+    # (documented in APPROX_ALIASES + system.functions)
+    base["stochasticlinearregression"] = base["simplelinearregression"]
+    base["uniqthetasketch"] = base["uniqexact"]
+    base["quantiledd"] = QuantileExactAgg
+    base["quantilesdd"] = QuantileExactAgg
+    base["mediandd"] = MedianAgg
+    base["quantileinterpolated"] = QuantileExactAgg
+    # *MappedArrays spellings = the map aggregates over (keys, values)
+    # array pairs (ref: AggregateFunctionSumMap.cpp registration)
+    base["summappedarrays"] = base["summap"]
+    base["minmappedarrays"] = base["minmap"]
+    base["maxmappedarrays"] = base["maxmap"]
+    base["any_value"] = AnyAgg            # ANSI spelling
+    base["corrstable"] = base["corr"]
+    base["covarpopstable"] = base["covarpop"]
+    base["covarsampstable"] = base["covarsamp"]
+    base["quantiletdigestweighted"] = ax.QuantileExactWeightedAgg
+    base["quantilebfloat16weighted"] = ax.QuantileExactWeightedAgg
+    base["quantilesexactweighted"] = base.get("quantilesexact",
+                                              QuantileExactAgg)
     # RESPECT NULLS spellings: NULL rows are selectable values (advisor r03
     # fix — these differ from any() whenever the selected row is NULL)
     base["any_respect_nulls"] = AnyRespectNullsAgg
@@ -882,8 +916,11 @@ APPROX_ALIASES = {
 _BASE: Dict[str, type] = _register_base()
 _MULTI_Q = {"quantiles", "quantilesexact", "quantilesexactexclusive",
             "quantilesexactinclusive", "quantilesgk", "quantilestiming",
-            "quantilestdigest"}
+            "quantilestdigest", "quantilesexactlow", "quantilesexacthigh",
+            "quantilesbfloat16", "quantilesdeterministic", "quantilesdd",
+            "quantilesinterpolated"}
 _SIZED = {"grouparray", "groupuniqarray", "grouparraydistinct", "topk",
+          "topkweighted",
           "grouparraysorted", "grouparraylast", "grouparraysample"}
 
 AGGREGATES = _BASE
@@ -1166,7 +1203,7 @@ def get_aggregate(name: str, arg_types: List[dt.DType],
         inst = _ax.UniqUpToAgg(arg_types, int(params[0]) if params else 5)
     elif lname in _SIZED:
         size = int(params[0]) if params else None
-        if lname == "topk":
+        if lname in ("topk", "topkweighted"):
             inst = cls(arg_types, size or 10)
         else:
             inst = cls(arg_types, size)

@@ -201,8 +201,72 @@ class BoundArrayLambda(BoundExpr):
         return [self.body] + list(self.arrays)
 
 
+def _evaluate_array_fold(expr: "BoundArrayLambda",
+                         env: Dict[str, ColVal]) -> ColVal:
+    """arrayFold(acc, x -> body, arr..., init): the one higher-order
+    function whose lambda is inherently SEQUENTIAL — evaluated as a
+    lax.scan over the element axis, re-tracing the bound body once with
+    the accumulator carried (ref: src/Functions/array/arrayFold.cpp)."""
+    init = evaluate(expr.arrays[-1], env)
+    arrs = [evaluate(a, env) for a in expr.arrays[:-1]]
+    cap = None
+    for a in arrs + [init]:
+        if not a.is_const:
+            cap = a.data.shape[0]
+            break
+    if cap is None:
+        for cv in env.values():
+            if getattr(cv.data, "ndim", 0) == 1:
+                cap = cv.data.shape[0]
+                break
+    const_out = cap is None
+    if const_out:
+        cap = 1
+    L = max(a.data.shape[-1] for a in arrs)
+    mats = []
+    for a in arrs:
+        m = a.data
+        if m.ndim == 1:
+            m = jnp.broadcast_to(m[None, :], (cap, m.shape[0]))
+        if m.shape[-1] < L:
+            m = jnp.pad(m, ((0, 0), (0, L - m.shape[-1])))
+        mats.append(m)
+    lengths = arrs[0].lengths
+    if lengths is None:
+        lengths = jnp.full((cap,), arrs[0].data.shape[-1], jnp.int32)
+    if getattr(lengths, "ndim", 0) == 0:
+        lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (cap,))
+    acc0 = init.data
+    if getattr(acc0, "ndim", 0) == 0:
+        acc0 = jnp.broadcast_to(acc0, (cap,))
+    acc0 = acc0.astype(expr.dtype.np_dtype.name)
+    acc_id = expr.param_ids[0]
+    elem_ids = expr.param_ids[1:]
+    elem_dts = [dt.array_inner(a.dtype) for a in arrs]
+    dicts = [a.dictionary for a in arrs]
+
+    def step(acc, i):
+        env2 = dict(env)
+        env2[acc_id] = ColVal(expr.dtype, acc, None, init.dictionary)
+        for pid, m, edt, dic in zip(elem_ids, mats, elem_dts, dicts):
+            env2[pid] = ColVal(edt, m[:, i], None, dic)
+        out = evaluate(expr.body, env2)
+        od = out.data
+        if getattr(od, "ndim", 0) == 0:
+            od = jnp.broadcast_to(od, (cap,))
+        new = jnp.where(i < lengths, od.astype(acc.dtype), acc)
+        return new, None
+
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(L, dtype=jnp.int32))
+    if const_out:
+        return ColVal(expr.dtype, acc[0], None, init.dictionary)
+    return ColVal(expr.dtype, acc, init.validity, init.dictionary)
+
+
 def _evaluate_array_lambda(expr: "BoundArrayLambda",
                            env: Dict[str, ColVal]) -> ColVal:
+    if expr.op == "fold":
+        return _evaluate_array_fold(expr, env)
     arrs = [evaluate(a, env) for a in expr.arrays]
     # row capacity: from the first non-const array, else any block column
     cap = None

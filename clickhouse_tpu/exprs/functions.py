@@ -1535,6 +1535,19 @@ def _resolve_array_ctor(ts):
 def _array_ctor_exec(args, out_dtype):
     inner = dt.array_inner(out_dtype)
     k = len(args)
+    if k > 0 and all(a.sub is not None for a in args) \
+            and len({len(a.sub) for a in args}) == 1:
+        # array of tuples: struct-of-arrays composite — one Array per
+        # tuple member (ColumnArray(ColumnTuple) as nesting)
+        arity = len(args[0].sub)
+        subs = []
+        for i in range(arity):
+            member_t = dt.Array(dt.remove_nullable(args[0].sub[i].dtype))
+            subs.append(_array_ctor_exec([a.sub[i] for a in args],
+                                         member_t))
+        return ColVal(out_dtype, jnp.zeros((), jnp.int8),
+                      _and_validity(args), sub=subs,
+                      lengths=subs[0].lengths)
     if k == 0:
         # 1-D data marks an array constant (broadcast tiles it per row)
         return ColVal(out_dtype, jnp.zeros((8,), inner.jnp_dtype), None,
@@ -1830,6 +1843,24 @@ def _exec_repeat(args, out_dtype):
     n = _const_int(n_cv) if n_cv.is_const else None
     if n is None:
         raise NotImplementedError_("repeat() requires a constant count")
+    # host-memory governor: the per-unique LUT materializes len(s)*n bytes
+    # per dictionary value — a 1M-unique dictionary repeated 1M times is
+    # terabytes; raise the catchable limit error instead of dying in the
+    # allocator (ref: 01586_columns_pruning expects MEMORY_LIMIT_EXCEEDED)
+    a = args[0]
+    if a.dictionary is not None and n > 0:
+        est = sum(len(str(v)) for v in a.dictionary.values[:1000])
+        est = est * max(len(a.dictionary) // max(min(
+            len(a.dictionary), 1000), 1), 1) * n
+        from ..core.errors import MemoryLimitExceeded
+        from ..exec.session import active_session
+        s = active_session()
+        budget = int(getattr(s.settings, "max_memory_usage", 0) or
+                     10_000_000_000) if s is not None else 10_000_000_000
+        if est > budget:
+            raise MemoryLimitExceeded(
+                f"repeat(): estimated {est} bytes of string data exceeds "
+                f"max_memory_usage ({budget})")
     return _string_fn_lut(lambda s: s * max(n, 0), object)(args[:1],
                                                            out_dtype)
 

@@ -887,8 +887,26 @@ def _exec_array_concat(args, out_dtype):
     arrs = [_array_arg(a) for a in args]
     if any(a.dictionary is not None for a in arrs) \
             and len({id(a.dictionary) for a in arrs}) > 1:
-        raise TypeError_("arrayConcat over differing string dictionaries "
-                         "is not supported yet")
+        # unify every dictionary and recode element codes (host trace-time
+        # op; Dictionary.unify composes pairwise)
+        dicts = [a.dictionary or Dictionary(np.asarray([], object))
+                 for a in arrs]
+        merged = dicts[0]
+        recodes = [np.arange(max(len(dicts[0]), 1), dtype=np.int64)]
+        for d in dicts[1:]:
+            merged, ra, rb = Dictionary.unify(merged, d)
+            ra = np.asarray(ra, np.int64)
+            recodes = [ra[np.minimum(r, max(len(ra) - 1, 0))]
+                       for r in recodes]
+            recodes.append(np.asarray(rb, np.int64))
+        out_arrs = []
+        for a, r in zip(arrs, recodes):
+            lut = jnp.asarray(r if len(r) else np.zeros(1, np.int64))
+            data = lut[jnp.clip(a.data, 0, max(len(r) - 1, 0))] \
+                .astype(jnp.int32)
+            out_arrs.append(ColVal(a.dtype, data, a.validity, merged,
+                                   lengths=a.lengths))
+        arrs = out_arrs
     cap = arrs[0].data.shape[0]
     Wo = sum(a.data.shape[1] for a in arrs)
     j = jnp.arange(Wo, dtype=jnp.int32)[None, :]

@@ -517,3 +517,5 @@ register("lowCardinalityKeys", lambda ts: ts[0],
 register("lowCardinalityIndices", lambda ts: dt.UInt64,
          lambda args, t: ColVal(
              t, jnp.maximum(args[0].data, 0).astype(jnp.uint64), None))
+
+from . import functions_ext4 as _functions_ext4  # noqa: E402,F401

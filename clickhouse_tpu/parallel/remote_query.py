@@ -211,9 +211,15 @@ def _state_names(fc: ast.FuncCall) -> Optional[Tuple[str, str]]:
         return None
     lname = fc.name.lower()
     if lname in AGGREGATES:
-        return fc.name + "State", fc.name + "Merge"
+        # the Merge spelling must match the CANONICAL function whose state
+        # the shard serializes: aliased spellings (anyHeavy -> any,
+        # sumKahan -> sum) produce states typed by the canonical name
+        canon = getattr(AGGREGATES[lname], "name", "") or fc.name
+        return fc.name + "State", canon + "Merge"
     if lname.endswith("if") and lname[:-2] in AGGREGATES:
-        return fc.name[:-2] + "StateIf", fc.name[:-2] + "Merge"
+        canon = getattr(AGGREGATES[lname[:-2]], "name", "") \
+            or fc.name[:-2]
+        return fc.name[:-2] + "StateIf", canon + "Merge"
     return None
 
 

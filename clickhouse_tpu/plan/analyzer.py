@@ -1276,6 +1276,7 @@ class Analyzer:
         "arrayexists": ("exists", None), "arrayall": ("all", None),
         "arraycount": ("count", None), "arraysum": ("sum", None),
         "arrayfirstindex": ("first_index", None),
+        "arrayfold": ("fold", None),
     }
 
     def _bind_array_lambda(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
@@ -1288,6 +1289,33 @@ class Analyzer:
         lam = e.args[0]
         if not isinstance(lam, ast.Lambda):
             raise AnalysisError(f"{e.name} expects a lambda first argument")
+        if op == "fold":
+            # arrayFold(acc, x -> expr, arr, init): sequential accumulation
+            # over elements (ref: src/Functions/array/arrayFold.cpp)
+            if len(e.args) < 3:
+                raise AnalysisError("arrayFold expects (lambda, array..., "
+                                    "init)")
+            arrays = [self.bind(a, scope, allow_agg=False)
+                      for a in e.args[1:-1]]
+            init = self.bind(e.args[-1], scope, allow_agg=False)
+            for a in arrays:
+                if not a.dtype.is_array:
+                    raise TypeError_("arrayFold middle arguments must be "
+                                     "arrays")
+            if len(lam.params) != 1 + len(arrays):
+                raise AnalysisError(
+                    f"arrayFold: lambda takes {len(lam.params)} parameters "
+                    f"but needs {1 + len(arrays)} (acc + arrays)")
+            acc_t = dt.remove_nullable(init.dtype)
+            pfields = [self.field(lam.params[0], acc_t)] + \
+                [self.field(p, dt.array_inner(a.dtype))
+                 for p, a in zip(lam.params[1:], arrays)]
+            shadowed = set(lam.params)
+            inner_scope = Scope(pfields + [f for f in scope.fields
+                                           if f.display not in shadowed])
+            body = self.bind(lam.body, inner_scope, allow_agg=False)
+            return BoundArrayLambda("fold", [f.id for f in pfields], body,
+                                    arrays + [init], acc_t)
         arrays = [self.bind(a, scope, allow_agg=False) for a in e.args[1:]]
         if not arrays:
             raise AnalysisError(f"{e.name} needs an array argument")
