@@ -18,6 +18,120 @@ class SettingsConstraintError(ValueError):
     pass
 
 
+# Reference settings recognized-but-inert here: perf/IO/compat knobs whose
+# concern does not exist in this engine's execution model (XLA owns
+# scheduling and fusion; there are no mark caches or async IO tiers), or
+# whose behavior is this engine's only mode.  SET accepts them, they show
+# in system.settings flagged "accepted; no engine effect", getSetting()
+# reads them — mirroring how the reference keeps obsolete settings alive
+# (src/Core/Settings.cpp MAKE_OBSOLETE).
+ACCEPTED_INERT: Dict[str, Any] = {
+    # analyzer/compat switches (this engine has one analyzer)
+    "allow_experimental_analyzer": 1, "enable_analyzer": 1,
+    "allow_deprecated_syntax_for_merge_tree": 0,
+    "allow_experimental_object_type": 1,
+    "allow_experimental_json_type": 1,
+    "allow_experimental_dynamic_type": 0,
+    "allow_experimental_variant_type": 0,
+    "allow_suspicious_low_cardinality_types": 0,
+    "allow_suspicious_codecs": 0, "allow_nondeterministic_mutations": 0,
+    "compatibility": "", "joined_subquery_requires_alias": 0,
+    "transform_null_in": 0, "legacy_column_name_of_tuple_literal": 0,
+    "enable_positional_arguments": 1,
+    # threading / pipeline shape (XLA schedules compute here)
+    "max_insert_threads": 0, "max_final_threads": 0,
+    "max_parsing_threads": 0, "max_download_threads": 4,
+    "min_insert_block_size_rows": 1048449,
+    "min_insert_block_size_bytes": 268402944,
+    "max_insert_block_size": 1048449, "max_compress_block_size": 1048576,
+    "min_compress_block_size": 65536, "preferred_block_size_bytes": 1000000,
+    "max_read_buffer_size": 1048576, "interactive_delay": 100000,
+    "idle_connection_timeout": 3600, "connect_timeout": 10,
+    "receive_timeout": 300, "send_timeout": 300,
+    "http_send_timeout": 30, "http_receive_timeout": 30,
+    # memory/cache knobs folded into this engine's single governor
+    "max_bytes_before_external_sort": 0,
+    "max_bytes_before_remerge_sort": 1000000000,
+    "max_memory_usage_for_user": 0, "memory_overcommit_ratio_denominator": 1073741824,
+    "max_untracked_memory": 4194304, "memory_profiler_step": 4194304,
+    "use_uncompressed_cache": 0, "merge_tree_max_rows_to_use_cache": 128,
+    "merge_tree_max_bytes_to_use_cache": 192,
+    "mark_cache_min_lifetime": 0,
+    # reads / IO tiers that do not exist here
+    "merge_tree_min_rows_for_concurrent_read": 163840,
+    "merge_tree_min_bytes_for_concurrent_read": 251658240,
+    "merge_tree_min_rows_for_seek": 0, "merge_tree_min_bytes_for_seek": 0,
+    "merge_tree_coarse_index_granularity": 8,
+    "remote_fs_read_method": "threadpool", "local_filesystem_read_method":
+    "pread_threadpool", "read_in_order_two_level_merge_threshold": 100,
+    "optimize_read_in_order": 1, "optimize_read_in_window_order": 1,
+    "read_overflow_mode": "throw", "allow_asynchronous_read_from_io_pool_for_merge_tree": 0,
+    # insert/mutation coordination
+    "mutations_sync": 0, "insert_quorum": 0, "insert_quorum_timeout": 600000,
+    "insert_quorum_parallel": 1, "select_sequential_consistency": 0,
+    "alter_sync": 1, "replication_alter_partitions_sync": 1,
+    "insert_keeper_max_retries": 20, "insert_keeper_fault_injection_probability": 0,
+    "distributed_ddl_task_timeout": 180, "database_atomic_wait_for_drop_and_detach_synchronously": 0,
+    "parallel_distributed_insert_select": 0,
+    # optimizer switches whose transform is always-on or absent here
+    "optimize_trivial_count_query": 1, "optimize_move_to_prewhere_if_final": 0,
+    "optimize_skip_unused_shards": 0, "optimize_distributed_group_by_sharding_key": 0,
+    "optimize_aggregation_in_order": 0, "optimize_arithmetic_operations_in_aggregate_functions": 1,
+    "optimize_injective_functions_inside_uniq": 1, "optimize_if_chain_to_multiif": 0,
+    "optimize_rewrite_sum_if_to_count_if": 1, "optimize_normalize_count_variants": 1,
+    "optimize_syntax_fuse_functions": 0, "optimize_redundant_functions_in_order_by": 1,
+    "optimize_functions_to_subcolumns": 1, "query_plan_remove_redundant_sorting": 1,
+    "query_plan_remove_redundant_distinct": 1, "query_plan_join_swap_table": "auto",
+    "query_plan_enable_optimizations": 1, "convert_query_to_cnf": 0,
+    "enable_optimize_predicate_expression": 1, "short_circuit_function_evaluation": "enable",
+    # formats / output cosmetics (TSV layer handles these today)
+    "output_format_pretty_color": 1, "output_format_pretty_max_rows": 10000,
+    "output_format_pretty_row_numbers": 1, "output_format_json_quote_64bit_integers": 1,
+    "output_format_json_named_tuples_as_objects": 1,
+    "output_format_write_statistics": 1, "output_format_decimal_trailing_zeros": 0,
+    "input_format_null_as_default": 1, "input_format_skip_unknown_fields": 1,
+    "input_format_import_nested_json": 0, "input_format_defaults_for_omitted_fields": 1,
+    "input_format_values_interpret_expressions": 1,
+    "input_format_parallel_parsing": 1, "output_format_parallel_formatting": 1,
+    "date_time_input_format": "basic", "date_time_output_format": "simple",
+    "format_csv_delimiter": ",", "format_display_secrets_in_show_and_select": 0,
+    # session / protocol / logging
+    "session_timezone": "", "distributed_product_mode": "deny",
+    "prefer_localhost_replica": 1, "load_balancing": "random",
+    "log_query_threads": 0, "log_processors_profiles": 1,
+    "log_profile_events": 1, "query_cache_ttl": 60,
+    "query_cache_max_entries": 0, "wait_for_async_insert": 1,
+    "wait_for_async_insert_timeout": 120, "async_insert_max_data_size": 10485760,
+    "async_insert_busy_timeout_ms": 200, "calculate_text_stack_trace": 1,
+    "allow_ddl": 1, "force_index_by_date": 0, "force_primary_key": 0,
+    "force_optimize_projection": 0, "cast_keep_nullable": 0,
+    "mutations_execute_nondeterministic_on_initiator": 0,
+    "max_ast_depth": 1000, "max_ast_elements": 50000,
+    "max_expanded_ast_elements": 500000, "max_query_size": 262144,
+    "max_temporary_columns": 0, "max_temporary_non_const_columns": 0,
+    "max_subquery_depth": 100, "max_pipeline_depth": 0,
+    "max_rows_to_group_by": 0, "group_by_overflow_mode": "throw",
+    "max_rows_to_sort": 0, "max_bytes_to_sort": 0,
+    "sort_overflow_mode": "throw", "max_rows_in_join": 0,
+    "max_bytes_in_join": 0, "join_overflow_mode": "throw",
+    "max_rows_in_set": 0, "max_bytes_in_set": 0, "set_overflow_mode": "throw",
+    "max_rows_in_distinct": 0, "max_bytes_in_distinct": 0,
+    "distinct_overflow_mode": "throw", "max_bytes_to_read": 0,
+    "timeout_overflow_mode": "throw", "max_execution_speed": 0,
+    "min_execution_speed": 0, "priority": 0,
+    "max_network_bandwidth": 0, "max_network_bytes": 0,
+    "count_distinct_implementation": "uniqExact",
+    "aggregate_functions_null_for_empty": 0,
+    "union_default_mode": "", "intersect_default_mode": "ALL",
+    "except_default_mode": "ALL", "any_join_distinct_right_table_keys": 0,
+    "final": 0, "lightweight_deletes_sync": 2,
+    "use_skip_indexes": 1, "use_skip_indexes_if_final": 0,
+    "allow_experimental_parallel_reading_from_replicas": 0,
+    "max_parallel_replicas_custom_key": "",
+    "http_max_multipart_form_data_size": 1073741824,
+}
+
+
 SETTING_DOCS: Dict[str, str] = {}
 
 
@@ -190,26 +304,42 @@ class Settings:
                                        # OUTFILE/BACKUP ("" = unrestricted)
     empty_result_for_aggregation_by_empty_set: bool = False
 
+    # reference settings this engine recognizes but does not act on
+    # (SET works, system.settings lists them flagged "accepted; no engine
+    # effect" — the reference keeps obsolete settings the same way).
+    # Stored per-instance so getSetting()/system.settings see overrides.
+    extra: Optional[Dict[str, Any]] = None
+
     # -- API -----------------------------------------------------------------
     def copy_with(self, overrides: Optional[Dict[str, Any]] = None) -> "Settings":
         if not overrides:
             return dataclasses.replace(self)
         fields = {f.name: f for f in dataclasses.fields(self)}
         kwargs = {}
+        extra = dict(self.extra or {})
         lenient = self.ignore_unknown_settings \
             or bool(overrides.get("ignore_unknown_settings"))
         for key, value in overrides.items():
             if key not in fields:
+                if key in ACCEPTED_INERT:
+                    extra[key] = value
+                    continue
                 if lenient:
                     continue
                 raise SettingsConstraintError(f"Unknown setting '{key}'")
             ftype = fields[key].type
             current = getattr(self, key)
             kwargs[key] = _coerce(key, value, type(current))
+        if extra:
+            kwargs["extra"] = extra
         return dataclasses.replace(self, **kwargs)
 
     def as_dict(self) -> Dict[str, Any]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.pop("extra", None)
+        for k, default in ACCEPTED_INERT.items():
+            d[k] = (self.extra or {}).get(k, default)
+        return d
 
 
 def _coerce(name: str, value: Any, target: type) -> Any:

@@ -1576,16 +1576,24 @@ class Session:
                                    ("changed", dtm.UInt8),
                                    ("description", dtm.String),
                                    ("default", dtm.String)])
-            from ..core.settings import SETTING_DOCS, Settings
+            from ..core.settings import (ACCEPTED_INERT, SETTING_DOCS,
+                                         Settings)
             defaults = Settings().as_dict()
             items = sorted(self.settings.as_dict().items())
+
+            def doc(k):
+                if k in SETTING_DOCS:
+                    return SETTING_DOCS[k]
+                if k in ACCEPTED_INERT:
+                    return "accepted; no engine effect"
+                return ""
             t.insert_pydict({
                 "name": np.asarray([k for k, _ in items], object),
                 "value": np.asarray([str(v) for _, v in items], object),
                 "changed": np.asarray(
                     [int(v != defaults.get(k)) for k, v in items], np.uint8),
                 "description": np.asarray(
-                    [SETTING_DOCS.get(k, "") for k, _ in items], object),
+                    [doc(k) for k, _ in items], object),
                 "default": np.asarray(
                     [str(defaults.get(k, "")) for k, _ in items], object),
             })

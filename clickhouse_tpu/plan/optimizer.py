@@ -114,6 +114,8 @@ def optimize_plan(plan: L.PlanNode, settings: Settings,
     if getattr(settings, "optimize_move_conditions", True):
         plan = _push_filters(plan)
         plan = _fuse_filters(plan)
+    if catalog is not None:
+        _reorder_join_sides(plan, catalog)
     if catalog is not None and getattr(settings, "optimize_use_projections",
                                        True):
         plan = _apply_projections(plan, catalog)
@@ -121,6 +123,63 @@ def optimize_plan(plan: L.PlanNode, settings: Settings,
     needed = {f.id for f in plan.schema}
     _prune_columns(plan, needed)
     return plan
+
+
+# -- join side reordering -----------------------------------------------------
+# (optimizeJoin.cpp analog): an INNER join whose written build (right)
+# side is far larger than its probe side swaps sides — the build side is
+# the capacity-bound one (it sorts into the probe's merged key space), so
+# fact-as-build queries would die on capacity where dim-as-build runs.
+
+def _subtree_rows(node: L.PlanNode, catalog) -> int:
+    if isinstance(node, L.ScanNode):
+        try:
+            return catalog.get_table(node.database, node.table).num_rows
+        except Exception:      # noqa: BLE001 — virtual sources
+            return 0
+    rows = [_subtree_rows(c, catalog) for c in node.children()]
+    return max(rows) if rows else 0
+
+
+def _scan_key_unique(node: L.PlanNode, keys, catalog) -> bool:
+    from ..exprs.expr import BoundColumn
+    while isinstance(node, L.FilterNode):
+        node = node.child
+    if not isinstance(node, L.ScanNode):
+        return False
+    field_to_col = {f.id: n for f, n in zip(node.schema, node.column_names)}
+    try:
+        table = catalog.get_table(node.database, node.table)
+    except Exception:          # noqa: BLE001
+        return False
+    for k in keys:
+        if isinstance(k, BoundColumn) and k.name in field_to_col:
+            try:
+                if table.column_unique(field_to_col[k.name]):
+                    return True
+            except Exception:  # noqa: BLE001
+                return False
+    return False
+
+
+def _reorder_join_sides(node: L.PlanNode, catalog) -> None:
+    for c in node.children():
+        _reorder_join_sides(c, catalog)
+    if not isinstance(node, L.JoinNode):
+        return
+    if node.kind != "inner" or node.strictness != "all" \
+            or node.asof_left is not None:
+        return
+    if node.build_unique:
+        return                  # N:1 propagate path: already optimal
+    l = _subtree_rows(node.left, catalog)
+    r = _subtree_rows(node.right, catalog)
+    if l <= 0 or r <= 4 * l:
+        return
+    node.left, node.right = node.right, node.left
+    node.left_keys, node.right_keys = node.right_keys, node.left_keys
+    node.build_unique = _scan_key_unique(node.right, node.right_keys,
+                                         catalog)
 
 
 # -- aggregate-projection rewrite ---------------------------------------------

@@ -219,3 +219,59 @@ class TestDenseGatherJoin:
         sess.execute("SELECT count(), sum(lab) FROM fact "
                      "INNER JOIN dim ON fact.fk = dim.k")
         assert sess.profile_events.get("DenseGatherJoins", 0) >= 1
+
+
+class TestJoinReorder:
+    """Join side reordering (plan/optimizer.py _reorder_join_sides — the
+    optimizeJoin.cpp analog): an INNER join written with the big fact
+    table as the build side swaps sides; results identical either way."""
+
+    def test_written_order_is_swapped_and_equal(self):
+        s = ch.connect()
+        n_fact, n_dim = 100_000, 500
+        s.execute("CREATE TABLE fct (fk Int64, v Int64)")
+        s.insert_pydict("fct", {
+            "fk": np.arange(n_fact, dtype=np.int64) % 300,
+            "v": np.ones(n_fact, np.int64)})
+        s.execute("CREATE TABLE dm (k Int64, label Int64)")
+        s.insert_pydict("dm", {"k": np.arange(n_dim, dtype=np.int64),
+                               "label": np.arange(n_dim, dtype=np.int64) * 7})
+        a = s.execute("SELECT count(), sum(label) FROM fct "
+                      "INNER JOIN dm ON fct.fk = dm.k").rows()
+        b = s.execute("SELECT count(), sum(label) FROM dm "
+                      "INNER JOIN fct ON dm.k = fct.fk").rows()
+        assert a == b
+
+    def test_reorder_pass_swaps_plan(self):
+        from clickhouse_tpu.plan import logical as L
+        from clickhouse_tpu.plan.optimizer import _reorder_join_sides
+        s = ch.connect()
+        s.execute("CREATE TABLE big_r (k Int64)")
+        s.insert_pydict("big_r", {"k": np.arange(50_000, dtype=np.int64) % 30_000})
+        s.execute("CREATE TABLE small_l (k Int64)")
+        s.insert_pydict("small_l", {"k": (np.arange(100) % 77).astype(
+            np.int64)})
+        plan = s._plan(__import__(
+            "clickhouse_tpu.sql.parser", fromlist=["parse"]).parse(
+            "SELECT count() FROM small_l INNER JOIN big_r "
+            "ON small_l.k = big_r.k"), s.settings)
+
+        def find_join(n):
+            if isinstance(n, L.JoinNode):
+                return n
+            for c in n.children():
+                j = find_join(c)
+                if j is not None:
+                    return j
+            return None
+        j = find_join(plan)
+        assert j is not None
+        # after optimize (already applied in _plan), the 50k table must be
+        # the PROBE (left) side
+        def scans(n, out):
+            if isinstance(n, L.ScanNode):
+                out.append(n.table)
+            for c in n.children():
+                scans(c, out)
+            return out
+        assert "big_r" in scans(j.left, [])
