@@ -910,6 +910,14 @@ APPROX_ALIASES = {
     "groupBitmap": "exact distinct count (no roaring bitmap state)",
     "groupArraySample": "deterministic position-hash sample (no RNG seed)",
     "mannWhitneyUTest": "normal approximation with tie correction",
+    "stochasticLinearRegression": "exact OLS fit (no SGD)",
+    "quantileDD": "exact quantile (DD sketch accuracy param ignored)",
+    "quantilesDD": "exact quantiles (DD sketch accuracy param ignored)",
+    "medianDD": "exact median",
+    "uniqThetaSketch": "exact distinct count",
+    "topKWeighted": "exact top-K by weight (space-saving unnecessary)",
+    "kolmogorovSmirnovTest": "asymptotic Kolmogorov p-value",
+    "groupBitmap": "exact distinct count (roaring container elided)",
 }
 
 
