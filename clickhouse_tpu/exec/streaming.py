@@ -853,6 +853,47 @@ def _rebuild_blocks(meta_blocks, args) -> Dict[Tuple[str, str], Block]:
     return out
 
 
+def _carry_cap(split: StreamSplit, table, settings: Settings) -> int:
+    """Carried-state capacity for the streamed aggregation: the provable
+    group-cardinality bound when interval analysis can compute one (a
+    `x % 1024` key carries 1024 groups, not pad(min(rows, max_groups)) =
+    millions — the r03 Q5b gap was largely carry merges at 4M capacity),
+    else min(rows, max_groups).  Sound either way: the merged-groups
+    capacity check still raises CapacityError -> autotune replan."""
+    if not split.agg.keys:
+        return 1024
+    from ..plan import ranges as R
+    fb: Dict[str, Tuple[int, int]] = {}
+
+    def walk(n):
+        if isinstance(n, L.ScanNode) and getattr(n, "column_stats", None):
+            fb.update(n.column_stats)
+        for c in n.children():
+            walk(c)
+
+    walk(split.agg.child)
+    total = 1
+    for f, e in split.agg.keys:
+        b = R.infer_bounds(e, fb)
+        if b is None:
+            total = None
+            break
+        lo, hi = b
+        span = int(hi) - int(lo) + 1
+        if span <= 0 or span > (1 << 22):
+            total = None
+            break
+        total *= span
+        if f.dtype.nullable:
+            total *= 2
+        if total > settings.max_groups:
+            total = None
+            break
+    if total is not None:
+        return pad_to(min(max(total, 1), settings.max_groups))
+    return pad_to(min(table.num_rows, settings.max_groups))
+
+
 def _stage1_on_chunk(split: StreamSplit, settings: Settings, src, table,
                      small_meta, chunk_args, small_args, struct: dict):
     """Trace the lower plan on one chunk -> grouped partial states."""
@@ -1131,8 +1172,14 @@ class StreamProgram(_StreamProgramBase):
             keys_u, gvalid, flat, lchecks, groups = _stage1_on_chunk(
                 split_, settings, src, table, self.small_lower,
                 chunk_args, small_args, struct)
+            # the carry can never be narrower than one chunk's group
+            # capacity (the merge concatenates into it); the bounds-derived
+            # cap_c and the chunk-level cap_g may disagree by padding or a
+            # signedness margin — resolve at first trace, before step/fin
+            # trace (trace order: init -> step -> fin)
+            self.cap_c = max(self.cap_c, struct["cap_g"])
             keys, valid, states = _widen_carry(keys_u, gvalid, flat,
-                                               struct["cap_g"], cap_c)
+                                               struct["cap_g"], self.cap_c)
             return {"keys": keys, "valid": valid, "states": states,
                     "num_groups": jnp.asarray(groups, jnp.int64),
                     "chunk_groups": groups,
@@ -1143,7 +1190,8 @@ class StreamProgram(_StreamProgramBase):
                 split_, settings, src, table, self.small_lower,
                 chunk_args, small_args, struct)
             merged = _merge_carry(carry, keys_u, gvalid, flat,
-                                  struct["items"], struct["arity"], cap_c)
+                                  struct["items"], struct["arity"],
+                                  self.cap_c)
             merged["chunk_groups"] = jnp.maximum(carry["chunk_groups"],
                                                  groups)
             merged["lower_checks"] = [jnp.maximum(a, b) for a, b in
@@ -1171,7 +1219,7 @@ class StreamProgram(_StreamProgramBase):
                 i += n
             merged_eb = _finalize(
                 agg, fake_keys, carry["keys"], carry["num_groups"],
-                carry["states"][0], states_per_agg, cap_c,
+                carry["states"][0], states_per_agg, self.cap_c,
                 struct["global_agg"], False, ctx,
                 group_valid=None if struct["global_agg"]
                 else carry["valid"])
@@ -2098,8 +2146,7 @@ def try_blowup_streaming(session, stmt, settings: Settings, sql: str):
             continue
         sources = [(src, None)]
         if isinstance(split, StreamSplit):
-            cap_c = 1024 if not split.agg.keys \
-                else pad_to(min(table.num_rows, settings.max_groups))
+            cap_c = _carry_cap(split, table, settings)
             prog = StreamProgram(session, split, settings, sources, table,
                                  cap_c, None)
         elif split.kind == "topk":
@@ -2210,8 +2257,7 @@ def _build_stream_program(session, plan: L.PlanNode, settings: Settings,
         if isinstance(split, StreamSplit):
             # global aggregates carry one group; keyed ones size the carry
             # by the group cardinality bound
-            cap_c = 1024 if not split.agg.keys \
-                else pad_to(min(table.num_rows, settings.max_groups))
+            cap_c = _carry_cap(split, table, settings)
             return StreamProgram(session, split, settings, sources, table,
                                  cap_c, grace)
         if split.kind == "topk":
