@@ -2127,25 +2127,47 @@ def _vec_pair(args):
 _MXU_DISTANCE_MIN_ROWS = 1 << 16
 
 
-def _mxu_dist_parts(a, b, m):
-    af = a.astype(jnp.float32)
-    q = b[0].astype(jnp.float32) if b.shape[0] == 1 else None
-    if q is None:
+def _mxu_dist_parts(args):
+    """Raw-layout MXU distance components, avoiding every (N, W) f64
+    materialization (the padded matrix is read in f32 exactly twice):
+    rows are zero-padded past their length, so `a @ q` and `(a*a) @ 1`
+    need no mask, and the per-row masked query norm is a gather into the
+    cumulative sum of q² by row length."""
+    from .functions import _array_arg
+    a0 = _array_arg(args[0])
+    b0 = _array_arg(args[1])
+    da = a0.data if getattr(a0.data, "ndim", 0) == 2 else None
+    db = b0.data if getattr(b0.data, "ndim", 0) == 2 \
+        else b0.data[None, :]
+    if da is None or db.shape[0] != 1 \
+            or da.shape[0] < _MXU_DISTANCE_MIN_ROWS:
         return None
+    W = max(da.shape[-1], db.shape[-1])
+    if da.shape[-1] < W:
+        da = jnp.pad(da, ((0, 0), (0, W - da.shape[-1])))
+    if db.shape[-1] < W:
+        db = jnp.pad(db, ((0, 0), (0, W - db.shape[-1])))
+    af = da.astype(jnp.float32)
+    q = db[0].astype(jnp.float32)
     dot = af @ q
-    anorm2 = (af * af) @ jnp.ones((af.shape[-1],), jnp.float32)
-    bnorm2 = m.astype(jnp.float32) @ (q * q)   # per-row masked query norm
+    anorm2 = (af * af) @ jnp.ones((W,), jnp.float32)
+    qq_cum = jnp.cumsum(q * q)
+    lens = a0.lengths
+    if lens is None or getattr(lens, "ndim", 0) == 0:
+        bnorm2 = jnp.broadcast_to(qq_cum[-1], dot.shape)
+    else:
+        bnorm2 = qq_cum[jnp.clip(lens - 1, 0, W - 1)]
     return dot.astype(jnp.float64), anorm2.astype(jnp.float64), \
         bnorm2.astype(jnp.float64)
 
 
 def _register_distance(name, fn, mxu=None):
     def exec_(args, out):
-        a, b, m, braw = _vec_pair(args)
-        if mxu is not None and a.shape[0] >= _MXU_DISTANCE_MIN_ROWS:
-            parts = _mxu_dist_parts(a, braw, m)
+        if mxu is not None:
+            parts = _mxu_dist_parts(args)
             if parts is not None:
                 return ColVal(out, mxu(*parts), _andv(args))
+        a, b, m, _braw = _vec_pair(args)
         return ColVal(out, fn(a, b, m), _andv(args))
     register(name, lambda ts: dt.Float64.with_nullable(
         any(t.nullable for t in ts)), _arrfn(exec_))
