@@ -79,6 +79,11 @@ def apply_config(session, cfg: Dict[str, Any]) -> None:
         session.settings = session.settings.copy_with(
             {k: v for k, v in profile.items()})
 
+    # -- macros (<macros> analog; getMacro() + {replica}/{shard} DDL) ------
+    macros = cfg.get("macros")
+    if isinstance(macros, dict):
+        session.macros = {str(k): str(v) for k, v in macros.items()}
+
     # -- interserver credentials (shared secret for part exchange; the
     # reference's <interserver_http_credentials>) ---------------------------
     ic = cfg.get("interserver_credentials") or cfg.get(
