@@ -57,7 +57,7 @@ def jax_sort_chk(a):
     return (o.astype(jnp.int64) * (jnp.arange(o.shape[0]) % 127)).sum()
 
 
-def device_time_repeat(s, sql, k_lo=4, k_hi=68, reps=7, trials=3):
+def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=5):
     """Isolate DEVICE time of a compiled query from the ~50 ms per-call
     dispatch overhead of the dev tunnel: run the query body k times inside
     ONE dispatch (optimization_barrier threads each iteration's input
@@ -66,8 +66,9 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=68, reps=7, trials=3):
 
     r04: the r03 estimator (span 32, min-of-3, one trial) had ±20%
     trial-to-trial spread — the apparent Q1 0.915→0.866 'regression' was
-    noise.  Now: span 64 iterations to dilute the several-ms per-dispatch
-    jitter, min-of-7 per k, median slope across 3 trials."""
+    noise.  Now min-of-7 per k and the median slope across 5 trials
+    (k_hi stays 36: the k=68 variant compiled ~2x longer on the remote
+    tunnel and delayed the headline line by ~8 minutes)."""
     import jax
     import jax.numpy as jnp
     s.execute(sql)                      # compile + cache
