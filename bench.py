@@ -6,7 +6,18 @@ roofline (the reference publishes no absolute numbers — BASELINE.json — so
 vs_baseline is measured-throughput / speed-of-light).
 
 Prints ONE JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Per-operator detail goes to stderr.
+Per-operator detail goes to stderr (one line per metric, kept tight so the
+driver's tail capture holds the whole record).
+
+r05 driver-budget discipline (VERDICT r04 item 1):
+  * XLA persistent compilation cache under scratch/jaxcache — a warm run
+    pays ~0 compile (measured 15.2 s -> 0.4 s on the axon tunnel).
+  * generated datasets cached as .npy under scratch/bench_data — host-side
+    generation (the real "ingest" cost; insert itself is lazy) becomes a
+    single read instead of minutes of loaded-host numpy.
+  * one hard wall-clock budget (BENCH_TOTAL_S, default 900 s): every stage
+    checks remaining time and skips gracefully, streamed tier included.
+  * per-stage elapsed logged so a timeout is attributable.
 """
 import json
 import os
@@ -15,6 +26,7 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 # TPU v5e (lite): ~819 GB/s HBM per chip.  Overridable for other parts.
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
@@ -25,10 +37,30 @@ REPS = int(os.environ.get("BENCH_REPS", "15"))
 STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", str(1_000_000_000)))
 JOIN_ROWS = int(os.environ.get("BENCH_JOIN_ROWS", str(1_000_000_000)))
 JOIN_DIM = int(os.environ.get("BENCH_JOIN_DIM", str(10_000_000)))
+TOTAL_S = float(os.environ.get("BENCH_TOTAL_S", "900"))
+
+_T0 = time.time()
+_DATA = os.path.join(_REPO, "scratch", "bench_data")
+os.makedirs(_DATA, exist_ok=True)
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time()-_T0:6.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def remaining():
+    return TOTAL_S - (time.time() - _T0)
+
+
+def cached(name, build):
+    """Dataset cache: scratch/bench_data/<name>.npy.  Generation is the
+    dominant 'ingest' cost on a loaded host; a cached read is seconds."""
+    p = os.path.join(_DATA, name + ".npy")
+    if os.path.exists(p):
+        return np.load(p)
+    a = build()
+    np.save(p, a)
+    return a
 
 
 def bench_query(session, sql, reps=REPS):
@@ -65,10 +97,9 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=5):
     copies), then difference two repeat counts.
 
     r04: the r03 estimator (span 32, min-of-3, one trial) had ±20%
-    trial-to-trial spread — the apparent Q1 0.915→0.866 'regression' was
-    noise.  Now min-of-7 per k and the median slope across 5 trials
-    (k_hi stays 36: the k=68 variant compiled ~2x longer on the remote
-    tunnel and delayed the headline line by ~8 minutes)."""
+    trial-to-trial spread — min-of-7 per k, median slope of 5 trials.
+    r05: both repeat programs hit the persistent compilation cache, so the
+    ~6.5 min compile cost this estimator used to carry is first-run-only."""
     import jax
     import jax.numpy as jnp
     s.execute(sql)                      # compile + cache
@@ -108,20 +139,25 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=5):
 
 def main():
     import jax
+    # Persistent compilation cache: the driver's run compiles nothing that
+    # a prior run (same code, same shapes) already compiled.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, "scratch", "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import clickhouse_tpu as ch
 
     devs = jax.devices()
     log(f"devices: {devs}")
 
     s = ch.connect()
-    rng = np.random.default_rng(42)
-    log(f"building {N_ROWS:,} row table ...")
-    t0 = time.time()
+    x = cached("hits_x", lambda: (
+        np.arange(N_ROWS, dtype=np.int64) * 2654435761) % 1_000_003)
     s.execute("CREATE TABLE hits (x Int64)")
-    # deterministic pseudo-random Int64 column without 800MB of RNG state
-    x = (np.arange(N_ROWS, dtype=np.int64) * 2654435761) % 1_000_003
     s.insert_pydict("hits", {"x": x})
-    log(f"ingest (host) {time.time() - t0:.1f}s")
+    del x
+    log(f"hits table ready ({N_ROWS/1e6:.0f}M rows)")
 
     # Q1: filter + count (HBM-bandwidth bound: one Int64 column read)
     sql = "SELECT count() FROM hits WHERE x > 500000"
@@ -141,7 +177,7 @@ def main():
     bytes_per_row = 4
     roofline_rows_s = HBM_GBPS * 1e9 / bytes_per_row
     frac = dev_rows_s / roofline_rows_s
-    log(f"Q1 filter+count: median {t_med*1e3:.2f} ms end-to-end "
+    log(f"Q1 filter+count: min {t_med*1e3:.2f} ms end-to-end "
         f"({rows_s/1e9:.2f} G rows/s); fixed overhead {t_null*1e3:.2f} ms; "
         f"device {t_dev*1e3:.2f} ms = {dev_rows_s/1e9:.2f} G rows/s, "
         f"roofline {roofline_rows_s/1e9:.1f} G rows/s, fraction {frac:.3f}")
@@ -155,25 +191,111 @@ def main():
         "vs_baseline": frac,
     }), flush=True)
 
-    # -- Small on-device benches run FIRST (VERDICT r03 item 1: the 1B
-    #    streamed configs previously ran first and exhausted the driver
-    #    budget, losing every Q2/Q3/Q4/Q7 number).  The streamed tier runs
-    #    LAST under its own sub-budget (BENCH_1B_BUDGET_S) and skips
-    #    gracefully when exceeded. -----------------------------------------
-    deadline = time.time() + float(os.environ.get("BENCH_EXTRA_S", "1200"))
+    # -- Small on-device benches FIRST; the 1B streamed tier runs LAST
+    #    inside whatever remains of the total budget. ----------------------
+    import jax.numpy as jnp
+
+    def _min_time(f, *a, reps=3):
+        int(f(*a))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_probe = t_sortpass = None
+    try:
+        idx_r = jnp.asarray((np.arange(N_ROWS, dtype=np.int64) * 40503)
+                            % (1 << 21), jnp.int32)
+        tbl_r = jnp.arange(1 << 21, dtype=jnp.int32)
+        t_probe = _min_time(jax.jit(
+            lambda t, i: t[i].astype(jnp.int64).sum()), tbl_r, idx_r)
+        xs_r = jnp.asarray((np.arange(N_ROWS, dtype=np.int64) * 2654435761)
+                           % 1_000_003, jnp.int32)
+        t_sortpass = _min_time(jax.jit(
+            lambda a: (jax_sort_chk(a))), xs_r)
+        del idx_r, tbl_r, xs_r
+        log(f"rooflines: probe/gather {t_probe*1e3:.0f} ms, "
+            f"sort pass {t_sortpass*1e3:.0f} ms per {N_ROWS/1e6:.0f}M")
+    except Exception as e:
+        log(f"roofline measurement failed: {e}")
 
     try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
+        t_agg = bench_query(s, "SELECT x % 1024 AS k, count() AS c, sum(x) "
+                                "FROM hits GROUP BY k ORDER BY c DESC LIMIT 10",
+                            reps=3)
+        fr = f"; probe-roofline fraction {t_probe/t_agg:.3f}" \
+            if t_probe else ""
+        log(f"Q2 group-by(1k keys)+top10: {t_agg*1e3:.1f} ms "
+            f"({N_ROWS/t_agg/1e9:.2f} G rows/s){fr}")
+    except Exception as e:  # keep headline alive
+        log(f"Q2 failed: {e}")
+
+    try:
+        if remaining() < 120:
+            raise TimeoutError("budget")
+        t_agg2 = bench_query(s, "SELECT x AS k, count() AS c FROM hits "
+                                 "GROUP BY k ORDER BY c DESC LIMIT 10 "
+                                 "SETTINGS max_groups = 2097152", reps=2)
+        fr = f"; probe-roofline fraction {t_probe/t_agg2:.3f}" \
+            if t_probe else ""
+        log(f"Q2b group-by(1M keys, sort path)+top10: {t_agg2*1e3:.1f} ms "
+            f"({N_ROWS/t_agg2/1e9:.2f} G rows/s){fr}")
+    except Exception as e:
+        log(f"Q2b failed: {e}")
+
+    try:
+        if remaining() < 120:
+            raise TimeoutError("budget")
+        t_sort = bench_query(s, "SELECT x FROM hits ORDER BY x LIMIT 100",
+                             reps=3)
+        fr = f"; sort-pass-roofline fraction {t_sortpass/t_sort:.3f}" \
+            if t_sortpass else ""
+        log(f"Q3 top-100 of 100M: {t_sort*1e3:.1f} ms "
+            f"({N_ROWS/t_sort/1e9:.2f} G rows/s){fr}")
+    except Exception as e:
+        log(f"Q3 failed: {e}")
+
+    try:
+        if remaining() < 120:
+            raise TimeoutError("budget")
+        # skewed-key GROUP BY (BASELINE row 2: "incl. skewed distribution"):
+        # zipf(1.5) keys — sort-based grouping is skew-insensitive by design
+        zk = cached("zipf_k", lambda: np.minimum(
+            np.random.default_rng(7).zipf(1.5, N_ROWS),
+            10_000_000).astype(np.int64))
+        n_distinct = len(np.unique(zk[:1_000_000]))
+        s.execute("CREATE TABLE zipf (k Int64)")
+        s.insert_pydict("zipf", {"k": zk})
+        del zk
+        t_skew = bench_query(
+            s, "SELECT k, count() AS c FROM zipf GROUP BY k "
+               "ORDER BY c DESC LIMIT 10 SETTINGS max_groups = 16777216",
+            reps=3)
+        log(f"Q2s SKEWED group-by (zipf 1.5, ~{n_distinct} distinct/1M "
+            f"sample): {t_skew*1e3:.1f} ms = {N_ROWS/t_skew/1e9:.2f} "
+            f"G rows/s")
+        s.execute("DROP TABLE zipf")
+    except Exception as e:
+        log(f"Q2s skewed group-by failed: {e}")
+
+    try:
+        if remaining() < 150:
+            raise TimeoutError("budget")
         # device-ColumnString: high-cardinality string GROUP BY + prefix
         # predicate; dictionary byte matrix is HBM-resident, the per-unique
         # LUT computes on device (VERDICT r02 ask #5)
         ns = min(N_ROWS, 50_000_000)   # host string-ingest cost bounds this
         n_distinct_s = ns // 2
-        surl = np.char.add("http://example.com/p",
-                           (np.arange(ns) % n_distinct_s).astype(str))
+
+        def _build_urls():
+            return np.char.add(
+                "http://example.com/p",
+                (np.arange(ns) % n_distinct_s).astype(str))
+        surl = cached("urls_50m", _build_urls)
         s.execute("CREATE TABLE hits_s (url String)")
-        s.insert_pydict("hits_s", {"url": surl.astype(object)})
+        s.insert_pydict("hits_s", {"url": surl})
         del surl
         t_sgrp = bench_query(
             s, "SELECT count() FROM (SELECT url, count() AS c FROM hits_s "
@@ -191,95 +313,8 @@ def main():
         log(f"Q7 string bench failed: {e}")
 
     try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
-        # skewed-key GROUP BY (BASELINE row 2: "incl. skewed distribution"):
-        # zipf(1.5) keys — sort-based grouping is skew-insensitive by design
-        rng2 = np.random.default_rng(7)
-        zk = np.minimum(rng2.zipf(1.5, N_ROWS), 10_000_000).astype(np.int64)
-        n_distinct = len(np.unique(zk[:1_000_000]))
-        s.execute("CREATE TABLE zipf (k Int64)")
-        s.insert_pydict("zipf", {"k": zk})
-        del zk
-        t_skew = bench_query(
-            s, "SELECT k, count() AS c FROM zipf GROUP BY k "
-               "ORDER BY c DESC LIMIT 10 SETTINGS max_groups = 16777216",
-            reps=3)
-        log(f"Q2s SKEWED group-by (zipf 1.5, ~{n_distinct} distinct/1M "
-            f"sample): {t_skew*1e3:.1f} ms = {N_ROWS/t_skew/1e9:.2f} "
-            f"G rows/s")
-        s.execute("DROP TABLE zipf")
-    except Exception as e:
-        log(f"Q2s skewed group-by failed: {e}")
-
-    # extra operator detail (stderr only)
-    # shared rooflines for the BASELINE framings (probe/gather bound for
-    # hash aggregation, sort-pass bound for ORDER BY): measure the raw
-    # primitive cost at this run's shapes
-    import jax as _jax
-    import jax.numpy as jnp
-
-    def _min_time(f, *a, reps=3):
-        int(f(*a))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(f(*a))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    try:
-        idx_r = jnp.asarray((np.arange(N_ROWS, dtype=np.int64) * 40503)
-                            % (1 << 21), jnp.int32)
-        tbl_r = jnp.arange(1 << 21, dtype=jnp.int32)
-        t_probe = _min_time(_jax.jit(
-            lambda t, i: t[i].astype(jnp.int64).sum()), tbl_r, idx_r)
-        xs_r = jnp.asarray((np.arange(N_ROWS, dtype=np.int64) * 2654435761)
-                           % 1_000_003, jnp.int32)
-        t_sortpass = _min_time(_jax.jit(
-            lambda a: (jax_sort_chk(a))), xs_r)
-        log(f"rooflines: probe/gather {t_probe*1e3:.0f} ms, "
-            f"sort pass {t_sortpass*1e3:.0f} ms per {N_ROWS/1e6:.0f}M")
-    except Exception as e:
-        t_probe = t_sortpass = None
-        log(f"roofline measurement failed: {e}")
-
-    try:
-        t_agg = bench_query(s, "SELECT x % 1024 AS k, count() AS c, sum(x) "
-                                "FROM hits GROUP BY k ORDER BY c DESC LIMIT 10",
-                            reps=3)
-        fr = f"; probe-roofline fraction {t_probe/t_agg:.3f}"             if t_probe else ""
-        log(f"Q2 group-by(1k keys)+top10: {t_agg*1e3:.1f} ms "
-            f"({N_ROWS/t_agg/1e9:.2f} G rows/s){fr}")
-    except Exception as e:  # keep headline alive
-        log(f"Q2 failed: {e}")
-
-    try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
-        t_agg2 = bench_query(s, "SELECT x AS k, count() AS c FROM hits "
-                                 "GROUP BY k ORDER BY c DESC LIMIT 10 "
-                                 "SETTINGS max_groups = 2097152", reps=2)
-        fr = f"; probe-roofline fraction {t_probe/t_agg2:.3f}"             if t_probe else ""
-        log(f"Q2b group-by(1M keys, sort path)+top10: {t_agg2*1e3:.1f} ms "
-            f"({N_ROWS/t_agg2/1e9:.2f} G rows/s){fr}")
-    except Exception as e:
-        log(f"Q2b failed: {e}")
-
-    try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
-        t_sort = bench_query(s, "SELECT x FROM hits ORDER BY x LIMIT 100",
-                             reps=3)
-        fr = f"; sort-pass-roofline fraction {t_sortpass/t_sort:.3f}"             if t_sortpass else ""
-        log(f"Q3 top-100 of 100M: {t_sort*1e3:.1f} ms "
-            f"({N_ROWS/t_sort/1e9:.2f} G rows/s){fr}")
-    except Exception as e:
-        log(f"Q3 failed: {e}")
-
-    try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
+        if remaining() < 150:
+            raise TimeoutError("budget")
         # fresh session: drop the hits table's device residency before the
         # join working set (single chip, 16 GB HBM)
         del s
@@ -294,7 +329,8 @@ def main():
             "label": (np.arange(n_dim, dtype=np.int64) * 7) % 97})
         s2.execute("CREATE TABLE fact (fk Int64)")
         s2.insert_pydict("fact", {
-            "fk": (np.arange(n_fact, dtype=np.int64) * 40503) % n_dim})
+            "fk": cached("fact_fk_100m", lambda: (
+                np.arange(n_fact, dtype=np.int64) * 40503) % n_dim)})
         # propagate join (ops/join_ops.py propagate_join): dim.k is unique,
         # so the planner picks the N:1 single-sort path — no expansion, no
         # gathers, output capacity == probe capacity
@@ -304,8 +340,6 @@ def main():
         # probe/gather roofline (BASELINE: join target is probe-bound): the
         # irreducible per-row random access, measured as one raw gather of
         # n_fact indices from an HBM-resident table on this same chip
-        import jax
-        import jax.numpy as jnp
         idx_d = jnp.asarray((np.arange(n_fact, dtype=np.int64) * 40503)
                             % n_dim, jnp.int32)
         tbl_d = jnp.arange(n_dim, dtype=jnp.int32)
@@ -327,8 +361,8 @@ def main():
         log(f"Q4 failed: {e}")
 
     try:
-        if time.time() > deadline:
-            raise TimeoutError("extras budget exhausted")
+        if remaining() < 150:
+            raise TimeoutError("budget")
         # Q8: brute-force vector similarity on the MXU (the reference
         # answers this with an HNSW index, MergeTreeIndexVectorSimilarity;
         # here distances are (N,D)x(D,) matmuls + device top-k).  Roofline:
@@ -336,12 +370,12 @@ def main():
         import gc
         s8 = ch.connect()
         NV, DV = 10_000_000, 128
-        rng8 = np.random.default_rng(8)
-        V8 = rng8.normal(size=(NV, DV)).astype(np.float32)
+        V8 = cached("vecs_10m", lambda: np.random.default_rng(8).normal(
+            size=(NV, DV)).astype(np.float32))
         s8.execute("CREATE TABLE vecs (id Int64, v Array(Float32))")
         s8.insert_pydict("vecs", {"id": np.arange(NV, dtype=np.int64),
                                   "v": V8})
-        q8 = rng8.normal(size=DV).astype(np.float32)
+        q8 = np.random.default_rng(9).normal(size=DV).astype(np.float32)
         qs8 = "[" + ",".join(f"{x:.5f}" for x in q8) + "]"
         t_vec = bench_query(
             s8, f"SELECT id FROM vecs ORDER BY cosineDistance(v, {qs8}) "
@@ -356,40 +390,39 @@ def main():
         log(f"Q8 vector bench failed: {e}")
 
     # -- BASELINE-scale streamed configs (out-of-core engine on data larger
-    #    than a comfortable device block), LAST, under their own budget.
-    budget_1b = float(os.environ.get("BENCH_1B_BUDGET_S", "1500"))
-    deadline_1b = time.time() + budget_1b
+    #    than a comfortable device block), LAST, inside the total budget. --
+    xfer_bps = None
     try:
+        if remaining() < 180:
+            raise TimeoutError("budget")
         import gc
-        import jax as _jx
         # raw host->device transfer roofline at this chunk size: a streamed
         # scan cannot beat moving the bytes onto the chip.  DISTINCT buffers
         # per rep — repeated puts of one buffer can be deduplicated by the
         # transport and would overstate the roofline.
         probes = [np.full(1 << 28, i, np.int32) for i in range(3)]  # 1 GiB
-        _jx.block_until_ready(_jx.device_put(np.zeros(1 << 28, np.int32)))
+        jax.block_until_ready(jax.device_put(np.zeros(1 << 28, np.int32)))
         ts = []
         for p in probes:
             t0 = time.perf_counter()
-            _jx.block_until_ready(_jx.device_put(p))
+            jax.block_until_ready(jax.device_put(p))
             ts.append(time.perf_counter() - t0)
         xfer_bps = probes[0].nbytes / min(ts)
         del probes
         log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
 
         s5 = ch.connect()
-        t0 = time.time()
         s5.execute("CREATE TABLE big (x Int64)")
         CH = 250_000_000
-        for lo in range(0, STREAM_ROWS, CH):
+        for ci, lo in enumerate(range(0, STREAM_ROWS, CH)):
             hi = min(lo + CH, STREAM_ROWS)
-            xs = (np.arange(lo, hi, dtype=np.int64) * 2654435761) % 1_000_003
-            s5.insert_pydict("big", {"x": xs})
-        log(f"streamed-table ingest ({STREAM_ROWS/1e9:.1f}B rows) "
-            f"{time.time()-t0:.0f}s")
+            s5.insert_pydict("big", {"x": cached(
+                f"big_x_{ci}",
+                lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
+                                      * 2654435761) % 1_000_003)})
+        log(f"streamed table ready ({STREAM_ROWS/1e9:.1f}B rows)")
         # stream_readers=2: overlap host chunk prep + transfer with device
-        # compute (the dead-ST bug from r03 — the setting now really rides
-        # the SQL)
+        # compute
         sql5 = ("SELECT count() FROM big WHERE x > 500000 "
                 "SETTINGS stream_readers = 2")
         before_stream = s5.profile_events.get("StreamedQueries", 0)
@@ -403,8 +436,8 @@ def main():
         log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
             f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
             f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
-        if time.time() > deadline_1b:
-            raise TimeoutError("1B budget exhausted after Q5")
+        if remaining() < 60 + 2 * t5:
+            raise TimeoutError("budget after Q5")
         t5b = bench_query(
             s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
                 "GROUP BY k ORDER BY c DESC LIMIT 10 "
@@ -418,23 +451,23 @@ def main():
         log(f"Q5 streamed-1B failed: {e}")
 
     try:
-        if time.time() > deadline_1b:
-            raise TimeoutError("1B budget exhausted before Q6")
+        if remaining() < 180:
+            raise TimeoutError("budget before Q6")
         import gc
         s6 = ch.connect()
-        t0 = time.time()
         s6.execute("CREATE TABLE dim (k Int64, label Int64)")
         s6.insert_pydict("dim", {
             "k": np.arange(JOIN_DIM, dtype=np.int64),
             "label": (np.arange(JOIN_DIM, dtype=np.int64) * 7) % 97})
         s6.execute("CREATE TABLE fact (fk Int64)")
         CH = 250_000_000
-        for lo in range(0, JOIN_ROWS, CH):
+        for ci, lo in enumerate(range(0, JOIN_ROWS, CH)):
             hi = min(lo + CH, JOIN_ROWS)
-            s6.insert_pydict("fact", {
-                "fk": (np.arange(lo, hi, dtype=np.int64) * 40503) % JOIN_DIM})
-        log(f"join-table ingest ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M) "
-            f"{time.time()-t0:.0f}s")
+            s6.insert_pydict("fact", {"fk": cached(
+                f"fact6_fk_{ci}",
+                lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
+                                      * 40503) % JOIN_DIM)})
+        log(f"join tables ready ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M)")
         before_stream = s6.profile_events.get("StreamedQueries", 0)
         t6 = bench_query(
             s6, "SELECT count(), sum(label) FROM fact "
@@ -443,16 +476,17 @@ def main():
         streamed6 = s6.profile_events.get("StreamedQueries",
                                           0) > before_stream
         jr = JOIN_ROWS / t6
-        xfer_roof = xfer_bps / 4
         tag = "STREAMED" if streamed6 else "whole-block (fits HBM)"
+        xtra = (f"; transfer-roofline fraction {jr/(xfer_bps/4):.3f}"
+                if (streamed6 and xfer_bps) else "")
         log(f"Q6 {tag} join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
-            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s"
-            + (f"; transfer-roofline fraction {jr/xfer_roof:.3f}"
-               if streamed6 else ""))
+            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s{xtra}")
         del s6
         gc.collect()
     except Exception as e:
         log(f"Q6 streamed join failed: {e}")
+
+    log(f"bench complete in {time.time()-_T0:.0f}s")
 
 
 if __name__ == "__main__":

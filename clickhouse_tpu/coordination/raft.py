@@ -113,6 +113,7 @@ class RaftNode:
         self._lock = threading.RLock()
         self._commit_cv = threading.Condition(self._lock)
         self._last_heartbeat = time.monotonic()
+        self._peer_ack: Dict[int, float] = {}   # leader: last reply per peer
         self._election_timeout = self._rand_timeout(timeout_scale)
         self._scale = timeout_scale
         self._stopped = threading.Event()
@@ -196,6 +197,25 @@ class RaftNode:
                 due = (time.monotonic() - self._last_heartbeat
                        > self._election_timeout)
             if role == "leader":
+                # Leadership check (advisor r04): a leader whose
+                # AppendEntries stopped reaching a majority (minority
+                # partition) must stop serving reads — otherwise a stale
+                # leader answers get/children with old data forever.  If no
+                # majority of peers replied within an election timeout,
+                # step down; clients get NotLeader and re-route.
+                with self._lock:
+                    n = len(self.addrs)
+                    now = time.monotonic()
+                    fresh = 1 + sum(
+                        1 for p, t0 in self._peer_ack.items()
+                        if p != self.node_id
+                        and now - t0 <= self._election_timeout * 2)
+                    if n > 1 and fresh <= n // 2:
+                        self.role = "follower"
+                        self.leader_id = None
+                        self._last_heartbeat = now
+                        self._commit_cv.notify_all()
+                        continue
                 self._broadcast_append()
             elif due:
                 self._run_election()
@@ -242,9 +262,11 @@ class RaftNode:
         self.role = "leader"
         self.leader_id = self.node_id
         last = self._last_index()
+        now = time.monotonic()
         for i in range(len(self.addrs)):
             self.next_index[i] = last + 1
             self.match_index[i] = 0
+            self._peer_ack[i] = now      # lease grace until first round
         threading.Thread(target=self._broadcast_append,
                          daemon=True).start()
 
@@ -295,6 +317,7 @@ class RaftNode:
                 return
             if self.role != "leader" or self.term != term:
                 return
+            self._peer_ack[peer] = time.monotonic()
             if msg["raft"] == "install_snapshot":
                 self.next_index[peer] = self.base_index + 1
                 self.match_index[peer] = self.base_index
@@ -401,6 +424,11 @@ class RaftNode:
                 self.role = "follower"
                 self.leader_id = req["leader"]
                 self._last_heartbeat = time.monotonic()
+                if req["last_index"] <= self.commit_index:
+                    # Delayed/duplicate snapshot at or below our committed
+                    # state: applying it would roll committed state back.
+                    # Ack so the leader advances next_index past it.
+                    return {"term": self.term, "ok": True}
                 load_tree(self.keeper, _dec_tree(req["data"]))
                 self.base_index = req["last_index"]
                 self.base_term = req["last_term"]

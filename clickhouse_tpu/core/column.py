@@ -323,7 +323,7 @@ def factorize_strings(values: np.ndarray):
     hv = _hash_struct(hash_tokens128(values))
     uniq_h, first, codes = np.unique(hv, return_index=True,
                                      return_inverse=True)
-    uniq = np.asarray(values, object)[first]
+    uniq = np.asarray(values[first], object)
     dic = Dictionary(uniq, sorted_=False)
     dic._hash_sorted = uniq_h          # hash->code lookups stay O(log U)
     return codes.astype(np.int32), dic

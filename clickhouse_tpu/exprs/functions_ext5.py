@@ -692,9 +692,12 @@ def _exec_get_setting(args, out_dtype):
     s = active_session()
 
     def host(name):
-        v = getattr(s.settings, str(name), None) if s is not None else None
-        if v is None:
+        # non-constant names: numeric view only (constant names fold at
+        # bind time with the real type — plan/analyzer.py _bind_call)
+        d = s.settings.as_dict() if s is not None else {}
+        if str(name) not in d:
             raise TypeError_(f"Unknown setting '{name}'")
+        v = d[str(name)]
         return float(v) if isinstance(v, (int, float, bool)) else 0.0
     return _eager_rowfn(host, result="num")(args, out_dtype)
 

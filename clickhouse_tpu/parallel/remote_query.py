@@ -481,4 +481,5 @@ def _try_fetch_columns(session, stmt, addr, target, creds, where, ids):
     return dataclasses.replace(
         stmt, from_=ast.TableRef(database="_files", table=t.name,
                                  alias=stmt.from_.alias),
-        where=None if wtext else stmt.where, prewhere=None)
+        where=None if wtext else stmt.where,
+        prewhere=None if wtext else stmt.prewhere)

@@ -1372,6 +1372,28 @@ class Analyzer:
             return BoundLiteral(str(args[0].dtype), dt.String)
         if e.name.lower() == "currentdatabase":
             return BoundLiteral(self.catalog.current_database, dt.String)
+        if e.name.lower() == "getsetting" and len(args) == 1 \
+                and isinstance(args[0], BoundLiteral) \
+                and isinstance(args[0].value, str):
+            # constant-fold with the setting's REAL type (accepted-inert
+            # settings live in Settings.extra, not as attributes — advisor
+            # r04; string-valued settings must come back as String)
+            from ..exec.session import active_session
+            s = active_session()
+            if s is not None:
+                name_ = args[0].value
+                d = s.settings.as_dict()
+                if name_ not in d:
+                    from ..core.errors import TypeError_
+                    raise TypeError_(f"Unknown setting '{name_}'")
+                v = d[name_]
+                if isinstance(v, bool):
+                    return BoundLiteral(int(v), dt.UInt8)
+                if isinstance(v, int):
+                    return BoundLiteral(v, dt.Int64)
+                if isinstance(v, float):
+                    return BoundLiteral(v, dt.Float64)
+                return BoundLiteral(str(v), dt.String)
         # literal-parameterized type constructors (toDecimal32(x, S), ...)
         # become `_cast` calls whose result dtype carries the parameters
         from ..exprs.conv import literal_typed_target

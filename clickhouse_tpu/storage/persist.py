@@ -37,6 +37,17 @@ _FRAME = 1 << 20
 _PART_MAGIC = b"CHTPUPT1"
 
 
+def _sample_by_text(table) -> Optional[str]:
+    e = getattr(table, "sample_by", None)
+    if e is None:
+        return None
+    try:
+        from ..sql import ast
+        return ast.format_expr(e)
+    except Exception:        # noqa: BLE001
+        return None
+
+
 def persisted_engine(engine: str) -> bool:
     """Engines whose data survives restart (the reference's durable
     family); Memory/Null/Buffer/Set/Join stay RAM-resident."""
@@ -132,6 +143,7 @@ class TableStore:
             "schema": [(n, str(t)) for n, t in table.schema_items()],
             "codecs": dict(getattr(table, "codecs", {}) or {}),
             "ttl": getattr(table, "ttl_text", None),
+            "sample_by": _sample_by_text(table),
         }
         self.disk.write_file(self._meta_path(db, table.name),
                              json.dumps(meta).encode())
@@ -189,6 +201,15 @@ class TableStore:
                   index_granularity=meta.get("index_granularity", 8192))
         t.codecs = dict(meta.get("codecs", {}) or {})
         t.ttl_text = meta.get("ttl")
+        if meta.get("sample_by"):
+            # SAMPLE BY survives restart (advisor r04: DDL semantics were
+            # silently lost — SAMPLE r failed after reload)
+            try:
+                from ..sql.parser import parse
+                st = parse(f"SELECT {meta['sample_by']}")
+                t.sample_by = st.items[0].expr
+            except Exception:        # noqa: BLE001
+                pass
         t.projections = {}
         files = self._read_manifest(db, name)
         for f in files:
