@@ -119,6 +119,11 @@ class Session:
         # catalog; lazily started on first insert
         if not hasattr(self.catalog, "background"):
             self.catalog.background = None
+        # SQL user-defined functions (UserDefinedSQLFunctionFactory analog):
+        # name -> (params, body expr), expanded by substitution at bind time
+        if not hasattr(self.catalog, "udfs"):
+            self.catalog.udfs = {}
+        self.udfs = self.catalog.udfs
         if config_path:
             # server config file (ConfigProcessor analog, core/config.py):
             # default settings profile, users, disks, durable path, keeper
@@ -351,7 +356,13 @@ class Session:
             return _status_result()
         if isinstance(stmt, ast.TruncateTable):
             db = stmt.database or self.catalog.current_database
-            self.catalog.get_table(db, stmt.table).truncate()
+            try:
+                t = self.catalog.get_table(db, stmt.table)
+            except UnknownTable:
+                if stmt.if_exists:
+                    return _status_result()
+                raise
+            t.truncate()
             return _status_result()
         if isinstance(stmt, ast.OptimizeTable):
             db = stmt.database or self.catalog.current_database
@@ -483,6 +494,54 @@ class Session:
             if stmt.database not in self.catalog.databases:
                 raise UnknownTable(f"Unknown database '{stmt.database}'")
             self.catalog.current_database = stmt.database
+            return _status_result()
+        if isinstance(stmt, ast.MultiStatement):
+            res = _status_result()
+            for s2 in stmt.statements:
+                res = self._dispatch(s2, overrides, sql)
+            return res
+        if isinstance(stmt, ast.AlterMulti):
+            for a in stmt.actions:
+                self._run_alter(a)
+            return _status_result()
+        if isinstance(stmt, ast.ShowCreate):
+            return self._run_show_create(stmt)
+        if isinstance(stmt, ast.CreateFunction):
+            if stmt.body is None:
+                raise AnalysisError("CREATE FUNCTION needs a lambda body")
+            if stmt.name in self.udfs and not stmt.or_replace:
+                if stmt.if_not_exists:
+                    return _status_result()
+                raise AnalysisError(
+                    f"Function '{stmt.name}' already exists")
+            from ..exprs import functions as fn_reg
+            if fn_reg.FUNCTIONS.get(stmt.name) is not None \
+                    and not stmt.or_replace:
+                raise AnalysisError(
+                    f"Cannot override builtin function '{stmt.name}'")
+            self.udfs[stmt.name] = (list(stmt.params), stmt.body)
+            return _status_result()
+        if isinstance(stmt, ast.DropFunction):
+            if stmt.name not in self.udfs and not stmt.if_exists:
+                raise AnalysisError(f"Unknown function '{stmt.name}'")
+            self.udfs.pop(stmt.name, None)
+            return _status_result()
+        if isinstance(stmt, ast.RenameTable):
+            for (adb, at), (bdb, bt) in stmt.pairs:
+                adb = adb or self.catalog.current_database
+                bdb = bdb or self.catalog.current_database
+                ta = self.catalog.get_table(adb, at)
+                if stmt.exchange:
+                    tb = self.catalog.get_table(bdb, bt)
+                    self.catalog.databases[adb].tables[at] = tb
+                    self.catalog.databases[bdb].tables[bt] = ta
+                    ta.name, tb.name = bt, at
+                else:
+                    self.catalog.databases[adb].tables.pop(at)
+                    ta.name = bt
+                    self.catalog.databases[bdb].tables[bt] = ta
+                if getattr(ta, "_store", None) is not None:
+                    ta.repersist()
             return _status_result()
         raise NotImplementedError_(
             f"Statement {type(stmt).__name__} is not supported")
@@ -629,6 +688,7 @@ class Session:
         from .recursive import has_recursive_ctes, run_recursive_select
         if has_recursive_ctes(stmt):
             return run_recursive_select(self, stmt, overrides, sql)
+        self._materialize_explain_sources(stmt)
         settings = self._query_settings(stmt, overrides)
         if settings.max_execution_time > 0:
             dl = time.monotonic() + settings.max_execution_time
@@ -1000,6 +1060,15 @@ class Session:
 
     # -- EXPLAIN -------------------------------------------------------------
     def _run_explain(self, stmt: ast.Explain, overrides) -> Result:
+        if not isinstance(stmt.query, (ast.Select, ast.Union, ast.SetOp)):
+            # EXPLAIN SYNTAX/AST of DDL/INSERT: echo the statement class +
+            # target (the reference pretty-prints the normalized AST)
+            text = type(stmt.query).__name__
+            tgt = getattr(stmt.query, "table", None)
+            if tgt:
+                text += f" {tgt}"
+            return Result({"explain": np.asarray([text], object)},
+                          [("explain", "String")])
         settings = self._query_settings(stmt.query, overrides)
         if stmt.kind == "ast":
             text = _dump_ast(stmt.query)
@@ -1012,11 +1081,78 @@ class Session:
         lines = np.asarray(text.split("\n"), dtype=object)
         return Result({"explain": lines}, [("explain", "String")])
 
+    def _materialize_explain_sources(self, stmt) -> None:
+        """SELECT ... FROM (EXPLAIN ...): run the EXPLAIN, stage its lines
+        as a temp table (reference: ParserExplainQuery as subquery)."""
+        def visit(sel):
+            if not isinstance(sel, ast.Select):
+                if isinstance(sel, (ast.Union,)):
+                    for s2 in sel.selects:
+                        visit(s2)
+                elif isinstance(sel, ast.SetOp):
+                    visit(sel.left)
+                    visit(sel.right)
+                return
+            refs = [("from_", sel.from_)] + \
+                [(j, j.table) for j in sel.joins]
+            for slot, ref in refs:
+                if isinstance(ref, ast.SubqueryRef):
+                    if isinstance(ref.query, ast.Explain):
+                        res = self._run_explain(ref.query, {})
+                        from ..storage.table import Table as _T
+                        import uuid as _u
+                        nm = f"__explain_{_u.uuid4().hex[:8]}"
+                        t = _T(nm, [("explain", dt.String)])
+                        t.insert_pydict(
+                            {"explain": res.columns["explain"]})
+                        self.catalog.databases["_files"].tables[nm] = t
+                        newref = ast.TableRef("_files", nm,
+                                              alias=ref.alias)
+                        if slot == "from_":
+                            sel.from_ = newref
+                        else:
+                            slot.table = newref
+                    else:
+                        visit(ref.query)
+            for cte in sel.ctes:
+                if cte.query is not None:
+                    visit(cte.query)
+        visit(stmt)
+
     # -- DDL / DML -----------------------------------------------------------
     def _run_create_table(self, stmt: ast.CreateTable) -> Result:
         db = stmt.database or self.catalog.current_database
         # CREATE ... AS SELECT ... SETTINGS x=y: the clause parses onto the
         # inner select and must govern its execution (e.g. max_memory_usage)
+        if stmt.as_table is not None and not stmt.columns:
+            # CREATE TABLE x AS other_table: copy schema (+ engine unless
+            # overridden — InterpreterCreateQuery setProperties from AS)
+            sdb = stmt.as_table[0] or db
+            src = self.catalog.get_table(sdb, stmt.as_table[1])
+            stmt = dataclasses.replace(
+                stmt, columns=[ast.ColumnDef(n, str(ty))
+                               for n, ty in src.schema_items()],
+                as_table=None)
+            if stmt.engine == "Memory" and not stmt.order_by:
+                from ..sql.parser import parse_expression
+                stmt.engine = src.engine
+                stmt.order_by = [parse_expression(e)
+                                 for e in src.order_by]
+            defaults = dict(getattr(src, "column_defaults", {}) or {})
+            if defaults:
+                stmt.columns = [
+                    dataclasses.replace(
+                        c, default=defaults[c.name][1],
+                        default_kind=defaults[c.name][0])
+                    if c.name in defaults else c for c in stmt.columns]
+        if stmt.as_table_function is not None and not stmt.columns:
+            # CREATE TABLE x AS numbers(5) / VALUES(...): materialize via
+            # SELECT * over the table function
+            stmt = dataclasses.replace(
+                stmt, as_select=ast.Select(
+                    items=[ast.SelectItem(ast.Star())],
+                    from_=ast.TableFunctionRef(stmt.as_table_function)),
+                as_table_function=None)
         sel_settings = self._query_settings(stmt.as_select, {}) \
             if stmt.as_select is not None else self.settings
         if stmt.as_select is not None and not stmt.columns:
@@ -1030,8 +1166,15 @@ class Session:
             t.insert_pydict(data)
             self.catalog.create_table(db, t, stmt.if_not_exists)
             return _status_result()
-        schema = [(c.name, dt.parse_type_name(c.type_name))
-                  for c in stmt.columns]
+        # DEFAULT/MATERIALIZED columns are stored; ALIAS/EPHEMERAL are not
+        # (reference: ColumnsDescription ordinary vs alias/ephemeral)
+        col_defaults = {c.name: (c.default_kind, c.default)
+                        for c in stmt.columns
+                        if c.default is not None
+                        or c.default_kind in ("alias", "ephemeral")}
+        physical = [c for c in stmt.columns
+                    if c.default_kind in ("default", "materialized")]
+        schema = self._resolve_column_types(physical, stmt.table)
         if stmt.engine == "Null":
             t = Table(stmt.table, schema, "Null")
             self.catalog.create_table(db, t, stmt.if_not_exists)
@@ -1054,6 +1197,30 @@ class Session:
                 return _status_result()
             dbo.tables[stmt.table] = target
             return _status_result()
+        # legacy *MergeTree(date, [sample,] (keys...), granularity)
+        # signature (ref: MergeTreeData::create legacy argument parsing)
+        ea = list(getattr(stmt, "engine_args", []) or [])
+        if stmt.engine.endswith("MergeTree") and not stmt.order_by and ea:
+            legacy = ea[2:] if (stmt.engine.startswith("Replicated")
+                                and len(ea) >= 2
+                                and isinstance(ea[0], str)
+                                and ea[0].startswith("/")) else ea
+            keys = next((x for x in legacy if isinstance(x, list)), None)
+            colnames = {c.name for c in stmt.columns}
+            if keys is None and len(legacy) >= 3 \
+                    and isinstance(legacy[-2], str) \
+                    and legacy[-2] in colnames:
+                keys = [legacy[-2]]
+            if keys and legacy and str(legacy[-1]).isdigit():
+                key_cols = [k for k in keys
+                            if isinstance(k, str) and k in colnames]
+                if key_cols:
+                    stmt.order_by = [ast.Identifier(k) for k in key_cols]
+                    dcol = legacy[0] if (isinstance(legacy[0], str)
+                                         and legacy[0] in colnames) else None
+                    if dcol is not None and stmt.partition_by is None:
+                        stmt.partition_by = ast.FuncCall(
+                            "toYYYYMM", [ast.Identifier(dcol)])
         skip_indexes = []
         for ix in getattr(stmt, "indexes", []) or []:
             col = ix.expr.name if isinstance(ix.expr, ast.Identifier) \
@@ -1070,6 +1237,8 @@ class Session:
                       "index_granularity", 8192)))
         t.ttl_text = getattr(stmt, "ttl", None)
         t.sample_by = getattr(stmt, "sample_by", None)
+        t.column_defaults = col_defaults
+        t.constraints = list(getattr(stmt, "constraints", []) or [])
         t.projections = {}
         t.engine_args = list(getattr(stmt, "engine_args", []) or [])
         if t.engine.startswith("Join") and t.engine_args:
@@ -1345,11 +1514,138 @@ class Session:
             self.catalog.background = BackgroundExecutor(self.catalog, thr)
         self.catalog.background.notify(db, table_name, thr)
 
+    def _resolve_column_types(self, cols, tname: str):
+        """Column types for CREATE: explicit, or inferred from the DEFAULT
+        expression (`d default today()` — reference
+        InterpreterCreateQuery::getColumnsDescription type deduction)."""
+        typed: Dict[str, Any] = {}
+        untyped = []
+        order = [c.name for c in cols]
+        for c in cols:
+            if c.type_name:
+                typed[c.name] = dt.parse_type_name(c.type_name)
+            else:
+                untyped.append(c)
+        if not untyped:
+            return [(n, typed[n]) for n in order]
+        from ..storage.table import Table as _T
+        files_db = self.catalog.databases["_files"]
+        progress = True
+        while untyped and progress:
+            progress = False
+            tmp = _T("__typeinf", [(n, typed[n])
+                                   for n in order if n in typed])
+            files_db.tables["__typeinf"] = tmp
+            try:
+                for c in list(untyped):
+                    sel = ast.Select(
+                        items=[ast.SelectItem(c.default, "v")],
+                        from_=ast.TableRef("_files", "__typeinf"),
+                        limit=ast.Literal(0))
+                    try:
+                        plan = self._plan(sel, self.settings)
+                    except EngineError:
+                        continue
+                    typed[c.name] = plan.schema[0].dtype
+                    untyped.remove(c)
+                    progress = True
+            finally:
+                files_db.tables.pop("__typeinf", None)
+        if untyped:
+            raise AnalysisError(
+                f"Cannot infer a type for column '{untyped[0].name}' "
+                f"of table '{tname}'")
+        return [(n, typed[n]) for n in order]
+
+    def _fill_defaults(self, table, data: Dict[str, np.ndarray]
+                       ) -> Dict[str, np.ndarray]:
+        """Fill absent DEFAULT/MATERIALIZED columns by evaluating their
+        expressions over the inserted block; EPHEMERAL inputs participate
+        then vanish (reference: AddingDefaultsTransform)."""
+        defaults = getattr(table, "column_defaults", None)
+        if not defaults:
+            return data
+        data = dict(data)
+        n = len(next(iter(data.values()))) if data else 0
+        missing = [c for c in table.schema
+                   if c not in data
+                   and defaults.get(c, ("", None))[1] is not None
+                   and defaults[c][0] in ("default", "materialized")]
+        if missing and n:
+            from ..storage.table import Table as _T
+            files_db = self.catalog.databases["_files"]
+            for _ in range(6):           # chained defaults iterate
+                prog = False
+                tmp_schema = []
+                for name, vals in data.items():
+                    tmp_schema.append(
+                        (name, table.schema[name]) if name in table.schema
+                        else (name, _infer_dtype(np.asarray(vals))))
+                tmp = _T("__insdef", tmp_schema)
+                tmp.insert_pydict(_align_insert(
+                    {k: np.asarray(v) for k, v in data.items()}, tmp,
+                    None))
+                files_db.tables["__insdef"] = tmp
+                try:
+                    for c in list(missing):
+                        sel = ast.Select(
+                            items=[ast.SelectItem(defaults[c][1], "v")],
+                            from_=ast.TableRef("_files", "__insdef"))
+                        try:
+                            vals = next(iter(self._execute_to_pydict(
+                                self._plan(sel, self.settings),
+                                self.settings).values()))
+                        except EngineError:
+                            continue
+                        data[c] = vals
+                        missing.remove(c)
+                        prog = True
+                finally:
+                    files_db.tables.pop("__insdef", None)
+                if not missing or not prog:
+                    break
+        for k in [k for k in data
+                  if k not in table.schema
+                  and defaults.get(k, ("",))[0] == "ephemeral"]:
+            data.pop(k)
+        return data
+
+    def _check_constraints(self, db: str, table,
+                           data: Dict[str, np.ndarray]) -> None:
+        cons = getattr(table, "constraints", None)
+        if not cons or not data:
+            return
+        from ..storage.table import Table as _T
+        files_db = self.catalog.databases["_files"]
+        tmp = _T("__constr", [(n, table.schema[n]) for n in data
+                              if n in table.schema])
+        tmp.insert_pydict(data)
+        files_db.tables["__constr"] = tmp
+        try:
+            for cname, pred in cons:
+                sel = ast.Select(
+                    items=[ast.SelectItem(
+                        ast.FuncCall("countIf", [ast.FuncCall(
+                            "not", [pred])]), "bad")],
+                    from_=ast.TableRef("_files", "__constr"))
+                bad = next(iter(self._execute_to_pydict(
+                    self._plan(sel, self.settings),
+                    self.settings).values()))
+                if int(bad[0]):
+                    raise EngineError(
+                        f"VIOLATED_CONSTRAINT: constraint '{cname}' "
+                        f"is violated on INSERT")
+        finally:
+            files_db.tables.pop("__constr", None)
+
     def _commit_insert(self, db: str, table_name: str,
                        aligned: Dict[str, np.ndarray],
                        settings: Optional[Settings] = None) -> Result:
         """Route one aligned insert through the async queue or directly."""
         s = settings or self.settings
+        tb = self.catalog.get_table(db, table_name)
+        if getattr(tb, "constraints", None):
+            self._check_constraints(db, tb, aligned)
         if s.async_insert:
             entry = self.async_inserts.push(db, table_name, aligned, s)
             if s.wait_for_async_insert:
@@ -1361,8 +1657,56 @@ class Session:
     def _run_insert(self, stmt: ast.Insert,
                     overrides: Optional[Dict[str, Any]] = None) -> Result:
         qsettings = self._query_settings(stmt, overrides or {})
+        if stmt.table_function is not None:
+            # INSERT INTO TABLE FUNCTION remote('addr', db, t): in the
+            # single-server reference tests the address is this server, so
+            # the write lands on the named local table
+            # (ref: src/TableFunctions/TableFunctionRemote.cpp)
+            fn = stmt.table_function
+            if fn.name in ("remote", "remoteSecure", "cluster") \
+                    and len(fn.args) >= 2:
+                def _txt(e):
+                    if isinstance(e, ast.Literal):
+                        return str(e.value)
+                    if isinstance(e, ast.Identifier):
+                        return e.name
+                    if isinstance(e, ast.FuncCall) \
+                            and e.name == "currentDatabase":
+                        return self.catalog.current_database
+                    return None
+                parts = [_txt(a) for a in fn.args[1:]]
+                if len(parts) == 1 and parts[0] and "." in parts[0]:
+                    tdb, ttbl = parts[0].split(".", 1)
+                elif len(parts) >= 2 and parts[1]:
+                    tdb, ttbl = parts[0], parts[1]
+                else:
+                    tdb, ttbl = None, parts[0]
+                tdb = tdb or self.catalog.current_database
+                stmt = dataclasses.replace(stmt, table_function=None)
+                stmt.database, stmt.table = tdb, ttbl
+            else:
+                raise NotImplementedError_(
+                    f"INSERT INTO TABLE FUNCTION {fn.name} is not supported")
         db = stmt.database or self.catalog.current_database
         table = self.catalog.get_table(db, stmt.table)
+        if stmt.format is not None and stmt.values is None \
+                and stmt.select is None and stmt.infile is None \
+                and getattr(stmt, "inline_data", None) is None:
+            # inline data staged by the caller (script runner / CLI
+            # multiquery: data lines follow the statement in the stream)
+            pend = getattr(self, "_pending_inline_data", None)
+            if pend is not None:
+                self._pending_inline_data = None
+                stmt = dataclasses.replace(stmt, inline_data=pend)
+        if getattr(stmt, "inline_data", None) is not None \
+                and stmt.format is not None:
+            from ..storage import formats
+            data = formats.parse_inline(stmt.inline_data, stmt.format,
+                                        table, stmt.columns)
+            return self._commit_insert(
+                db, stmt.table, _align_insert(self._fill_defaults(table, data),
+                                              table, stmt.columns),
+                qsettings)
         if stmt.infile is not None:
             from ..storage import formats
             infile = formats.confine_path(stmt.infile,
@@ -1371,7 +1715,8 @@ class Session:
             if stmt.columns:
                 data = {k: data[k] for k in stmt.columns}
             return self._commit_insert(
-                db, stmt.table, _align_insert(data, table, stmt.columns),
+                db, stmt.table, _align_insert(self._fill_defaults(table, data),
+                                              table, stmt.columns),
                 qsettings)
         if stmt.values is not None:
             names = stmt.columns or list(table.schema.keys())
@@ -1393,7 +1738,8 @@ class Session:
                     cols[n].append(_literal_value(e, evalr))
             data = {n: np.asarray(v, dtype=object) for n, v in cols.items()}
             return self._commit_insert(
-                db, stmt.table, _align_insert(data, table, names),
+                db, stmt.table, _align_insert(self._fill_defaults(table, data),
+                                              table, names),
                 qsettings)
         # INSERT SELECT always commits synchronously (the reference's async
         # queue only accepts data-carrying inserts,
@@ -1405,7 +1751,8 @@ class Session:
             data = dict(zip(stmt.columns, data.values()))
         else:
             data = dict(zip(table.schema.keys(), data.values()))
-        aligned = _align_insert(data, table, stmt.columns)
+        aligned = _align_insert(self._fill_defaults(table, data),
+                                 table, stmt.columns)
         self._insert_tail(db, stmt.table, aligned, qsettings)
         return _status_result()
 
@@ -1429,6 +1776,129 @@ class Session:
         if stmt.action == "modify_ttl":
             table.ttl_text = stmt.ttl
             return _status_result()
+        if stmt.action == "materialize_ttl":
+            if getattr(table, "ttl_text", None):
+                self.execute(f"ALTER TABLE {db}.{stmt.table} DELETE "
+                             f"WHERE ({table.ttl_text}) <= now()")
+            return _status_result()
+        if stmt.action in ("comment_column", "freeze", "materialize_index",
+                           "materialize_column", "drop_part"):
+            return _status_result()      # cosmetic / storage-layout no-ops
+        if stmt.action == "rename_column":
+            old, new = stmt.column_name, stmt.new_name
+            if old not in table.schema:
+                if stmt.if_exists:
+                    return _status_result()
+                raise AnalysisError(f"Unknown column '{old}'")
+            table.schema = {new if k == old else k: v
+                            for k, v in table.schema.items()}
+            for p in table.parts:
+                if old in p.columns:
+                    p.columns[new] = p.columns.pop(old)
+                if old in p.minmax:
+                    p.minmax[new] = p.minmax.pop(old)
+            table.order_by = [new if o == old else o for o in table.order_by]
+            table.version += 1
+            table._device_cache = None
+            table.repersist()
+            return _status_result()
+        if stmt.action == "clear_column":
+            name = stmt.column_name
+            if name in table.schema:
+                t = table.schema[name]
+                for p in table.parts:
+                    if t.is_dictionary:
+                        p.columns[name] = np.full(p.num_rows, "", object)
+                    else:
+                        p.columns[name] = np.zeros(p.num_rows, t.np_dtype)
+                    p.minmax.pop(name, None)
+                table.version += 1
+                table._device_cache = None
+                table.repersist()
+            return _status_result()
+        if stmt.action == "modify_column":
+            col = stmt.column
+            if col.name not in table.schema:
+                if stmt.if_exists:
+                    return _status_result()
+                raise AnalysisError(f"Unknown column '{col.name}'")
+            if col.type_name:
+                newt = dt.parse_type_name(col.type_name)
+                if str(newt) != str(table.schema[col.name]):
+                    # type change = mutation: CAST through the engine
+                    from ..sql import ast as A
+                    cols = list(table.schema.keys())
+                    items = [A.SelectItem(
+                        A.FuncCall("CAST", [A.Identifier(c),
+                                            A.Literal(col.type_name)])
+                        if c == col.name else A.Identifier(c))
+                        for c in cols]
+                    sel = A.Select(items=items,
+                                   from_=A.TableRef(db, stmt.table))
+                    data = self._execute_to_pydict(
+                        self._plan(sel, self.settings), self.settings)
+                    data = dict(zip(cols, data.values()))
+                    table.schema[col.name] = newt
+                    table.truncate()
+                    table.insert_pydict(_align_insert(data, table, None))
+            if col.default is not None:
+                if not hasattr(table, "column_defaults"):
+                    table.column_defaults = {}
+                table.column_defaults[col.name] = (col.default_kind,
+                                                   col.default)
+            return _status_result()
+        if stmt.action == "modify_column_remove":
+            getattr(table, "column_defaults", {}).pop(stmt.column_name,
+                                                      None)
+            return _status_result()
+        if stmt.action == "add_index":
+            from ..storage.table import SkipIndex
+            ix = stmt.index
+            colname = ix.expr.name if isinstance(ix.expr, ast.Identifier) \
+                else None
+            table.skip_indexes.append(SkipIndex(
+                ix.name, colname, ix.kind, tuple(ix.params),
+                ix.granularity))
+            return _status_result()
+        if stmt.action == "drop_index":
+            table.skip_indexes = [x for x in table.skip_indexes
+                                  if x.name != stmt.index_name]
+            return _status_result()
+        if stmt.action in ("modify_setting", "reset_setting"):
+            ts = getattr(table, "table_settings", None) or {}
+            for k, v in (stmt.settings or {}).items():
+                if v is None:
+                    ts.pop(k, None)
+                else:
+                    ts[k] = v
+            table.table_settings = ts
+            return _status_result()
+        if stmt.action == "modify_order_by":
+            table.order_by = [ast.format_expr(e)
+                              for e in stmt.settings.get("order_by", [])]
+            return _status_result()
+        if stmt.action == "modify_sample_by":
+            table.sample_by = stmt.predicate
+            return _status_result()
+        if stmt.action == "add_constraint":
+            if not hasattr(table, "constraints"):
+                table.constraints = []
+            table.constraints.append((stmt.column_name, stmt.predicate))
+            return _status_result()
+        if stmt.action == "drop_constraint":
+            table.constraints = [
+                (n, e) for n, e in getattr(table, "constraints", [])
+                if n != stmt.column_name]
+            return _status_result()
+        if stmt.action == "modify_query":
+            dbo = self.catalog.databases.get(db)
+            if dbo is not None and stmt.table in getattr(dbo, "views", {}):
+                dbo.views[stmt.table].query = stmt.settings["query"]
+            return _status_result()
+        if stmt.action in ("drop_partition", "detach_partition",
+                           "attach_partition", "replace_partition",
+                           "move_partition"):
+            return self._run_alter_partition(stmt, db, table)
 
         if stmt.action == "add_column":
             col = stmt.column
@@ -1494,6 +1964,94 @@ class Session:
         self._rebuild_all_projections(db, stmt.table)
         return _status_result()
 
+    def _partition_pred_text(self, table, pexpr) -> Optional[str]:
+        """WHERE text selecting the rows of one partition (None = all).
+        Parts are insert units here, not partition-split files, so
+        partition ops run as row-level mutations — same observable
+        semantics (ref: MergeTreeDataPartitioner)."""
+        pb = getattr(table, "partition_by", None)
+        if pexpr is None:
+            return None
+        if isinstance(pexpr, ast.Literal) and pexpr.value == "__all__":
+            return None
+        txt = ast.format_expr(pexpr)
+        if txt == "tuple()" or pb is None:
+            return None
+        if isinstance(pexpr, ast.FuncCall) \
+                and pexpr.name == "__partition_id":
+            return f"toString({pb}) = {ast.format_expr(pexpr.args[0])}"
+        if isinstance(pexpr, ast.Literal) and isinstance(pexpr.value, str):
+            return f"toString({pb}) = {txt}"
+        return f"({pb}) = ({txt})"
+
+    def _select_rows_where(self, db: str, table, where: Optional[str]
+                           ) -> Dict[str, np.ndarray]:
+        cols = ", ".join(f"`{c}`" for c in table.schema.keys())
+        sql = f"SELECT {cols} FROM `{db}`.`{table.name}`"
+        if where:
+            sql += f" WHERE {where}"
+        sel = parse(sql)
+        data = self._execute_to_pydict(self._plan(sel, self.settings),
+                                       self.settings)
+        return dict(zip(table.schema.keys(), data.values()))
+
+    def _run_alter_partition(self, stmt: ast.AlterTable, db: str,
+                             table) -> Result:
+        pred = self._partition_pred_text(table, stmt.partition)
+        key = ast.format_expr(stmt.partition) if stmt.partition is not None \
+            else "__all__"
+        act = stmt.action
+
+        def _delete_matching(tdb, tname):
+            self.execute(f"ALTER TABLE `{tdb}`.`{tname}` DELETE WHERE "
+                         + (pred or "1"))
+
+        if act == "drop_partition":
+            _delete_matching(db, stmt.table)
+            return _status_result()
+        if act == "detach_partition":
+            data = self._select_rows_where(db, table, pred)
+            det = getattr(table, "_detached", None) or {}
+            det[key] = data
+            table._detached = det
+            _delete_matching(db, stmt.table)
+            return _status_result()
+        if act == "attach_partition":
+            if stmt.from_table is not None:
+                sdb = stmt.from_table[0] or db
+                src = self.catalog.get_table(sdb, stmt.from_table[1])
+                spred = self._partition_pred_text(src, stmt.partition)
+                data = self._select_rows_where(sdb, src, spred)
+            else:
+                det = getattr(table, "_detached", None) or {}
+                if key not in det:
+                    raise AnalysisError(f"No detached partition {key}")
+                data = det.pop(key)
+            if data and len(next(iter(data.values()))):
+                table.insert_pydict(_align_insert(data, table, None))
+            return _status_result()
+        if act == "replace_partition":
+            sdb = stmt.from_table[0] or db
+            src = self.catalog.get_table(sdb, stmt.from_table[1])
+            spred = self._partition_pred_text(src, stmt.partition)
+            data = self._select_rows_where(sdb, src, spred)
+            _delete_matching(db, stmt.table)
+            if data and len(next(iter(data.values()))):
+                table.insert_pydict(_align_insert(data, table, None))
+            return _status_result()
+        if act == "move_partition":
+            ddb = stmt.from_table[0] or db
+            try:
+                dest = self.catalog.get_table(ddb, stmt.from_table[1])
+            except UnknownTable:
+                return _status_result()      # TO DISK/VOLUME: no-op tier
+            data = self._select_rows_where(db, table, pred)
+            if data and len(next(iter(data.values()))):
+                dest.insert_pydict(_align_insert(data, dest, None))
+            _delete_matching(db, stmt.table)
+            return _status_result()
+        return _status_result()
+
     def _run_show(self, stmt: ast.ShowTables) -> Result:
         if stmt.databases:
             names = sorted(self.catalog.databases)
@@ -1509,6 +2067,18 @@ class Session:
                       [("name", "String")])
 
     def _run_describe(self, stmt: ast.Describe) -> Result:
+        if stmt.table_expr is not None:
+            # DESCRIBE <table function>/(subquery): plan SELECT * over it
+            # with LIMIT 0 and report the resolved output schema
+            sel = ast.Select(items=[ast.SelectItem(ast.Star())],
+                             from_=stmt.table_expr,
+                             limit=ast.Literal(0))
+            plan = self._plan(sel, self.settings)
+            names = [f.display for f in plan.schema]
+            types = [str(f.dtype) for f in plan.schema]
+            return Result({"name": np.asarray(names, object),
+                           "type": np.asarray(types, object)},
+                          [("name", "String"), ("type", "String")])
         db = stmt.database or self.catalog.current_database
         t = self.catalog.get_table(db, stmt.table)
         names, types = [], []
@@ -1518,6 +2088,54 @@ class Session:
         return Result({"name": np.asarray(names, object),
                        "type": np.asarray(types, object)},
                       [("name", "String"), ("type", "String")])
+
+    def _run_show_create(self, stmt: "ast.ShowCreate") -> Result:
+        """SHOW CREATE TABLE: render canonical DDL in the reference's
+        formatting (InterpreterShowCreateQuery -> formatAST)."""
+        if stmt.kind == "database":
+            txt = f"CREATE DATABASE {stmt.table}\nENGINE = Atomic"
+            return Result({"statement": np.asarray([txt], object)},
+                          [("statement", "String")])
+        db = stmt.database or self.catalog.current_database
+        dbo = self.catalog.databases.get(db)
+        if dbo is not None and stmt.table in getattr(dbo, "views", {}):
+            v = dbo.views[stmt.table]
+            kind = "MATERIALIZED VIEW" if v.materialized else "VIEW"
+            txt = f"CREATE {kind} {db}.{stmt.table}"
+            return Result({"statement": np.asarray([txt], object)},
+                          [("statement", "String")])
+        t = self.catalog.get_table(db, stmt.table)
+        lines = [f"CREATE TABLE {db}.{stmt.table}", "("]
+        coldefs = []
+        defaults = getattr(t, "column_defaults", {}) or {}
+        for n, ty in t.schema_items():
+            d = f"    `{n}` {ty}"
+            if n in defaults:
+                kind, expr = defaults[n]
+                d += f" {kind.upper()} {ast.format_expr(expr)}"
+            if n in (getattr(t, "codecs", {}) or {}):
+                d += f" CODEC({t.codecs[n]})"
+            coldefs.append(d)
+        lines.append(",\n".join(coldefs))
+        lines.append(")")
+        lines.append(f"ENGINE = {t.engine}")
+        if getattr(t, "partition_by", None):
+            lines.append(f"PARTITION BY {t.partition_by}")
+        if t.order_by:
+            ob = ", ".join(t.order_by)
+            if len(t.order_by) > 1:
+                ob = f"({ob})"
+            lines.append(f"ORDER BY {ob}")
+        elif t.engine.lower().endswith("mergetree"):
+            lines.append("ORDER BY tuple()")
+        if getattr(t, "ttl_text", None):
+            lines.append(f"TTL {t.ttl_text}")
+        if t.engine.lower().endswith("mergetree"):
+            lines.append("SETTINGS index_granularity = "
+                         f"{getattr(t, 'index_granularity', 8192)}")
+        txt = "\n".join(lines)
+        return Result({"statement": np.asarray([txt], object)},
+                      [("statement", "String")])
 
     # -- system tables (self-observation: the engine queries its own state,
     #    the reference's system.* / SystemLog pattern, SURVEY.md §5) ---------

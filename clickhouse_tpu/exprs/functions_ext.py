@@ -1108,6 +1108,53 @@ def _exec_array_resize(args, out_dtype):
 
 register("arrayResize", _arr_same, _arrfn(_exec_array_resize))
 
+
+def _exec_array_enumerate(args, out_dtype):
+    """arrayEnumerate(arr) -> [1, 2, ..., length(arr)]
+    (ref: src/Functions/array/arrayEnumerate.cpp)."""
+    a = _array_arg(args[0])
+    W = max(a.data.shape[1], 1)
+    j = jnp.arange(1, W + 1, dtype=jnp.int64)[None, :]
+    data = jnp.where(j <= a.lengths[:, None],
+                     jnp.broadcast_to(j, (a.data.shape[0], W)), 0)
+    return ColVal(out_dtype, data, a.validity, lengths=a.lengths)
+
+
+register("arrayEnumerate",
+         lambda ts: dt.Array(dt.UInt32).with_nullable(ts[0].nullable),
+         _arrfn(_exec_array_enumerate))
+
+
+def _exec_empty_array_to_single(args, out_dtype):
+    """emptyArrayToSingle: empty arrays become [default-element] — the
+    LEFT ARRAY JOIN primitive (ref: src/Functions/emptyArrayToSingle.cpp)."""
+    a = _array_arg(args[0])
+    lens = jnp.maximum(a.lengths, 1)
+    dic = a.dictionary
+    data = a.data
+    if dic is not None:
+        # default string element '': extend the dictionary when absent
+        import numpy as _np
+        from ..core.column import Dictionary as _Dict
+        vals = list(dic.values)
+        try:
+            empty_code = vals.index("")
+        except ValueError:
+            empty_code = len(vals)
+            dic = _Dict(_np.asarray(vals + [""], object), sorted_=False)
+        W = max(data.shape[1], 1)
+        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+        data = jnp.where(j < a.lengths[:, None], data,
+                         jnp.asarray(empty_code, data.dtype))
+        # zero out beyond the new length again
+        data = jnp.where(j < lens[:, None], data,
+                         jnp.zeros((), data.dtype))
+    return ColVal(out_dtype, data, a.validity, dic, lengths=lens)
+
+
+register("emptyArrayToSingle", _arr_same,
+         _arrfn(_exec_empty_array_to_single))
+
 # ----------------------------------------------------------------- hash extras
 
 

@@ -188,6 +188,35 @@ class Analyzer:
             else:
                 scalar_aliases[cte.name] = cte.expr
 
+        # expression-level aliases — `(x AS a)`, `f(e AS a)` — register
+        # query-wide like select-item aliases (reference
+        # ParserWithOptionalAlias semantics); the AST is copied before
+        # stripping so re-analysis of a cached statement stays correct
+        expr_aliases: Dict[str, ast.Expr] = {}
+        _probe = [it.expr for it in sel.items
+                  if not isinstance(it.expr, ast.Star)]
+        _probe += [v for v in (sel.where, sel.prewhere, sel.having)
+                   if v is not None]
+        _probe += list(sel.group_by or [])
+        _probe += [oi.expr for oi in (sel.order_by or [])]
+        for v in _probe:
+            _collect_aliased(v, expr_aliases)
+        if expr_aliases:
+            import copy as _copy
+            sel = _copy.deepcopy(sel)
+            for item in sel.items:
+                if not isinstance(item.expr, ast.Star):
+                    item.expr = _strip_aliased(item.expr)
+            for attr in ("where", "prewhere", "having"):
+                v = getattr(sel, attr)
+                if v is not None:
+                    setattr(sel, attr, _strip_aliased(v))
+            if sel.group_by:
+                sel.group_by = [_strip_aliased(g) for g in sel.group_by]
+            for oi in (sel.order_by or []):
+                oi.expr = _strip_aliased(oi.expr)
+            scalar_aliases.update(expr_aliases)
+
         # GROUP BY (a, b) groups by the elements (tuple keys splat)
         if sel.group_by:
             gb2 = []
@@ -215,18 +244,68 @@ class Analyzer:
 
         # select-item aliases usable in WHERE/GROUP BY/HAVING/ORDER BY
         aliases: Dict[str, ast.Expr] = dict(scalar_aliases)
+        # ALIAS columns of scanned tables resolve by substitution
+        # (reference: ColumnsDescription ALIAS defaults, expanded in the
+        # analyzer — not stored, computed at read)
+        for tref in [sel.from_] + [j.table for j in sel.joins]:
+            if isinstance(tref, ast.TableRef):
+                try:
+                    tdb = tref.database or self.catalog.current_database
+                    tobj = self.catalog.get_table(tdb, tref.table)
+                except Exception:      # noqa: BLE001 — CTE/view names
+                    continue
+                for cn, (kind, cexpr) in (getattr(
+                        tobj, "column_defaults", None) or {}).items():
+                    if kind == "alias" and cexpr is not None:
+                        aliases.setdefault(cn, cexpr)
         for item in sel.items:
             if item.alias and not isinstance(item.expr, ast.Star):
                 aliases[item.alias] = item.expr
+
+        # ARRAY JOIN clause desugars to the arrayJoin() machinery below:
+        # each joined array contributes an element alias; multiple arrays
+        # zip through a shared arrayJoin(arrayEnumerate(first)) index;
+        # LEFT keeps empty arrays via emptyArrayToSingle
+        # (ref: src/Interpreters/ArrayJoinAction.cpp).
+        aj_shadow: frozenset = frozenset()
+        if sel.array_join is not None:
+            aj_kind, aj_items_cl = sel.array_join
+            arr0 = aj_items_cl[0][0]
+            if len(aj_items_cl) == 1:
+                src = arr0 if aj_kind == "inner" else \
+                    ast.FuncCall("emptyArrayToSingle", [arr0])
+                elems_cl = [ast.FuncCall("arrayJoin", [src])]
+            else:
+                base = ast.FuncCall("arrayEnumerate", [arr0])
+                if aj_kind == "left":
+                    base = ast.FuncCall("emptyArrayToSingle", [base])
+                idx_e = ast.FuncCall("arrayJoin", [base])
+                elems_cl = [ast.FuncCall("arrayElement", [ai, idx_e])
+                            for ai, _ in aj_items_cl]
+            for (ai, al), elem in zip(aj_items_cl, elems_cl):
+                nm = al or (ai.name if isinstance(ai, ast.Identifier)
+                            else ast.format_expr(ai))
+                aliases[nm] = elem
+            aj_shadow = frozenset(
+                al or (ai.name if isinstance(ai, ast.Identifier)
+                       else ast.format_expr(ai))
+                for ai, al in aj_items_cl)
 
         def expand(e: ast.Expr, own: Optional[str] = None) -> ast.Expr:
             excl = frozenset({own}) if own else frozenset()
             return _expand_aliases(e, aliases, scope, exclude=excl)
 
-        # PREWHERE/WHERE
+        # PREWHERE/WHERE — predicates referencing an array-join element
+        # must filter AFTER expansion (reference clause order: ARRAY JOIN
+        # runs before WHERE)
+        aj_post_preds: List[ast.Expr] = []
         for pred_ast in (sel.prewhere, sel.where):
             if pred_ast is not None:
-                pred = self.bind(expand(pred_ast), scope, allow_agg=False)
+                pe = expand(pred_ast)
+                if _contains_array_join(pe):
+                    aj_post_preds.append(pe)
+                    continue
+                pred = self.bind(pe, scope, allow_agg=False)
                 plan = L.FilterNode(plan, pred, plan.schema)
 
         # arrayJoin(...) expands rows after WHERE, before aggregation
@@ -253,6 +332,7 @@ class Analyzer:
             probe_exprs.append(expand(sel.having))
         for oi in (sel.order_by or []):
             probe_exprs.append(expand(oi.expr))
+        probe_exprs.extend(aj_post_preds)
         for e in probe_exprs:
             collect_aj(e)
         if len(aj_exprs) > 1:
@@ -260,8 +340,10 @@ class Analyzer:
                 "Multiple distinct arrayJoin expressions are not supported")
         if aj_exprs:
             call = aj_exprs[0]
-            arr_bound = self.bind(expand(call.args[0]), scope,
-                                  allow_agg=False)
+            arr_bound = self.bind(
+                _expand_aliases(call.args[0], aliases, scope,
+                                exclude=aj_shadow), scope,
+                allow_agg=False)
             if not arr_bound.dtype.is_array:
                 raise TypeError_("arrayJoin expects an Array argument")
             placeholder = "__array_join"
@@ -275,6 +357,11 @@ class Analyzer:
 
             def expand(e: ast.Expr, own: Optional[str] = None):  # noqa: F811
                 return _replace_by_text(outer_expand(e, own), aj_texts)
+
+            for pe in aj_post_preds:
+                pred = self.bind(_replace_by_text(pe, aj_texts), scope,
+                                 allow_agg=False)
+                plan = L.FilterNode(plan, pred, plan.schema)
 
         # Expand stars & name items
         items: List[Tuple[ast.Expr, str]] = []
@@ -491,8 +578,13 @@ class Analyzer:
         fields = []
         names = []
         stats = {}
+        coldefs = getattr(table, "column_defaults", None) or {}
         for name, ctype in table.schema_items():
             f = self.field(name, ctype, quals)
+            if coldefs.get(name, ("",))[0] == "materialized":
+                # MATERIALIZED columns are stored but folded out of `*`
+                # (reference: ColumnsDescription::getOrdinary)
+                f = dataclasses.replace(f, star_hidden=True)
             fields.append(f)
             names.append(name)
             b = table.column_bounds(name)
@@ -516,7 +608,8 @@ class Analyzer:
                           order_by_cols=tuple(table.order_by or ()),
                           engine_args=tuple(
                               a for a in (getattr(table, "engine_args", [])
-                                          or []) if a in table.schema))
+                                          or [])
+                              if isinstance(a, str) and a in table.schema))
         scope = Scope(fields)
         plan: L.PlanNode = node
         if getattr(ref, "sample", None) is not None:
@@ -1242,7 +1335,23 @@ class Analyzer:
             return _bind_literal(e)
         if isinstance(e, ast.Subquery):
             return self._execute_scalar_subquery(e)
+        if isinstance(e, ast.Aliased):
+            # an alias that survived the select-level pre-pass (e.g. inside
+            # a UDF body): the definition IS the value here
+            return self.bind(e.expr, scope, allow_agg)
         if isinstance(e, ast.FuncCall):
+            udf = getattr(self.catalog, "udfs", {}).get(e.name)
+            if udf is not None:
+                # SQL UDF: inline the body with parameters substituted
+                # (ref: UserDefinedSQLFunctionVisitor.cpp)
+                params, body = udf
+                if len(params) != len(e.args):
+                    raise AnalysisError(
+                        f"Function {e.name} expects {len(params)} "
+                        f"arguments, got {len(e.args)}")
+                body2 = _inline_local_aliases(
+                    _subst_params(body, dict(zip(params, e.args))))
+                return self.bind(body2, scope, allow_agg)
             if self._is_aggregate_call(e) and not fn_reg.exists(e.name):
                 raise AnalysisError(
                     f"Aggregate function {e.name} is not allowed here")
@@ -1752,6 +1861,85 @@ def _contains_aggregate(e: ast.Expr) -> bool:
         return any(_contains_aggregate(a) for a in e.args)
     if isinstance(e, ast.Tuple_):
         return any(_contains_aggregate(i) for i in e.items)
+    return False
+
+
+def _subst_params(e: ast.Expr, sub: Dict[str, ast.Expr]) -> ast.Expr:
+    """Replace bare identifiers with argument expressions (UDF inlining)."""
+    if isinstance(e, ast.Identifier) and len(e.parts) == 1 \
+            and e.name in sub:
+        return sub[e.name]
+    if isinstance(e, ast.FuncCall):
+        return dataclasses.replace(
+            e, args=[_subst_params(a, sub) for a in e.args],
+            params=[_subst_params(p, sub) for p in e.params]
+            if e.params else e.params)
+    if isinstance(e, ast.Tuple_):
+        return dataclasses.replace(
+            e, items=[_subst_params(i, sub) for i in e.items])
+    if isinstance(e, ast.Aliased):
+        return dataclasses.replace(e, expr=_subst_params(e.expr, sub))
+    if isinstance(e, ast.Lambda):
+        inner = {k: v for k, v in sub.items() if k not in e.params}
+        return dataclasses.replace(e, body=_subst_params(e.body, inner))
+    return e
+
+
+def _collect_aliased(e: ast.Expr, out: Dict[str, ast.Expr]) -> None:
+    if isinstance(e, ast.Aliased):
+        out[e.alias] = _strip_aliased(e.expr)
+        _collect_aliased(e.expr, out)
+        return
+    if isinstance(e, ast.FuncCall):
+        for a in e.args:
+            _collect_aliased(a, out)
+        for p in e.params or []:
+            _collect_aliased(p, out)
+    elif isinstance(e, ast.Tuple_):
+        for i in e.items:
+            _collect_aliased(i, out)
+    elif isinstance(e, ast.Lambda):
+        _collect_aliased(e.body, out)
+
+
+def _strip_aliased(e: ast.Expr) -> ast.Expr:
+    if isinstance(e, ast.Aliased):
+        return _strip_aliased(e.expr)
+    if isinstance(e, ast.FuncCall):
+        return dataclasses.replace(
+            e, args=[_strip_aliased(a) for a in e.args],
+            params=[_strip_aliased(p) for p in e.params]
+            if e.params else e.params)
+    if isinstance(e, ast.Tuple_):
+        return dataclasses.replace(
+            e, items=[_strip_aliased(i) for i in e.items])
+    if isinstance(e, ast.Lambda):
+        return dataclasses.replace(e, body=_strip_aliased(e.body))
+    return e
+
+
+def _inline_local_aliases(e: ast.Expr) -> ast.Expr:
+    """Resolve `(expr AS name) ... name` references locally (UDF bodies)."""
+    defs: Dict[str, ast.Expr] = {}
+    _collect_aliased(e, defs)
+    if not defs:
+        return e
+    out = _strip_aliased(e)
+    for _ in range(8):               # chained aliases: iterate to fixpoint
+        nxt = _subst_params(out, defs)
+        if ast.format_expr(nxt) == ast.format_expr(out):
+            break
+        out = nxt
+    return out
+
+
+def _contains_array_join(e: ast.Expr) -> bool:
+    if isinstance(e, ast.FuncCall):
+        if e.name == "arrayJoin":
+            return True
+        return any(_contains_array_join(a) for a in e.args)
+    if isinstance(e, ast.Tuple_):
+        return any(_contains_array_join(i) for i in e.items)
     return False
 
 

@@ -80,6 +80,15 @@ class Subquery(Expr):
     query: "Select"
 
 
+@dataclasses.dataclass
+class Aliased(Expr):
+    """Expression-level alias — ClickHouse lets ANY parenthesized or
+    argument expression carry `AS name`, visible query-wide
+    (ref: ExpressionListParsers.cpp ParserWithOptionalAlias)."""
+    expr: Expr
+    alias: str
+
+
 # -- SELECT ------------------------------------------------------------------
 
 @dataclasses.dataclass
@@ -126,6 +135,7 @@ class OrderItem:
     nulls_last: Optional[bool] = None   # None = dialect default
     # WITH FILL [FROM e] [TO e] [STEP e]: (from, to, step) exprs or None
     fill: Optional[tuple] = None
+    collate: Optional[str] = None       # COLLATE 'locale'
 
 
 @dataclasses.dataclass
@@ -157,6 +167,13 @@ class Select:
     settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
     outfile: Optional[str] = None
     format: Optional[str] = None
+    # ARRAY JOIN clause: (kind 'inner'|'left', [(expr, alias|None), ...])
+    array_join: Optional[tuple] = None
+    # WINDOW name AS (spec) named-window definitions
+    windows: Dict[str, "WindowSpec"] = dataclasses.field(default_factory=dict)
+    # ORDER BY ... INTERPOLATE (col AS expr, ...): [(name, expr|None)]
+    interpolate: Optional[list] = None
+    limit_with_ties: bool = False
 
 
 @dataclasses.dataclass
@@ -181,9 +198,11 @@ class SetOp:
 @dataclasses.dataclass
 class ColumnDef:
     name: str
-    type_name: str
+    type_name: str                     # "" = infer from default expr
     default: Optional[Expr] = None
     codec: Optional[str] = None        # 'Delta, LZ4' codec chain
+    # default kind: default | materialized | alias | ephemeral
+    default_kind: str = "default"
 
 
 @dataclasses.dataclass
@@ -202,6 +221,12 @@ class CreateTable:
     database: Optional[str]
     table: str
     columns: List[ColumnDef]
+    # CREATE TABLE x AS other_table / AS table_function(...)
+    as_table: Optional[Tuple[Optional[str], str]] = None
+    as_table_function: Optional[FuncCall] = None
+    cluster: Optional[str] = None
+    constraints: List[Tuple[str, Expr]] = dataclasses.field(
+        default_factory=list)
     engine: str = "Memory"
     engine_args: List[str] = dataclasses.field(default_factory=list)
     order_by: Optional[List[Expr]] = None
@@ -216,12 +241,15 @@ class CreateTable:
     projections: List[tuple] = dataclasses.field(default_factory=list)
     # INDEX declarations (skip indexes)
     indexes: List["IndexDef"] = dataclasses.field(default_factory=list)
+    or_replace: bool = False
 
 
 @dataclasses.dataclass
 class CreateDatabase:
     name: str
     if_not_exists: bool = False
+    engine: Optional[str] = None
+    cluster: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -243,6 +271,9 @@ class Insert:
     select: Optional[Union[Select, "Union"]] = None
     infile: Optional[str] = None
     format: Optional[str] = None
+    inline_data: Optional[str] = None   # raw data after FORMAT fmt
+    table_function: Optional[FuncCall] = None
+    settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -257,6 +288,14 @@ class DropTable:
 class TruncateTable:
     database: Optional[str]
     table: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class MultiStatement:
+    """Several statements produced by one source statement (DROP USER a, b);
+    executed in order, last result returned."""
+    statements: List[object] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -343,13 +382,32 @@ class AlterTable:
     database: Optional[str]
     table: str
     action: str      # delete|update|add_column|drop_column|add_projection|
-                     # drop_projection|materialize_projection|modify_ttl
+                     # drop_projection|materialize_projection|modify_ttl|
+                     # modify_column|rename_column|clear_column|add_index|
+                     # drop_index|drop_partition|detach_partition|
+                     # attach_partition|modify_setting|modify_order_by|...
     predicate: Optional[Expr] = None
     updates: Optional[List[Tuple[str, Expr]]] = None
     column: Optional[ColumnDef] = None
     column_name: Optional[str] = None
     projection: Optional[tuple] = None      # (name, select_ast or None)
     ttl: Optional[str] = None
+    new_name: Optional[str] = None          # RENAME COLUMN target
+    index: Optional["IndexDef"] = None      # ADD INDEX
+    index_name: Optional[str] = None
+    partition: Optional[Expr] = None        # PARTITION expr / ID 'x'
+    from_table: Optional[Tuple[Optional[str], str]] = None  # ATTACH ... FROM
+    settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class AlterMulti:
+    """ALTER TABLE t action1, action2, ... (one mutation entry each,
+    applied in order — reference ASTAlterQuery command list)."""
+    database: Optional[str]
+    table: str
+    actions: List[AlterTable] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -365,18 +423,54 @@ class BackupRestore:
 class ShowTables:
     databases: bool = False
     like: Optional[str] = None
+    not_like: bool = False
+
+
+@dataclasses.dataclass
+class ShowCreate:
+    """SHOW CREATE TABLE/DATABASE/VIEW/DICTIONARY t."""
+    kind: str                      # table | database
+    database: Optional[str] = None
+    table: str = ""
 
 
 @dataclasses.dataclass
 class Describe:
     database: Optional[str]
     table: str
+    table_expr: object = None      # TableFunctionRef | SubqueryRef
 
 
 @dataclasses.dataclass
 class Explain:
-    kind: str                      # ast|plan|pipeline|estimate
+    kind: str                      # ast|plan|pipeline|estimate|syntax|...
     query: Union[Select, "Union"]
+    options: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class CreateFunction:
+    """CREATE FUNCTION name AS (args) -> expr — SQL UDF
+    (ref: src/Interpreters/UserDefinedSQLFunctionFactory.cpp)."""
+    name: str
+    params: List[str] = dataclasses.field(default_factory=list)
+    body: Optional[Expr] = None
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class DropFunction:
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class RenameTable:
+    """RENAME TABLE a TO b[, c TO d] / EXCHANGE TABLES a AND b."""
+    pairs: List[Tuple[Tuple[Optional[str], str],
+                      Tuple[Optional[str], str]]]
+    exchange: bool = False
 
 
 @dataclasses.dataclass
@@ -439,6 +533,8 @@ def format_expr(e: Expr) -> str:
         head = e.params[0] if len(e.params) == 1 \
             else "(" + ", ".join(e.params) + ")"
         return f"{head} -> {format_expr(e.body)}"
+    if isinstance(e, Aliased):
+        return f"({format_expr(e.expr)} AS {e.alias})"
     if isinstance(e, Subquery):
         return "(<subquery>)"
     return repr(e)

@@ -23,10 +23,14 @@ class Token:
         return self.kind == "word" and self.text.upper() in kws
 
 
+# zero-width / BOM / joiner characters that str.isspace() misses but the
+# reference lexer skips (01280_unicode_whitespaces_lexer)
+_FORMAT_CHARS = "﻿​‌‍⁠­"
+
 _OPS = [
     "<=>", "==", "!=", "<>", "<=", ">=", "->", "||", "::",
     "=", "<", ">", "+", "-", "*", "/", "%", "(", ")", ",", ".", ";",
-    "[", "]", "?", ":",
+    "[", "]", "?", ":", "@", "{", "}",
 ]
 
 
@@ -35,11 +39,12 @@ def tokenize(sql: str) -> List[Token]:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c.isspace():
+        if c.isspace() or c in _FORMAT_CHARS:
             i += 1
             continue
-        # comments
-        if sql.startswith("--", i):
+        # comments (--, #, #! to end of line — reference Lexer.cpp accepts
+        # shell-style hash comments)
+        if sql.startswith("--", i) or c == "#":
             j = sql.find("\n", i)
             i = n if j < 0 else j + 1
             continue
@@ -60,18 +65,36 @@ def tokenize(sql: str) -> List[Token]:
             text, i = _read_quoted(sql, i, c)
             tokens.append(Token("word", text, start))
             continue
-        # numbers
+        # numbers (incl. 0x hex with p-exponent, 0b binary, _ digit
+        # separators — reference Lexer.cpp quietly accepts all three)
         if c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):
             j = i
             if sql.startswith(("0x", "0X"), i):
                 j = i + 2
-                while j < n and (sql[j] in "0123456789abcdefABCDEF"):
+                while j < n and (sql[j] in "0123456789abcdefABCDEF_"
+                                 or sql[j] in "pP"
+                                 or (sql[j] in "+-" and sql[j - 1] in "pP")):
+                    j += 1
+            elif sql.startswith(("0b", "0B"), i) and i + 2 < n \
+                    and sql[i + 2] in "01":
+                j = i + 2
+                while j < n and sql[j] in "01_":
                     j += 1
             else:
                 while j < n and (sql[j].isdigit() or sql[j] in ".eE"
-                                 or (sql[j] in "+-" and sql[j - 1] in "eE")):
+                                 or (sql[j] in "+-" and sql[j - 1] in "eE")
+                                 or (sql[j] == "_" and j + 1 < n
+                                     and sql[j + 1].isdigit())):
                     j += 1
-            tokens.append(Token("number", sql[i:j], i))
+            # digit-leading identifier (02581_trips, 01760_db): the number
+            # run continues with identifier chars -> one word token
+            if j < n and (sql[j].isalpha() or sql[j] in "_$") \
+                    and not sql.startswith(("0x", "0X"), i):
+                while j < n and (sql[j].isalnum() or sql[j] in "_$"):
+                    j += 1
+                tokens.append(Token("word", sql[i:j], i))
+            else:
+                tokens.append(Token("number", sql[i:j], i))
             i = j
             continue
         # identifiers / keywords

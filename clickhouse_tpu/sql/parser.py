@@ -24,7 +24,7 @@ RESERVED = {
     "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "SAMPLE", "ROLLUP",
     "CUBE",
     "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE", "OVER",
-    "INTERSECT", "EXCEPT",
+    "INTERSECT", "EXCEPT", "WINDOW", "COLLATE", "INTERPOLATE", "FETCH",
 }
 
 
@@ -145,7 +145,20 @@ class Parser:
             self.advance()
             self.expect_kw("TABLE")
             db, tbl = self.parse_table_name()
+            self._accept_on_cluster()
+            if self.accept_kw("PARTITION"):
+                if not self.accept_kw("ID"):
+                    self.parse_expr()
+                else:
+                    self.advance()           # PARTITION ID 'str'
             final = bool(self.accept_kw("FINAL"))
+            if self.accept_kw("DEDUPLICATE"):
+                if self.accept_kw("BY"):
+                    self.parse_expr()
+                    while self.accept_op(","):
+                        self.parse_expr()
+            if self.accept_kw("SETTINGS"):
+                self.parse_settings_list()
             return ast.OptimizeTable(db, tbl, final)
         if t.is_kw("ALTER"):
             return self.parse_alter()
@@ -184,8 +197,30 @@ class Parser:
         if t.is_kw("DESCRIBE", "DESC"):
             self.advance()
             self.accept_kw("TABLE")
-            db, tbl = self.parse_table_name()
-            return ast.Describe(db, tbl)
+            te = self.parse_table_expression()
+            if isinstance(te, ast.TableRef):
+                d = ast.Describe(te.database, te.table)
+            else:
+                d = ast.Describe(None, "", table_expr=te)
+            if self.accept_kw("SETTINGS"):
+                self.parse_settings_list()
+            if self.accept_kw("FORMAT"):
+                self.expect_word()
+            return d
+        if t.is_kw("RENAME", "EXCHANGE"):
+            exchange = t.text.upper() == "EXCHANGE"
+            self.advance()
+            self.expect_kw("TABLE", "TABLES", "DICTIONARY")
+            pairs = []
+            while True:
+                a = self.parse_table_name()
+                self.expect_kw("AND" if exchange else "TO")
+                b = self.parse_table_name()
+                pairs.append((a, b))
+                if not self.accept_op(","):
+                    break
+            self._accept_on_cluster()
+            return ast.RenameTable(pairs, exchange)
         if t.is_kw("SET"):
             return self.parse_set()
         if t.is_kw("USE"):
@@ -274,6 +309,11 @@ class Parser:
                     sel.joins.append(ast.Join(
                         "cross", "all", self.parse_table_expression()))
                     continue
+                if sel.array_join is None:
+                    aj = self._try_parse_array_join()
+                    if aj is not None:
+                        sel.array_join = aj
+                        continue
                 join = self.try_parse_join()
                 if join is None:
                     break
@@ -339,8 +379,22 @@ class Parser:
                         sel.group_by_with_totals = True
                     else:
                         sel.group_by_modifier = kw.text.lower()
+        # WITH TOTALS may ride without GROUP BY (implicit all-row group)
+        if self.tok.is_kw("WITH") and self.tokens[self.i + 1].is_kw("TOTALS"):
+            self.advance()
+            self.advance()
+            sel.group_by_with_totals = True
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
+        if self.accept_kw("WINDOW"):
+            # WINDOW w AS (spec) [, w2 AS (spec)] named windows
+            while True:
+                wname = self.expect_word()
+                self.expect_kw("AS")
+                sel.windows[wname] = self.parse_window_spec()
+                if not self.accept_op(","):
+                    break
+            _resolve_named_windows(sel)
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             nxt = self.tokens[self.i + 1]
@@ -352,6 +406,21 @@ class Parser:
                 sel.order_by = [self.parse_order_item()]
                 while self.accept_op(","):
                     sel.order_by.append(self.parse_order_item())
+        if sel.order_by and self.accept_kw("INTERPOLATE"):
+            # INTERPOLATE [( col [AS expr], ... )] — WITH FILL companion
+            interp: list = []
+            if self.accept_op("("):
+                if not self.accept_op(")"):
+                    while True:
+                        nm = self.expect_word()
+                        ie = None
+                        if self.accept_kw("AS"):
+                            ie = self.parse_expr()
+                        interp.append((nm, ie))
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+            sel.interpolate = interp
         if self.accept_kw("LIMIT"):
             first = self.parse_expr()
             if self.accept_op(","):
@@ -368,8 +437,27 @@ class Parser:
                         sel.offset = self.parse_expr()
             else:
                 sel.limit = first
+                if self.tok.is_kw("WITH") \
+                        and self.tokens[self.i + 1].is_kw("TIES"):
+                    self.advance()
+                    self.advance()
+                    sel.limit_with_ties = True
                 if self.accept_kw("OFFSET"):
                     sel.offset = self.parse_expr()
+        elif self.accept_kw("OFFSET"):
+            # SQL-standard OFFSET n ROWS [FETCH FIRST|NEXT n ROWS ONLY]
+            sel.offset = self.parse_expr()
+            self.accept_kw("ROW", "ROWS")
+            if self.accept_kw("FETCH"):
+                self.accept_kw("FIRST")
+                self.accept_kw("NEXT")
+                sel.limit = self.parse_expr()
+                self.accept_kw("ROW", "ROWS")
+                if self.accept_kw("ONLY"):
+                    pass
+                elif self.accept_kw("WITH"):
+                    self.expect_kw("TIES")
+                    sel.limit_with_ties = True
         if self.accept_kw("SETTINGS"):
             sel.settings = self.parse_settings_list()
         if self.accept_kw("INTO"):
@@ -416,17 +504,29 @@ class Parser:
 
     def parse_order_item(self) -> ast.OrderItem:
         e = self.parse_expr()
+        collate = None
+        if self.accept_kw("COLLATE"):
+            t = self.tok
+            if t.kind != "string":
+                raise ParseError("COLLATE expects a string locale")
+            collate = self.advance().text
         desc = False
         if self.accept_kw("DESC", "DESCENDING"):
             desc = True
         elif self.accept_kw("ASC", "ASCENDING"):
             desc = False
+        if collate is None and self.accept_kw("COLLATE"):
+            t = self.tok
+            if t.kind != "string":
+                raise ParseError("COLLATE expects a string locale")
+            collate = self.advance().text
         nulls_last = None
         if self.accept_kw("NULLS"):
             kw = self.expect_kw("FIRST", "LAST")
             nulls_last = kw.text.upper() == "LAST"
         fill = None
-        if self.accept_kw("WITH"):
+        if self.tok.is_kw("WITH") and self.tokens[self.i + 1].is_kw("FILL"):
+            self.advance()
             self.expect_kw("FILL")
             f_from = f_to = f_step = None
             while True:
@@ -450,7 +550,10 @@ class Parser:
     def parse_table_expression(self):
         if self.tok.kind == "op" and self.tok.text == "(":
             self.expect_op("(")
-            q = self.parse_select_union()
+            if self.tok.is_kw("EXPLAIN"):
+                q = self.parse_explain()
+            else:
+                q = self.parse_select_union()
             self.expect_op(")")
             alias = self.try_parse_alias()
             return ast.SubqueryRef(q, alias)
@@ -498,6 +601,35 @@ class Parser:
                 self.advance()
                 sample = sample / float(_parse_number(d.text))
         return ast.TableRef(db, name, alias, final, sample)
+
+    def _try_parse_array_join(self) -> Optional[tuple]:
+        """[LEFT|INNER] ARRAY JOIN e [AS a], ... ->
+        ('left'|'inner', [(expr, alias|None), ...])
+        (ref: ParserArrayJoin, src/Parsers/ParserTablesInSelectQuery.cpp)."""
+        save = self.i
+        kind = "inner"
+        if self.accept_kw("LEFT"):
+            kind = "left"
+        elif self.accept_kw("INNER"):
+            kind = "inner"
+        if not (self.accept_kw("ARRAY")
+                and self.accept_kw("JOIN")):
+            self.i = save
+            return None
+        items = []
+        while True:
+            e = self.parse_expr()
+            alias = None
+            if self.accept_kw("AS"):
+                alias = self.expect_word()
+            else:
+                t = self.tok
+                if t.kind == "word" and not t.is_kw(*RESERVED):
+                    alias = self.advance().text
+            items.append((e, alias))
+            if not self.accept_op(","):
+                break
+        return (kind, items)
 
     def try_parse_join(self) -> Optional[ast.Join]:
         save = self.i
@@ -589,6 +721,10 @@ class Parser:
     # -- DDL/DML -------------------------------------------------------------
     def parse_create(self):
         self.advance()  # CREATE/ATTACH
+        or_replace = False
+        if self.accept_kw("OR"):        # CREATE OR REPLACE <anything>
+            self.expect_kw("REPLACE")
+            or_replace = True
         if self.accept_kw("USER"):
             ine = self._if_not_exists()
             name = self.expect_word()
@@ -604,7 +740,29 @@ class Parser:
             return ast.CreateUser(name, pwd, ine)
         if self.accept_kw("DATABASE"):
             ine = self._if_not_exists()
-            return ast.CreateDatabase(self.expect_word(), ine)
+            name = self.expect_word()
+            cluster = self._accept_on_cluster()
+            engine = None
+            if self.accept_kw("ENGINE"):
+                self.accept_op("=")
+                engine = self.expect_word()
+                if self.tok.kind == "op" and self.tok.text == "(":
+                    self._skim_parens()
+            if self.accept_kw("COMMENT") and self.tok.kind == "string":
+                self.advance()
+            if self.accept_kw("SETTINGS"):
+                self.parse_settings_list()
+            return ast.CreateDatabase(name, ine, engine, cluster)
+        if self.accept_kw("FUNCTION"):
+            ine = self._if_not_exists()
+            name = self.expect_word()
+            self._accept_on_cluster()
+            self.expect_kw("AS")
+            body = self.parse_expr()
+            params: List[str] = []
+            if isinstance(body, ast.Lambda):
+                params, body = body.params, body.body
+            return ast.CreateFunction(name, params, body, or_replace, ine)
         if self.accept_kw("ROLE"):
             ine = self._if_not_exists()
             return ast.CreateRole(self.expect_word(), ine)
@@ -691,31 +849,61 @@ class Parser:
                 else:
                     break
             return ast.CreateDictionary(db, name, cols, pk, src_table)
-        self.accept_kw("OR")  # CREATE OR REPLACE
-        self.accept_kw("REPLACE")
         temporary = bool(self.accept_kw("TEMPORARY"))
         materialized = bool(self.accept_kw("MATERIALIZED"))
         if self.accept_kw("VIEW"):
             ine = self._if_not_exists()
             db, name = self.parse_table_name()
+            self._accept_on_cluster()
             to_table = None
             if self.accept_kw("TO"):
                 _, to_table = self.parse_table_name()
-            # tolerate an ENGINE clause on materialized views
-            if self.accept_kw("ENGINE"):
-                self.expect_op("=")
-                self.expect_word()
+            # tolerate storage clauses on materialized views: ENGINE [=]
+            # X[(args)], ORDER/PARTITION BY, TTL, SETTINGS, POPULATE
+            while True:
+                if self.accept_kw("ENGINE"):
+                    self.accept_op("=")
+                    self.expect_word()
+                    if self.tok.kind == "op" and self.tok.text == "(":
+                        self._skim_parens()
+                elif self.accept_kw("ORDER", "PARTITION", "SAMPLE",
+                                    "PRIMARY"):
+                    self.expect_kw("BY", "KEY")
+                    self._parse_key_list()
+                elif self.accept_kw("TTL"):
+                    self.parse_expr()
+                elif self.accept_kw("SETTINGS"):
+                    self.parse_settings_list()
+                elif self.accept_kw("POPULATE"):
+                    pass
+                elif self.accept_kw("DEFINER"):
+                    self.accept_op("=")
+                    self.expect_word()
+                elif self.accept_kw("SQL"):
+                    self.expect_kw("SECURITY")
+                    self.expect_word()
+                else:
+                    break
             self.expect_kw("AS")
             q = self.parse_select_union()
             return ast.CreateView(db, name, q, materialized, to_table, ine)
         self.expect_kw("TABLE")
         ine = self._if_not_exists()
         db, tbl = self.parse_table_name()
+        cluster = self._accept_on_cluster()
         cols: List[ast.ColumnDef] = []
         ct_projections: List[tuple] = []
         ct_indexes: List[ast.IndexDef] = []
+        ct_constraints: List[tuple] = []
         if self.accept_op("("):
             while True:
+                if self.accept_kw("CONSTRAINT"):
+                    cn = self.expect_word()
+                    self.expect_kw("CHECK", "ASSUME")
+                    ct_constraints.append((cn, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                    continue
                 if self.accept_kw("PROJECTION"):
                     pname = self.expect_word()
                     self.expect_op("(")
@@ -755,10 +943,34 @@ class Parser:
                         break
                     continue
                 cname = self.expect_word()
-                ctype = self.parse_type_name()
+                # type is optional when DEFAULT/ALIAS/MATERIALIZED follows
+                # (`c ALIAS a + b` — type inferred from the expression)
+                if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS",
+                                  "EPHEMERAL"):
+                    ctype = ""
+                else:
+                    ctype = self.parse_type_name()
+                    # INT NULL / NOT NULL nullability suffix
+                    if self.accept_kw("NOT"):
+                        self.expect_kw("NULL")
+                    elif self.tok.is_kw("NULL"):
+                        self.advance()
+                        ctype = f"Nullable({ctype})"
                 default = None
-                if self.accept_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
-                    default = self.parse_expr()
+                default_kind = "default"
+                kindtok = self.accept_kw("DEFAULT", "MATERIALIZED",
+                                         "ALIAS", "EPHEMERAL")
+                if kindtok is not None:
+                    default_kind = kindtok.text.lower()
+                    if default_kind == "ephemeral" and (
+                            self.tok.kind == "op"
+                            or self.tok.is_kw(*RESERVED) or ctype):
+                        default = None       # bare EPHEMERAL
+                    else:
+                        default = self.parse_expr()
+                if self.accept_kw("STATISTICS") \
+                        and self.tok.kind == "op" and self.tok.text == "(":
+                    self._skim_parens()
                 codec = None
                 if self.accept_kw("CODEC") and self.tok.kind == "op" \
                         and self.tok.text == "(":
@@ -784,39 +996,35 @@ class Parser:
                     self.parse_expr()
                 if self.accept_kw("COMMENT") and self.tok.kind == "string":
                     self.advance()
+                if self.accept_kw("PRIMARY"):
+                    self.expect_kw("KEY")
                 cols.append(ast.ColumnDef(cname, ctype, default,
-                                          codec=codec))
+                                          codec=codec,
+                                          default_kind=default_kind))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
         ct = ast.CreateTable(db, tbl, cols, if_not_exists=ine)
         ct.projections = ct_projections
         ct.indexes = ct_indexes
+        ct.constraints = ct_constraints
+        ct.cluster = cluster
+        ct.or_replace = or_replace
+        # CREATE TABLE x AS other_table / AS table_function(...) — the AS
+        # source may precede the ENGINE clause (ParserCreateQuery)
+        if not cols and self.accept_kw("AS"):
+            if not self.tok.is_kw("SELECT", "WITH") and \
+                    self.tok.kind == "word":
+                self._parse_as_source(ct)
+            else:
+                ct.as_select = self.parse_select_union()
         if temporary:
             ct.engine = "Memory"
         if self.accept_kw("ENGINE"):
             self.accept_op("=")          # ENGINE MergeTree == ENGINE = ...
             ct.engine = self.expect_word()
             if self.tok.kind == "op" and self.tok.text == "(":
-                # capture string-literal engine args (ReplicatedMergeTree
-                # zk path + replica name); other tokens are skimmed
-                depth, args = 0, []
-                while True:
-                    t = self.tok
-                    if t.kind == "op" and t.text == "(":
-                        depth += 1
-                        self.advance()
-                    elif t.kind == "op" and t.text == ")":
-                        depth -= 1
-                        self.advance()
-                        if depth == 0:
-                            break
-                    else:
-                        if depth == 1 and t.kind in ("string", "word",
-                                                     "number"):
-                            args.append(t.text)
-                        self.advance()
-                ct.engine_args = args
+                ct.engine_args = self._parse_engine_args()
         while True:
             if self.accept_kw("ORDER"):
                 self.expect_kw("BY")
@@ -840,8 +1048,73 @@ class Parser:
             else:
                 break
         if self.accept_kw("AS"):
-            ct.as_select = self.parse_select_union()
+            if not self.tok.is_kw("SELECT", "WITH") and \
+                    self.tok.kind == "word" and ct.as_table is None \
+                    and ct.as_table_function is None:
+                self._parse_as_source(ct)
+            else:
+                ct.as_select = self.parse_select_union()
+        # storage clauses may also FOLLOW the AS source
+        while True:
+            if self.accept_kw("ENGINE"):
+                self.accept_op("=")
+                ct.engine = self.expect_word()
+                if self.tok.kind == "op" and self.tok.text == "(":
+                    ct.engine_args = self._parse_engine_args()
+            elif self.accept_kw("ORDER"):
+                self.expect_kw("BY")
+                ct.order_by = self._parse_key_list()
+            elif self.accept_kw("SETTINGS"):
+                ct.settings = self.parse_settings_list()
+            else:
+                break
         return ct
+
+    def _parse_engine_args(self) -> List:
+        """Engine argument capture: depth-1 word/number/string tokens as
+        strings, one level of parenthesized groups as sub-lists (the legacy
+        MergeTree(date, (keys...), granularity) signature needs the key
+        tuple intact)."""
+        depth, args = 0, []
+        sub: Optional[List[str]] = None
+        while True:
+            t = self.tok
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+                if depth == 2:
+                    sub = []
+                self.advance()
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+                self.advance()
+                if depth == 1 and sub is not None:
+                    args.append(sub)
+                    sub = None
+                if depth == 0:
+                    return args
+            else:
+                if t.kind in ("string", "word", "number"):
+                    if depth == 1:
+                        args.append(t.text)
+                    elif depth == 2 and sub is not None:
+                        sub.append(t.text)
+                self.advance()
+
+    def _parse_as_source(self, ct) -> None:
+        """AS other_table | AS table_function(...) for CREATE TABLE —
+        no alias parsing (the next word is a storage clause keyword)."""
+        db, name = self.parse_table_name()
+        if self.tok.kind == "op" and self.tok.text == "(" and db is None:
+            self.expect_op("(")
+            args: List[ast.Expr] = []
+            if not (self.tok.kind == "op" and self.tok.text == ")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            ct.as_table_function = ast.FuncCall(name, args)
+        else:
+            ct.as_table = (db, name)
 
     def _skim_parens(self) -> None:
         """Consume a balanced (...) group starting at the current '('."""
@@ -879,6 +1152,36 @@ class Parser:
             return True
         return False
 
+    def _accept_on_cluster(self) -> Optional[str]:
+        """[ON CLUSTER name] — returns the cluster name or None."""
+        save = self.i
+        if self.accept_kw("ON"):
+            if self.accept_kw("CLUSTER"):
+                t = self.tok
+                if t.kind in ("word", "string"):
+                    self.advance()
+                    return t.text
+                raise ParseError(f"Expected cluster name at {t.pos}")
+            self.i = save
+        return None
+
+    def _ddl_tail(self) -> None:
+        """Trailing [SYNC | NO DELAY] [SETTINGS ...] [FORMAT x] tolerated on
+        DDL statements (reference: ParserDropQuery & co.)."""
+        while True:
+            if self.accept_kw("SYNC"):
+                continue
+            if self.accept_kw("NO"):
+                self.expect_kw("DELAY")
+                continue
+            if self.accept_kw("SETTINGS"):
+                self.parse_settings_list()
+                continue
+            if self.accept_kw("FORMAT"):
+                self.expect_word()
+                continue
+            return
+
     def parse_type_name(self) -> str:
         name = self.expect_word()
         if self.tok.kind == "op" and self.tok.text == "(":
@@ -903,8 +1206,22 @@ class Parser:
     def parse_insert(self):
         self.advance()
         self.expect_kw("INTO")
-        self.accept_kw("TABLE")
-        db, tbl = self.parse_table_name()
+        tfn = None
+        if self.accept_kw("TABLE"):
+            if self.accept_kw("FUNCTION"):
+                nm = self.expect_word()
+                self.expect_op("(")
+                fargs: List[ast.Expr] = []
+                if not (self.tok.kind == "op" and self.tok.text == ")"):
+                    fargs.append(self.parse_expr())
+                    while self.accept_op(","):
+                        fargs.append(self.parse_expr())
+                self.expect_op(")")
+                tfn = ast.FuncCall(nm, fargs)
+        if tfn is not None:
+            db, tbl = None, ""
+        else:
+            db, tbl = self.parse_table_name()
         columns = None
         if self.tok.kind == "op" and self.tok.text == "(":
             save = self.i
@@ -917,16 +1234,28 @@ class Parser:
             except ParseError:
                 self.i = save
                 columns = None
+        ins_settings: Dict[str, Any] = {}
+        if self.accept_kw("SETTINGS"):
+            ins_settings = self.parse_settings_list()
+
+        def _mk(**kw):
+            node = ast.Insert(db, tbl, columns, **kw)
+            node.table_function = tfn
+            node.settings = ins_settings
+            return node
+
         if self.accept_kw("FROM"):
             self.expect_kw("INFILE")
             t = self.tok
             if t.kind != "string":
                 raise ParseError("FROM INFILE expects a string path")
             path = self.advance().text
+            if self.accept_kw("COMPRESSION") and self.tok.kind == "string":
+                self.advance()
             fmt = None
             if self.accept_kw("FORMAT"):
                 fmt = self.expect_word()
-            return ast.Insert(db, tbl, columns, infile=path, format=fmt)
+            return _mk(infile=path, format=fmt)
         if self.accept_kw("VALUES"):
             rows = []
             while self.accept_op("("):
@@ -936,16 +1265,19 @@ class Parser:
                 self.expect_op(")")
                 rows.append(row)
                 self.accept_op(",")   # tuple separator comma is optional
-            return ast.Insert(db, tbl, columns, values=rows)
-        if self.tok.is_kw("SELECT", "WITH"):
-            return ast.Insert(db, tbl, columns, select=self.parse_select_union())
+            return _mk(values=rows)
+        if self.tok.is_kw("SELECT", "WITH") or (
+                self.tok.kind == "op" and self.tok.text == "("
+                and self.tokens[self.i + 1].is_kw("SELECT", "WITH")):
+            return _mk(select=self.parse_select_union())
         if self.accept_kw("FORMAT"):
-            # INSERT INTO t FORMAT X / bare INSERT INTO t: data arrives
-            # out-of-band (native TCP Data packets / client streams)
-            return ast.Insert(db, tbl, columns, format=self.expect_word())
+            # INSERT INTO t FORMAT X: data may follow inline (split by the
+            # statement splitter into inline_data) or arrive out-of-band
+            # (native TCP Data packets / client streams)
+            return _mk(format=self.expect_word())
         if self.tok.kind == "end" or (self.tok.kind == "op"
                                       and self.tok.text == ";"):
-            return ast.Insert(db, tbl, columns)
+            return _mk()
         raise ParseError(f"Expected VALUES, SELECT or FROM INFILE at "
                          f"{self.tok.pos}")
 
@@ -954,13 +1286,37 @@ class Parser:
         self.accept_kw("TEMPORARY")
         if self.accept_kw("USER"):
             ie = self._if_exists()
-            return ast.DropUser(self.expect_word(), ie)
+            names = [self.expect_word()]
+            while True:          # DROP USER a, b@'host', c
+                if self.accept_op("@"):
+                    self.advance()
+                if not self.accept_op(","):
+                    break
+                names.append(self.expect_word())
+            self._accept_on_cluster()
+            self._ddl_tail()
+            if len(names) == 1:
+                return ast.DropUser(names[0], ie)
+            return ast.MultiStatement(
+                [ast.DropUser(nm, ie) for nm in names])
         if self.accept_kw("ROLE"):
             ie = self._if_exists()
-            return ast.DropAccessEntity("role", self.expect_word(), ie)
+            name = self.expect_word()
+            self._accept_on_cluster()
+            self._ddl_tail()
+            return ast.DropAccessEntity("role", name, ie)
         if self.accept_kw("QUOTA"):
             ie = self._if_exists()
-            return ast.DropAccessEntity("quota", self.expect_word(), ie)
+            name = self.expect_word()
+            self._accept_on_cluster()
+            self._ddl_tail()
+            return ast.DropAccessEntity("quota", name, ie)
+        if self.accept_kw("FUNCTION"):
+            ie = self._if_exists()
+            name = self.expect_word()
+            self._accept_on_cluster()
+            self._ddl_tail()
+            return ast.DropFunction(name, ie)
         if self.tok.is_kw("ROW"):
             save = self.i
             self.advance()
@@ -969,21 +1325,66 @@ class Parser:
                 name = self.expect_word()
                 if self.accept_kw("ON"):
                     self.parse_table_name()
+                self._ddl_tail()
                 return ast.DropAccessEntity("row_policy", name, ie)
             self.i = save
         if self.accept_kw("DATABASE"):
             ie = self._if_exists()
-            return ast.DropTable(None, self.expect_word(), ie, is_database=True)
+            name = self.expect_word()
+            self._accept_on_cluster()
+            self._ddl_tail()
+            return ast.DropTable(None, name, ie, is_database=True)
         self.expect_kw("TABLE", "VIEW", "DICTIONARY")
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
+        self._accept_on_cluster()
+        self._ddl_tail()
         return ast.DropTable(db, tbl, ie)
 
     def parse_alter(self):
         self.advance()
-        self.expect_kw("TABLE")
+        if not self.accept_kw("TABLE"):
+            # ALTER USER/ROLE/QUOTA/ROW POLICY: accepted, settings-level
+            kind = self.expect_word()
+            words = []
+            while self.tok.kind in ("word", "number", "string") \
+                    or (self.tok.kind == "op" and self.tok.text in
+                        (".", ",", "=", "(", ")", "@")):
+                words.append(self.advance().text)
+            return ast.SystemCommand(f"alter {kind.lower()} "
+                                     + " ".join(words))
         db, tbl = self.parse_table_name()
+        self._accept_on_cluster()
+        actions = [self._parse_alter_action(db, tbl)]
+        while self.accept_op(","):
+            actions.append(self._parse_alter_action(db, tbl))
+        if self.accept_kw("SETTINGS"):
+            self.parse_settings_list()
+        if len(actions) == 1:
+            return actions[0]
+        return ast.AlterMulti(db, tbl, actions)
+
+    def _parse_partition_ref(self) -> ast.Expr:
+        """PARTITION expr | PARTITION ID 'str' | PARTITION ALL."""
+        if self.accept_kw("ID"):
+            t = self.tok
+            if t.kind != "string":
+                raise ParseError(f"PARTITION ID expects a string at {t.pos}")
+            self.advance()
+            return ast.FuncCall("__partition_id", [ast.Literal(t.text)])
+        if self.accept_kw("ALL"):
+            return ast.Literal("__all__")
+        return self.parse_expr()
+
+    def _parse_alter_action(self, db, tbl) -> ast.AlterTable:
         if self.accept_kw("DELETE"):
+            if self.accept_kw("IN"):
+                self.expect_kw("PARTITION")
+                part = self._parse_partition_ref()
+                self.expect_kw("WHERE")
+                return ast.AlterTable(db, tbl, "delete",
+                                      predicate=self.parse_expr(),
+                                      partition=part)
             self.expect_kw("WHERE")
             return ast.AlterTable(db, tbl, "delete",
                                   predicate=self.parse_expr())
@@ -995,11 +1396,15 @@ class Parser:
                 updates.append((col, self.parse_expr()))
                 if not self.accept_op(","):
                     break
+            if self.accept_kw("IN"):
+                self.expect_kw("PARTITION")
+                self._parse_partition_ref()
             self.expect_kw("WHERE")
             return ast.AlterTable(db, tbl, "update", updates=updates,
                                   predicate=self.parse_expr())
         if self.accept_kw("ADD"):
             if self.accept_kw("PROJECTION"):
+                self._if_not_exists()
                 pname = self.expect_word()
                 self.expect_op("(")
                 psel = self.parse_select_union()
@@ -1007,37 +1412,274 @@ class Parser:
                 a = ast.AlterTable(db, tbl, "add_projection")
                 a.projection = (pname, psel)
                 return a
+            if self.accept_kw("INDEX"):
+                self._if_not_exists()
+                iname = self.expect_word()
+                iexpr = self.parse_expr()
+                self.expect_kw("TYPE")
+                ikind = self.expect_word()
+                iparams: List = []
+                if self.tok.kind == "op" and self.tok.text == "(":
+                    self.advance()
+                    while not (self.tok.kind == "op"
+                               and self.tok.text == ")"):
+                        if self.tok.kind in ("number", "string"):
+                            iparams.append(
+                                _parse_number(self.tok.text)
+                                if self.tok.kind == "number"
+                                else self.tok.text)
+                        self.advance()
+                    self.expect_op(")")
+                igran = 1
+                if self.accept_kw("GRANULARITY"):
+                    g = self.parse_expr()
+                    if isinstance(g, ast.Literal) \
+                            and isinstance(g.value, int):
+                        igran = g.value
+                if self.accept_kw("AFTER"):
+                    self.expect_word()
+                return ast.AlterTable(db, tbl, "add_index",
+                                      index=ast.IndexDef(
+                                          iname, iexpr, ikind.lower(),
+                                          iparams, igran))
+            if self.accept_kw("CONSTRAINT"):
+                self._if_not_exists()
+                cn = self.expect_word()
+                self.expect_kw("CHECK", "ASSUME")
+                e = self.parse_expr()
+                a = ast.AlterTable(db, tbl, "add_constraint",
+                                   column_name=cn)
+                a.predicate = e
+                return a
             self.expect_kw("COLUMN")
-            self.accept_kw("IF")  # IF NOT EXISTS tolerated
-            self.accept_kw("NOT")
-            self.accept_kw("EXISTS")
+            ine = False
+            if self.accept_kw("IF"):  # IF NOT EXISTS tolerated
+                self.expect_kw("NOT")
+                self.expect_kw("EXISTS")
+                ine = True
             cname = self.expect_word()
-            ctype = self.parse_type_name()
+            if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS",
+                              "EPHEMERAL"):
+                ctype = ""
+            else:
+                ctype = self.parse_type_name()
             default = None
-            if self.accept_kw("DEFAULT"):
+            default_kind = "default"
+            kindtok = self.accept_kw("DEFAULT", "MATERIALIZED", "ALIAS",
+                                     "EPHEMERAL")
+            if kindtok is not None:
+                default_kind = kindtok.text.lower()
                 default = self.parse_expr()
-            return ast.AlterTable(db, tbl, "add_column",
-                                  column=ast.ColumnDef(cname, ctype, default))
-        if self.accept_kw("DROP"):
+            codec = None
+            if self.accept_kw("CODEC") and self.tok.kind == "op" \
+                    and self.tok.text == "(":
+                depth, names = 0, []
+                while True:
+                    t = self.tok
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                        self.advance()
+                    elif t.kind == "op" and t.text == ")":
+                        depth -= 1
+                        self.advance()
+                        if depth == 0:
+                            break
+                    else:
+                        if t.kind == "word" and depth == 1:
+                            names.append(t.text)
+                        self.advance()
+                codec = ", ".join(names) if names else None
+            if self.accept_kw("TTL"):
+                self.parse_expr()
+            after = None
+            first = False
+            if self.accept_kw("AFTER"):
+                after = self.expect_word()
+            elif self.accept_kw("FIRST"):
+                first = True
+            a = ast.AlterTable(db, tbl, "add_column",
+                               column=ast.ColumnDef(
+                                   cname, ctype, default, codec,
+                                   default_kind),
+                               if_exists=ine)
+            a.new_name = after          # AFTER anchor rides new_name
+            a.settings = {"first": first} if first else {}
+            return a
+        if self.accept_kw("DROP", "DETACH"):
+            kw = "drop" if self.tokens[self.i - 1].text.upper() == "DROP" \
+                else "detach"
             if self.accept_kw("PROJECTION"):
+                self._if_exists()
                 a = ast.AlterTable(db, tbl, "drop_projection")
                 a.projection = (self.expect_word(), None)
                 return a
+            if self.accept_kw("INDEX"):
+                self._if_exists()
+                return ast.AlterTable(db, tbl, "drop_index",
+                                      index_name=self.expect_word())
+            if self.accept_kw("CONSTRAINT"):
+                self._if_exists()
+                return ast.AlterTable(db, tbl, "drop_constraint",
+                                      column_name=self.expect_word())
+            if self.accept_kw("PARTITION"):
+                return ast.AlterTable(db, tbl, f"{kw}_partition",
+                                      partition=self._parse_partition_ref())
+            if self.accept_kw("PART"):
+                t = self.tok
+                self.advance()
+                return ast.AlterTable(db, tbl, "drop_part",
+                                      partition=ast.Literal(t.text))
             self.expect_kw("COLUMN")
-            self.accept_kw("IF")
-            self.accept_kw("EXISTS")
+            ie = self._if_exists()
             return ast.AlterTable(db, tbl, "drop_column",
-                                  column_name=self.expect_word())
-        if self.accept_kw("MATERIALIZE"):
-            self.expect_kw("PROJECTION")
-            a = ast.AlterTable(db, tbl, "materialize_projection")
-            a.projection = (self.expect_word(), None)
+                                  column_name=self.expect_word(),
+                                  if_exists=ie)
+        if self.accept_kw("ATTACH"):
+            self.expect_kw("PARTITION", "PART")
+            part = self._parse_partition_ref()
+            a = ast.AlterTable(db, tbl, "attach_partition", partition=part)
+            if self.accept_kw("FROM"):
+                a.from_table = self.parse_table_name()
             return a
+        if self.accept_kw("REPLACE"):
+            self.expect_kw("PARTITION")
+            part = self._parse_partition_ref()
+            self.expect_kw("FROM")
+            return ast.AlterTable(db, tbl, "replace_partition",
+                                  partition=part,
+                                  from_table=self.parse_table_name())
+        if self.accept_kw("MOVE"):
+            self.expect_kw("PARTITION", "PART")
+            part = self._parse_partition_ref()
+            self.expect_kw("TO")
+            dk = self.expect_kw("TABLE", "DISK", "VOLUME")
+            if dk.text.upper() == "TABLE":
+                dest = self.parse_table_name()
+            else:
+                dest = (None, self.advance().text)   # disk/volume name
+            return ast.AlterTable(db, tbl, "move_partition",
+                                  partition=part, from_table=dest)
+        if self.accept_kw("FREEZE", "UNFREEZE"):
+            if self.accept_kw("PARTITION"):
+                self._parse_partition_ref()
+            if self.accept_kw("WITH"):
+                self.expect_kw("NAME")
+                self.advance()
+            return ast.AlterTable(db, tbl, "freeze")
+        if self.accept_kw("CLEAR"):
+            kind = self.expect_kw("COLUMN", "INDEX").text.lower()
+            self._if_exists()
+            name = self.expect_word()
+            if self.accept_kw("IN"):
+                self.expect_kw("PARTITION")
+                self._parse_partition_ref()
+            return ast.AlterTable(db, tbl, f"clear_{kind}",
+                                  column_name=name)
+        if self.accept_kw("COMMENT"):
+            self.expect_kw("COLUMN")
+            self._if_exists()
+            name = self.expect_word()
+            if self.tok.kind == "string":
+                self.advance()
+            return ast.AlterTable(db, tbl, "comment_column",
+                                  column_name=name)
+        if self.accept_kw("RENAME"):
+            self.expect_kw("COLUMN")
+            ie = self._if_exists()
+            old = self.expect_word()
+            self.expect_kw("TO")
+            return ast.AlterTable(db, tbl, "rename_column",
+                                  column_name=old,
+                                  new_name=self.expect_word(),
+                                  if_exists=ie)
+        if self.accept_kw("MATERIALIZE"):
+            if self.accept_kw("PROJECTION"):
+                a = ast.AlterTable(db, tbl, "materialize_projection")
+                a.projection = (self.expect_word(), None)
+                if self.accept_kw("IN"):
+                    self.expect_kw("PARTITION")
+                    self._parse_partition_ref()
+                return a
+            if self.accept_kw("INDEX"):
+                a = ast.AlterTable(db, tbl, "materialize_index",
+                                   index_name=self.expect_word())
+                if self.accept_kw("IN"):
+                    self.expect_kw("PARTITION")
+                    self._parse_partition_ref()
+                return a
+            if self.accept_kw("TTL"):
+                return ast.AlterTable(db, tbl, "materialize_ttl")
+            if self.accept_kw("COLUMN"):
+                a = ast.AlterTable(db, tbl, "materialize_column",
+                                   column_name=self.expect_word())
+                if self.accept_kw("IN"):
+                    self.expect_kw("PARTITION")
+                    self._parse_partition_ref()
+                return a
         if self.accept_kw("MODIFY"):
             if self.accept_kw("TTL"):
                 a = ast.AlterTable(db, tbl, "modify_ttl")
                 a.ttl = ast.format_expr(self.parse_expr())
                 return a
+            if self.accept_kw("ORDER"):
+                self.expect_kw("BY")
+                a = ast.AlterTable(db, tbl, "modify_order_by")
+                a.settings = {"order_by": self._parse_key_list()}
+                return a
+            if self.accept_kw("SAMPLE"):
+                self.expect_kw("BY")
+                a = ast.AlterTable(db, tbl, "modify_sample_by")
+                a.predicate = self.parse_expr()
+                return a
+            if self.accept_kw("SETTING"):
+                a = ast.AlterTable(db, tbl, "modify_setting")
+                a.settings = self.parse_settings_list()
+                return a
+            if self.accept_kw("QUERY"):
+                a = ast.AlterTable(db, tbl, "modify_query")
+                a.settings = {"query": self.parse_select_union()}
+                return a
+            if self.accept_kw("COMMENT"):
+                if self.tok.kind == "string":
+                    self.advance()
+                return ast.AlterTable(db, tbl, "comment_column")
+            self.expect_kw("COLUMN")
+            ie = self._if_exists()
+            cname = self.expect_word()
+            if self.accept_kw("REMOVE"):
+                self.expect_word()          # DEFAULT/MATERIALIZED/TTL/...
+                return ast.AlterTable(db, tbl, "modify_column_remove",
+                                      column_name=cname, if_exists=ie)
+            if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                ctype = ""
+            else:
+                ctype = self.parse_type_name()
+            default = None
+            default_kind = "default"
+            kindtok = self.accept_kw("DEFAULT", "MATERIALIZED", "ALIAS")
+            if kindtok is not None:
+                default_kind = kindtok.text.lower()
+                default = self.parse_expr()
+            if self.accept_kw("CODEC") and self.tok.kind == "op" \
+                    and self.tok.text == "(":
+                self._skim_parens()
+            if self.accept_kw("TTL"):
+                self.parse_expr()
+            if self.accept_kw("AFTER"):
+                self.expect_word()
+            return ast.AlterTable(db, tbl, "modify_column",
+                                  column=ast.ColumnDef(
+                                      cname, ctype, default,
+                                      default_kind=default_kind),
+                                  if_exists=ie)
+        if self.accept_kw("RESET"):
+            self.expect_kw("SETTING")
+            names = [self.expect_word()]
+            while self.accept_op(","):
+                names.append(self.expect_word())
+            a = ast.AlterTable(db, tbl, "reset_setting")
+            a.settings = {nm: None for nm in names}
+            return a
         raise ParseError(f"Unsupported ALTER action at {self.tok.pos}")
 
     def parse_grant(self):
@@ -1069,9 +1711,15 @@ class Parser:
 
     def parse_truncate(self):
         self.advance()
-        self.expect_kw("TABLE")
+        self.accept_kw("TEMPORARY")
+        self.accept_kw("TABLE")          # TRUNCATE [TABLE] [IF EXISTS] t
+        ie = self._if_exists()
         db, tbl = self.parse_table_name()
-        return ast.TruncateTable(db, tbl)
+        self._accept_on_cluster()
+        self._ddl_tail()
+        t = ast.TruncateTable(db, tbl)
+        t.if_exists = ie
+        return t
 
     def _if_exists(self) -> bool:
         if self.accept_kw("IF"):
@@ -1081,16 +1729,65 @@ class Parser:
 
     def parse_show(self):
         self.advance()
+        if self.accept_kw("CREATE"):
+            kw = self.accept_kw("TABLE", "DATABASE", "VIEW", "DICTIONARY",
+                                "TEMPORARY")
+            if kw is not None and kw.text.upper() == "TEMPORARY":
+                self.expect_kw("TABLE")
+            kind = "database" if (kw is not None
+                                  and kw.text.upper() == "DATABASE") \
+                else "table"
+            if kind == "database":
+                name = self.expect_word()
+                self._ddl_tail()
+                return ast.ShowCreate("database", None, name)
+            db, tbl = self.parse_table_name()
+            self._ddl_tail()
+            return ast.ShowCreate("table", db, tbl)
         if self.accept_kw("DATABASES"):
-            return ast.ShowTables(databases=True)
+            like = None
+            if self.accept_kw("LIKE") and self.tok.kind == "string":
+                like = self.advance().text
+            self._ddl_tail()
+            return ast.ShowTables(databases=True, like=like)
+        if self.accept_kw("SETTING"):
+            name = self.expect_word()
+            # SELECT value FROM system.settings WHERE name = '<name>'
+            q = ast.Select(
+                items=[ast.SelectItem(ast.Identifier("value"))],
+                from_=ast.TableRef("system", "settings"),
+                where=ast.FuncCall("equals", [ast.Identifier("name"),
+                                              ast.Literal(name)]))
+            return q
+        if self.accept_kw("PROCESSLIST"):
+            return ast.Select(
+                items=[ast.SelectItem(ast.Star())],
+                from_=ast.TableRef("system", "processes"))
+        if self.accept_kw("GRANTS"):
+            if self.accept_kw("FOR"):
+                self.expect_word()
+            return ast.SystemCommand("show grants")
+        self.accept_kw("TEMPORARY")
         self.expect_kw("TABLES")
+        if self.accept_kw("FROM", "IN"):
+            self.expect_word()
         like = None
-        if self.accept_kw("LIKE"):
+        neg = False
+        if self.accept_kw("NOT"):
+            neg = True
+        if self.accept_kw("LIKE", "ILIKE"):
             t = self.tok
             if t.kind != "string":
                 raise ParseError("SHOW TABLES LIKE expects a string")
             like = self.advance().text
-        return ast.ShowTables(like=like)
+        elif self.accept_kw("WHERE"):
+            self.parse_expr()
+        if self.accept_kw("LIMIT"):
+            self.parse_expr()
+        self._ddl_tail()
+        st = ast.ShowTables(like=like)
+        st.not_like = neg
+        return st
 
     def parse_set(self):
         self.advance()
@@ -1099,12 +1796,40 @@ class Parser:
     def parse_explain(self):
         self.advance()
         kind = "plan"
-        if self.tok.is_kw("AST", "PLAN", "PIPELINE", "ESTIMATE", "SYNTAX"):
+        if self.tok.is_kw("AST", "PLAN", "PIPELINE", "ESTIMATE", "SYNTAX",
+                          "INDEXES"):
             kind = self.advance().text.lower()
-        q = self.parse_select_union()
-        return ast.Explain(kind, q)
+        elif self.tok.is_kw("QUERY") \
+                and self.tokens[self.i + 1].is_kw("TREE"):
+            self.advance()
+            self.advance()
+            kind = "query_tree"
+        # key = value option list (actions=1, header=1, indexes=1, ...)
+        options: Dict[str, Any] = {}
+        while self.tok.kind == "word" \
+                and self.tokens[self.i + 1].kind == "op" \
+                and self.tokens[self.i + 1].text == "=" \
+                and not self.tok.is_kw(*RESERVED):
+            name = self.advance().text
+            self.expect_op("=")
+            options[name] = self.parse_setting_value()
+            self.accept_op(",")
+        if self.tok.is_kw("INSERT", "CREATE", "ALTER", "DROP"):
+            q = self.parse_statement()
+        else:
+            q = self.parse_select_union()
+        return ast.Explain(kind, q, options)
 
     # -- expressions ---------------------------------------------------------
+    def _parse_expr_alias(self) -> ast.Expr:
+        """Expression with an optional `AS alias` — ClickHouse allows an
+        alias on any argument/parenthesized expression, visible query-wide
+        (ref: ExpressionListParsers ParserWithOptionalAlias)."""
+        e = self.parse_expr()
+        if self.accept_kw("AS"):
+            return ast.Aliased(e, self.expect_word())
+        return e
+
     def parse_expr(self) -> ast.Expr:
         e = self.parse_ternary()
         if self.tok.kind == "op" and self.tok.text == "->":
@@ -1156,13 +1881,38 @@ class Parser:
         if t.kind == "op" and t.text in ("=", "==", "!=", "<>", "<", "<=",
                                          ">", ">="):
             self.advance()
-            right = self.parse_additive()
             name = {"=": "equals", "==": "equals", "!=": "notEquals",
                     "<>": "notEquals", "<": "less", "<=": "lessOrEquals",
                     ">": "greater", ">=": "greaterOrEquals"}[t.text]
+            # quantified comparison: x = ANY (SELECT ...) -> IN;
+            # x != ALL (SELECT ...) -> NOT IN (ref: ParserComparison ANY/ALL)
+            if self.tok.is_kw("ANY", "ALL", "SOME") \
+                    and self.tokens[self.i + 1].kind == "op" \
+                    and self.tokens[self.i + 1].text == "(":
+                quant = self.advance().text.upper()
+                quant = "ANY" if quant == "SOME" else quant
+                rhs = self.parse_in_rhs()
+                if name == "equals" and quant == "ANY":
+                    return ast.FuncCall("in", [left, rhs])
+                if name == "notEquals" and quant == "ALL":
+                    return ast.FuncCall("notIn", [left, rhs])
+                raise ParseError(
+                    f"Unsupported quantified comparison {name} {quant}")
+            right = self.parse_additive()
             return ast.FuncCall(name, [left, right])
         negate = False
         save = self.i
+        if self.accept_kw("GLOBAL"):
+            # GLOBAL IN / GLOBAL NOT IN: single-process semantics are
+            # identical to IN (the build side is already local)
+            if self.accept_kw("NOT") and self.tok.is_kw("IN"):
+                self.advance()
+                return ast.FuncCall("notIn", [left, self.parse_in_rhs()])
+            if self.tok.is_kw("IN"):
+                self.advance()
+                return ast.FuncCall("in", [left, self.parse_in_rhs()])
+            self.i = save
+            return left
         if self.accept_kw("NOT"):
             if self.tok.is_kw("LIKE", "ILIKE", "IN", "BETWEEN"):
                 negate = True
@@ -1251,8 +2001,14 @@ class Parser:
             if isinstance(e, ast.FuncCall) and e.over is None \
                     and self.tok.is_kw("OVER"):
                 self.advance()
-                e = ast.FuncCall(e.name, e.args, e.params, e.distinct,
-                                 over=self.parse_window_spec())
+                if self.tok.kind == "word":
+                    # OVER w — named window, resolved once the WINDOW
+                    # clause has been parsed (_resolve_named_windows)
+                    e = ast.FuncCall(e.name, e.args, e.params, e.distinct,
+                                     over=self.advance().text)
+                else:
+                    e = ast.FuncCall(e.name, e.args, e.params, e.distinct,
+                                     over=self.parse_window_spec())
             elif self.accept_op("::"):
                 tname = self.parse_type_name()
                 e = ast.FuncCall("CAST", [e, ast.Literal(tname)])
@@ -1322,24 +2078,28 @@ class Parser:
             self.advance()
             items: List[ast.Expr] = []
             if not (self.tok.kind == "op" and self.tok.text == "]"):
-                items.append(self.parse_expr())
+                items.append(self._parse_expr_alias())
                 while self.accept_op(","):
-                    items.append(self.parse_expr())
+                    items.append(self._parse_expr_alias())
             self.expect_op("]")
             return ast.FuncCall("array", items)
         if t.kind == "op" and t.text == "(":
             self.advance()
-            if self.tok.is_kw("SELECT", "WITH"):
+            if self.tok.is_kw("SELECT", "WITH") or self.tok.is_kw("EXPLAIN"):
+                if self.tok.is_kw("EXPLAIN"):
+                    q = self.parse_explain()
+                    self.expect_op(")")
+                    return ast.Subquery(q)
                 q = self.parse_select_union()
                 self.expect_op(")")
                 if isinstance(q, ast.Union):
                     raise ParseError("UNION subquery expression not supported")
                 return ast.Subquery(q)
-            first = self.parse_expr()
+            first = self._parse_expr_alias()
             if self.accept_op(","):
-                items = [first, self.parse_expr()]
+                items = [first, self._parse_expr_alias()]
                 while self.accept_op(","):
-                    items.append(self.parse_expr())
+                    items.append(self._parse_expr_alias())
                 self.expect_op(")")
                 return ast.Tuple_(items)
             self.expect_op(")")
@@ -1371,6 +2131,17 @@ class Parser:
                 return ast.FuncCall("CAST", [e, tlit])
             if up == "INTERVAL":
                 self.advance()
+                if self.tok.kind == "string":
+                    # INTERVAL '2 year' string form
+                    raw = self.advance().text.strip().split()
+                    if len(raw) != 2:
+                        raise ParseError(f"Bad INTERVAL string {raw!r}")
+                    num = (float(raw[0]) if "." in raw[0]
+                           else int(raw[0]))
+                    unit = raw[1].upper().rstrip("S")
+                    return ast.FuncCall(
+                        f"toInterval{unit.capitalize()}",
+                        [ast.Literal(num)])
                 n = self.parse_additive()
                 unit = self.expect_word().upper()
                 return ast.FuncCall(f"toInterval{unit.capitalize()}", [n])
@@ -1398,9 +2169,9 @@ class Parser:
                 distinct = bool(self.accept_kw("DISTINCT"))
                 args: List[ast.Expr] = []
                 if not (self.tok.kind == "op" and self.tok.text == ")"):
-                    args.append(self.parse_expr())
+                    args.append(self._parse_expr_alias())
                     while self.accept_op(","):
-                        args.append(self.parse_expr())
+                        args.append(self._parse_expr_alias())
                 self.expect_op(")")
                 return ast.FuncCall(name, args, distinct=distinct)
             return ast.Identifier(name)
@@ -1483,9 +2254,40 @@ class Parser:
         return ast.FuncCall("multiIf", args)
 
 
+def _resolve_named_windows(sel: "ast.Select") -> None:
+    """Replace string `over` references (OVER w) with the named window's
+    spec from the WINDOW clause."""
+    def walk(e):
+        if isinstance(e, ast.FuncCall):
+            if isinstance(e.over, str):
+                spec = sel.windows.get(e.over)
+                if spec is None:
+                    raise ParseError(f"Unknown window {e.over!r}")
+                e.over = spec
+            for a in e.args:
+                walk(a)
+            for p in e.params or []:
+                walk(p)
+        elif isinstance(e, ast.Tuple_):
+            for i in e.items:
+                walk(i)
+        elif isinstance(e, ast.Aliased):
+            walk(e.expr)
+        elif isinstance(e, ast.Lambda):
+            walk(e.body)
+    for it in sel.items:
+        walk(it.expr)
+    if sel.having is not None:
+        walk(sel.having)
+
+
 def _parse_number(text: str):
     if text.startswith(("0x", "0X")):
+        if "p" in text or "P" in text or "." in text:
+            return float.fromhex(text)        # hex float: 0x123p4
         return int(text, 16)
-    if any(c in text for c in ".eE") and not text.startswith("0x"):
+    if text.startswith(("0b", "0B")):
+        return int(text, 2)
+    if any(c in text for c in ".eE"):
         return float(text)
     return int(text)

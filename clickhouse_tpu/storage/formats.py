@@ -122,6 +122,126 @@ def read_file(path: str, fmt: Optional[str] = None,
     raise NotImplementedError_(f"Input format '{fmt}' is not supported yet")
 
 
+def _unescape_tsv(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\",
+                        "0": "\0", "b": "\b", "f": "\f",
+                        "'": "'", '"': '"'}.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_inline(text: str, fmt: str, table,
+                 columns: Optional[List[str]] = None
+                 ) -> Dict[str, np.ndarray]:
+    """Parse INSERT ... FORMAT <fmt> inline data (the data lines that
+    follow the statement in a script — reference clickhouse-client reads
+    them from the same stream, ClientBase::processInsertQuery)."""
+    f = fmt.lower()
+    names = list(columns) if columns else list(table.schema.keys())
+    lines = [ln for ln in text.split("\n")]
+    while lines and not lines[0].strip():
+        lines.pop(0)
+    while lines and not lines[-1].strip():
+        lines.pop()
+    rows: List[List] = []
+    if f in ("csv", "csvwithnames", "csvwithnamesandtypes"):
+        import csv as _csv
+        import io
+        rdr = _csv.reader(io.StringIO("\n".join(lines)))
+        rows = [r for r in rdr if r]
+        if f == "csvwithnames" and rows:
+            names = rows.pop(0)
+        elif f == "csvwithnamesandtypes" and len(rows) >= 2:
+            names = rows.pop(0)
+            rows.pop(0)
+    elif f in ("tsv", "tabseparated", "tsvwithnames",
+               "tabseparatedwithnames", "tsvwithnamesandtypes",
+               "tabseparatedwithnamesandtypes", "tsvraw",
+               "tabseparatedraw"):
+        raw = f.endswith("raw")
+        for ln in lines:
+            cells = ln.split("\t")
+            rows.append([c if raw else
+                         (None if c == r"\N" else _unescape_tsv(c))
+                         for c in cells])
+        if "withnames" in f and rows:
+            names = [str(x) for x in rows.pop(0)]
+            if "andtypes" in f and rows:
+                rows.pop(0)
+    elif f == "jsoneachrow":
+        cols: Dict[str, list] = {}
+        recs = []
+        for ln in lines:
+            ln = ln.strip()
+            if ln:
+                recs.append(json.loads(ln))
+        keys = list(recs[0].keys()) if recs else names
+        for k in keys:
+            cols[k] = [r.get(k) for r in recs]
+        return {k: np.asarray(v, dtype=object) for k, v in cols.items()}
+    elif f == "values":
+        from ..sql.parser import parse as _parse
+        st = _parse(f"INSERT INTO {table.name} VALUES " + " ".join(lines))
+        from ..sql import ast as _ast
+        for rvals in st.values or []:
+            row = []
+            for e in rvals:
+                if isinstance(e, _ast.Literal):
+                    row.append(e.value)
+                elif isinstance(e, _ast.FuncCall) and e.name == "negate" \
+                        and isinstance(e.args[0], _ast.Literal):
+                    row.append(-e.args[0].value)
+                elif isinstance(e, _ast.FuncCall) and e.name == "array":
+                    row.append([a.value for a in e.args
+                                if isinstance(a, _ast.Literal)])
+                else:
+                    raise NotImplementedError_(
+                        "complex expression in inline VALUES data")
+            rows.append(row)
+    else:
+        raise NotImplementedError_(
+            f"Inline data for format '{fmt}' is not supported yet")
+    if len(names) < max((len(r) for r in rows), default=0):
+        raise NotImplementedError_("inline data has more cells than "
+                                   "columns")
+    cols2: Dict[str, list] = {n: [] for n in names}
+    for r in rows:
+        for j, n in enumerate(names):
+            v = r[j] if j < len(r) else None
+            cols2[n].append(v)
+    out: Dict[str, np.ndarray] = {}
+    from ..core import dtypes as _dt
+    for n, vals in cols2.items():
+        t = table.schema.get(n) if hasattr(table.schema, "get") else None
+        if t is not None and not t.is_dictionary \
+                and t.np_dtype is not None \
+                and np.issubdtype(t.np_dtype, np.number):
+            conv = []
+            base = _dt.remove_nullable(t)
+            isint = np.issubdtype(base.np_dtype, np.integer)
+            for v in vals:
+                if v is None or v == "":
+                    conv.append(None if t.nullable else 0)
+                elif isinstance(v, str):
+                    conv.append(int(float(v)) if isint and (
+                        "." in v or "e" in v or "E" in v)
+                        else (int(v) if isint else float(v)))
+                else:
+                    conv.append(v)
+            out[n] = np.asarray(conv, object)
+        else:
+            out[n] = np.asarray(vals, object)
+    return out
+
+
 def write_file(path: str, data: Dict[str, np.ndarray],
                types: Optional[List[Tuple[str, str]]] = None,
                fmt: Optional[str] = None) -> None:
