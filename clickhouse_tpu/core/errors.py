@@ -64,6 +64,13 @@ class MemoryLimitExceeded(ExecutionError):
     code = 241       # MEMORY_LIMIT_EXCEEDED
 
 
+class DecimalOverflow(ExecutionError):
+    """A decimal value exceeds the engine's int64 scaled representation
+    (reference: DECIMAL_OVERFLOW, src/Core/DecimalFunctions.h — the
+    reference widens to Int128/256 limbs instead)."""
+    code = 407       # DECIMAL_OVERFLOW
+
+
 class TimeoutExceeded(ExecutionError):
     """max_execution_time elapsed (reference: TIMEOUT_EXCEEDED,
     src/QueryPipeline/ExecutionSpeedLimits.cpp)."""

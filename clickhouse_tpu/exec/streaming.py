@@ -425,6 +425,80 @@ def _equality_constraints(pred, col_of):
     return out
 
 
+def _substring_constraints(pred, col_of):
+    """Top-level conjuncts -> (column_name, kind, payload) text constraints
+    for token/ngram bloom pruning (reference: MergeTreeConditionBloomFilterText
+    extracting LIKE/hasToken/equality atoms):
+      ("token", tok)                  — tok must appear as a whole token
+      ("substr", s, anchl, anchr)     — s must appear as a substring;
+                                        anchl/anchr: value-start/end anchored
+    """
+    from ..exprs.expr import BoundCall, BoundColumn, BoundLiteral
+    out = []
+
+    def conjuncts(e):
+        if isinstance(e, BoundCall) and e.name == "and":
+            for a in e.args:
+                yield from conjuncts(a)
+        else:
+            yield e
+
+    for c in conjuncts(pred):
+        if not isinstance(c, BoundCall) or len(c.args) != 2:
+            continue
+        a, b = c.args
+        if c.name == "equals" and isinstance(b, BoundColumn) \
+                and isinstance(a, BoundLiteral):
+            a, b = b, a
+        if not (isinstance(a, BoundColumn) and isinstance(b, BoundLiteral)
+                and a.name in col_of and isinstance(b.value, str)):
+            continue
+        nm = col_of[a.name]
+        if c.name == "equals":
+            out.append((nm, "substr", (b.value, True, True)))
+        elif c.name == "hasToken":
+            out.append((nm, "token", b.value))
+        elif c.name in ("startsWith",):
+            out.append((nm, "substr", (b.value, True, False)))
+        elif c.name in ("endsWith",):
+            out.append((nm, "substr", (b.value, False, True)))
+        elif c.name == "like":
+            pat = b.value
+            if "\\" in pat or "_" in pat:
+                continue                  # escapes/single-char: stay safe
+            segs = pat.split("%")
+            for k, seg in enumerate(segs):
+                if not seg:
+                    continue
+                anchl = (k == 0)
+                anchr = (k == len(segs) - 1)
+                out.append((nm, "substr", (seg, anchl, anchr)))
+    return out
+
+
+def _required_tokens(payloads, ngram: Optional[int]):
+    """Tokens/ngrams that must ALL be present in a granule for the
+    constraints to hold."""
+    import re
+    req = set()
+    for kind, payload in payloads:
+        if ngram:
+            s = payload if kind == "token" else payload[0]
+            for i in range(len(s) - ngram + 1):
+                req.add(s[i:i + ngram])
+            continue
+        if kind == "token":
+            req.add(payload)
+            continue
+        s, anchl, anchr = payload
+        for m in re.finditer(r"[0-9A-Za-z_]+", s):
+            # a run is a complete token only when bounded by non-token
+            # chars inside the substring — or by an anchored value edge
+            if (m.start() > 0 or anchl) and (m.end() < len(s) or anchr):
+                req.add(m.group(0))
+    return req
+
+
 def _granule_span(gi, g_rows, gran_base, ngr):
     """Granule gi of width g_rows -> [a, b) range in base-granule units."""
     a = gi * g_rows // gran_base
@@ -452,8 +526,10 @@ def _prune_granules(preds, col_of, table, part_indices, session):
         return None
     name_to_fid = {nm: fid for fid, nm in col_of.items()}
     eq_constraints = []
+    str_constraints = []
     for pr in preds:
         eq_constraints.extend(_equality_constraints(pr, col_of))
+        str_constraints.extend(_substring_constraints(pr, col_of))
     gran_base = max(int(getattr(table, "index_granularity", 8192)), 1)
     spans = []
     pruned_granules = 0
@@ -514,6 +590,28 @@ def _prune_granules(preds, col_of, table, part_indices, session):
                             refuted = True
                             break
                     if refuted:
+                        a, b = _granule_span(gi, g_rows, gran_base, ngr)
+                        keep[a:b] = False
+            elif ix.kind in ("tokenbf_v1", "full_text", "text", "gin",
+                             "inverted", "ngrambf_v1") and str_constraints:
+                payloads = [(k, pl) for nm, k, pl in str_constraints
+                            if nm == ix.column]
+                if not payloads:
+                    continue
+                ngram = None
+                if ix.kind == "ngrambf_v1":
+                    ngram = int(ix.params[0]) if ix.params else 3
+                req = _required_tokens(payloads, ngram)
+                if not req:
+                    continue
+                blooms = p.granule_token_blooms(ix.column, g_rows, ngram)
+                if blooms is None:
+                    continue
+                bpos = Part._bloom_positions(sorted(req))
+                for gi, bits in enumerate(blooms):
+                    # EVERY required token must be possibly-present;
+                    # one definite miss refutes the whole granule
+                    if not bits[bpos].all(axis=1).all():
                         a, b = _granule_span(gi, g_rows, gran_base, ngr)
                         keep[a:b] = False
         if keep.all():

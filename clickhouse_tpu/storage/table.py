@@ -191,6 +191,44 @@ class Part:
         return out
 
     @staticmethod
+    def _tokenize(s: str):
+        """Alphanumeric token split (reference TokenExtractor,
+        src/Interpreters/ITokenExtractor.h)."""
+        import re
+        return re.findall(r"[0-9A-Za-z_]+", s)
+
+    def granule_token_blooms(self, name: str, granule_rows: int,
+                             ngram: Optional[int] = None):
+        """Per-granule bloom bitsets over string TOKENS (tokenbf_v1 /
+        full_text) or character n-grams (ngrambf_v1) — reference:
+        MergeTreeIndexBloomFilterText granule builder."""
+        key = ("tokbloom", name, granule_rows, ngram)
+        cache, hit = self._granule_cache_get(key)
+        if hit is not None:
+            return hit
+        v = self.columns.get(name)
+        if v is None or v.dtype != object or not len(v):
+            return None
+        out = []
+        for lo in range(0, self.num_rows, granule_rows):
+            toks = set()
+            for s in v[lo:lo + granule_rows].tolist():
+                if not isinstance(s, str):
+                    continue
+                if ngram:
+                    for i in range(len(s) - ngram + 1):
+                        toks.add(s[i:i + ngram])
+                else:
+                    toks.update(Part._tokenize(s))
+            bits = np.zeros(Part.BLOOM_BITS, bool)
+            if toks:
+                pos = Part._bloom_positions(sorted(toks))
+                bits[pos.reshape(-1)] = True
+            out.append(bits)
+        cache[key] = out
+        return out
+
+    @staticmethod
     def from_pydict(data: Dict[str, np.ndarray], schema) -> "Part":
         n = len(next(iter(data.values()))) if data else 0
         minmax = {}

@@ -89,6 +89,61 @@ class TestBloomIndex:
         assert got == [(0,)]
 
 
+class TestTextIndexes:
+    """tokenbf_v1 / ngrambf_v1 / full_text granule pruning for
+    hasToken/LIKE/equality (reference: MergeTreeIndexBloomFilterText,
+    MergeTreeIndexGin) — VERDICT r04 item 7."""
+
+    @pytest.fixture(scope="class")
+    def tsession(self):
+        s = ch.connect()
+        s.execute(
+            "CREATE TABLE txt (id Int64, msg String, "
+            " INDEX tk msg TYPE tokenbf_v1(4096, 3, 0) GRANULARITY 1, "
+            " INDEX ng msg TYPE ngrambf_v1(3, 4096, 3, 0) GRANULARITY 1) "
+            "ENGINE = MergeTree ORDER BY id "
+            f"SETTINGS index_granularity = {GRAN}")
+        ids = np.arange(N, dtype=np.int64)
+        msg = np.asarray(
+            [f"error code={i % 7} in module alpha{i // GRAN}"
+             for i in ids], object)
+        s.insert_pydict("txt", {"id": ids, "msg": msg})
+        return s
+
+    def _pruned(self, s, sql, expect_rows, min_frac=0.9):
+        plain = s.execute(sql).rows()
+        before = s.profile_events.get("PrunedGranules", 0)
+        streamed = s.execute(sql, settings=STREAM).rows()
+        pruned = s.profile_events.get("PrunedGranules", 0) - before
+        assert plain == streamed == expect_rows, sql
+        total = N // GRAN
+        assert pruned >= int(total * min_frac), \
+            f"only {pruned}/{total} granules pruned for: {sql}"
+
+    def test_has_token_prunes(self, tsession):
+        self._pruned(tsession,
+                     "SELECT count() FROM txt WHERE hasToken(msg, 'alpha3')",
+                     [(GRAN,)], min_frac=0.9)
+
+    def test_like_interior_token(self, tsession):
+        self._pruned(tsession,
+                     "SELECT count() FROM txt "
+                     "WHERE msg LIKE '%module alpha5 %'",
+                     [(0,)], min_frac=0.9)
+
+    def test_ngram_like(self, tsession):
+        # 'alpha12' only appears in granule 12; its ngrams prune the rest
+        self._pruned(tsession,
+                     "SELECT count() FROM txt WHERE msg LIKE '%alpha12%'",
+                     [(GRAN,)], min_frac=0.8)
+
+    def test_no_false_negatives(self, tsession):
+        got = tsession.execute(
+            "SELECT count() FROM txt WHERE hasToken(msg, 'error')",
+            settings=STREAM).rows()
+        assert got == [(N,)]
+
+
 class TestCorrectnessUnderSpans:
     def test_group_by_on_pruned_scan(self, session):
         got = run_both(session,
