@@ -37,7 +37,7 @@ REPS = int(os.environ.get("BENCH_REPS", "15"))
 STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", str(1_000_000_000)))
 JOIN_ROWS = int(os.environ.get("BENCH_JOIN_ROWS", str(1_000_000_000)))
 JOIN_DIM = int(os.environ.get("BENCH_JOIN_DIM", str(10_000_000)))
-TOTAL_S = float(os.environ.get("BENCH_TOTAL_S", "900"))
+TOTAL_S = float(os.environ.get("BENCH_TOTAL_S", "1150"))
 
 _T0 = time.time()
 _DATA = os.path.join(_REPO, "scratch", "bench_data")
@@ -61,6 +61,26 @@ def cached(name, build):
     a = build()
     np.save(p, a)
     return a
+
+
+# Background data prefetch: dataset reads overlap the device benches that
+# run before they are needed (2 workers: leave CPU for the tunnel).
+from concurrent.futures import ThreadPoolExecutor as _TPE  # noqa: E402
+
+_POOL = _TPE(max_workers=2)
+_FUTS = {}
+
+
+def prefetch(name, build):
+    if name not in _FUTS:
+        _FUTS[name] = _POOL.submit(cached, name, build)
+
+
+def got(name, build):
+    f = _FUTS.get(name)
+    if f is not None:
+        return f.result()
+    return cached(name, build)
 
 
 def bench_query(session, sql, reps=REPS):
@@ -152,6 +172,30 @@ def main():
     log(f"devices: {devs}")
 
     s = ch.connect()
+    # start background dataset reads for later stages NOW
+    ns_pf = min(N_ROWS, 50_000_000)
+    nd_pf = ns_pf // 2
+    prefetch("zipf_k", lambda: np.minimum(
+        np.random.default_rng(7).zipf(1.5, N_ROWS),
+        10_000_000).astype(np.int64))
+    prefetch("urls_50m", lambda: np.char.add(
+        "http://example.com/p",
+        (np.arange(ns_pf) % nd_pf).astype(str)))
+    prefetch("fact_fk_100m", lambda: (
+        np.arange(N_ROWS, dtype=np.int64) * 40503) % 1_000_000)
+    prefetch("vecs_10m", lambda: np.random.default_rng(8).normal(
+        size=(10_000_000, 128)).astype(np.float32))
+    CHPF = 250_000_000
+    for ci, lo in enumerate(range(0, STREAM_ROWS, CHPF)):
+        hi = min(lo + CHPF, STREAM_ROWS)
+        prefetch(f"big_x_{ci}",
+                 lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
+                                       * 2654435761) % 1_000_003)
+    for ci, lo in enumerate(range(0, JOIN_ROWS, CHPF)):
+        hi = min(lo + CHPF, JOIN_ROWS)
+        prefetch(f"fact6_fk_{ci}",
+                 lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
+                                       * 40503) % JOIN_DIM)
     x = cached("hits_x", lambda: (
         np.arange(N_ROWS, dtype=np.int64) * 2654435761) % 1_000_003)
     s.execute("CREATE TABLE hits (x Int64)")
@@ -262,7 +306,7 @@ def main():
             raise TimeoutError("budget")
         # skewed-key GROUP BY (BASELINE row 2: "incl. skewed distribution"):
         # zipf(1.5) keys — sort-based grouping is skew-insensitive by design
-        zk = cached("zipf_k", lambda: np.minimum(
+        zk = got("zipf_k", lambda: np.minimum(
             np.random.default_rng(7).zipf(1.5, N_ROWS),
             10_000_000).astype(np.int64))
         n_distinct = len(np.unique(zk[:1_000_000]))
@@ -293,7 +337,7 @@ def main():
             return np.char.add(
                 "http://example.com/p",
                 (np.arange(ns) % n_distinct_s).astype(str))
-        surl = cached("urls_50m", _build_urls)
+        surl = got("urls_50m", _build_urls)
         s.execute("CREATE TABLE hits_s (url String)")
         s.insert_pydict("hits_s", {"url": surl})
         del surl
@@ -329,7 +373,7 @@ def main():
             "label": (np.arange(n_dim, dtype=np.int64) * 7) % 97})
         s2.execute("CREATE TABLE fact (fk Int64)")
         s2.insert_pydict("fact", {
-            "fk": cached("fact_fk_100m", lambda: (
+            "fk": got("fact_fk_100m", lambda: (
                 np.arange(n_fact, dtype=np.int64) * 40503) % n_dim)})
         # propagate join (ops/join_ops.py propagate_join): dim.k is unique,
         # so the planner picks the N:1 single-sort path — no expansion, no
@@ -370,7 +414,7 @@ def main():
         import gc
         s8 = ch.connect()
         NV, DV = 10_000_000, 128
-        V8 = cached("vecs_10m", lambda: np.random.default_rng(8).normal(
+        V8 = got("vecs_10m", lambda: np.random.default_rng(8).normal(
             size=(NV, DV)).astype(np.float32))
         s8.execute("CREATE TABLE vecs (id Int64, v Array(Float32))")
         s8.insert_pydict("vecs", {"id": np.arange(NV, dtype=np.int64),
@@ -416,7 +460,7 @@ def main():
         CH = 250_000_000
         for ci, lo in enumerate(range(0, STREAM_ROWS, CH)):
             hi = min(lo + CH, STREAM_ROWS)
-            s5.insert_pydict("big", {"x": cached(
+            s5.insert_pydict("big", {"x": got(
                 f"big_x_{ci}",
                 lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
                                       * 2654435761) % 1_000_003)})
@@ -463,7 +507,7 @@ def main():
         CH = 250_000_000
         for ci, lo in enumerate(range(0, JOIN_ROWS, CH)):
             hi = min(lo + CH, JOIN_ROWS)
-            s6.insert_pydict("fact", {"fk": cached(
+            s6.insert_pydict("fact", {"fk": got(
                 f"fact6_fk_{ci}",
                 lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
                                       * 40503) % JOIN_DIM)})

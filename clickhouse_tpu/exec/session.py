@@ -257,6 +257,13 @@ class Session:
             raise AnalysisError("Cannot execute a write statement in "
                                 "readonly mode")
         self._check_access(stmt)
+        # replicated DDL: ON CLUSTER statements and statements targeting a
+        # Replicated database route through the Keeper DDL queue
+        # (coordination/ddl_worker.py; ref src/Interpreters/DDLWorker.h:54)
+        if not getattr(self, "_ddl_applying", False):
+            routed = self._maybe_replicated_ddl(stmt, sql)
+            if routed is not None:
+                return routed
         if isinstance(stmt, ast.CreateUser):
             self.catalog.access.create_user(stmt.name, stmt.password,
                                             stmt.if_not_exists)
@@ -313,6 +320,15 @@ class Session:
             return self._run_create_table(stmt)
         if isinstance(stmt, ast.CreateDatabase):
             self.catalog.create_database(stmt.name, stmt.if_not_exists)
+            if (stmt.engine or "").lower() == "replicated":
+                # DatabaseReplicated: schema changes replicate through a
+                # per-database Keeper DDL queue; replicas tail and apply
+                # (ref: src/Databases/DatabaseReplicated.h)
+                args = list(getattr(stmt, "engine_args", []) or [])
+                zk = args[0] if args else f"/clickhouse/databases/{stmt.name}"
+                replica = args[2] if len(args) > 2 else \
+                    getattr(self, "replica_name", "r1")
+                self._attach_replicated_database(stmt.name, zk, replica)
             return _status_result()
         if isinstance(stmt, ast.CreateView):
             return self._run_create_view(stmt)
@@ -1291,6 +1307,90 @@ class Session:
             # networked part fetch: log entries carry metadata only and
             # peers pull part data from this endpoint (DataPartsExchange)
             t.replication.attach_exchange(ex)
+
+    # -- replicated DDL (DDLWorker / DatabaseReplicated analogs) -------------
+    def enable_ddl_worker(self, host_id: str,
+                          clusters: Optional[Dict[str, List[str]]] = None
+                          ) -> "object":
+        """Start this session's ON CLUSTER DDL worker: tails the shared
+        Keeper DDL queue and applies entries locally.  `clusters` maps
+        cluster names to the host ids expected to acknowledge each entry."""
+        from ..coordination.ddl_worker import DDLWorker
+        if getattr(self, "ddl_worker", None) is None:
+            cl = "default"
+            if self.settings.keeper_address:
+                cl = f"tcp://{self.settings.keeper_address}"
+            self.ddl_worker = DDLWorker(self, host_id,
+                                        cluster=cl).start_background()
+            self.clusters = dict(clusters or {})
+        return self.ddl_worker
+
+    def _attach_replicated_database(self, name: str, zk_path: str,
+                                    replica: str) -> None:
+        from ..coordination.ddl_worker import DDLWorker
+        from ..coordination.keeper import KeeperError, NodeExistsError
+        cl = "default"
+        if self.settings.keeper_address:
+            cl = f"tcp://{self.settings.keeper_address}"
+        root = "/clickhouse/databases/" + zk_path.strip("/").replace("/",
+                                                                     "_")
+        w = DDLWorker(self, replica, root=root, cluster=cl)
+        # replica registry: the initiator waits for every registered
+        # replica of the database
+        w._ensure(f"{root}/replicas")
+        try:
+            w.keeper.create(f"{root}/replicas/{replica}", b"")
+        except (NodeExistsError, KeeperError):
+            pass
+        dbo = self.catalog.databases.get(name)
+        dbo.replicated = (root, replica)
+        dbo.ddl_worker = w.start_background()
+        w.poll_once()                     # ATTACH catch-up: replay history
+
+    def _maybe_replicated_ddl(self, stmt, sql: str):
+        """Route ON CLUSTER / Replicated-database DDL through the queue;
+        -> Result when routed, None to execute locally."""
+        from ..core.errors import EngineError as _EE
+        cl = getattr(stmt, "cluster", None)
+        is_ddl = isinstance(stmt, (ast.CreateTable, ast.CreateView,
+                                   ast.DropTable, ast.TruncateTable,
+                                   ast.AlterTable, ast.AlterMulti,
+                                   ast.RenameTable))
+        if cl is not None:
+            w = getattr(self, "ddl_worker", None)
+            hosts = (getattr(self, "clusters", None) or {}).get(cl)
+            if w is None or not hosts:
+                return None      # single-node view of the cluster: local
+            entry = w.enqueue(sql)
+            ok, statuses = w.wait(entry, hosts)
+            if not ok:
+                raise _EE(f"distributed DDL failed on cluster '{cl}': "
+                          f"{statuses}")
+            return _status_result()
+        if not is_ddl:
+            return None
+        db = getattr(stmt, "database", None) or self.catalog.current_database
+        dbo = self.catalog.databases.get(db)
+        rep = getattr(dbo, "replicated", None) if dbo is not None else None
+        if rep is None:
+            return None
+        w = dbo.ddl_worker
+        entry = w.enqueue(sql)
+        try:
+            replicas = w.keeper.get_children(f"{rep[0]}/replicas")
+        except Exception:        # noqa: BLE001
+            replicas = [rep[1]]
+        ok, statuses = w.wait(entry, replicas)
+        errs = {h: s for h, s in statuses.items() if s != "ok"}
+        missing = len(statuses) < len(replicas)
+        # replaying history on a rejoining replica surfaces benign
+        # already-exists errors; anything else is a real failure
+        benign = not missing and all(
+            "already exists" in s or "NodeExists" in s
+            for s in errs.values())
+        if (missing or errs) and not benign:
+            raise _EE(f"replicated DDL failed: {statuses}")
+        return _status_result()
 
     def enable_parts_exchange(self, host: str = "127.0.0.1", port: int = 0,
                               secret: str = None):

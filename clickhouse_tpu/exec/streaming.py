@@ -886,8 +886,10 @@ def _grace_build_buckets(table, columns: List[str], sel_per_bucket):
     args = []
     donor = None
     for b in range(P):
+        # pack=False: bucket args feed Block columns directly (no traced
+        # unpack step runs over them)
         src = ChunkSource(table, columns, cap, row_sel=sel_per_bucket[b],
-                          layout_donor=donor)
+                          layout_donor=donor, pack=False)
         donor = donor or src
         data, n = src.chunk(0)
         cols_meta: Dict[str, Column] = {}
@@ -933,7 +935,22 @@ def _chunk_block(chunk_args, src, table) -> Block:
         validity = e.get("validity")
         ctype = dt.make_nullable(t) if (validity is not None
                                         and not t.nullable) else t
-        cols[name] = Column(ctype, e["data"], validity,
+        data = e["data"]
+        pk = getattr(src, "packed", {}).get(name)
+        if pk is not None:
+            # bit-packed transport: unpack inside the traced program (runs
+            # on device, fused by XLA into the first consumer)
+            w4, off, bpp = pk
+            by = data.reshape(-1, bpp).astype(jnp.int64)
+            u = by[:, 0]
+            for k in range(1, bpp):
+                u = u | (by[:, k] << (8 * k))
+            mask = (1 << w4) - 1
+            v0 = (u & mask) + off
+            v1 = ((u >> w4) & mask) + off
+            data = jnp.stack([v0, v1], axis=1).reshape(-1).astype(
+                src.storage[name])
+        cols[name] = Column(ctype, data, validity,
                             src.dictionaries.get(name))
     return Block(cols, chunk_args["num_rows"])
 

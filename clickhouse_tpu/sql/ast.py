@@ -250,6 +250,7 @@ class CreateDatabase:
     if_not_exists: bool = False
     engine: Optional[str] = None
     cluster: Optional[str] = None
+    engine_args: List[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -260,6 +261,7 @@ class CreateView:
     materialized: bool = False
     to_table: Optional[str] = None     # MATERIALIZED ... TO target
     if_not_exists: bool = False
+    cluster: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -282,6 +284,7 @@ class DropTable:
     table: str
     if_exists: bool = False
     is_database: bool = False
+    cluster: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -289,6 +292,7 @@ class TruncateTable:
     database: Optional[str]
     table: str
     if_exists: bool = False
+    cluster: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -399,6 +403,7 @@ class AlterTable:
     from_table: Optional[Tuple[Optional[str], str]] = None  # ATTACH ... FROM
     settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
     if_exists: bool = False
+    cluster: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -471,6 +476,7 @@ class RenameTable:
     pairs: List[Tuple[Tuple[Optional[str], str],
                       Tuple[Optional[str], str]]]
     exchange: bool = False
+    cluster: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -219,8 +219,8 @@ class Parser:
                 pairs.append((a, b))
                 if not self.accept_op(","):
                     break
-            self._accept_on_cluster()
-            return ast.RenameTable(pairs, exchange)
+            cl = self._accept_on_cluster()
+            return ast.RenameTable(pairs, exchange, cluster=cl)
         if t.is_kw("SET"):
             return self.parse_set()
         if t.is_kw("USE"):
@@ -743,16 +743,20 @@ class Parser:
             name = self.expect_word()
             cluster = self._accept_on_cluster()
             engine = None
+            eargs: List[str] = []
             if self.accept_kw("ENGINE"):
                 self.accept_op("=")
                 engine = self.expect_word()
                 if self.tok.kind == "op" and self.tok.text == "(":
-                    self._skim_parens()
+                    eargs = [a for a in self._parse_engine_args()
+                             if isinstance(a, str)]
             if self.accept_kw("COMMENT") and self.tok.kind == "string":
                 self.advance()
             if self.accept_kw("SETTINGS"):
                 self.parse_settings_list()
-            return ast.CreateDatabase(name, ine, engine, cluster)
+            cd = ast.CreateDatabase(name, ine, engine, cluster)
+            cd.engine_args = eargs
+            return cd
         if self.accept_kw("FUNCTION"):
             ine = self._if_not_exists()
             name = self.expect_word()
@@ -854,7 +858,7 @@ class Parser:
         if self.accept_kw("VIEW"):
             ine = self._if_not_exists()
             db, name = self.parse_table_name()
-            self._accept_on_cluster()
+            view_cluster = self._accept_on_cluster()
             to_table = None
             if self.accept_kw("TO"):
                 _, to_table = self.parse_table_name()
@@ -886,7 +890,8 @@ class Parser:
                     break
             self.expect_kw("AS")
             q = self.parse_select_union()
-            return ast.CreateView(db, name, q, materialized, to_table, ine)
+            return ast.CreateView(db, name, q, materialized, to_table, ine,
+                                  cluster=view_cluster)
         self.expect_kw("TABLE")
         ine = self._if_not_exists()
         db, tbl = self.parse_table_name()
@@ -1331,15 +1336,16 @@ class Parser:
         if self.accept_kw("DATABASE"):
             ie = self._if_exists()
             name = self.expect_word()
-            self._accept_on_cluster()
+            cl = self._accept_on_cluster()
             self._ddl_tail()
-            return ast.DropTable(None, name, ie, is_database=True)
+            return ast.DropTable(None, name, ie, is_database=True,
+                                 cluster=cl)
         self.expect_kw("TABLE", "VIEW", "DICTIONARY")
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
-        self._accept_on_cluster()
+        cl = self._accept_on_cluster()
         self._ddl_tail()
-        return ast.DropTable(db, tbl, ie)
+        return ast.DropTable(db, tbl, ie, cluster=cl)
 
     def parse_alter(self):
         self.advance()
@@ -1354,15 +1360,18 @@ class Parser:
             return ast.SystemCommand(f"alter {kind.lower()} "
                                      + " ".join(words))
         db, tbl = self.parse_table_name()
-        self._accept_on_cluster()
+        cl = self._accept_on_cluster()
         actions = [self._parse_alter_action(db, tbl)]
         while self.accept_op(","):
             actions.append(self._parse_alter_action(db, tbl))
         if self.accept_kw("SETTINGS"):
             self.parse_settings_list()
         if len(actions) == 1:
+            actions[0].cluster = cl
             return actions[0]
-        return ast.AlterMulti(db, tbl, actions)
+        m = ast.AlterMulti(db, tbl, actions)
+        m.cluster = cl
+        return m
 
     def _parse_partition_ref(self) -> ast.Expr:
         """PARTITION expr | PARTITION ID 'str' | PARTITION ALL."""
@@ -1715,10 +1724,11 @@ class Parser:
         self.accept_kw("TABLE")          # TRUNCATE [TABLE] [IF EXISTS] t
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
-        self._accept_on_cluster()
+        cl = self._accept_on_cluster()
         self._ddl_tail()
         t = ast.TruncateTable(db, tbl)
         t.if_exists = ie
+        t.cluster = cl
         return t
 
     def _if_exists(self) -> bool:

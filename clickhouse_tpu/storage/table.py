@@ -716,8 +716,10 @@ class ChunkSource:
                  part_idx: Optional[tuple] = None,
                  spans: Optional[tuple] = None,
                  row_sel: Optional[list] = None,
-                 layout_donor: Optional["ChunkSource"] = None):
-        self.table = table
+                 layout_donor: Optional["ChunkSource"] = None,
+                 pack: bool = True):
+        chunk_rows += chunk_rows & 1      # even capacity: bit-packed
+        self.table = table                # transport pairs values
         self.columns = columns
         self.chunk_rows = chunk_rows
         # minmax-pruned scans stream a subset of parts (KeyCondition analog:
@@ -759,12 +761,16 @@ class ChunkSource:
             self._sorted_dict_values = layout_donor._sorted_dict_values
             self._dict_hashes = layout_donor._dict_hashes
             self.nullable = layout_donor.nullable
+            self.packed = layout_donor.packed
             return
         self.storage: Dict[str, np.dtype] = {}
         self.dictionaries: Dict[str, "Dictionary"] = {}
         self._sorted_dict_values: Dict[str, np.ndarray] = {}
         self._dict_hashes: Dict[str, np.ndarray] = {}
         self.nullable: Dict[str, bool] = {}
+        # name -> (nibble_width, lo_offset, bytes_per_pair): bit-packed
+        # host->device transport for bounded int columns
+        self.packed: Dict[str, tuple] = {}
         for name in columns:
             t = table.schema.get(name)
             if t is None:
@@ -811,8 +817,19 @@ class ChunkSource:
             if base.kind in ("i", "u"):
                 b = table.column_bounds(name)
                 if b is not None:
-                    self.storage[name] = np.dtype(
-                        _pick_narrow_int(base, b))
+                    nar = np.dtype(_pick_narrow_int(base, b))
+                    self.storage[name] = nar
+                    # bit-packed transport (VERDICT r04 item 6): values
+                    # spanning w bits ride the host->device link as
+                    # nibble-aligned pairs (2 values in 2*ceil(w/4)/2
+                    # bytes) when that beats the narrow byte dtype —
+                    # x < 2^20 moves 2.5 B/row instead of 4
+                    if pack and not self.nullable[name]:
+                        lo, hi = b
+                        w4 = -(-max((hi - lo).bit_length(), 1) // 4) * 4
+                        bpp = w4 // 4            # bytes per value PAIR
+                        if w4 <= 56 and bpp < nar.itemsize * 2:
+                            self.packed[name] = (w4, int(lo), bpp)
                 else:
                     self.storage[name] = base
             elif base == np.float64:
@@ -897,6 +914,19 @@ class ChunkSource:
                     data[:n] = np.searchsorted(
                         self._sorted_dict_values[name], raw.astype(str)
                     ).astype(np.int32)
+        elif name in self.packed:
+            # nibble-aligned pair packing: 2 values -> bytes_per_pair bytes
+            w4, off, bpp = self.packed[name]
+            data = np.zeros(cap // 2 * bpp, np.uint8)
+            if n:
+                v = np.asarray(raw).astype(np.int64) - off
+                if len(v) & 1:
+                    v = np.append(v, 0)
+                pairs = (v[0::2].astype(np.uint64)
+                         | (v[1::2].astype(np.uint64) << np.uint64(w4)))
+                by = pairs.astype("<u8").view(np.uint8).reshape(-1, 8)[:,
+                                                                       :bpp]
+                data[:by.size] = by.ravel()
         elif n == cap:
             # full aligned chunk: one cast at most, zero-copy when the part
             # is already stored at the streaming dtype
