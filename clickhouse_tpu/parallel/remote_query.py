@@ -266,9 +266,19 @@ def try_remote_pushdown(session, stmt, settings):
     if not isinstance(f, ast.TableFunctionRef) \
             or f.func.name.lower() not in REMOTE_FNS:
         return None
-    if stmt.joins or stmt.ctes or stmt.group_by_modifier \
+    if stmt.ctes or stmt.group_by_modifier \
             or stmt.grouping_sets or stmt.group_by_with_totals:
         return None
+    join_sql = ""
+    if stmt.joins:
+        # remote() JOIN small-local-dim: broadcast the build side INTO the
+        # shard query as an inline format() literal (GLOBAL JOIN analog,
+        # ref: src/Interpreters/GlobalSubqueriesVisitor.h:72) — the join
+        # runs on the shard and only its output crosses the wire
+        join_sql = _broadcast_join_sql(session, stmt.joins,
+                                       session.catalog.current_database)
+        if join_sql is None:
+            return None
     try:
         addr, target, creds = parse_remote_args(
             f.func, session.catalog.current_database)
@@ -299,14 +309,86 @@ def try_remote_pushdown(session, stmt, settings):
             ast.FuncCall(name="and", args=[stmt.prewhere, where])
 
     rewritten = _try_mergeable_state(session, stmt, addr, target, creds,
-                                     where)
+                                     where, join_sql)
     if rewritten is not None:
         return rewritten
     return _try_fetch_columns(session, stmt, addr, target, creds, where,
-                              ids)
+                              ids, join_sql)
 
 
-def _try_mergeable_state(session, stmt, addr, target, creds, where):
+def _broadcast_join_sql(session, joins, current_db: str,
+                        max_rows: int = 100_000,
+                        max_bytes: int = 4_000_000) -> Optional[str]:
+    """Rendered JOIN clauses whose build sides are inlined as
+    format('TSV', structure, data) literals — the wire carries the dim
+    data once inside the query text instead of pulling the fact table."""
+    import numpy as np
+    out = []
+    for j in joins:
+        if j.kind not in ("inner", "left") \
+                or j.strictness not in ("all", "any", "semi", "anti"):
+            return None
+        if not isinstance(j.table, ast.TableRef):
+            return None
+        db = j.table.database or current_db
+        try:
+            t = session.catalog.get_table(db, j.table.table)
+        except Exception:        # noqa: BLE001
+            return None
+        n = t.num_rows
+        if n > max_rows:
+            return None
+        names = list(t.schema.keys())
+        cols = []
+        for nm in names:
+            vs = [np.asarray(p.columns[nm]) for p in t.parts if p.num_rows]
+            cols.append(np.concatenate(vs) if vs
+                        else np.zeros(0, object))
+        lines = []
+        for i in range(n):
+            cells = []
+            for c in cols:
+                v = c[i]
+                if v is None:
+                    cells.append(r"\N")
+                elif isinstance(v, (str, np.str_)):
+                    cells.append(str(v).replace("\\", "\\\\")
+                                 .replace("\t", "\\t")
+                                 .replace("\n", "\\n"))
+                elif isinstance(v, (float, np.floating)):
+                    cells.append(repr(float(v)))
+                else:
+                    cells.append(str(v))
+            lines.append("\t".join(cells))
+        data = "\n".join(lines)
+        if len(data) > max_bytes:
+            return None
+        structure = ", ".join(f"{nm} {ty}" for nm, ty in t.schema_items())
+
+        def esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        alias = j.table.alias or j.table.table
+        sub = (f"(SELECT * FROM format('TSV', '{esc(structure)}', "
+               f"'{esc(data)}')) AS {alias}")
+        strict = {"any": "ANY ", "semi": "SEMI ",
+                  "anti": "ANTI "}.get(j.strictness, "")
+        if j.using:
+            clause = (f"{j.kind.upper()} {strict}JOIN {sub} "
+                      f"USING ({', '.join(j.using)})")
+        else:
+            if j.on is None:
+                return None
+            on_t = _render(j.on)
+            if on_t is None:
+                return None
+            clause = f"{j.kind.upper()} {strict}JOIN {sub} ON {on_t}"
+        out.append(clause)
+    return " " + " ".join(out)
+
+
+def _try_mergeable_state(session, stmt, addr, target, creds, where,
+                         join_sql: str = ""):
     """Stage WithMergeableState: shards aggregate, initiator merges."""
     aggs: List[ast.FuncCall] = []
     for it in stmt.items:
@@ -369,7 +451,8 @@ def _try_mergeable_state(session, stmt, addr, target, creds, where):
         if wtext is None:
             return None                  # unshippable filter: states would
                                          # aggregate unfiltered rows
-    remote_sql = f"SELECT {', '.join(remote_items)} FROM {target}"
+    remote_sql = f"SELECT {', '.join(remote_items)} FROM {target}" \
+        + join_sql
     if wtext:
         remote_sql += f" WHERE {wtext}"
     if keys:
@@ -438,7 +521,8 @@ def _unreplaced_agg(e: ast.Expr) -> bool:
     return False
 
 
-def _try_fetch_columns(session, stmt, addr, target, creds, where, ids):
+def _try_fetch_columns(session, stmt, addr, target, creds, where, ids,
+                       join_sql: str = ""):
     """Stage FetchColumns: push column pruning + the WHERE clause."""
     aliases = {it.alias for it in stmt.items if it.alias}
     has_star = any(isinstance(x, ast.Star)
@@ -471,7 +555,7 @@ def _try_fetch_columns(session, stmt, addr, target, creds, where, ids):
     if cols is None and wtext is None:
         return None                      # nothing to push: legacy path
     sel = ", ".join(cols) if cols else "*"
-    remote_sql = f"SELECT {sel} FROM {target}"
+    remote_sql = f"SELECT {sel} FROM {target}" + join_sql
     if wtext:
         remote_sql += f" WHERE {wtext}"
     try:
@@ -481,5 +565,6 @@ def _try_fetch_columns(session, stmt, addr, target, creds, where, ids):
     return dataclasses.replace(
         stmt, from_=ast.TableRef(database="_files", table=t.name,
                                  alias=stmt.from_.alias),
+        joins=[] if join_sql else stmt.joins,
         where=None if wtext else stmt.where,
         prewhere=None if wtext else stmt.prewhere)

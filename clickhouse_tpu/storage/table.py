@@ -1154,7 +1154,12 @@ class Catalog:
         name = f"fmt{len(db.tables)}_{abs(hash(key)) % 10**8}"
         t = _T(name, schema, engine="File")
         if data:
-            t.insert_pydict({c: data[c] for c, _ in schema if c in data})
+            ins = {c: data[c] for c, _ in schema if c in data}
+            if not ins and len(data) == len(schema):
+                # declared structure + headerless format: the reader names
+                # columns c1..cN — map positionally onto the structure
+                ins = {c: v for (c, _), v in zip(schema, data.values())}
+            t.insert_pydict(ins)
         db.tables[name] = t
         self._file_cache[key] = name
         return t

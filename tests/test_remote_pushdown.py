@@ -37,6 +37,47 @@ def _addr(server):
     return f"127.0.0.1:{server[0].port}"
 
 
+def test_remote_join_local_dim_broadcasts_build_side(server, client):
+    """VERDICT r04 item 10: remote() JOIN local-dim ships the dim INTO the
+    shard query (GLOBAL JOIN analog) — wire bytes ≪ remote table size."""
+    client.execute("CREATE TABLE dim_local (k Int64, name String)")
+    client.insert_pydict("dim_local", {
+        "k": np.arange(7, dtype=np.int64),
+        "name": np.asarray([f"n{i}" for i in range(7)], object)})
+    sql = (f"SELECT k, count() AS c, any(name) FROM "
+           f"remote('{_addr(server)}', default.big) "
+           f"INNER JOIN dim_local USING (k) "
+           f"GROUP BY k ORDER BY k LIMIT 4")
+    before = client.profile_events.get("RemoteWireBytes", 0)
+    rows = client.execute(sql).rows()
+    wire = client.profile_events.get("RemoteWireBytes", 0) - before
+    exp = server[1].execute(
+        "SELECT k, count() AS c, concat('n', toString(k)) FROM big "
+        "GROUP BY k ORDER BY k LIMIT 4").rows()
+    assert rows == exp
+    # the join ran REMOTELY: the shipped SQL carries the dim as an inline
+    # format() literal and only 7 groups of states come back
+    assert "format(" in client._last_remote_sql
+    assert "JOIN" in client._last_remote_sql
+    assert 0 < wire < 8192
+    client.execute("DROP TABLE dim_local")
+
+
+def test_remote_join_fetch_columns_path(server, client):
+    """Non-aggregating remote JOIN: rows come back already joined."""
+    client.execute("CREATE TABLE dim2 (k Int64, tag Int64)")
+    client.insert_pydict("dim2", {"k": np.arange(7, dtype=np.int64),
+                                  "tag": np.arange(7, dtype=np.int64) * 10})
+    sql = (f"SELECT k, v, tag FROM remote('{_addr(server)}', default.big) "
+           f"INNER JOIN dim2 USING (k) WHERE v < 2 ORDER BY k, v")
+    rows = client.execute(sql).rows()
+    exp = server[1].execute(
+        "SELECT k, v, k * 10 FROM big WHERE v < 2 ORDER BY k, v").rows()
+    assert rows == exp
+    assert "format(" in client._last_remote_sql
+    client.execute("DROP TABLE dim2")
+
+
 def test_group_by_ships_states_not_rows(server, client):
     """The VERDICT r03 'done' bar: a GROUP BY over remote() transfers
     mergeable states, with bytes-on-wire far smaller than the table."""
