@@ -22,10 +22,12 @@ length-prefixed JSON framing as keeper_net.py:
   'a:p1,b:p2,c:p3'` gives ReplicatedMergeTree a coordination service with
   no single point of failure.
 
-Raft state is held in memory (the ensemble tolerates minority crashes; a
-restarted node rejoins empty and is caught up by snapshot) — the
-reference's on-disk changelog (src/Coordination/Changelog.cpp) is the
-next hardening step, not required for ensemble-level HA.
+* **Durable changelog** — with ``data_dir`` set, term/vote persist via
+  atomic meta rewrites, log entries append to an fsync'd
+  ``log.jsonl``, and compaction snapshots the tree to disk
+  (src/Coordination/Changelog.cpp + KeeperStateMachine analog); a node
+  restarted with its directory recovers its own log and snapshot, so even
+  a FULL-ensemble stop loses no acknowledged write.
 """
 from __future__ import annotations
 
@@ -51,6 +53,8 @@ def _apply_op(keeper: Keeper, op: dict):
     """Apply one committed mutating op to the local tree (deterministic:
     same op sequence -> same tree on every replica)."""
     kind = op["op"]
+    if kind == "noop":
+        return True      # leader's new-term barrier entry (§5.4.2/§8)
     if kind == "create":
         return keeper.create(op["path"], _dec_value(op.get("data", b"")),
                              sequential=op.get("sequential", False),
@@ -89,12 +93,18 @@ class RaftNode:
 
     def __init__(self, node_id: int, addrs: List[str],
                  host: str = "127.0.0.1", port: int = 0,
-                 timeout_scale: float = 1.0, compact_at: int = 512):
+                 timeout_scale: float = 1.0, compact_at: int = 512,
+                 data_dir: Optional[str] = None):
         self.node_id = node_id
         self.addrs = list(addrs)         # index -> "host:port" (peer view)
         self.keeper = Keeper()
         self.compact_at = compact_at
-        # persistent state (in-memory — see module docstring)
+        # persistent state — durable when data_dir is set (Changelog.cpp
+        # analog: fsync'd append-only entry log + meta + snapshot files;
+        # a restarted node recovers from its OWN state instead of
+        # rejoining empty)
+        self.data_dir = data_dir
+        self._log_fh = None
         self.term = 0
         self.voted_for: Optional[int] = None
         # log[i] = (term, op) at absolute index base + i + 1
@@ -107,6 +117,8 @@ class RaftNode:
         self.leader_id: Optional[int] = None
         self.commit_index = 0
         self.last_applied = 0
+        if data_dir is not None:
+            self._load_durable()
         self.apply_results: Dict[int, Any] = {}
         self.next_index: Dict[int, int] = {}
         self.match_index: Dict[int, int] = {}
@@ -176,6 +188,97 @@ class RaftNode:
     def _rand_timeout(scale: float) -> float:
         return random.uniform(0.15, 0.30) * scale
 
+    # -- durability (Changelog.cpp / KeeperStateMachine analog) --------------
+    def _load_durable(self):
+        import json
+        import os
+        os.makedirs(self.data_dir, exist_ok=True)
+        meta_p = os.path.join(self.data_dir, "meta.json")
+        snap_p = os.path.join(self.data_dir, "snapshot.json")
+        log_p = os.path.join(self.data_dir, "log.jsonl")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                m = json.load(f)
+            self.term = int(m.get("term", 0))
+            self.voted_for = m.get("voted_for")
+        if os.path.exists(snap_p):
+            with open(snap_p) as f:
+                sn = json.load(f)
+            self.base_index = int(sn["base_index"])
+            self.base_term = int(sn["base_term"])
+            self.snapshot = sn["tree"]
+            load_tree(self.keeper, _dec_tree(sn["tree"]))
+            self.commit_index = self.base_index
+            self.last_applied = self.base_index
+        if os.path.exists(log_p):
+            with open(log_p) as f:
+                for ln in f:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    try:
+                        e = json.loads(ln)
+                    except ValueError:
+                        break            # torn tail write: drop the rest
+                    self.log.append((int(e["t"]), e["op"]))
+        self._log_fh = open(log_p, "a")
+
+    def _persist_meta(self):
+        if self.data_dir is None:
+            return
+        import json
+        import os
+        tmp = os.path.join(self.data_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"term": self.term, "voted_for": self.voted_for}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.data_dir, "meta.json"))
+
+    def _append_durable(self, entries):
+        if self._log_fh is None:
+            return
+        import json
+        import os
+        for t, op in entries:
+            self._log_fh.write(json.dumps({"t": t, "op": op}) + "\n")
+        self._log_fh.flush()
+        os.fsync(self._log_fh.fileno())
+
+    def _rewrite_log_durable(self):
+        """Conflict truncation / compaction: rewrite the whole entry file
+        (entries are small; the reference rotates changelog segments)."""
+        if self.data_dir is None:
+            return
+        import json
+        import os
+        if self._log_fh is not None:
+            self._log_fh.close()
+        log_p = os.path.join(self.data_dir, "log.jsonl")
+        tmp = log_p + ".tmp"
+        with open(tmp, "w") as f:
+            for t, op in self.log:
+                f.write(json.dumps({"t": t, "op": op}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, log_p)
+        self._log_fh = open(log_p, "a")
+
+    def _persist_snapshot(self):
+        if self.data_dir is None:
+            return
+        import json
+        import os
+        tmp = os.path.join(self.data_dir, "snapshot.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"base_index": self.base_index,
+                       "base_term": self.base_term,
+                       "tree": self.snapshot}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.data_dir, "snapshot.json"))
+        self._rewrite_log_durable()
+
     # -- log index helpers ---------------------------------------------------
     def _last_index(self) -> int:
         return self.base_index + len(self.log)
@@ -226,6 +329,7 @@ class RaftNode:
             self.term += 1
             self.role = "candidate"
             self.voted_for = self.node_id
+            self._persist_meta()
             self.leader_id = None
             term = self.term
             last_idx = self._last_index()
@@ -267,6 +371,11 @@ class RaftNode:
             self.next_index[i] = last + 1
             self.match_index[i] = 0
             self._peer_ack[i] = now      # lease grace until first round
+        # no-op barrier entry: commits the new leader's whole log prefix
+        # (without it, prior-term entries recovered from disk would never
+        # reach commit — Raft §5.4.2 restriction)
+        self.log.append((self.term, {"op": "noop"}))
+        self._append_durable([(self.term, {"op": "noop"})])
         threading.Thread(target=self._broadcast_append,
                          daemon=True).start()
 
@@ -275,6 +384,7 @@ class RaftNode:
         if term > self.term:
             self.term = term
             self.voted_for = None
+            self._persist_meta()
         self.role = "follower"
         self._last_heartbeat = time.monotonic()
         # waiters on uncommitted proposals must re-route, not time out
@@ -370,6 +480,7 @@ class RaftNode:
         self.base_term = self._term_at(self.last_applied)
         self.log = self.log[drop:]
         self.base_index = self.last_applied
+        self._persist_snapshot()
 
     # -- RPC handlers (any role) ---------------------------------------------
     def _raft_rpc(self, req: dict) -> dict:
@@ -387,6 +498,7 @@ class RaftNode:
                 if grant:
                     self.voted_for = req["candidate"]
                     self._last_heartbeat = time.monotonic()
+                    self._persist_meta()
                 return {"term": self.term, "granted": grant}
             if kind == "append_entries":
                 if req["term"] < self.term:
@@ -403,15 +515,24 @@ class RaftNode:
                     return {"term": self.term, "ok": False}
                 # append, truncating conflicts
                 idx = prev
+                truncated = False
+                appended = []
                 for t, op in req["entries"]:
                     idx += 1
                     li = idx - self.base_index - 1
                     if li < len(self.log):
                         if self.log[li][0] != t:
                             del self.log[li:]
+                            truncated = True
                             self.log.append((t, op))
+                            appended.append((t, op))
                     else:
                         self.log.append((t, op))
+                        appended.append((t, op))
+                if truncated:
+                    self._rewrite_log_durable()
+                elif appended:
+                    self._append_durable(appended)
                 if req["leader_commit"] > self.commit_index:
                     self.commit_index = min(req["leader_commit"],
                                             self._last_index())
@@ -436,6 +557,7 @@ class RaftNode:
                 self.log = []
                 self.commit_index = self.base_index
                 self.last_applied = self.base_index
+                self._persist_snapshot()
                 return {"term": self.term, "ok": True}
         return {"term": self.term, "ok": False}
 
@@ -446,6 +568,7 @@ class RaftNode:
             if self.role != "leader":
                 raise _NotLeader(self.leader_id)
             self.log.append((self.term, op))
+            self._append_durable([(self.term, op)])
             idx = self._last_index()
         self._broadcast_append()
         deadline = time.monotonic() + timeout
