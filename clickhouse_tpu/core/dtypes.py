@@ -86,6 +86,14 @@ class DType:
     # GROUP BY / DISTINCT / equality work like any String.
     is_json: bool = False
 
+    # Variant(T1, T2, ...) / Dynamic: canonical serialized values
+    # dictionary-encode as the base column (device codes — whole-value
+    # GROUP BY/equality work like String); a per-row discriminator and
+    # per-type decoded subcolumns shred at block build (reference:
+    # src/Columns/ColumnVariant.h discriminators+variants,
+    # ColumnDynamic.h).  () = Dynamic (open set, discovered from data).
+    variant_types: Optional[Tuple[str, ...]] = None
+
     # -- helpers -------------------------------------------------------------
     @property
     def np_dtype(self) -> np.dtype:
@@ -251,6 +259,17 @@ def is_agg_state(t: DType) -> bool:
     return t.agg_state is not None
 
 
+def Variant(types: Tuple[str, ...]) -> DType:
+    """Variant(T1, ...) — or Dynamic when `types` is empty."""
+    nm = "Dynamic" if not types else f"Variant({', '.join(types)})"
+    return DType(nm, "int32", is_dictionary=True,
+                 variant_types=tuple(types))
+
+
+def is_variant(t: DType) -> bool:
+    return t.variant_types is not None
+
+
 def is_decimal(t: DType) -> bool:
     return t.decimal_scale is not None and t.name.startswith("Decimal")
 
@@ -388,6 +407,12 @@ def parse_type_name(name: str) -> DType:
         return parse_type_name(inner)
     if name == "JSON" or name.startswith("JSON("):
         return JSON        # path type hints parse but shredding discovers
+    inner = _strip_call(name, "Variant")
+    if inner is not None:
+        ts = tuple(t.strip() for t in _split_args(inner))
+        return Variant(ts)
+    if name == "Dynamic" or name.startswith("Dynamic("):
+        return Variant(())
     inner = _strip_call(name, "Object")
     if inner is not None:          # legacy Object('json') spelling
         return JSON

@@ -30,7 +30,7 @@ def needs_decode(t: dt.DType) -> bool:
     t = dt.remove_nullable(t)
     return (dt.is_decimal(t) or dt.is_enum(t) or t.name == "Date"
             or t.name == "DateTime" or dt.is_datetime64(t)
-            or t.name == "IPv4")
+            or t.name == "IPv4" or t.variant_types is not None)
 
 
 def decode_for_display(t: dt.DType, data: np.ndarray) -> np.ndarray:
@@ -42,6 +42,32 @@ def decode_for_display(t: dt.DType, data: np.ndarray) -> np.ndarray:
     if not needs_decode(t):
         return data
     out = np.empty(len(data), object)
+    if t.variant_types is not None:
+        # canonical serialized variant values -> python display objects
+        # (strings stored JSON-quoted so 42 and '42' stay distinct)
+        import json as _json
+        for i, v in enumerate(data):
+            if v is None:
+                out[i] = None
+            elif isinstance(v, str) and v[:1] in '"[{':
+                try:
+                    out[i] = _json.loads(v)
+                except ValueError:
+                    out[i] = v
+            elif isinstance(v, str):
+                if v in ("true", "false"):
+                    out[i] = 1 if v == "true" else 0
+                else:
+                    try:
+                        out[i] = int(v)
+                    except ValueError:
+                        try:
+                            out[i] = float(v)
+                        except ValueError:
+                            out[i] = v
+            else:
+                out[i] = v
+        return out
     if dt.is_decimal(t) and not dt.is_datetime64(t):
         s = t.decimal_scale
         for i, v in enumerate(data):

@@ -597,6 +597,15 @@ class Analyzer:
                 for path, pdt in table.json_paths(name).items():
                     fields.append(self.field(f"{name}.{path}", pdt, quals))
                     names.append(f"{name}.{path}")
+            if getattr(ctype, "variant_types", None) is not None:
+                # Variant/Dynamic discriminator + per-type subcolumns
+                # (ColumnVariant analog; variantType/variantElement bind
+                # to these fields)
+                for sub, sdt in table.variant_subcols(name).items():
+                    fields.append(dataclasses.replace(
+                        self.field(f"{name}.{sub}", sdt, quals),
+                        star_hidden=True))
+                    names.append(f"{name}.{sub}")
         if getattr(ref, "sample", None) is not None \
                 and getattr(table, "sample_by", None) is None:
             raise AnalysisError(
@@ -1340,6 +1349,25 @@ class Analyzer:
             # a UDF body): the definition IS the value here
             return self.bind(e.expr, scope, allow_agg)
         if isinstance(e, ast.FuncCall):
+            if e.name in ("variantType", "dynamicType") \
+                    and len(e.args) == 1 \
+                    and isinstance(e.args[0], ast.Identifier):
+                # discriminator subcolumn of a Variant/Dynamic column
+                sub = ast.Identifier(e.args[0].name + ".__vtype")
+                if scope.resolve(sub.parts) is not None:
+                    return self.bind(sub, scope, allow_agg)
+            if e.name in ("variantElement", "dynamicElement") \
+                    and len(e.args) >= 2 \
+                    and isinstance(e.args[0], ast.Identifier) \
+                    and isinstance(e.args[1], ast.Literal):
+                tname = str(e.args[1].value)
+                sub = ast.Identifier(f"{e.args[0].name}.{tname}")
+                if scope.resolve(sub.parts) is not None:
+                    return self.bind(sub, scope, allow_agg)
+                if scope.resolve(e.args[0].parts) is not None:
+                    # variant column exists but this type never occurs:
+                    # a NULL column of the requested type
+                    return _bind_literal(ast.Literal(None))
             udf = getattr(self.catalog, "udfs", {}).get(e.name)
             if udf is not None:
                 # SQL UDF: inline the body with parameters substituted

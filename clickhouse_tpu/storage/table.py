@@ -274,6 +274,109 @@ def _json_flatten(doc, prefix: str, out: dict) -> None:
             out[path] = val
 
 
+def _variant_canon(v) -> Optional[str]:
+    """Canonical serialized form of one Variant/Dynamic value: ints as
+    digits, floats via repr, strings JSON-quoted (so 42 and '42' stay
+    distinct variants), arrays/maps as compact JSON, None as NULL."""
+    import json as _json
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        return _json.dumps(
+            v.tolist() if isinstance(v, np.ndarray) else
+            list(v) if isinstance(v, tuple) else v,
+            separators=(",", ":"))
+    return _json.dumps(str(v))
+
+
+def _normalize_variant_column(v: np.ndarray) -> np.ndarray:
+    """Raw python values -> canonical forms.  Strings ALWAYS canonize as
+    String variants (a str "42" is a String, not an Int64 — insert inputs
+    are raw values; canonical round-trips only happen at the part level,
+    which bypasses this normalizer)."""
+    out = np.empty(len(v), object)
+    for i, x in enumerate(np.asarray(v, object)):
+        out[i] = _variant_canon(x)
+    return out
+
+
+def _variant_tag(s: Optional[str]) -> Optional[str]:
+    """Type tag of a canonical value: i/f/s/a/b."""
+    if s is None:
+        return None
+    c = s[0] if s else ""
+    if c == '"':
+        return "s"
+    if c in "[{":
+        return "a"
+    if s in ("true", "false"):
+        return "b"
+    try:
+        int(s)
+        return "i"
+    except ValueError:
+        pass
+    try:
+        float(s)
+        return "f"
+    except ValueError:
+        return "s"
+
+
+_VARIANT_TAG_DTYPE = {"i": "Int64", "f": "Float64", "s": "String",
+                      "b": "Bool", "a": "Array(Int64)"}
+
+
+def variant_shred(part: Part, name: str):
+    """-> (type-name object array ('None' for NULL), {tag: object array
+    of decoded values (None where inactive)}) — cached per part
+    (ColumnVariant discriminators + variants analog)."""
+    import json as _json
+    cache = getattr(part, "_variant_shred", None)
+    if cache is None:
+        cache = part._variant_shred = {}
+    if name in cache:
+        return cache[name]
+    raw = np.asarray(part.columns[name], object)
+    n = len(raw)
+    vtype = np.empty(n, object)
+    subs: Dict[str, np.ndarray] = {}
+    for i, s in enumerate(raw):
+        tag = _variant_tag(s if isinstance(s, str) or s is None
+                           else _variant_canon(s))
+        if tag is None:
+            vtype[i] = "None"
+            continue
+        vtype[i] = _VARIANT_TAG_DTYPE[tag]
+        col = subs.get(tag)
+        if col is None:
+            col = subs[tag] = np.full(n, None, object)
+        if tag == "i":
+            col[i] = int(s)
+        elif tag == "f":
+            col[i] = float(s)
+        elif tag == "b":
+            col[i] = 1 if s == "true" else 0
+        elif tag == "a":
+            try:
+                col[i] = _json.loads(s)
+            except ValueError:
+                col[i] = []
+        else:
+            try:
+                col[i] = _json.loads(s) if s[:1] == '"' else s
+            except ValueError:
+                col[i] = s
+    cache[name] = (vtype, subs)
+    return cache[name]
+
+
 def json_shred(part: Part, name: str):
     """-> ({path: object array (None = missing)}, {path: type tag}) for a
     part's JSON column; parsed once, cached on the part.  Type tags:
@@ -444,6 +547,8 @@ class Table:
                     raise AnalysisError("INSERT column length mismatch")
                 if ctype.is_json:
                     v = _normalize_json_column(v)
+                elif ctype.variant_types is not None:
+                    v = _normalize_variant_column(v)
             else:  # missing column -> default value
                 if ctype.is_json:
                     v = np.asarray(["{}"] * n, dtype=object)
@@ -536,6 +641,20 @@ class Table:
             return blk.select(list(columns))
         return blk
 
+    def variant_subcols(self, name: str) -> Dict[str, "dt.DType"]:
+        """Shredded subcolumns of a Variant/Dynamic column: "__vtype"
+        (String discriminator) + one decoded column per ACTIVE type tag
+        (derived from the data — reload-safe)."""
+        out: Dict[str, "dt.DType"] = {"__vtype": dt.String}
+        tags: set = set()
+        for p in self.parts:
+            _, subs = variant_shred(p, name)
+            tags |= set(subs)
+        for tag in sorted(tags):
+            tn = _VARIANT_TAG_DTYPE[tag]
+            out[tn] = dt.make_nullable(dt.parse_type_name(tn))
+        return out
+
     def json_paths(self, name: str) -> Dict[str, "dt.DType"]:
         """Discovered scalar paths of a JSON column, unioned across parts
         (always derived from the data — reload-safe); {path: Nullable(T)}.
@@ -570,6 +689,26 @@ class Table:
             else:
                 merged = np.concatenate(pieces)
             cols[name] = column_from_numpy(merged, ctype, capacity=cap)
+            if ctype.variant_types is not None:
+                # discriminator + per-type decoded subcolumns ride the
+                # block as "<col>.__vtype" / "<col>.<Type>"
+                for sub, sdt in self.variant_subcols(name).items():
+                    vals = []
+                    for p in self.parts:
+                        vt, subs = variant_shred(p, name)
+                        if sub == "__vtype":
+                            vals.append(vt)
+                            continue
+                        tag = next((k for k, v2 in _VARIANT_TAG_DTYPE
+                                    .items() if v2 == sub), None)
+                        arr = subs.get(tag)
+                        if arr is None:
+                            arr = np.full(p.num_rows, None, object)
+                        vals.append(arr)
+                    merged_s = np.concatenate(vals) if vals \
+                        else np.zeros(0, object)
+                    cols[f"{name}.{sub}"] = column_from_numpy(
+                        merged_s, sdt, capacity=cap)
             if ctype.is_json:
                 # shredded typed subcolumns ride the block as ordinary
                 # columns named "<col>.<path>"
