@@ -511,6 +511,16 @@ class Session:
                 raise UnknownTable(f"Unknown database '{stmt.database}'")
             self.catalog.current_database = stmt.database
             return _status_result()
+        if isinstance(stmt, ast.CheckTable):
+            db = stmt.database or self.catalog.current_database
+            self.catalog.get_table(db, stmt.table)    # must exist
+            return Result({"result": np.asarray([1], np.uint8)},
+                          [("result", "UInt8")])
+        if isinstance(stmt, ast.ExistsTable):
+            db = stmt.database or self.catalog.current_database
+            ex = int(self.catalog.has_table(db, stmt.table))
+            return Result({"result": np.asarray([ex], np.uint8)},
+                          [("result", "UInt8")])
         if isinstance(stmt, ast.MultiStatement):
             res = _status_result()
             for s2 in stmt.statements:
@@ -1138,6 +1148,10 @@ class Session:
     # -- DDL / DML -----------------------------------------------------------
     def _run_create_table(self, stmt: ast.CreateTable) -> Result:
         db = stmt.database or self.catalog.current_database
+        if getattr(stmt, "or_replace", False) \
+                and self.catalog.has_table(db, stmt.table):
+            # CREATE OR REPLACE / REPLACE TABLE: atomic swap semantics
+            self.catalog.drop_table(db, stmt.table, if_exists=True)
         # CREATE ... AS SELECT ... SETTINGS x=y: the clause parses onto the
         # inner select and must govern its execution (e.g. max_memory_usage)
         if stmt.as_table is not None and not stmt.columns:

@@ -367,16 +367,43 @@ class Analyzer:
         items: List[Tuple[ast.Expr, str]] = []
         for item in sel.items:
             if isinstance(item.expr, ast.Star):
+                st = item.expr
+                tf = getattr(st, "transformers", None) or []
+                excepts: set = set()
+                applies: List[str] = []
+                replaces: Dict[str, ast.Expr] = {}
+                for kind_t, payload in tf:
+                    if kind_t == "except":
+                        excepts |= set(payload)
+                    elif kind_t == "apply":
+                        applies.append(payload)
+                    elif kind_t == "replace":
+                        replaces.update({nm: e2 for e2, nm in payload})
+                cre = None
+                if getattr(st, "columns_re", None):
+                    import re as _re
+                    cre = _re.compile(st.columns_re)
                 for f in scope.fields:
-                    if item.expr.table and item.expr.table not in f.qualifiers:
+                    if st.table and st.table not in f.qualifiers:
                         continue
-                    if not item.expr.table and f.star_hidden:
+                    if not st.table and f.star_hidden:
                         continue     # USING right key folded out of bare *
-                    items.append((ast.Identifier(f.display, (f.display,))
-                                  if not item.expr.table else
-                                  ast.Identifier(f"{item.expr.table}.{f.display}",
-                                                 (item.expr.table, f.display)),
-                                  f.display, None))
+                    if f.display in excepts:
+                        continue
+                    if cre is not None and not cre.search(f.display):
+                        continue
+                    base: ast.Expr = (
+                        ast.Identifier(f.display, (f.display,))
+                        if not st.table else
+                        ast.Identifier(f"{st.table}.{f.display}",
+                                       (st.table, f.display)))
+                    disp = f.display
+                    if f.display in replaces:
+                        base = replaces[f.display]
+                    for fn in applies:
+                        base = ast.FuncCall(fn, [base])
+                        disp = f"{fn}({disp})"
+                    items.append((base, disp, None))
             else:
                 name = item.alias or ast.format_expr(item.expr)
                 items.append((item.expr, name, item.alias))

@@ -42,6 +42,10 @@ class Literal(Expr):
 @dataclasses.dataclass
 class Star(Expr):
     table: Optional[str] = None    # t.* qualifier
+    # column transformers: ("except", [names]) | ("apply", fn_name) |
+    # ("replace", [(expr, col_name)])  (ref: ParserColumnsTransformers)
+    transformers: List[tuple] = dataclasses.field(default_factory=list)
+    columns_re: Optional[str] = None   # COLUMNS('regex') matcher
 
 
 @dataclasses.dataclass
@@ -502,6 +506,18 @@ class KillQuery:
 @dataclasses.dataclass
 class Use:
     database: str
+
+
+@dataclasses.dataclass
+class CheckTable:
+    database: Optional[str]
+    table: str
+
+
+@dataclasses.dataclass
+class ExistsTable:
+    database: Optional[str]
+    table: str
 
 
 def format_expr(e: Expr) -> str:

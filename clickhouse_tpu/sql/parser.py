@@ -6,6 +6,7 @@ names; clause order follows the reference's SELECT grammar.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 from ..core.errors import ParseError
@@ -101,12 +102,15 @@ class Parser:
             return self.parse_explain()
         if t.is_kw("DETACH"):
             self.advance()
-            self.expect_kw("TABLE")
+            self.expect_kw("TABLE", "VIEW", "DICTIONARY", "DATABASE")
             if_exists = False
             if self.accept_kw("IF"):
                 self.expect_kw("EXISTS")
                 if_exists = True
             db, tbl = self.parse_table_name()
+            self._accept_on_cluster()
+            self.accept_kw("PERMANENTLY")
+            self._ddl_tail()
             return ast.DetachAttach("detach", db, tbl, if_exists)
         if t.is_kw("ATTACH"):
             # bare `ATTACH TABLE [db.]name` reloads from the durable store;
@@ -133,7 +137,7 @@ class Parser:
             sync = bool(self.accept_kw("SYNC"))
             self.accept_kw("ASYNC")
             return ast.KillQuery(cond, sync)
-        if t.is_kw("CREATE"):
+        if t.is_kw("CREATE") or t.is_kw("REPLACE"):
             return self.parse_create()
         if t.is_kw("INSERT"):
             return self.parse_insert()
@@ -229,9 +233,52 @@ class Parser:
         if t.is_kw("SYSTEM"):
             words = [self.advance().text]
             while self.tok.kind in ("word", "number", "string") \
-                    or (self.tok.kind == "op" and self.tok.text == "."):
+                    or (self.tok.kind == "op"
+                        and self.tok.text in (".", ",", "=", "'")):
                 words.append(self.advance().text)
             return ast.SystemCommand(" ".join(words[1:]))
+        if t.is_kw("DELETE"):
+            # lightweight DELETE FROM t WHERE p -> the mutation machinery
+            # (ref: src/Interpreters/InterpreterDeleteQuery.cpp)
+            self.advance()
+            self.expect_kw("FROM")
+            db, tbl = self.parse_table_name()
+            self._accept_on_cluster()
+            if self.accept_kw("IN"):
+                self.expect_kw("PARTITION")
+                self._parse_partition_ref()
+            self.expect_kw("WHERE")
+            pred = self.parse_expr()
+            self._ddl_tail()
+            return ast.AlterTable(db, tbl, "delete", predicate=pred)
+        if t.is_kw("CHECK"):
+            self.advance()
+            self.expect_kw("TABLE")
+            db, tbl = self.parse_table_name()
+            self._ddl_tail()
+            # CHECK TABLE result contract: 1 = healthy (parts are
+            # checksummed on write; reads verify — InterpreterCheckQuery)
+            return ast.CheckTable(db, tbl)
+        if t.is_kw("EXISTS"):
+            self.advance()
+            self.accept_kw("TEMPORARY")
+            self.accept_kw("TABLE", "VIEW", "DICTIONARY", "DATABASE")
+            db, tbl = self.parse_table_name()
+            self._ddl_tail()
+            return ast.ExistsTable(db, tbl)
+        if t.is_kw("BEGIN", "COMMIT", "ROLLBACK"):
+            words = []
+            while self.tok.kind == "word":
+                words.append(self.advance().text)
+            return ast.SystemCommand("txn " + " ".join(words))
+        if t.is_kw("UNDROP"):
+            self.advance()
+            self.expect_kw("TABLE")
+            db, tbl = self.parse_table_name()
+            self._ddl_tail()
+            return ast.SystemCommand(f"undrop {tbl}")
+        if t.kind == "op" and t.text == "(":
+            return self.parse_select_union()
         raise ParseError(f"Unknown statement start {t.text!r} at {t.pos}")
 
     def parse_select_union(self):
@@ -370,9 +417,9 @@ class Parser:
                         sel.group_by.append(self.parse_expr())
                     self.expect_op(")")
                 else:
-                    sel.group_by = [self.parse_expr()]
+                    sel.group_by = [self._parse_expr_alias()]
                     while self.accept_op(","):
-                        sel.group_by.append(self.parse_expr())
+                        sel.group_by.append(self._parse_expr_alias())
                 while self.accept_kw("WITH"):
                     kw = self.expect_kw("TOTALS", "ROLLUP", "CUBE")
                     if kw.text.upper() == "TOTALS":
@@ -536,6 +583,8 @@ class Parser:
                     f_to = self.parse_expr()
                 elif self.accept_kw("STEP"):
                     f_step = self.parse_expr()
+                elif self.accept_kw("STALENESS"):
+                    self.parse_expr()
                 else:
                     break
             fill = (f_from, f_to, f_step)
@@ -720,8 +769,8 @@ class Parser:
 
     # -- DDL/DML -------------------------------------------------------------
     def parse_create(self):
-        self.advance()  # CREATE/ATTACH
-        or_replace = False
+        lead = self.advance()  # CREATE/ATTACH/REPLACE
+        or_replace = lead.text.upper() == "REPLACE"
         if self.accept_kw("OR"):        # CREATE OR REPLACE <anything>
             self.expect_kw("REPLACE")
             or_replace = True
@@ -819,12 +868,20 @@ class Parser:
         if self.accept_kw("DICTIONARY"):
             self._if_not_exists()
             db, name = self.parse_table_name()
+            self._accept_on_cluster()
             cols = []
             if self.accept_op("("):
                 while True:
                     cname = self.expect_word()
                     ctype = self.parse_type_name()
-                    self.accept_kw("DEFAULT") and self.parse_expr()
+                    while True:      # attribute tail (DictionaryAttribute)
+                        if self.accept_kw("DEFAULT", "EXPRESSION"):
+                            self.parse_expr()
+                        elif self.accept_kw("HIERARCHICAL", "INJECTIVE",
+                                            "IS_OBJECT_ID"):
+                            pass
+                        else:
+                            break
                     cols.append(ast.ColumnDef(cname, ctype))
                     if not self.accept_op(","):
                         break
@@ -834,12 +891,24 @@ class Parser:
             while self.tok.kind == "word":
                 if self.accept_kw("PRIMARY"):
                     self.expect_kw("KEY")
+                    paren = self.accept_op("(")
                     pk = self.expect_word()
-                elif self.tok.is_kw("SOURCE", "LAYOUT", "LIFETIME"):
+                    while self.accept_op(","):
+                        self.expect_word()   # composite keys: first wins
+                    if paren:
+                        self.expect_op(")")
+                elif self.accept_kw("COMMENT"):
+                    if self.tok.kind == "string":
+                        self.advance()
+                elif self.tok.is_kw("SOURCE", "LAYOUT", "LIFETIME",
+                                    "RANGE", "SETTINGS"):
                     self.advance()
                     # skim the parenthesized block, remembering any string
                     # or TABLE ident (the source table name)
                     depth = 0
+                    prev_word = ""
+                    first_str = None
+                    saw_table_kw = False
                     while True:
                         t = self.advance()
                         if t.kind == "op" and t.text == "(":
@@ -848,8 +917,20 @@ class Parser:
                             depth -= 1
                             if depth == 0:
                                 break
-                        elif t.kind == "string" and src_table is None:
-                            src_table = t.text
+                        elif t.kind == "string":
+                            if first_str is None:
+                                first_str = t.text
+                            if prev_word.upper() == "TABLE":
+                                src_table = t.text
+                        if t.kind == "word":
+                            prev_word = t.text
+                            if t.text.upper() == "TABLE":
+                                saw_table_kw = True
+                    # the source table is the string after TABLE; only a
+                    # TABLE-less source falls back to its first string
+                    if src_table is None and not saw_table_kw \
+                            and first_str is not None:
+                        src_table = first_str
                 else:
                     break
             return ast.CreateDictionary(db, name, cols, pk, src_table)
@@ -900,12 +981,21 @@ class Parser:
         ct_projections: List[tuple] = []
         ct_indexes: List[ast.IndexDef] = []
         ct_constraints: List[tuple] = []
+        ct_primary: Optional[List[ast.Expr]] = None
         if self.accept_op("("):
             while True:
                 if self.accept_kw("CONSTRAINT"):
                     cn = self.expect_word()
                     self.expect_kw("CHECK", "ASSUME")
                     ct_constraints.append((cn, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                    continue
+                if self.tok.is_kw("PRIMARY") \
+                        and self.tokens[self.i + 1].is_kw("KEY"):
+                    self.advance()
+                    self.advance()
+                    ct_primary = self._parse_key_list()
                     if not self.accept_op(","):
                         break
                     continue
@@ -947,7 +1037,7 @@ class Parser:
                     if not self.accept_op(","):
                         break
                     continue
-                cname = self.expect_word()
+                cname = self._column_name()
                 # type is optional when DEFAULT/ALIAS/MATERIALIZED follows
                 # (`c ALIAS a + b` — type inferred from the expression)
                 if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS",
@@ -973,9 +1063,20 @@ class Parser:
                         default = None       # bare EPHEMERAL
                     else:
                         default = self.parse_expr()
+                    # trailing nullability after the default: INT DEFAULT
+                    # 1 NULL / NOT NULL
+                    if self.accept_kw("NOT"):
+                        self.expect_kw("NULL")
+                    elif self.tok.is_kw("NULL"):
+                        self.advance()
+                        if ctype:
+                            ctype = f"Nullable({ctype})"
                 if self.accept_kw("STATISTICS") \
                         and self.tok.kind == "op" and self.tok.text == "(":
                     self._skim_parens()
+                if self.accept_kw("SETTINGS") \
+                        and self.tok.kind == "op" and self.tok.text == "(":
+                    self._skim_parens()   # per-column setting overrides
                 codec = None
                 if self.accept_kw("CODEC") and self.tok.kind == "op" \
                         and self.tok.text == "(":
@@ -1013,6 +1114,10 @@ class Parser:
         ct.projections = ct_projections
         ct.indexes = ct_indexes
         ct.constraints = ct_constraints
+        if ct_primary is not None:
+            ct.primary_key = ct_primary
+            if ct.order_by is None:
+                ct.order_by = list(ct_primary)
         ct.cluster = cluster
         ct.or_replace = or_replace
         # CREATE TABLE x AS other_table / AS table_function(...) — the AS
@@ -1045,6 +1150,36 @@ class Parser:
                 ct.sample_by = self.parse_expr()
             elif self.accept_kw("TTL"):
                 ct.ttl = ast.format_expr(self.parse_expr())
+                # TTL modifiers (DELETE / TO DISK|VOLUME / WHERE / GROUP BY
+                # ... SET / recompression) parse and are retained as text
+                # where the delete machinery can honor them
+                while True:
+                    if self.accept_kw("DELETE"):
+                        continue
+                    if self.accept_kw("TO"):
+                        self.expect_kw("DISK", "VOLUME")
+                        self.advance()
+                        continue
+                    if self.accept_kw("WHERE"):
+                        ct.ttl_where = ast.format_expr(self.parse_expr())
+                        continue
+                    if self.tok.is_kw("GROUP") \
+                            and self.tokens[self.i + 1].is_kw("BY"):
+                        self.advance()
+                        self.advance()
+                        self._parse_key_list()
+                        if self.accept_kw("SET"):
+                            while True:
+                                self.expect_word()
+                                self.expect_op("=")
+                                self.parse_expr()
+                                if not self.accept_op(","):
+                                    break
+                        continue
+                    if self.accept_op(","):
+                        self.parse_expr()     # secondary TTL expression
+                        continue
+                    break
             elif self.accept_kw("COMMENT"):
                 if self.tok.kind == "string":
                     self.advance()
@@ -1105,6 +1240,15 @@ class Parser:
                         sub.append(t.text)
                 self.advance()
 
+    def _column_name(self) -> str:
+        """Column name, possibly dotted (Nested subcolumns: n.ui8)."""
+        nm = self.expect_word()
+        while self.tok.kind == "op" and self.tok.text == "." \
+                and self.tokens[self.i + 1].kind == "word":
+            self.advance()
+            nm += "." + self.advance().text
+        return nm
+
     def _parse_as_source(self, ct) -> None:
         """AS other_table | AS table_function(...) for CREATE TABLE —
         no alias parsing (the next word is a storage clause keyword)."""
@@ -1137,17 +1281,21 @@ class Parser:
                 self.advance()
 
     def _parse_key_list(self) -> List[ast.Expr]:
+        def one():
+            e = self.parse_expr()
+            self.accept_kw("ASC", "DESC", "ASCENDING", "DESCENDING")
+            return e
         if self.accept_op("("):
             if self.accept_op(")"):
                 return []
-            out = [self.parse_expr()]
+            out = [one()]
             while self.accept_op(","):
-                out.append(self.parse_expr())
+                out.append(one())
             self.expect_op(")")
             return out
-        out = [self.parse_expr()]
+        out = [one()]
         while self.accept_op(","):
-            out.append(self.parse_expr())
+            out.append(one())
         return out
 
     def _if_not_exists(self) -> bool:
@@ -1187,8 +1335,26 @@ class Parser:
                 continue
             return
 
+    _TYPE_TAIL = {"PRECISION", "VARYING", "LARGE", "OBJECT", "CHAR",
+                  "CHARACTER"}
+    _TYPE_HEADS = {"DOUBLE", "CHAR", "CHARACTER", "NATIONAL", "NCHAR",
+                   "BINARY", "NVARCHAR", "VARBINARY"}
+
     def parse_type_name(self) -> str:
         name = self.expect_word()
+        if name.upper() in self._TYPE_HEADS:
+            # SQL-standard multiword spellings: DOUBLE PRECISION, CHAR
+            # VARYING, CHARACTER LARGE OBJECT, NATIONAL CHAR ... map onto
+            # the native types (ref: DataTypeFactory case-insensitive
+            # aliases)
+            words = [name.upper()]
+            while self.tok.kind == "word" \
+                    and self.tok.text.upper() in self._TYPE_TAIL:
+                words.append(self.advance().text.upper())
+            mapped = "Float64" if words[0] == "DOUBLE" else "String"
+            if self.tok.kind == "op" and self.tok.text == "(":
+                self._skim_parens()          # CHARACTER VARYING(123)
+            return mapped
         if self.tok.kind == "op" and self.tok.text == "(":
             depth = 0
             parts = [name]
@@ -1291,13 +1457,20 @@ class Parser:
         self.accept_kw("TEMPORARY")
         if self.accept_kw("USER"):
             ie = self._if_exists()
-            names = [self.expect_word()]
-            while True:          # DROP USER a, b@'host', c
+
+            def uname():
+                t2 = self.tok
+                if t2.kind in ("word", "string"):
+                    self.advance()
+                    return t2.text
+                raise ParseError(f"Expected user name at {t2.pos}")
+            names = [uname()]
+            while True:          # DROP USER a, b@'host', 'u@h', c
                 if self.accept_op("@"):
                     self.advance()
                 if not self.accept_op(","):
                     break
-                names.append(self.expect_word())
+                names.append(uname())
             self._accept_on_cluster()
             self._ddl_tail()
             if len(names) == 1:
@@ -1466,7 +1639,7 @@ class Parser:
                 self.expect_kw("NOT")
                 self.expect_kw("EXISTS")
                 ine = True
-            cname = self.expect_word()
+            cname = self._column_name()
             if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS",
                               "EPHEMERAL"):
                 ctype = ""
@@ -1541,7 +1714,7 @@ class Parser:
             self.expect_kw("COLUMN")
             ie = self._if_exists()
             return ast.AlterTable(db, tbl, "drop_column",
-                                  column_name=self.expect_word(),
+                                  column_name=self._column_name(),
                                   if_exists=ie)
         if self.accept_kw("ATTACH"):
             self.expect_kw("PARTITION", "PART")
@@ -1654,7 +1827,7 @@ class Parser:
                 return ast.AlterTable(db, tbl, "comment_column")
             self.expect_kw("COLUMN")
             ie = self._if_exists()
-            cname = self.expect_word()
+            cname = self._column_name()
             if self.accept_kw("REMOVE"):
                 self.expect_word()          # DEFAULT/MATERIALIZED/TTL/...
                 return ast.AlterTable(db, tbl, "modify_column_remove",
@@ -1835,6 +2008,10 @@ class Parser:
         """Expression with an optional `AS alias` — ClickHouse allows an
         alias on any argument/parenthesized expression, visible query-wide
         (ref: ExpressionListParsers ParserWithOptionalAlias)."""
+        if self.tok.is_kw("SELECT", "WITH"):
+            # bare subquery argument: view(SELECT ...), in(x, SELECT ...)
+            q = self.parse_select_union()
+            return ast.Subquery(q)
         e = self.parse_expr()
         if self.accept_kw("AS"):
             return ast.Aliased(e, self.expect_word())
@@ -2008,6 +2185,15 @@ class Parser:
     def parse_postfix(self) -> ast.Expr:
         e = self.parse_primary()
         while True:
+            if isinstance(e, ast.FuncCall) \
+                    and self.tok.is_kw("IGNORE", "RESPECT") \
+                    and self.tokens[self.i + 1].is_kw("NULLS"):
+                kw = self.advance().text.upper()
+                self.advance()
+                if kw == "RESPECT":
+                    e = dataclasses.replace(
+                        e, name=f"{e.name}_respect_nulls")
+                continue
             if isinstance(e, ast.FuncCall) and e.over is None \
                     and self.tok.is_kw("OVER"):
                 self.advance()
@@ -2083,7 +2269,7 @@ class Parser:
             return ast.Literal(t.text)
         if t.kind == "op" and t.text == "*":
             self.advance()
-            return ast.Star()
+            return self._star_transformers(ast.Star())
         if t.kind == "op" and t.text == "[":
             self.advance()
             items: List[ast.Expr] = []
@@ -2139,6 +2325,31 @@ class Parser:
                 tlit = self.parse_expr()
                 self.expect_op(")")
                 return ast.FuncCall("CAST", [e, tlit])
+            if up == "COLUMNS" and self.tokens[self.i + 1].kind == "op" \
+                    and self.tokens[self.i + 1].text == "(" \
+                    and self.tokens[self.i + 2].kind == "string":
+                self.advance()
+                self.expect_op("(")
+                pat = self.advance().text
+                self.expect_op(")")
+                return self._star_transformers(ast.Star(columns_re=pat))
+            if up == "EXTRACT" and self.tokens[self.i + 1].kind == "op" \
+                    and self.tokens[self.i + 1].text == "(" \
+                    and self.tokens[self.i + 3].is_kw("FROM"):
+                self.advance()
+                self.expect_op("(")
+                unit = self.expect_word().upper()
+                self.expect_kw("FROM")
+                arg = self.parse_expr()
+                self.expect_op(")")
+                fn = {"YEAR": "toYear", "MONTH": "toMonth",
+                      "DAY": "toDayOfMonth", "HOUR": "toHour",
+                      "MINUTE": "toMinute", "SECOND": "toSecond",
+                      "QUARTER": "toQuarter", "WEEK": "toISOWeek",
+                      }.get(unit)
+                if fn is None:
+                    raise ParseError(f"EXTRACT: unknown unit {unit}")
+                return ast.FuncCall(fn, [arg])
             if up == "INTERVAL":
                 self.advance()
                 if self.tok.kind == "string":
@@ -2170,7 +2381,7 @@ class Parser:
                 nxt = self.tok
                 if nxt.kind == "op" and nxt.text == "*":
                     self.advance()
-                    return ast.Star(table=name)
+                    return self._star_transformers(ast.Star(table=name))
                 part = self.expect_word()
                 full = f"{name}.{part}"
                 return ast.Identifier(full, (name, part))
@@ -2186,6 +2397,51 @@ class Parser:
                 return ast.FuncCall(name, args, distinct=distinct)
             return ast.Identifier(name)
         raise ParseError(f"Unexpected token {t.text!r} at {t.pos}")
+
+    def _star_transformers(self, star: ast.Star) -> ast.Star:
+        """* EXCEPT (...) / APPLY(fn) / REPLACE(expr AS col) chains
+        (ref: src/Parsers/ParserColumnsTransformers.cpp)."""
+        while True:
+            if self.tok.is_kw("EXCEPT") \
+                    and not self.tokens[self.i + 1].is_kw("SELECT", "ALL",
+                                                          "DISTINCT") \
+                    and not (self.tokens[self.i + 1].text == "("
+                             and self.tokens[self.i + 2].is_kw("SELECT",
+                                                               "WITH")):
+                self.advance()
+                self.accept_kw("STRICT")
+                names = []
+                if self.accept_op("("):
+                    names.append(self.expect_word())
+                    while self.accept_op(","):
+                        names.append(self.expect_word())
+                    self.expect_op(")")
+                else:
+                    names.append(self.expect_word())
+                star.transformers.append(("except", names))
+            elif self.tok.is_kw("APPLY"):
+                self.advance()
+                self.expect_op("(")
+                fn = self.expect_word()
+                self.expect_op(")")
+                star.transformers.append(("apply", fn))
+            elif self.tok.is_kw("REPLACE") \
+                    and self.tokens[self.i + 1].kind == "op" \
+                    and self.tokens[self.i + 1].text == "(":
+                self.advance()
+                self.accept_kw("STRICT")
+                self.expect_op("(")
+                pairs = []
+                while True:
+                    e = self.parse_expr()
+                    self.expect_kw("AS")
+                    pairs.append((e, self.expect_word()))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                star.transformers.append(("replace", pairs))
+            else:
+                return star
 
     def parse_window_spec(self) -> ast.WindowSpec:
         spec = ast.WindowSpec()

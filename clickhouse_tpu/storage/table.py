@@ -1191,7 +1191,14 @@ class Catalog:
                     self.store.load_table(db, name)
 
     def attach_table(self, database: str, name: str) -> None:
-        """ATTACH TABLE: reload a detached table from the durable store."""
+        """ATTACH TABLE: reload from the durable store, or re-attach the
+        in-memory detached object (Memory-engine DETACH keeps data)."""
+        det = getattr(self, "_detached_tables", {}).pop((database, name),
+                                                        None)
+        if det is not None and self.store is None:
+            self.create_database(database, if_not_exists=True)
+            self.databases[database].tables[name] = det
+            return
         if self.store is None:
             raise UnknownTable("No durable store configured")
         self.create_database(database, if_not_exists=True)
@@ -1206,6 +1213,9 @@ class Catalog:
             if if_exists:
                 return
             raise UnknownTable(f"Unknown table '{database}.{name}'")
+        if not hasattr(self, "_detached_tables"):
+            self._detached_tables = {}
+        self._detached_tables[(database, name)] = db.tables[name]
         del db.tables[name]
 
     def file_table(self, path: str, fmt: Optional[str] = None,
