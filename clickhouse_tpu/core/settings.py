@@ -205,7 +205,9 @@ class Settings:
     # grouping() per SQL standard: 1 = bit set when the key is aggregated
     # away (reference default); 0 = legacy inverted bits
     force_grouping_standard_compatibility: int = 1
-    stream_chunk_bytes: int = 1 << 30  # target chunk size when streaming
+    stream_chunk_bytes: int = 512 << 20  # target chunk size when
+    # streaming (device-side bit-unpack of packed transport keeps
+    # ~2.5x the chunk in flight; 1 GiB chunks brushed the HBM limit)
     # expanding joins (cross / inflating inner) emit blocks of at most this
     # many output rows; a block this size over the memory budget fails the
     # query (src/Core/Settings.cpp max_joined_block_size_rows)

@@ -938,18 +938,30 @@ def _chunk_block(chunk_args, src, table) -> Block:
         data = e["data"]
         pk = getattr(src, "packed", {}).get(name)
         if pk is not None:
-            # bit-packed transport: unpack inside the traced program (runs
-            # on device, fused by XLA into the first consumer)
+            # bit-packed transport: unpack inside the traced program.
+            # Strided u32 byte lanes, never a widened (cap, bpp) matrix —
+            # a reshape+astype formulation materialized 8x-the-bytes
+            # intermediates at 100M-row chunks and blew HBM.
             w4, off, bpp = pk
-            by = data.reshape(-1, bpp).astype(jnp.int64)
-            u = by[:, 0]
-            for k in range(1, bpp):
-                u = u | (by[:, k] << (8 * k))
-            mask = (1 << w4) - 1
-            v0 = (u & mask) + off
-            v1 = ((u >> w4) & mask) + off
-            data = jnp.stack([v0, v1], axis=1).reshape(-1).astype(
-                src.storage[name])
+            n8 = data.shape[0]
+            lanes = [jax.lax.slice(data, (k,), (n8,), (bpp,))
+                     .astype(jnp.uint32) for k in range(bpp)]
+            mask = jnp.uint32((1 << w4) - 1)
+            v0 = jnp.zeros_like(lanes[0])
+            v1 = jnp.zeros_like(lanes[0])
+            for k in range(bpp):
+                if 8 * k < w4:
+                    v0 = v0 | (lanes[k] << (8 * k))
+                sh = 8 * k - w4
+                if 8 * (k + 1) > w4:
+                    v1 = v1 | (lanes[k] << sh if sh >= 0
+                               else lanes[k] >> (-sh))
+            st = src.storage[name]
+            offv = jnp.asarray(off, st)
+            v0 = (v0 & mask).astype(st) + offv
+            v1 = (v1 & mask).astype(st) + offv
+            # half packing: v0 is rows [0, cap/2), v1 is [cap/2, cap)
+            data = jnp.concatenate([v0, v1])
         cols[name] = Column(ctype, data, validity,
                             src.dictionaries.get(name))
     return Block(cols, chunk_args["num_rows"])

@@ -967,7 +967,7 @@ class ChunkSource:
                         lo, hi = b
                         w4 = -(-max((hi - lo).bit_length(), 1) // 4) * 4
                         bpp = w4 // 4            # bytes per value PAIR
-                        if w4 <= 56 and bpp < nar.itemsize * 2:
+                        if w4 <= 28 and bpp < nar.itemsize * 2:
                             self.packed[name] = (w4, int(lo), bpp)
                 else:
                     self.storage[name] = base
@@ -1054,15 +1054,18 @@ class ChunkSource:
                         self._sorted_dict_values[name], raw.astype(str)
                     ).astype(np.int32)
         elif name in self.packed:
-            # nibble-aligned pair packing: 2 values -> bytes_per_pair bytes
+            # nibble-aligned HALF packing: value j pairs with value
+            # j + cap/2, so the device unpack is a 1-D concat (an
+            # interleaving (N,2) layout would tile-pad 2 -> 128 lanes on
+            # TPU and blow HBM 64x)
             w4, off, bpp = self.packed[name]
-            data = np.zeros(cap // 2 * bpp, np.uint8)
+            half = cap // 2
+            data = np.zeros(half * bpp, np.uint8)
             if n:
-                v = np.asarray(raw).astype(np.int64) - off
-                if len(v) & 1:
-                    v = np.append(v, 0)
-                pairs = (v[0::2].astype(np.uint64)
-                         | (v[1::2].astype(np.uint64) << np.uint64(w4)))
+                v = np.zeros(cap, np.uint64)
+                v[:n] = (np.asarray(raw).astype(np.int64) - off
+                         ).astype(np.uint64)
+                pairs = v[:half] | (v[half:] << np.uint64(w4))
                 by = pairs.astype("<u8").view(np.uint8).reshape(-1, 8)[:,
                                                                        :bpp]
                 data[:by.size] = by.ravel()
