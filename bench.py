@@ -422,7 +422,8 @@ def main():
         s8.insert_pydict("vecs", {"id": np.arange(NV, dtype=np.int64),
                                   "v": V8})
         q8 = np.random.default_rng(9).normal(size=DV).astype(np.float32)
-        qs8 = "[" + ",".join(f"{x:.5f}" for x in q8) + "]"
+        qs8 = ("CAST([" + ",".join(f"{x:.5f}" for x in q8)
+               + "] AS Array(Float32))")
         t_vec = bench_query(
             s8, f"SELECT id FROM vecs ORDER BY cosineDistance(v, {qs8}) "
                 f"LIMIT 10", reps=5)

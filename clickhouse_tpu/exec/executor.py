@@ -968,7 +968,13 @@ def _sort_block(node: L.SortNode, child: ExecBlock, ctx: ExecContext
             and node.limit_hint <= s.limit_pushdown_threshold
             and node.limit_hint < cap):
         k = int(node.limit_hint)
-        idx = sort_ops.topk_permutation(tokens[0], child.valid, k)
+        it0 = node.items[0]
+        cv0 = evaluate(it0.expr, child.env()).broadcast(cap)
+        key32 = sort_ops.topk_key32(cv0, it0.descending)
+        if key32 is not None and cap >= (1 << 16) and k <= 4096:
+            idx = sort_ops.topk_permutation32(key32, child.valid, k)
+        else:
+            idx = sort_ops.topk_permutation(tokens[0], child.valid, k)
         out_cap = pad_to(k)
         pad_idx = jnp.zeros((out_cap,), jnp.int32)
         idx_full = pad_idx.at[:k].set(idx)

@@ -235,6 +235,14 @@ def cast_exec(args, out_dtype: dt.DType) -> ColVal:
             "toString of non-constant numeric columns requires "
             "materialization; use it at the top level of SELECT")
 
+    # ---- array -> array (element cast) -------------------------------------
+    if dst.is_array and src.is_array:
+        inner_d = dt.array_inner(dst)
+        if not inner_d.is_dictionary and a.data is not None \
+                and getattr(a.data, "ndim", 0) in (1, 2):
+            return ColVal(out_dtype, a.data.astype(inner_d.jnp_dtype), v,
+                          lengths=a.lengths)
+
     # ---- to numeric / bool -------------------------------------------------
     if dst.name == "Bool":
         data = (_cast_to_numeric(a, src, dt.Float64) != 0)

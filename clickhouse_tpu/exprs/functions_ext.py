@@ -2210,14 +2210,24 @@ def _mxu_dist_parts(args):
 
 def _register_distance(name, fn, mxu=None):
     def exec_(args, out):
+        st = dt.remove_nullable(out).jnp_dtype
         if mxu is not None:
             parts = _mxu_dist_parts(args)
             if parts is not None:
-                return ColVal(out, mxu(*parts), _andv(args))
+                return ColVal(out, mxu(*parts).astype(st), _andv(args))
         a, b, m, _braw = _vec_pair(args)
-        return ColVal(out, fn(a, b, m), _andv(args))
-    register(name, lambda ts: dt.Float64.with_nullable(
-        any(t.nullable for t in ts)), _arrfn(exec_))
+        return ColVal(out, fn(a, b, m).astype(st), _andv(args))
+
+    def resolve(ts):
+        # all-Float32 vectors keep a Float32 result (reference type rule:
+        # arrayDistance result widens from the inputs) — this also keeps
+        # ORDER BY dist LIMIT k on the 32-bit top_k fast path
+        def inner_f32(t):
+            t = dt.remove_nullable(t)
+            return t.is_array and dt.array_inner(t).name == "Float32"
+        base = dt.Float32 if all(inner_f32(t) for t in ts) else dt.Float64
+        return base.with_nullable(any(t.nullable for t in ts))
+    register(name, resolve, _arrfn(exec_))
 
 
 _register_distance("L2Distance",

@@ -20,7 +20,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["order_token", "sort_permutation", "topk_permutation"]
+__all__ = ["order_token", "sort_permutation", "topk_permutation",
+           "topk_key32", "topk_permutation32"]
 
 
 def order_token(x: jax.Array, *, descending: bool = False,
@@ -70,6 +71,63 @@ def sort_permutation(tokens: Sequence[jax.Array], row_valid: jax.Array
     sorted_ops = jax.lax.sort([invalid] + list(tokens) + [rowid],
                               num_keys=1 + len(tokens), is_stable=True)
     return sorted_ops[-1]
+
+
+def topk_key32(cv, descending: bool) -> Optional[jax.Array]:
+    """u32 order key (unsigned-ascending == desired order) when the sort
+    value provably fits 32 bits: f32 expressions and <=32-bit integer
+    storage.  None otherwise (and for nullable columns — NULL ordering
+    needs the u64 sentinel).  Feeds the lax.top_k fast path."""
+    if cv.validity is not None or cv.dictionary is not None:
+        return None
+    x = cv.data
+    dt_ = x.dtype
+    if dt_ == jnp.float32:
+        from .hash_ops import _order_map32
+        key = _order_map32(jax.lax.bitcast_convert_type(
+            x, jnp.uint32)).astype(jnp.uint32)
+    elif dt_ == jnp.bool_:
+        key = x.astype(jnp.uint32)
+    elif jnp.issubdtype(dt_, jnp.unsignedinteger) and x.dtype.itemsize <= 4:
+        key = x.astype(jnp.uint32)
+    elif jnp.issubdtype(dt_, jnp.signedinteger) and x.dtype.itemsize <= 4:
+        key = jax.lax.bitcast_convert_type(
+            x.astype(jnp.int32), jnp.uint32) ^ jnp.uint32(1 << 31)
+    else:
+        return None
+    if descending:
+        key = ~key
+    return key
+
+
+def topk_permutation32(key32: jax.Array, row_valid: jax.Array, k: int
+                       ) -> jax.Array:
+    """Indices of the k smallest u32 keys among valid rows via tiled
+    lax.top_k — one specialized selection pass instead of full tile
+    sorts (the Q8/Q3 lever; same clamp-the-extreme discipline as
+    order_token's NULL sentinel)."""
+    n = key32.shape[0]
+    k32 = jnp.minimum(key32, jnp.uint32(2**32 - 2))
+    k32 = jnp.where(row_valid.astype(jnp.bool_), k32,
+                    jnp.uint32(2**32 - 1))
+    # top_k takes LARGEST: complement, then map u32 order onto i32 order
+    ikey = jax.lax.bitcast_convert_type(
+        (~k32) ^ jnp.uint32(1 << 31), jnp.int32)
+    CH = 16384
+    pad = (-n) % CH
+    if pad:
+        ikey = jnp.concatenate(
+            [ikey, jnp.full((pad,), -(2**31), jnp.int32)])
+    rows = ikey.shape[0] // CH
+    kk = min(k, CH)
+    v2, i2 = jax.lax.top_k(ikey.reshape(rows, CH), kk)
+    flat_v = v2.reshape(-1)
+    flat_i = (i2.astype(jnp.int32)
+              + (jnp.arange(rows, dtype=jnp.int32) * CH)[:, None]
+              ).reshape(-1)
+    _, i3 = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
+    out = flat_i[i3]
+    return jnp.minimum(out, n - 1)
 
 
 def topk_permutation(token: jax.Array, row_valid: jax.Array, k: int
