@@ -31,13 +31,13 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 # TPU v5e (lite): ~819 GB/s HBM per chip.  Overridable for other parts.
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
 N_ROWS = int(os.environ.get("BENCH_ROWS", str(100_000_000)))
-REPS = int(os.environ.get("BENCH_REPS", "15"))
+REPS = int(os.environ.get("BENCH_REPS", "11"))
 # BASELINE-scale configs (BASELINE.md rows 1/2/4): >HBM streamed scan,
 # skewed-key GROUP BY, 1B x 10M join
 STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", str(1_000_000_000)))
 JOIN_ROWS = int(os.environ.get("BENCH_JOIN_ROWS", str(1_000_000_000)))
 JOIN_DIM = int(os.environ.get("BENCH_JOIN_DIM", str(10_000_000)))
-TOTAL_S = float(os.environ.get("BENCH_TOTAL_S", "1150"))
+TOTAL_S = float(os.environ.get("BENCH_TOTAL_S", "1350"))
 
 _T0 = time.time()
 _DATA = os.path.join(_REPO, "scratch", "bench_data")
@@ -109,7 +109,7 @@ def jax_sort_chk(a):
     return (o.astype(jnp.int64) * (jnp.arange(o.shape[0]) % 127)).sum()
 
 
-def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=5):
+def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=3):
     """Isolate DEVICE time of a compiled query from the ~50 ms per-call
     dispatch overhead of the dev tunnel: run the query body k times inside
     ONE dispatch (optimization_barrier threads each iteration's input
@@ -326,6 +326,108 @@ def main():
     except Exception as e:
         log(f"Q2s skewed group-by failed: {e}")
 
+    # -- BASELINE-scale streamed configs (out-of-core engine on data
+    #    larger than a comfortable device block).  These run BEFORE the
+    #    heavier small-device extras: Q5b/Q6 have never made a driver
+    #    capture (VERDICT r02-r04) while Q7/Q4/Q8 have stable recorded
+    #    histories — truncation must cost the replaceable metrics. --
+    xfer_bps = None
+    try:
+        if remaining() < 180:
+            raise TimeoutError("budget")
+        import gc
+        # raw host->device transfer roofline at this chunk size: a streamed
+        # scan cannot beat moving the bytes onto the chip.  DISTINCT buffers
+        # per rep — repeated puts of one buffer can be deduplicated by the
+        # transport and would overstate the roofline.
+        probes = [np.full(1 << 28, i, np.int32) for i in range(3)]  # 1 GiB
+        jax.block_until_ready(jax.device_put(np.zeros(1 << 28, np.int32)))
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(p))
+            ts.append(time.perf_counter() - t0)
+        xfer_bps = probes[0].nbytes / min(ts)
+        del probes
+        log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
+
+        s5 = ch.connect()
+        s5.execute("CREATE TABLE big (x Int64)")
+        CH = 250_000_000
+        for ci, lo in enumerate(range(0, STREAM_ROWS, CH)):
+            hi = min(lo + CH, STREAM_ROWS)
+            s5.insert_pydict("big", {"x": got(
+                f"big_x_{ci}",
+                lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
+                                      * 2654435761) % 1_000_003)})
+        log(f"streamed table ready ({STREAM_ROWS/1e9:.1f}B rows)")
+        # stream_readers=2: overlap host chunk prep + transfer with device
+        # compute
+        sql5 = ("SELECT count() FROM big WHERE x > 500000 "
+                "SETTINGS stream_readers = 2")
+        before_stream = s5.profile_events.get("StreamedQueries", 0)
+        t5 = bench_query(s5, sql5, reps=1)
+        streamed5 = s5.profile_events.get("StreamedQueries",
+                                          0) > before_stream
+        sr = STREAM_ROWS / t5
+        # bit-packed transport: x < 2^20 rides at 2.5 B/row (20-bit
+        # nibble-aligned pairs, storage/table.py ChunkSource.packed)
+        xfer_roof = xfer_bps / 2.5
+        tag = "STREAMED" if streamed5 else "whole-block (fits HBM)"
+        roof = xfer_roof if streamed5 else HBM_GBPS * 1e9 / 4
+        log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
+            f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
+        if remaining() < 60 + 2 * t5:
+            raise TimeoutError("budget after Q5")
+        t5b = bench_query(
+            s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
+                "GROUP BY k ORDER BY c DESC LIMIT 10 "
+                "SETTINGS stream_readers = 2", reps=1)
+        log(f"Q5b {tag} group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
+            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
+            f"roofline fraction {(STREAM_ROWS/t5b)/roof:.3f}")
+        del s5
+        gc.collect()
+    except Exception as e:
+        log(f"Q5 streamed-1B failed: {e}")
+
+    try:
+        if remaining() < 180:
+            raise TimeoutError("budget before Q6")
+        import gc
+        s6 = ch.connect()
+        s6.execute("CREATE TABLE dim (k Int64, label Int64)")
+        s6.insert_pydict("dim", {
+            "k": np.arange(JOIN_DIM, dtype=np.int64),
+            "label": (np.arange(JOIN_DIM, dtype=np.int64) * 7) % 97})
+        s6.execute("CREATE TABLE fact (fk Int64)")
+        CH = 250_000_000
+        for ci, lo in enumerate(range(0, JOIN_ROWS, CH)):
+            hi = min(lo + CH, JOIN_ROWS)
+            s6.insert_pydict("fact", {"fk": got(
+                f"fact6_fk_{ci}",
+                lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
+                                      * 40503) % JOIN_DIM)})
+        log(f"join tables ready ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M)")
+        before_stream = s6.profile_events.get("StreamedQueries", 0)
+        t6 = bench_query(
+            s6, "SELECT count(), sum(label) FROM fact "
+                "INNER JOIN dim ON fact.fk = dim.k "
+                "SETTINGS stream_readers = 2", reps=1)
+        streamed6 = s6.profile_events.get("StreamedQueries",
+                                          0) > before_stream
+        jr = JOIN_ROWS / t6
+        tag = "STREAMED" if streamed6 else "whole-block (fits HBM)"
+        xtra = (f"; transfer-roofline fraction {jr/(xfer_bps/4):.3f}"
+                if (streamed6 and xfer_bps) else "")
+        log(f"Q6 {tag} join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
+            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s{xtra}")
+        del s6
+        gc.collect()
+    except Exception as e:
+        log(f"Q6 streamed join failed: {e}")
+
     try:
         if remaining() < 150:
             raise TimeoutError("budget")
@@ -435,103 +537,6 @@ def main():
         gc.collect()
     except Exception as e:
         log(f"Q8 vector bench failed: {e}")
-
-    # -- BASELINE-scale streamed configs (out-of-core engine on data larger
-    #    than a comfortable device block), LAST, inside the total budget. --
-    xfer_bps = None
-    try:
-        if remaining() < 180:
-            raise TimeoutError("budget")
-        import gc
-        # raw host->device transfer roofline at this chunk size: a streamed
-        # scan cannot beat moving the bytes onto the chip.  DISTINCT buffers
-        # per rep — repeated puts of one buffer can be deduplicated by the
-        # transport and would overstate the roofline.
-        probes = [np.full(1 << 28, i, np.int32) for i in range(3)]  # 1 GiB
-        jax.block_until_ready(jax.device_put(np.zeros(1 << 28, np.int32)))
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            jax.block_until_ready(jax.device_put(p))
-            ts.append(time.perf_counter() - t0)
-        xfer_bps = probes[0].nbytes / min(ts)
-        del probes
-        log(f"host->device transfer roofline: {xfer_bps/1e9:.2f} GB/s")
-
-        s5 = ch.connect()
-        s5.execute("CREATE TABLE big (x Int64)")
-        CH = 250_000_000
-        for ci, lo in enumerate(range(0, STREAM_ROWS, CH)):
-            hi = min(lo + CH, STREAM_ROWS)
-            s5.insert_pydict("big", {"x": got(
-                f"big_x_{ci}",
-                lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
-                                      * 2654435761) % 1_000_003)})
-        log(f"streamed table ready ({STREAM_ROWS/1e9:.1f}B rows)")
-        # stream_readers=2: overlap host chunk prep + transfer with device
-        # compute
-        sql5 = ("SELECT count() FROM big WHERE x > 500000 "
-                "SETTINGS stream_readers = 2")
-        before_stream = s5.profile_events.get("StreamedQueries", 0)
-        t5 = bench_query(s5, sql5, reps=1)
-        streamed5 = s5.profile_events.get("StreamedQueries",
-                                          0) > before_stream
-        sr = STREAM_ROWS / t5
-        xfer_roof = xfer_bps / 4          # 4 B/row on the wire (i32 narrow)
-        tag = "STREAMED" if streamed5 else "whole-block (fits HBM)"
-        roof = xfer_roof if streamed5 else HBM_GBPS * 1e9 / 4
-        log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
-            f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
-        if remaining() < 60 + 2 * t5:
-            raise TimeoutError("budget after Q5")
-        t5b = bench_query(
-            s5, "SELECT x % 1024 AS k, count() AS c, sum(x) FROM big "
-                "GROUP BY k ORDER BY c DESC LIMIT 10 "
-                "SETTINGS stream_readers = 2", reps=1)
-        log(f"Q5b {tag} group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
-            f"roofline fraction {(STREAM_ROWS/t5b)/roof:.3f}")
-        del s5
-        gc.collect()
-    except Exception as e:
-        log(f"Q5 streamed-1B failed: {e}")
-
-    try:
-        if remaining() < 180:
-            raise TimeoutError("budget before Q6")
-        import gc
-        s6 = ch.connect()
-        s6.execute("CREATE TABLE dim (k Int64, label Int64)")
-        s6.insert_pydict("dim", {
-            "k": np.arange(JOIN_DIM, dtype=np.int64),
-            "label": (np.arange(JOIN_DIM, dtype=np.int64) * 7) % 97})
-        s6.execute("CREATE TABLE fact (fk Int64)")
-        CH = 250_000_000
-        for ci, lo in enumerate(range(0, JOIN_ROWS, CH)):
-            hi = min(lo + CH, JOIN_ROWS)
-            s6.insert_pydict("fact", {"fk": got(
-                f"fact6_fk_{ci}",
-                lambda lo=lo, hi=hi: (np.arange(lo, hi, dtype=np.int64)
-                                      * 40503) % JOIN_DIM)})
-        log(f"join tables ready ({JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M)")
-        before_stream = s6.profile_events.get("StreamedQueries", 0)
-        t6 = bench_query(
-            s6, "SELECT count(), sum(label) FROM fact "
-                "INNER JOIN dim ON fact.fk = dim.k "
-                "SETTINGS stream_readers = 2", reps=1)
-        streamed6 = s6.profile_events.get("StreamedQueries",
-                                          0) > before_stream
-        jr = JOIN_ROWS / t6
-        tag = "STREAMED" if streamed6 else "whole-block (fits HBM)"
-        xtra = (f"; transfer-roofline fraction {jr/(xfer_bps/4):.3f}"
-                if (streamed6 and xfer_bps) else "")
-        log(f"Q6 {tag} join {JOIN_ROWS/1e9:.1f}B x {JOIN_DIM/1e6:.0f}M: "
-            f"{t6:.2f} s = {jr/1e9:.2f} G rows/s{xtra}")
-        del s6
-        gc.collect()
-    except Exception as e:
-        log(f"Q6 streamed join failed: {e}")
 
     log(f"bench complete in {time.time()-_T0:.0f}s")
 

@@ -93,6 +93,13 @@ def topk_key32(cv, descending: bool) -> Optional[jax.Array]:
     elif jnp.issubdtype(dt_, jnp.signedinteger) and x.dtype.itemsize <= 4:
         key = jax.lax.bitcast_convert_type(
             x.astype(jnp.int32), jnp.uint32) ^ jnp.uint32(1 << 31)
+    elif jnp.issubdtype(dt_, jnp.integer) \
+            and getattr(cv, "bounds", None) is not None \
+            and int(cv.bounds[1]) - int(cv.bounds[0]) < 2**32 - 1:
+        # wide storage but interval analysis proves a 32-bit span: shift
+        # into u32 (the scan carries part-minmax bounds)
+        key = (x.astype(jnp.int64)
+               - jnp.int64(int(cv.bounds[0]))).astype(jnp.uint32)
     else:
         return None
     if descending:

@@ -17,11 +17,17 @@ remote()/cluster() table function is rewritten BEFORE analysis:
   carries the pruned column list and the WHERE clause, so only surviving
   columns/rows cross the wire.
 
+* **Broadcast joins** (GLOBAL JOIN analog,
+  src/Interpreters/GlobalSubqueriesVisitor.h:72): a remote() JOIN against
+  a small LOCAL table inlines the build side into the shard query as a
+  ``format('TSV', structure, data)`` literal, so the join executes on the
+  shard and only its (pruned/aggregated) output crosses the wire.
+
 The rewrite is text-roundtrip-guarded: every shipped expression is
 rendered with ast.format_expr and must re-parse locally — anything the
 renderer cannot express (subqueries, exotic nodes) falls back one tier,
-ultimately to the legacy whole-table pull.  remote() inside joins or
-subqueries keeps the legacy path.
+ultimately to the legacy whole-table pull.  remote() inside subqueries,
+or joined against large/non-plain tables, keeps the legacy path.
 
 In-mesh (single process, many chips) distribution is the shard_map tier in
 parallel/distributed.py; this module is the DCN/host tier above it.
