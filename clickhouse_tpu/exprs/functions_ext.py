@@ -2203,9 +2203,18 @@ def _mxu_dist_parts(args):
     if lens is None or getattr(lens, "ndim", 0) == 0:
         bnorm2 = jnp.broadcast_to(qq_cum[-1], dot.shape)
     else:
-        bnorm2 = qq_cum[jnp.clip(lens - 1, 0, W - 1)]
-    return dot.astype(jnp.float64), anorm2.astype(jnp.float64), \
-        bnorm2.astype(jnp.float64)
+        # per-row masked query norm WITHOUT a row-count gather (a 10M-row
+        # gather into the 128-entry cumsum ran at probe speed, ~100 ms —
+        # the real r04 Q8 gap); the one-hot compare fuses into one
+        # read-lens pass
+        sel = (lens[:, None].astype(jnp.int32)
+               == (jnp.arange(W, dtype=jnp.int32) + 1)[None, :])
+        bnorm2 = jnp.sum(qq_cum[None, :].astype(jnp.float32)
+                         * sel.astype(jnp.float32), axis=1)
+    # stay in f32: an f64 upcast here runs the sqrt/divide tail in
+    # emulated double-float on the VPU — ~10x the whole pipeline's cost
+    # at 10M rows (the r04 Q8 gap).  The matmuls are f32 regardless.
+    return dot, anorm2, bnorm2
 
 
 def _register_distance(name, fn, mxu=None):
@@ -2248,7 +2257,7 @@ _register_distance("cosineDistance", lambda a, b, m: 1.0 - jnp.sum(
     a * b, -1) / jnp.maximum(jnp.sqrt(jnp.sum(a * a, -1))
                              * jnp.sqrt(jnp.sum(b * b, -1)), 1e-300),
     mxu=lambda dot, a2, b2: 1.0 - dot / jnp.maximum(
-        jnp.sqrt(a2) * jnp.sqrt(b2), 1e-300))
+        jnp.sqrt(a2) * jnp.sqrt(b2), jnp.finfo(dot.dtype).tiny))
 
 
 def _exec_l2norm(args, out_dtype):
