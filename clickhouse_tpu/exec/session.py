@@ -1918,6 +1918,12 @@ class Session:
             return _status_result()
         if stmt.action == "clear_column":
             name = stmt.column_name
+            keyish = set(table.order_by or [])
+            pb = getattr(table, "partition_by", None)
+            if name in keyish or (pb and name in str(pb)):
+                raise AnalysisError(
+                    f"Cannot clear column '{name}': it is part of the "
+                    f"table's key (ALTER_OF_COLUMN_IS_FORBIDDEN)")
             if name in table.schema:
                 t = table.schema[name]
                 for p in table.parts:

@@ -1680,18 +1680,37 @@ def _resolve_array_element(ts):
 register("arrayElement", _resolve_array_element, _array_element_exec)
 
 
-def _has_exec(args, out_dtype):
-    a, v = args
-    _array_arg(a)
-    m = _elem_mask(a)
-    if a.dtype.is_dictionary:
+def _member_eq(a: ColVal, v: ColVal):
+    """Element-vs-needle equality matrix for one has() member pair."""
+    if a.dtype.is_dictionary or (a.dictionary is not None):
         ca, cb, merged = _string_codes_common(
             ColVal(dt.String, a.data, None, a.dictionary),
             ColVal(dt.String, v.data, None, v.dictionary))
-        eq = ca == cb[..., None] if getattr(cb, "ndim", 0) else ca == cb
-    else:
-        eq = a.data == v.data[..., None] if getattr(v.data, "ndim", 0) \
-            else a.data == v.data
+        return ca == cb[..., None] if getattr(cb, "ndim", 0) else ca == cb
+    return a.data == v.data[..., None] if getattr(v.data, "ndim", 0) \
+        else a.data == v.data
+
+
+def _has_exec(args, out_dtype):
+    a, v = args
+    _array_arg(a)
+    if a.sub is not None:
+        # array-of-tuples composite (struct-of-arrays): the needle tuple
+        # matches where EVERY member matches in the same slot
+        vsubs = v.sub if v.sub is not None else None
+        if vsubs is None or len(vsubs) != len(a.sub):
+            raise TypeError_("has(): needle arity does not match the "
+                             "array's tuple elements")
+        eq = None
+        for sa, sv in zip(a.sub, vsubs):
+            e = _member_eq(sa, sv)
+            eq = e if eq is None else (eq & e)
+        m = _elem_mask(a.sub[0])
+        hit = jnp.any(eq & m, axis=-1)
+        return ColVal(out_dtype, hit.astype(jnp.uint8),
+                      _and_validity(args))
+    m = _elem_mask(a)
+    eq = _member_eq(a, v)
     hit = jnp.any(eq & m, axis=-1)
     return ColVal(out_dtype, hit.astype(jnp.uint8), _and_validity(args))
 

@@ -1040,6 +1040,33 @@ def _exec_has_all_any(all_: bool):
     def ex(args, out_dtype):
         a = _array_arg(args[0])
         b = _array_arg(args[1])
+        if a.sub is not None and b.sub is not None \
+                and len(a.sub) == len(b.sub) \
+                and all(s.dictionary is None for s in a.sub) \
+                and all(s.dictionary is None for s in b.sub):
+            # arrays of tuples (struct-of-arrays): a slot matches where
+            # EVERY member matches (numeric members; string members keep
+            # the generic error below)
+            def _2d(d):
+                return d if getattr(d, "ndim", 0) == 2 else d[None, :]
+            ma = _2d(_elem_mask(a.sub[0]))
+            mb = _2d(_elem_mask(b.sub[0]))
+            eq = None
+            for sa, sb in zip(a.sub, b.sub):
+                da2 = _2d(sa.data)
+                db2 = _2d(sb.data).astype(da2.dtype)
+                e = da2[:, :, None] == db2[:, None, :]
+                eq = e if eq is None else (eq & e)
+            found = jnp.any(eq & ma[:, :, None] & mb[:, None, :], axis=1)
+            if all_:
+                data = jnp.all(found | jnp.logical_not(mb), axis=1)
+            else:
+                data = jnp.any(found, axis=1)
+            if getattr(a.sub[0].data, "ndim", 0) == 1 \
+                    and getattr(b.sub[0].data, "ndim", 0) == 1:
+                data = data[0]           # const-vs-const: scalar broadcasts
+            return ColVal(out_dtype, data.astype(jnp.uint8),
+                          _and_validity(args))
         if (a.dictionary is None) != (b.dictionary is None):
             raise TypeError_("hasAll/hasAny: element type mismatch")
         ma = _elem_mask(a)

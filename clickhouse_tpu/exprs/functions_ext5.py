@@ -650,7 +650,12 @@ def _exec_has_column_in_table(args, out_dtype):
             t = s.catalog.get_table(db, tbl)
         except Exception:            # noqa: BLE001
             return 0
-        return 1 if col in t.schema else 0
+        if col in t.schema:
+            return 1
+        # ALIAS/EPHEMERAL columns live in column_defaults, not the
+        # physical schema
+        return 1 if col in (getattr(t, "column_defaults", None) or {}) \
+            else 0
     return _eager_rowfn(host, result="num")(args, out_dtype)
 
 

@@ -258,6 +258,8 @@ class Analyzer:
                         tobj, "column_defaults", None) or {}).items():
                     if kind == "alias" and cexpr is not None:
                         aliases.setdefault(cn, cexpr)
+                        qual = tref.alias or tref.table
+                        aliases.setdefault(f"{qual}.{cn}", cexpr)
         for item in sel.items:
             if item.alias and not isinstance(item.expr, ast.Star):
                 aliases[item.alias] = item.expr
@@ -2058,8 +2060,9 @@ def _expand_aliases(e: ast.Expr, aliases: Dict[str, ast.Expr], scope: Scope,
     to the source column (`x*2 AS x` is not cyclic)."""
     if depth > 16:
         raise AnalysisError("Alias expansion too deep (cyclic aliases?)")
-    if isinstance(e, ast.Identifier) and len(e.parts) == 1:
-        name = e.parts[0]
+    if isinstance(e, ast.Identifier) \
+            and (len(e.parts) == 1 or e.name in aliases):
+        name = e.parts[0] if len(e.parts) == 1 else e.name
         if name in aliases and name not in exclude:
             sub = aliases[name]
             if ast.format_expr(sub) != name:     # x AS x is a no-op

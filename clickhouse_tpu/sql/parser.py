@@ -1228,7 +1228,8 @@ class Parser:
                 depth -= 1
                 self.advance()
                 if depth == 1 and sub is not None:
-                    args.append(sub)
+                    if sub:          # fn() call parens yield no group
+                        args.append(sub)
                     sub = None
                 if depth == 0:
                     return args
