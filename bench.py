@@ -375,9 +375,14 @@ def main():
         xfer_roof = xfer_bps / 2.5
         tag = "STREAMED" if streamed5 else "whole-block (fits HBM)"
         roof = xfer_roof if streamed5 else HBM_GBPS * 1e9 / 4
+        # fraction vs the BURST probe is load-dependent (the tunnel is
+        # host-CPU-bound; pipelined streaming can beat a contended burst
+        # probe, fraction > 1) — the achieved wire rate is the honest
+        # absolute number
         log(f"Q5 {tag} filter+count over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; roofline "
-            f"{roof/1e9:.2f} G rows/s, fraction {sr/roof:.3f}")
+            f"{t5:.2f} s = {sr/1e9:.2f} G rows/s; wire "
+            f"{sr*2.5/1e9:.3f} GB/s vs probe {xfer_bps/1e9:.3f} GB/s, "
+            f"fraction {sr/roof:.3f}")
         if remaining() < 60 + 2 * t5:
             raise TimeoutError("budget after Q5")
         t5b = bench_query(
@@ -385,8 +390,9 @@ def main():
                 "GROUP BY k ORDER BY c DESC LIMIT 10 "
                 "SETTINGS stream_readers = 2", reps=1)
         log(f"Q5b {tag} group-by(1k) over {STREAM_ROWS/1e9:.1f}B rows: "
-            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, "
-            f"roofline fraction {(STREAM_ROWS/t5b)/roof:.3f}")
+            f"{t5b:.2f} s = {STREAM_ROWS/t5b/1e9:.2f} G rows/s, wire "
+            f"{STREAM_ROWS/t5b*2.5/1e9:.3f} GB/s, "
+            f"fraction {(STREAM_ROWS/t5b)/roof:.3f}")
         del s5
         gc.collect()
     except Exception as e:
