@@ -136,6 +136,11 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=3):
                 a, acc = jax.lax.optimization_barrier((a, acc))
                 leaves = fn(a)
                 acc = acc + leaves["valid"].astype(jnp.int64).sum()
+                # consume DATA leaves too: a query whose validity is
+                # row-count-derived (top-k emits k valid rows) would
+                # otherwise let XLA dead-code the whole body
+                for v in leaves.get("data", {}).values():
+                    acc = acc + v.astype(jnp.int64).sum()
             return acc
         return jax.jit(rep)
 
@@ -539,6 +544,10 @@ def main():
         # estimator as Q1)
         t_vec_dev = device_time_repeat(s8, sql8, k_lo=2, k_hi=8, reps=5,
                                        trials=3)
+        if t_vec_dev < 2e-3:
+            # degenerate slope: fall back to end-to-end minus the fixed
+            # dispatch overhead measured at Q1
+            t_vec_dev = max(t_vec - t_null, 1e-3)
         roof_vec = NV * DV * 4 / (HBM_GBPS * 1e9)
         log(f"Q8 vector top-10 of {NV/1e6:.0f}M x {DV}: {t_vec*1e3:.1f} ms "
             f"end-to-end, device {t_vec_dev*1e3:.1f} ms "
