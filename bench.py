@@ -129,37 +129,46 @@ def device_time_repeat(s, sql, k_lo=4, k_hi=36, reps=7, trials=3):
     blocks = s._collect_table_blocks(plan_c)
     args = s._block_args(blocks)
 
-    def make(k):
+    def make(k, with_data):
         def rep(a):
             acc = jnp.int64(0)
             for _ in range(k):
                 a, acc = jax.lax.optimization_barrier((a, acc))
                 leaves = fn(a)
                 acc = acc + leaves["valid"].astype(jnp.int64).sum()
-                # consume DATA leaves too: a query whose validity is
-                # row-count-derived (top-k emits k valid rows) would
-                # otherwise let XLA dead-code the whole body
-                for v in leaves.get("data", {}).values():
-                    acc = acc + v.astype(jnp.int64).sum()
+                if with_data:
+                    # consume DATA leaves too: a query whose validity is
+                    # row-count-derived (top-k emits k valid rows) would
+                    # otherwise let XLA dead-code the whole body
+                    for v in leaves.get("data", {}).values():
+                        acc = acc + v.astype(jnp.int64).sum()
             return acc
         return jax.jit(rep)
 
-    fns = {}
-    for k in (k_lo, k_hi):
-        fns[k] = make(k)
-        int(fns[k](args))            # warm; VALUE fetch forces completion
-    slopes = []                      # (block_until_ready returns early for
-    for _ in range(trials):          # x64 scalars on the axon platform)
-        out = []
+    def measure(with_data):
+        fns = {}
         for k in (k_lo, k_hi):
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                int(fns[k](args))
-                ts.append(time.perf_counter() - t0)
-            out.append(min(ts))
-        slopes.append((out[1] - out[0]) / (k_hi - k_lo))
-    return max(float(np.median(slopes)), 1e-6)
+            fns[k] = make(k, with_data)
+            int(fns[k](args))        # warm; VALUE fetch forces completion
+        slopes = []                  # (block_until_ready returns early for
+        for _ in range(trials):      # x64 scalars on the axon platform)
+            out = []
+            for k in (k_lo, k_hi):
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    int(fns[k](args))
+                    ts.append(time.perf_counter() - t0)
+                out.append(min(ts))
+            slopes.append((out[1] - out[0]) / (k_hi - k_lo))
+        return float(np.median(slopes))
+
+    s_plain = measure(False)
+    if s_plain > 5e-5:           # a real per-iteration device cost
+        return s_plain
+    # degenerate slope (validity was row-count-derived and XLA removed
+    # the body): re-measure with data leaves consumed
+    return max(measure(True), 1e-6)
 
 
 def main():
