@@ -135,7 +135,8 @@ DateTime = DType("DateTime", "int64")
 Nothing = DType("Nothing", "int8")
 
 # Interval types (reference: DataTypeInterval) — int64 counts of their unit.
-INTERVAL_UNITS = ["Second", "Minute", "Hour", "Day", "Week", "Month",
+INTERVAL_UNITS = ["Nanosecond", "Microsecond", "Millisecond",
+                  "Second", "Minute", "Hour", "Day", "Week", "Month",
                   "Quarter", "Year"]
 INTERVALS = {u: DType(f"Interval{u}", "int64") for u in INTERVAL_UNITS}
 

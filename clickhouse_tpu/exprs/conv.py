@@ -336,6 +336,12 @@ def literal_typed_target(name: str, arg_types, literals):
     binds the call as `_cast` with extra args dropped.
     """
     lname = name.lower()
+    for suf in ("orzero", "ornull"):
+        if lname.endswith(suf) and lname[:-len(suf)] in (
+                "todecimal32", "todecimal64", "todecimal128",
+                "todecimal256", "todatetime64"):
+            lname = lname[:-len(suf)]
+            break
     if lname in ("todecimal32", "todecimal64", "todecimal128",
                  "todecimal256"):
         prec = {"todecimal32": 9, "todecimal64": 18, "todecimal128": 38,

@@ -207,6 +207,11 @@ def _datetime_arith(sign):
             out_days = _days_from_civil(ny, nm, nd)
             data = out_days if d0.name == "Date" \
                 else out_days * 86400 + secs_in_day
+        elif unit in ("Nanosecond", "Microsecond", "Millisecond"):
+            # DateTime storage is second-granular; sub-second deltas floor
+            den = {"Nanosecond": 10**9, "Microsecond": 10**6,
+                   "Millisecond": 10**3}[unit]
+            data = base + jnp.floor_divide(n, den)
         else:
             scale = {"Second": 1, "Minute": 60, "Hour": 3600,
                      "Day": 86400, "Week": 7 * 86400}[unit]
@@ -2488,9 +2493,16 @@ def _exec_finalize_agg(args, out_dtype):
     st = dt.remove_nullable(a.dtype)
     from .aggregates import make_merge_for_dtype, unpack_state_columns
     m = make_merge_for_dtype(st)
-    states = unpack_state_columns(a.data, m.spec)
+    adata = a.data
+    const_row = getattr(adata, "ndim", 0) == 1   # one constant state row
+    if const_row:
+        adata = adata[None, :]
+    states = unpack_state_columns(adata, m.spec)
     res = m.finalize(states)
     data, validity = res[0], res[1]
+    if const_row:
+        data = data[0]
+        validity = None if validity is None else validity[0]
     if a.validity is not None:
         av = a.validity.astype(jnp.uint8)
         validity = av if validity is None \

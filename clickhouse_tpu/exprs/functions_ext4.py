@@ -737,16 +737,21 @@ register("dateTime64ToSnowflake", lambda ts: dt.Int64,
              (args[0].data.astype(jnp.int64) - _SNOWFLAKE_EPOCH_MS) << 22),
              _andv(args)))
 
-# sub-second add/subtract on DateTime64 (scale-aware would need the scale;
-# DateTime64(3) storage is ms — document ms-granularity semantics)
+# sub-second add/subtract, storage-granularity aware: DateTime64(S) holds
+# 10^S ticks/s, DateTime holds whole seconds (sub-second deltas floor)
 for _unit, _ms in (("Milliseconds", 1), ("Microseconds", 0.001),
                    ("Nanoseconds", 0.000001)):
     def _mk(msf, sign):
         def ex(args, out_dtype):
+            t0 = dt.remove_nullable(args[0].dtype)
+            sc = t0.decimal_scale \
+                if t0.name.startswith("DateTime64") else 0
+            ticks_per_ms = 10.0 ** sc / 1000.0
             x = args[0].data.astype(jnp.float64)
             n = args[1].data.astype(jnp.float64)
             return ColVal(out_dtype,
-                          (x + sign * n * msf).astype(jnp.int64),
+                          jnp.floor(x + sign * n * msf * ticks_per_ms)
+                          .astype(jnp.int64),
                           _andv(args))
         return ex
     register(f"add{_unit}", lambda ts: ts[0], _mk(_ms, +1))

@@ -744,3 +744,4 @@ def _lambda_only(name):
 for _n in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll",
            "arrayCount", "arrayFirstIndex", "arrayFold"):
     _lambda_only(_n)
+from . import functions_ext6 as _functions_ext6  # noqa: E402,F401

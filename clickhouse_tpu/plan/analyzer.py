@@ -1568,11 +1568,33 @@ class Analyzer:
         target = literal_typed_target(e.name, [a.dtype for a in args],
                                       literals)
         if target is not None:
+            ln_ = e.name.lower()
+            if ln_.endswith("orzero"):
+                return BoundCall("_castOrZero", [args[0]],
+                                 target.with_nullable(
+                                     args[0].dtype.nullable))
+            if ln_.endswith("ornull"):
+                return BoundCall("_castOrNull", [args[0]],
+                                 dt.make_nullable(target))
             return BoundCall("_cast", [args[0]],
                              target.with_nullable(args[0].dtype.nullable))
         name = fn_reg.canonical_name(e.name)
         fn = fn_reg.get(name)
         out = fn.resolve([a.dtype for a in args])
+        if name == "JSONExtract" and len(args) >= 2 \
+                and isinstance(args[-1], BoundLiteral) \
+                and isinstance(args[-1].value, str):
+            # the trailing literal names the result type (FunctionsJSON.cpp
+            # generic JSONExtract form)
+            out = dt.parse_type_name(args[-1].value) \
+                .with_nullable(args[0].dtype.nullable)
+        if name == "initializeAggregation" and args \
+                and isinstance(args[0], BoundLiteral) \
+                and isinstance(args[0].value, str):
+            from ..exprs.aggregates import get_aggregate
+            agg_, _if = get_aggregate(str(args[0].value),
+                                      [a.dtype for a in args[1:]])
+            out = agg_.result_type()
         if name == "tupleElement" and len(args) == 2 \
                 and dt.is_tuple(args[0].dtype) \
                 and isinstance(args[1], BoundLiteral) \
