@@ -229,8 +229,55 @@ def Tuple(element_types) -> DType:
     return DType(f"Tuple({', '.join(names)})", "int8", tuple_types=names)
 
 
+def _split_named_member(part: str):
+    """'a UInt64' -> ('a', 'UInt64'); 'UInt64' -> (None, 'UInt64').
+
+    A leading identifier counts as a member name only when the remainder
+    itself parses as a type (so `Nullable (x)`-style spellings survive)."""
+    p = part.strip()
+    if p and (p[0].isalpha() or p[0] in "_`\""):
+        quote = p[0] if p[0] in "`\"" else None
+        if quote:
+            end = p.find(quote, 1)
+            if end > 0:
+                return p[1:end], p[end + 1:].strip()
+        i = 0
+        while i < len(p) and (p[i].isalnum() or p[i] == "_"):
+            i += 1
+        head, rest = p[:i], p[i:].strip()
+        if rest and not rest.startswith("("):
+            try:
+                parse_type_name(rest)
+                return head, rest
+            except ValueError:
+                pass
+    return None, p
+
+
+def tuple_member_names(t: DType):
+    """Member names of a named Tuple/Nested dtype (None where unnamed)."""
+    return [(_split_named_member(n)[0]) for n in (t.tuple_types or ())]
+
+
 def tuple_inner(t: DType):
-    return [parse_type_name(n) for n in t.tuple_types]
+    out = []
+    for n in t.tuple_types:
+        nm, tp = _split_named_member(n)
+        out.append(parse_type_name(tp))
+    return out
+
+
+def is_nested(t: DType) -> bool:
+    return t.tuple_types is not None and t.name.startswith("Nested(")
+
+
+def nested_members(t: DType):
+    """[(member_name, element DType)] of a Nested(...) marker type."""
+    out = []
+    for n in t.tuple_types:
+        nm, tp = _split_named_member(n)
+        out.append((nm, parse_type_name(tp)))
+    return out
 
 
 def is_tuple(t: DType) -> bool:
@@ -422,7 +469,41 @@ def parse_type_name(name: str) -> DType:
         return Array(parse_type_name(inner))
     inner = _strip_call(name, "Tuple")
     if inner is not None:
-        return Tuple([parse_type_name(p) for p in _split_args(inner)])
+        # named tuples — Tuple(a UInt64, s String) — keep "name Type"
+        # member spellings; tuple_inner/tuple_member_names split them
+        # (ref: src/DataTypes/DataTypeTuple.cpp named elements)
+        parts = _split_args(inner)
+        members = []
+        for p in parts:
+            nm, tp = _split_named_member(p)
+            members.append(f"{nm} {parse_type_name(tp).name}" if nm
+                           else parse_type_name(tp).name)
+        return DType(f"Tuple({', '.join(members)})", "int8",
+                     tuple_types=tuple(members))
+    inner = _strip_call(name, "Nested")
+    if inner is not None:
+        # Nested(x UInt32, y String): a column-level macro for parallel
+        # arrays n.x Array(UInt32), n.y Array(String) — CREATE expands it
+        # (ref: src/DataTypes/DataTypeNested.cpp); the marker type itself
+        # carries the member list
+        parts = _split_args(inner)
+        members = []
+        for p in parts:
+            nm, tp = _split_named_member(p)
+            if not nm:
+                raise ValueError(f"Nested members need names: {name!r}")
+            members.append(f"{nm} {parse_type_name(tp).name}")
+        return DType(f"Nested({', '.join(members)})", "int8",
+                     tuple_types=tuple(members))
+    inner = _strip_call(name, "SimpleAggregateFunction")
+    if inner is not None:
+        # storage is the plain value type; the function applies at merge
+        # (ref: src/DataTypes/DataTypeCustomSimpleAggregateFunction.cpp)
+        parts = _split_args(inner)
+        if len(parts) < 2:
+            raise ValueError(f"SimpleAggregateFunction needs a value "
+                             f"type: {name!r}")
+        return parse_type_name(parts[1])
     inner = _strip_call(name, "Map")
     if inner is not None:
         parts = _split_args(inner)
@@ -477,6 +558,16 @@ def parse_type_name(name: str) -> DType:
         return lowered[name.lower()]
     if name.lower() in ("decimal", "dec", "numeric"):
         return Decimal(10, 0)       # bare DECIMAL defaults to (10, 0)
+    if name == "DateTime64":
+        return DateTime64(3)        # bare spelling: default scale
+    if name.lower() in ("integer", "int signed", "integer signed"):
+        return _BY_NAME["Int32"]
+    if name == "BFloat16":
+        return DType("BFloat16", "float32")
+    if name == "Point":             # geo: Tuple(Float64, Float64)
+        return Tuple([_BY_NAME["Float64"], _BY_NAME["Float64"]])
+    if name == "Ring":
+        return Array(parse_type_name("Point"))
     raise ValueError(f"Unknown data type: {name!r}")
 
 

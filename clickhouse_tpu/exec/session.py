@@ -1634,12 +1634,24 @@ class Session:
         InterpreterCreateQuery::getColumnsDescription type deduction)."""
         typed: Dict[str, Any] = {}
         untyped = []
-        order = [c.name for c in cols]
+        order = []
         for c in cols:
             if c.type_name:
-                typed[c.name] = dt.parse_type_name(c.type_name)
+                t = dt.parse_type_name(c.type_name)
+                if dt.is_nested(t):
+                    # Nested(x T, y U) expands to the parallel-array
+                    # columns n.x Array(T), n.y Array(U) (the reference's
+                    # flatten_nested=1 default, src/DataTypes/NestedUtils)
+                    for mname, mt in dt.nested_members(t):
+                        full = f"{c.name}.{mname}"
+                        typed[full] = dt.Array(mt)
+                        order.append(full)
+                    continue
+                typed[c.name] = t
+                order.append(c.name)
             else:
                 untyped.append(c)
+                order.append(c.name)
         if not untyped:
             return [(n, typed[n]) for n in order]
         from ..storage.table import Table as _T

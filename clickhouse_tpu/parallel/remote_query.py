@@ -263,14 +263,61 @@ def _exec_remote(session, addr: str, sql_text: str, creds: List[str],
     return t
 
 
+def loopback_local_source(catalog, addr: str, target: str, alias=None):
+    """Local-source rewrite for loopback remote()/cluster() with no live
+    server: the reference's stateless tests run against one server where
+    127.0.0.{1,2} are both that server acting as N shards — so N shards
+    read the LOCAL table N times (rows concatenated).  Returns a
+    TableRef/SubqueryRef, or None when any shard is non-loopback or a
+    server answers on the port (real cross-process tests keep the wire)."""
+    import socket
+    shards = catalog._expand_shards(addr)
+    for sa in shards:
+        rep = sa.split("|")[0].strip()
+        host, _, port = rep.partition(":")
+        if not catalog._is_loopback(host):
+            return None
+        try:
+            c = socket.create_connection(
+                (host or "127.0.0.1", int(port or 9000)), timeout=0.1)
+            c.close()
+            return None            # something is listening: use the wire
+        except (OSError, ValueError):
+            pass
+    if "." in target:
+        db, _, nm = target.partition(".")
+    else:
+        db, nm = None, target
+    if len(shards) == 1:
+        return ast.TableRef(db, nm, alias=alias)
+    return ast.SubqueryRef(ast.Union(
+        [ast.Select(items=[ast.SelectItem(ast.Star())],
+                    from_=ast.TableRef(db, nm))
+         for _ in shards], mode="all"), alias=alias)
+
+
 def try_remote_pushdown(session, stmt, settings):
     """-> rewritten Select running over shipped-back shard results, or
     None to keep the legacy whole-table path."""
-    if not isinstance(stmt, ast.Select) or not settings.distributed_pushdown:
+    if not isinstance(stmt, ast.Select):
         return None
     f = stmt.from_
     if not isinstance(f, ast.TableFunctionRef) \
             or f.func.name.lower() not in REMOTE_FNS:
+        return None
+    try:
+        addr0, target0, _creds0 = parse_remote_args(
+            f.func, session.catalog.current_database)
+        src = loopback_local_source(session.catalog, addr0, target0,
+                                    f.alias)
+    except Exception:            # noqa: BLE001 — legacy path reports errors
+        src = None
+    if src is not None:
+        import copy as _copy
+        st2 = _copy.copy(stmt)
+        st2.from_ = src
+        return st2
+    if not settings.distributed_pushdown:
         return None
     if stmt.ctes or stmt.group_by_modifier \
             or stmt.grouping_sets or stmt.group_by_with_totals:

@@ -818,9 +818,16 @@ class Analyzer:
             # whole-table path for shapes the pushdown rewriter in
             # parallel/remote_query.py does not handle — joins, subqueries;
             # ref src/TableFunctions/TableFunctionRemote.cpp)
-            from ..parallel.remote_query import parse_remote_args
+            from ..parallel.remote_query import (loopback_local_source,
+                                                 parse_remote_args)
             addr, target, creds = parse_remote_args(
                 fc, self.catalog.current_database)
+            src = loopback_local_source(self.catalog, addr, target,
+                                        ref.alias)
+            if src is not None:
+                # loopback with no live server: the local catalog IS the
+                # remote (N shards = N local reads)
+                return self.analyze_table_expr(src, {})
             table = self.catalog.remote_table(addr, target, *creds)
             fields, names = [], []
             for cname, ctype in table.schema_items():
@@ -1595,6 +1602,15 @@ class Analyzer:
             agg_, _if = get_aggregate(str(args[0].value),
                                       [a.dtype for a in args[1:]])
             out = agg_.result_type()
+        if name == "tupleElement" and len(args) == 2 \
+                and dt.is_tuple(args[0].dtype) \
+                and isinstance(args[1], BoundLiteral) \
+                and isinstance(args[1].value, str):
+            # named-tuple member access: tupleElement(t, 'a') / t.a
+            names_ = dt.tuple_member_names(args[0].dtype)
+            if args[1].value in names_:
+                idx = names_.index(args[1].value) + 1
+                args = [args[0], BoundLiteral(idx, dt.UInt8)]
         if name == "tupleElement" and len(args) == 2 \
                 and dt.is_tuple(args[0].dtype) \
                 and isinstance(args[1], BoundLiteral) \

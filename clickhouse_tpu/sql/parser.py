@@ -1359,13 +1359,23 @@ class Parser:
         if self.tok.kind == "op" and self.tok.text == "(":
             depth = 0
             parts = [name]
+            prev_wordish = False     # after `name` comes "(": no space
             while True:
                 t = self.advance()
                 if t.kind == "string":   # Enum8('a' = 1): keep the quotes
-                    parts.append("'" + t.text.replace("\\", "\\\\")
-                                 .replace("'", "\\'") + "'")
+                    txt = "'" + t.text.replace("\\", "\\\\") \
+                        .replace("'", "\\'") + "'"
+                    wordish = False
                 else:
-                    parts.append(t.text)
+                    txt = t.text
+                    wordish = bool(txt) and (txt[0].isalnum()
+                                             or txt[0] == "_")
+                if prev_wordish and wordish:
+                    # named members — Tuple(a UInt64) / Nested(x UInt32) —
+                    # keep the separating space the tokenizer dropped
+                    parts.append(" ")
+                parts.append(txt)
+                prev_wordish = wordish
                 if t.kind == "op" and t.text == "(":
                     depth += 1
                 elif t.kind == "op" and t.text == ")":
