@@ -2718,7 +2718,204 @@ class Session:
                     [r.output_rows for r in rows], np.uint64)})
             return t
 
-        return {"query_log": query_log, "settings": settings_table,
+        def _empty(name, cols):
+            def make():
+                t = Table(name, cols)
+                t.insert_pydict({
+                    c: np.asarray([], object if tt.is_dictionary
+                                  else tt.np_dtype) for c, tt in cols})
+                return t
+            return make
+
+        def mutations_table():
+            # finished synchronously here (mutations rewrite parts in
+            # place, storage/table.py) — the table reports that honestly
+            rows = []
+            for dbn, dbo in self.catalog.databases.items():
+                for tn, tb in dbo.tables.items():
+                    for mid, cmd in getattr(tb, "mutation_log", []) or []:
+                        rows.append((dbn, tn, str(mid), str(cmd)))
+            t = Table("mutations", [
+                ("database", dtm.String), ("table", dtm.String),
+                ("mutation_id", dtm.String), ("command", dtm.String),
+                ("is_done", dtm.UInt8), ("parts_to_do", dtm.Int64)])
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "mutation_id": np.asarray([r[2] for r in rows], object),
+                "command": np.asarray([r[3] for r in rows], object),
+                "is_done": np.ones(len(rows), np.uint8),
+                "parts_to_do": np.zeros(len(rows), np.int64)})
+            return t
+
+        def dictionaries_table():
+            dicts = getattr(self.catalog, "dictionaries", {}) or {}
+            names = sorted(dicts)
+            t = Table("dictionaries", [
+                ("database", dtm.String), ("name", dtm.String),
+                ("status", dtm.String), ("origin", dtm.String),
+                ("type", dtm.String), ("source", dtm.String),
+                ("element_count", dtm.UInt64)])
+            t.insert_pydict({
+                "database": np.asarray(["default"] * len(names), object),
+                "name": np.asarray(names, object),
+                "status": np.asarray(["LOADED"] * len(names), object),
+                "origin": np.asarray([""] * len(names), object),
+                "type": np.asarray(["Hashed"] * len(names), object),
+                "source": np.asarray([""] * len(names), object),
+                "element_count": np.zeros(len(names), np.uint64)})
+            return t
+
+        def merge_tree_settings_table():
+            pairs = [("index_granularity", "8192"),
+                     ("min_bytes_for_wide_part", "10485760"),
+                     ("min_rows_for_wide_part", "0"),
+                     ("merge_max_block_size", "8192"),
+                     ("parts_to_throw_insert", "3000"),
+                     ("max_parts_in_total", "100000"),
+                     ("old_parts_lifetime", "480"),
+                     ("allow_nullable_key", "0")]
+            t = Table("merge_tree_settings", [
+                ("name", dtm.String), ("value", dtm.String),
+                ("changed", dtm.UInt8), ("description", dtm.String)])
+            t.insert_pydict({
+                "name": np.asarray([p[0] for p in pairs], object),
+                "value": np.asarray([p[1] for p in pairs], object),
+                "changed": np.zeros(len(pairs), np.uint8),
+                "description": np.asarray([""] * len(pairs), object)})
+            return t
+
+        def replicas_table():
+            rows = []
+            for dbn, dbo in self.catalog.databases.items():
+                for tn, tb in dbo.tables.items():
+                    if str(getattr(tb, "engine", "")).startswith(
+                            "Replicated"):
+                        rows.append((dbn, tn))
+            t = Table("replicas", [
+                ("database", dtm.String), ("table", dtm.String),
+                ("is_leader", dtm.UInt8), ("is_readonly", dtm.UInt8),
+                ("absolute_delay", dtm.UInt64),
+                ("queue_size", dtm.UInt32), ("total_replicas", dtm.UInt8),
+                ("active_replicas", dtm.UInt8)])
+            t.insert_pydict({
+                "database": np.asarray([r[0] for r in rows], object),
+                "table": np.asarray([r[1] for r in rows], object),
+                "is_leader": np.ones(len(rows), np.uint8),
+                "is_readonly": np.zeros(len(rows), np.uint8),
+                "absolute_delay": np.zeros(len(rows), np.uint64),
+                "queue_size": np.zeros(len(rows), np.uint32),
+                "total_replicas": np.ones(len(rows), np.uint8),
+                "active_replicas": np.ones(len(rows), np.uint8)})
+            return t
+
+        def time_zones_table():
+            t = Table("time_zones", [("time_zone", dtm.String)])
+            t.insert_pydict({"time_zone": np.asarray(["UTC"], object)})
+            return t
+
+        def formats_table():
+            from ..storage.formats import FORMATS as _FMT
+            names = sorted(_FMT) if isinstance(_FMT, dict) else sorted(_FMT)
+            t = Table("formats", [("name", dtm.String),
+                                  ("is_input", dtm.UInt8),
+                                  ("is_output", dtm.UInt8)])
+            t.insert_pydict({
+                "name": np.asarray(names, object),
+                "is_input": np.ones(len(names), np.uint8),
+                "is_output": np.ones(len(names), np.uint8)})
+            return t
+
+        def table_engines_table():
+            names = ["MergeTree", "ReplacingMergeTree", "SummingMergeTree",
+                     "AggregatingMergeTree", "CollapsingMergeTree",
+                     "VersionedCollapsingMergeTree", "ReplicatedMergeTree",
+                     "Distributed", "Merge", "Memory", "TinyLog", "Log",
+                     "StripeLog", "Set", "Join", "Buffer", "File", "Null",
+                     "View", "MaterializedView", "Dictionary"]
+            t = Table("table_engines", [("name", dtm.String)])
+            t.insert_pydict({"name": np.asarray(sorted(names), object)})
+            return t
+
+        def table_functions_table():
+            names = ["numbers", "numbers_mt", "one", "values", "file",
+                     "format", "generateRandom", "remote", "remoteSecure",
+                     "cluster", "clusterAllReplicas", "merge", "zeros",
+                     "zeros_mt", "null", "viewIfPermitted"]
+            t = Table("table_functions", [("name", dtm.String)])
+            t.insert_pydict({"name": np.asarray(sorted(names), object)})
+            return t
+
+        def server_settings_table():
+            pairs = [("max_connections", "1024"),
+                     ("max_concurrent_queries", "100"),
+                     ("keep_alive_timeout", "3")]
+            t = Table("server_settings", [
+                ("name", dtm.String), ("value", dtm.String),
+                ("changed", dtm.UInt8), ("description", dtm.String)])
+            t.insert_pydict({
+                "name": np.asarray([p[0] for p in pairs], object),
+                "value": np.asarray([p[1] for p in pairs], object),
+                "changed": np.zeros(len(pairs), np.uint8),
+                "description": np.asarray([""] * len(pairs), object)})
+            return t
+
+        extra_empty = {
+            "detached_parts": [("database", dtm.String),
+                               ("table", dtm.String),
+                               ("name", dtm.String),
+                               ("partition_id", dtm.String),
+                               ("reason", dtm.String)],
+            "warnings": [("message", dtm.String)],
+            "dropped_tables": [("database", dtm.String),
+                               ("table", dtm.String),
+                               ("uuid", dtm.String),
+                               ("engine", dtm.String)],
+            "distribution_queue": [("database", dtm.String),
+                                   ("table", dtm.String),
+                                   ("data_files", dtm.UInt64),
+                                   ("error_count", dtm.UInt64)],
+            "replication_queue": [("database", dtm.String),
+                                  ("table", dtm.String),
+                                  ("position", dtm.UInt32),
+                                  ("type", dtm.String),
+                                  ("num_tries", dtm.UInt32)],
+            "zookeeper_log": [("type", dtm.String), ("path", dtm.String),
+                              ("op_num", dtm.Int32)],
+            "zookeeper_connection": [("name", dtm.String),
+                                     ("host", dtm.String),
+                                     ("port", dtm.UInt16),
+                                     ("index", dtm.UInt8)],
+            "query_views_log": [("view_name", dtm.String),
+                                ("view_duration_ms", dtm.UInt64),
+                                ("status", dtm.String)],
+            "metric_log": [("event_date", dtm.Date),
+                           ("event_time", dtm.DateTime)],
+            "settings_changes": [("version", dtm.String),
+                                 ("changes", dtm.String)],
+            "licenses": [("library_name", dtm.String),
+                         ("license_type", dtm.String),
+                         ("license_path", dtm.String)],
+            "remote_data_paths": [("disk_name", dtm.String),
+                                  ("path", dtm.String),
+                                  ("remote_path", dtm.String)],
+            "symbols": [("symbol", dtm.String),
+                        ("address_begin", dtm.UInt64)],
+        }
+
+        out = {k: _empty(k, v) for k, v in extra_empty.items()}
+        out.update({
+            "mutations": mutations_table,
+            "dictionaries": dictionaries_table,
+            "merge_tree_settings": merge_tree_settings_table,
+            "replicated_merge_tree_settings": merge_tree_settings_table,
+            "replicas": replicas_table,
+            "time_zones": time_zones_table,
+            "formats": formats_table,
+            "table_engines": table_engines_table,
+            "table_functions": table_functions_table,
+            "server_settings": server_settings_table})
+        out.update({"query_log": query_log, "settings": settings_table,
                 "trace_log": trace_log_table,
                 "processors_profile_log": processors_profile_table,
                 "query_cache": query_cache_table,
@@ -2735,7 +2932,8 @@ class Session:
                 "columns": columns_table, "parts": parts_table,
                 "opentelemetry_span_log": span_log_table,
                 "asynchronous_inserts": async_inserts_table,
-                "failpoints": failpoints_table}
+                "failpoints": failpoints_table})
+        return out
 
     # -- convenience ---------------------------------------------------------
     def insert_pydict(self, table: str, data: Dict[str, np.ndarray],

@@ -43,8 +43,11 @@ class Scope:
             matches = [f for f in self.fields if f.display == name]
             if len(matches) > 1:
                 visible = [f for f in matches if not f.star_hidden]
-                if len(visible) == 1:
-                    return visible[0]    # USING key: the left side wins
+                if visible:
+                    # duplicate unqualified names across join sides:
+                    # leftmost wins (the reference's legacy-analyzer rule —
+                    # qualified refs select the other side explicitly)
+                    return visible[0]
                 raise AnalysisError(f"Ambiguous column '{name}'")
             return matches[0] if matches else None
         if len(parts) >= 2:
@@ -589,6 +592,17 @@ class Analyzer:
             return L.NumbersNode([f], 0,
                                  self.settings.system_numbers_limit), \
                 Scope([f])
+        if db == "system" and ref.table in ("zeros", "zeros_mt"):
+            quals = (ref.alias or ref.table, "zeros")
+            nf = L.Field(self.fresh_id(), "number", dt.UInt64, quals)
+            node = L.NumbersNode([nf], 0,
+                                 self.settings.system_numbers_limit)
+            f = L.Field(self.fresh_id(), "zero", dt.UInt8, quals)
+            zero_e = BoundCall("_cast", [BoundCall(
+                "multiply", [BoundColumn(nf.id, nf.dtype),
+                             BoundLiteral(0, dt.UInt64)], dt.UInt64)],
+                dt.UInt8)
+            return L.ProjectNode(node, [zero_e], [f]), Scope([f])
         view = self.catalog.get_view(db, ref.table) \
             if hasattr(self.catalog, "get_view") else None
         if view is not None and not view.materialized:
@@ -736,13 +750,32 @@ class Analyzer:
             node = L.UnionNode(branches, out_fields)
         return node, Scope(out_fields)
 
+    def _const_int_eval(self, e) -> int:
+        """Constant integer from a literal OR any column-free expression —
+        numbers(intExp2(9)) evaluates eagerly at bind time (the reference
+        folds table-function arguments the same way)."""
+        try:
+            return _const_int(e)
+        except AnalysisError:
+            pass
+        try:
+            be = self.bind(e, Scope([]), allow_agg=False)
+            if _bound_has_columns(be):
+                raise ValueError("non-constant")
+            from ..exprs.expr import evaluate
+            cv = evaluate(be, {})
+            import jax as _jax
+            return int(np.asarray(_jax.device_get(cv.data)).item())
+        except Exception:
+            raise AnalysisError("Expected a constant integer")
+
     def analyze_table_function(self, ref: ast.TableFunctionRef
                                ) -> Tuple[L.PlanNode, Scope]:
         fc = ref.func
         name = fc.name.lower()
         quals = (ref.alias,) if ref.alias else (fc.name,)
         if name in ("numbers", "numbers_mt"):
-            args = [_const_int(a) for a in fc.args]
+            args = [self._const_int_eval(a) for a in fc.args]
             count_arg = args[0] if len(args) == 1 else \
                 (args[1] if len(args) == 2 else None)
             if count_arg is not None and count_arg > (1 << 31):
@@ -760,6 +793,54 @@ class Analyzer:
         if name == "one":
             f = L.Field(self.fresh_id(), "dummy", dt.UInt8, quals)
             return L.OneRowNode([f]), Scope([f])
+        if name in ("zeros", "zeros_mt", "null"):
+            # zeros(n): n rows of UInt8 zero; null('structure') swallows
+            # writes and reads empty — served as a zero-row numbers source
+            count = self._const_int_eval(fc.args[0]) if fc.args \
+                and name != "null" else 0
+            nf = L.Field(self.fresh_id(), "number", dt.UInt64, quals)
+            node = L.NumbersNode([nf], 0, count)
+            f = L.Field(self.fresh_id(), "zero", dt.UInt8, quals)
+            zero_e = BoundCall("_cast", [BoundCall(
+                "multiply", [BoundColumn(nf.id, nf.dtype),
+                             BoundLiteral(0, dt.UInt64)], dt.UInt64)],
+                dt.UInt8)
+            proj = L.ProjectNode(node, [zero_e], [f])
+            return proj, Scope([f])
+        if name == "merge":
+            # merge('db', 'regex') / merge(regex): union of matching
+            # tables (ref: src/TableFunctions/TableFunctionMerge.cpp)
+            lits = []
+            for a in fc.args:
+                if isinstance(a, ast.Literal):
+                    lits.append(str(a.value))
+                elif isinstance(a, ast.Identifier):
+                    lits.append(a.name)
+                elif isinstance(a, ast.FuncCall) \
+                        and a.name == "currentDatabase":
+                    lits.append(self.catalog.current_database)
+            if len(lits) >= 2:
+                src_db, rx = lits[0], lits[1]
+            elif len(lits) == 1:
+                src_db, rx = self.catalog.current_database, lits[0]
+            else:
+                raise AnalysisError("merge() expects (db, 'regex')")
+            import re as _re2
+            dbo = self.catalog.databases.get(src_db)
+            if dbo is None:
+                raise UnknownTable(f"Unknown database '{src_db}'")
+            pat = _re2.compile(rx)
+            first = next((t for n, t in sorted(dbo.tables.items())
+                          if pat.fullmatch(n) and t.engine != "Merge"),
+                         None)
+            if first is None:
+                raise AnalysisError(
+                    f"merge() matched no tables in '{src_db}'")
+
+            class _Shim:
+                engine_args = [src_db, rx]
+                schema_items = first.schema_items
+            return self._analyze_merge_engine(src_db, ref, _Shim(), quals)
         if name == "values":
             return self._analyze_values(fc, quals)
         if name == "file":
@@ -923,17 +1004,30 @@ class Analyzer:
             proj_exprs: List[BoundExpr] = []
             proj_fields: List[L.Field] = []
             right_ids = {f.id for f in right.schema}
+            # USING keys in right-only rows carry the RIGHT key value
+            # (reference: the non-joined block keeps its own keys)
+            using_right = {}
+            if join.using:
+                for name in join.using:
+                    rf_ = rscope.resolve((name,))
+                    if rf_ is not None:
+                        using_right[name] = rf_
             for f in out_fields:
                 nf = L.Field(self.fresh_id(), f.display, f.dtype,
-                             f.qualifiers)
+                             f.qualifiers, star_hidden=f.star_hidden)
                 proj_fields.append(nf)
                 if f.id in right_ids:
                     proj_exprs.append(BoundColumn(f.id, f.dtype))
+                elif f.display in using_right \
+                        and not f.star_hidden:
+                    rf_ = using_right[f.display]
+                    proj_exprs.append(BoundColumn(rf_.id, rf_.dtype))
                 else:
                     proj_exprs.append(_default_literal(f.dtype))
             padded = L.ProjectNode(anti, proj_exprs, proj_fields)
-            union_fields = [self.field(f.display, f.dtype, f.qualifiers)
-                            for f in out_fields]
+            union_fields = [dataclasses.replace(
+                self.field(f.display, f.dtype, f.qualifiers),
+                star_hidden=f.star_hidden) for f in out_fields]
             node = L.UnionNode([inner_left, padded], union_fields)
             # map original field ids to the union outputs for upper scopes
             return node, Scope(union_fields)
