@@ -368,10 +368,24 @@ class Session:
             if stmt.kind == "detach":
                 self.catalog.detach_table(db, stmt.table, stmt.if_exists)
             else:
-                self.catalog.attach_table(db, stmt.table)
+                try:
+                    self.catalog.attach_table(db, stmt.table)
+                except UnknownTable:
+                    if not stmt.if_exists:   # ATTACH ... IF NOT EXISTS
+                        raise
             return _status_result()
         if isinstance(stmt, ast.TruncateTable):
             db = stmt.database or self.catalog.current_database
+            if getattr(stmt, "all_tables", False) or stmt.table is None:
+                # TRUNCATE ALL TABLES FROM db / TRUNCATE DATABASE db
+                dbo = self.catalog.databases.get(db)
+                if dbo is None:
+                    if stmt.if_exists:
+                        return _status_result()
+                    raise UnknownTable(f"Unknown database '{db}'")
+                for t in dbo.tables.values():
+                    t.truncate()
+                return _status_result()
             try:
                 t = self.catalog.get_table(db, stmt.table)
             except UnknownTable:
@@ -1435,8 +1449,17 @@ class Session:
         source = None
         if stmt.materialized:
             if stmt.to_table is None:
-                raise NotImplementedError_(
-                    "MATERIALIZED VIEW requires a TO target table")
+                # implicit storage: a hidden `.inner.<name>` table with the
+                # SELECT's result schema (ref: StorageMaterializedView
+                # getTargetTableId / generateInnerTableName)
+                plan0 = self._plan(stmt.query, self.settings)
+                inner_name = f".inner.{stmt.name}"
+                from ..storage.table import Table as _T
+                if not self.catalog.has_table(db, inner_name):
+                    t = _T(inner_name,
+                           [(f.display, f.dtype) for f in plan0.schema])
+                    self.catalog.create_table(db, t)
+                stmt.to_table = inner_name
             src_ref = stmt.query.from_ if isinstance(stmt.query, ast.Select) \
                 else None
             if not isinstance(src_ref, ast.TableRef):
@@ -1449,6 +1472,11 @@ class Session:
         dbo.views[stmt.name] = ViewDef(stmt.name, stmt.query,
                                        stmt.materialized, source,
                                        stmt.to_table)
+        if stmt.materialized and getattr(stmt, "populate", False) \
+                and stmt.to_table is not None:
+            # POPULATE: backfill the target from existing source rows
+            self._dispatch(ast.Insert(db, stmt.to_table,
+                                      select=stmt.query), None, "")
         return _status_result()
 
     # -- projections (precomputed per-part aggregate states) ------------------

@@ -614,6 +614,13 @@ class Analyzer:
                       for f in sub.schema]
             sub.schema = fields
             return sub, Scope(fields)
+        if view is not None and view.materialized \
+                and getattr(view, "to_table", None) \
+                and self.catalog.has_table(db, view.to_table):
+            # reading a materialized view reads its target storage
+            # (StorageMaterializedView::read delegates to the target)
+            ref = dataclasses.replace(ref, table=view.to_table,
+                                      alias=ref.alias or ref.table)
         table = self.catalog.get_table(db, ref.table)
         quals = (ref.alias,) if ref.alias else (ref.table,)
         if table.engine == "Merge":

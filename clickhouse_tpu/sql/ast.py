@@ -266,6 +266,7 @@ class CreateView:
     to_table: Optional[str] = None     # MATERIALIZED ... TO target
     if_not_exists: bool = False
     cluster: Optional[str] = None
+    populate: bool = False             # POPULATE: backfill at create
 
 
 @dataclasses.dataclass

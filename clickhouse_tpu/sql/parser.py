@@ -21,7 +21,7 @@ RESERVED = {
     "CROSS", "GLOBAL", "ANY", "ALL", "SEMI", "ANTI", "ASOF", "UNION",
     "SETTINGS", "WITH", "SELECT", "DISTINCT", "AND", "OR", "NOT", "IN",
     "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
-    "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
+    "END", "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS",
     "INTO", "VALUES", "FORMAT", "TOTALS", "FINAL", "SAMPLE", "ROLLUP",
     "CUBE",
     "INTERVAL", "EXISTS", "ARRAY", "OUTFILE", "INFILE", "OVER",
@@ -122,6 +122,7 @@ class Parser:
                 self.advance()
                 if_exists = False
                 if self.accept_kw("IF"):
+                    self.accept_kw("NOT")    # ATTACH TABLE IF NOT EXISTS
                     self.expect_kw("EXISTS")
                     if_exists = True
                 db, tbl = self.parse_table_name()
@@ -156,6 +157,7 @@ class Parser:
                 else:
                     self.advance()           # PARTITION ID 'str'
             final = bool(self.accept_kw("FINAL"))
+            self.accept_kw("CLEANUP")        # replacing-merge cleanup pass
             if self.accept_kw("DEDUPLICATE"):
                 if self.accept_kw("BY"):
                     self.parse_expr()
@@ -255,6 +257,15 @@ class Parser:
             self.advance()
             self.expect_kw("TABLE")
             db, tbl = self.parse_table_name()
+            if self.accept_kw("PARTITION"):
+                if self.accept_kw("ID"):
+                    self.advance()
+                else:
+                    self.parse_expr()
+            if self.accept_kw("PART"):
+                self.advance()
+            if self.accept_kw("SETTINGS"):
+                self.parse_settings_list()
             self._ddl_tail()
             # CHECK TABLE result contract: 1 = healthy (parts are
             # checksummed on write; reads verify — InterpreterCheckQuery)
@@ -626,7 +637,18 @@ class Parser:
                 while self.accept_op(","):
                     args.append(self.parse_expr())
             self.expect_op(")")
-            alias = self.try_parse_alias()
+            alias = None
+            if not self.tok.is_kw("FINAL", "SAMPLE"):
+                alias = self.try_parse_alias()
+            # tolerate FINAL / SAMPLE r on table functions: parsed, and the
+            # engine raises/ignores per-source (merge() SAMPLE is a typed
+            # error in the reference, covered by expects-error cases)
+            self.accept_kw("FINAL")
+            if self.accept_kw("SAMPLE"):
+                if self.tok.kind == "number":
+                    self.advance()
+                    if self.accept_op("/") and self.tok.kind == "number":
+                        self.advance()
             return ast.TableFunctionRef(ast.FuncCall(name, args), alias)
         alias = None
         final = False
@@ -939,12 +961,22 @@ class Parser:
         if self.accept_kw("VIEW"):
             ine = self._if_not_exists()
             db, name = self.parse_table_name()
+            if self.accept_kw("UUID"):
+                if self.tok.kind == "string":
+                    self.advance()           # explicit UUID: ignored
             view_cluster = self._accept_on_cluster()
             to_table = None
             if self.accept_kw("TO"):
                 _, to_table = self.parse_table_name()
+                if self.accept_kw("UUID") and self.tok.kind == "string":
+                    self.advance()
+            if self.tok.kind == "op" and self.tok.text == "(":
+                # explicit column list: types come from the SELECT — the
+                # declared names/types are accepted and skimmed
+                self._skim_parens()
             # tolerate storage clauses on materialized views: ENGINE [=]
             # X[(args)], ORDER/PARTITION BY, TTL, SETTINGS, POPULATE
+            populate = False
             while True:
                 if self.accept_kw("ENGINE"):
                     self.accept_op("=")
@@ -960,7 +992,7 @@ class Parser:
                 elif self.accept_kw("SETTINGS"):
                     self.parse_settings_list()
                 elif self.accept_kw("POPULATE"):
-                    pass
+                    populate = True
                 elif self.accept_kw("DEFINER"):
                     self.accept_op("=")
                     self.expect_word()
@@ -972,7 +1004,7 @@ class Parser:
             self.expect_kw("AS")
             q = self.parse_select_union()
             return ast.CreateView(db, name, q, materialized, to_table, ine,
-                                  cluster=view_cluster)
+                                  cluster=view_cluster, populate=populate)
         self.expect_kw("TABLE")
         ine = self._if_not_exists()
         db, tbl = self.parse_table_name()
@@ -1389,7 +1421,7 @@ class Parser:
         self.advance()
         self.expect_kw("INTO")
         tfn = None
-        if self.accept_kw("TABLE"):
+        if self.accept_kw("TABLE") or self.tok.is_kw("FUNCTION"):
             if self.accept_kw("FUNCTION"):
                 nm = self.expect_word()
                 self.expect_op("(")
@@ -1905,6 +1937,29 @@ class Parser:
     def parse_truncate(self):
         self.advance()
         self.accept_kw("TEMPORARY")
+        if self.accept_kw("ALL"):
+            # TRUNCATE ALL TABLES FROM [IF EXISTS] db
+            self.expect_kw("TABLES")
+            self.accept_kw("FROM")
+            ie = self._if_exists()
+            dbn = self.expect_word()
+            self._accept_on_cluster()
+            self._ddl_tail()
+            t = ast.TruncateTable(dbn, None)
+            t.if_exists = ie
+            t.cluster = None
+            t.all_tables = True
+            return t
+        if self.accept_kw("DATABASE"):
+            ie = self._if_exists()
+            dbn = self.expect_word()
+            self._accept_on_cluster()
+            self._ddl_tail()
+            t = ast.TruncateTable(dbn, None)
+            t.if_exists = ie
+            t.cluster = None
+            t.all_tables = True
+            return t
         self.accept_kw("TABLE")          # TRUNCATE [TABLE] [IF EXISTS] t
         ie = self._if_exists()
         db, tbl = self.parse_table_name()
@@ -2304,8 +2359,14 @@ class Parser:
                 return ast.Subquery(q)
             first = self._parse_expr_alias()
             if self.accept_op(","):
+                # (1,) — single-element tuple via trailing comma
+                if self.tok.kind == "op" and self.tok.text == ")":
+                    self.advance()
+                    return ast.Tuple_([first])
                 items = [first, self._parse_expr_alias()]
                 while self.accept_op(","):
+                    if self.tok.kind == "op" and self.tok.text == ")":
+                        break
                     items.append(self._parse_expr_alias())
                 self.expect_op(")")
                 return ast.Tuple_(items)
@@ -2357,6 +2418,10 @@ class Parser:
                       "DAY": "toDayOfMonth", "HOUR": "toHour",
                       "MINUTE": "toMinute", "SECOND": "toSecond",
                       "QUARTER": "toQuarter", "WEEK": "toISOWeek",
+                      "YYYY": "toYear", "MM": "toMonth",
+                      "DD": "toDayOfMonth", "HH": "toHour",
+                      "MI": "toMinute", "SS": "toSecond",
+                      "DOW": "toDayOfWeek", "DOY": "toDayOfYear",
                       }.get(unit)
                 if fn is None:
                     raise ParseError(f"EXTRACT: unknown unit {unit}")

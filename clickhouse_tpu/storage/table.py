@@ -1203,6 +1203,13 @@ class Catalog:
             self.databases[database].tables[name] = det
             return
         if self.store is None:
+            dbo = self.databases.get(database)
+            if dbo is not None and name in dbo.tables:
+                # already attached (ATTACH after a restartless CREATE):
+                # the reference raises TABLE_ALREADY_EXISTS — callers with
+                # IF NOT EXISTS swallow this
+                raise UnknownTable(
+                    f"Table '{database}.{name}' already exists")
             raise UnknownTable("No durable store configured")
         self.create_database(database, if_not_exists=True)
         self.databases[database].tables[name] = \

@@ -127,13 +127,18 @@ class TestViews:
                             "ORDER BY k")
         assert r.rows() == [(1, 11), (2, 10)]
 
-    def test_mv_requires_target(self, session):
-        import pytest as _p
-        from clickhouse_tpu.core.errors import NotImplementedError_
+    def test_mv_implicit_inner(self, session):
+        # no TO target: a hidden `.inner.<name>` table stores the rows
+        # (StorageMaterializedView generateInnerTableName analog)
         session.execute("CREATE TABLE m2src (x Int64)")
-        with _p.raises(NotImplementedError_):
-            session.execute("CREATE MATERIALIZED VIEW bad AS "
-                            "SELECT x FROM m2src")
+        session.execute("INSERT INTO m2src VALUES (1)")
+        session.execute("CREATE MATERIALIZED VIEW m2v AS "
+                        "SELECT x * 2 AS y FROM m2src")
+        session.execute("INSERT INTO m2src VALUES (2)")
+        r = session.execute("SELECT y FROM m2v ORDER BY y")
+        assert list(r.rows()) == [(4,)]          # POPULATE not requested
+        r = session.execute("SELECT y FROM `.inner.m2v`")
+        assert list(r.rows()) == [(4,)]
 
 
 class TestMutations:
