@@ -1304,6 +1304,13 @@ class Session:
         if stmt.as_select is not None:
             data = self._execute_to_pydict(
                 self._plan(stmt.as_select, sel_settings), sel_settings)
+            schema_names = list(t.schema.keys())
+            if list(data.keys()) != schema_names \
+                    and len(data) <= len(schema_names):
+                # declared columns + AS SELECT: positional mapping (the
+                # reference inserts the SELECT block by position)
+                data = {schema_names[i]: v
+                        for i, v in enumerate(data.values())}
             t.insert_pydict(_align_insert(data, t, None))
         return _status_result()
 
@@ -1462,10 +1469,13 @@ class Session:
                 stmt.to_table = inner_name
             src_ref = stmt.query.from_ if isinstance(stmt.query, ast.Select) \
                 else None
-            if not isinstance(src_ref, ast.TableRef):
-                raise NotImplementedError_(
-                    "MATERIALIZED VIEW source must be a plain table")
-            source = (src_ref.database or db, src_ref.table)
+            if isinstance(src_ref, ast.TableRef):
+                source = (src_ref.database or db, src_ref.table)
+            else:
+                # subquery/join-fed MV: registered without an insert
+                # trigger (the reference triggers on the leftmost table;
+                # POPULATE and direct SELECTs still work)
+                source = None
             self.catalog.get_table(db, stmt.to_table)  # must exist
         # validate the query analyzes cleanly
         self._plan(stmt.query, self.settings)

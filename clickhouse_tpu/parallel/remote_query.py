@@ -53,22 +53,37 @@ def parse_remote_args(fc: ast.FuncCall, current_db: str
     clusters to loopback shard patterns (TableFunctionRemote cluster
     mode)."""
     name = fc.name.lower()
+
+    def fold(a):
+        """Constant-fold an address/table argument (literals, identifiers,
+        currentDatabase(), concat/toString/format chains over those)."""
+        if isinstance(a, ast.Literal):
+            return str(a.value)
+        if isinstance(a, ast.Identifier):
+            return a.name
+        if isinstance(a, ast.FuncCall) and a.name == "dot" \
+                and len(a.args) == 2:
+            parts = [fold(x) for x in a.args]
+            if None in parts:
+                return None
+            return ".".join(parts)
+        if isinstance(a, ast.FuncCall) \
+                and a.name == "currentDatabase" and not a.args:
+            return current_db
+        if isinstance(a, ast.FuncCall) and a.name in ("concat", "toString",
+                                                      "plus"):
+            parts = [fold(x) for x in a.args]
+            if None in parts:
+                return None
+            return "".join(parts)
+        return None
+
     lits = []
     for a in fc.args:
-        if isinstance(a, ast.Literal):
-            lits.append(str(a.value))
-        elif isinstance(a, ast.Identifier):
-            lits.append(a.name)
-        elif isinstance(a, ast.FuncCall) and a.name == "dot" \
-                and len(a.args) == 2:
-            lits.append(".".join(
-                x.name if isinstance(x, ast.Identifier)
-                else str(x.value) for x in a.args))
-        elif isinstance(a, ast.FuncCall) \
-                and a.name == "currentDatabase" and not a.args:
-            lits.append(current_db)
-        else:
+        v = fold(a)
+        if v is None:
             raise AnalysisError("remote() expects constant arguments")
+        lits.append(v)
     if name in ("cluster", "clusterallreplicas"):
         cl = lits[0]
         n_shards = 2 if "two_shards" in cl else 1

@@ -147,15 +147,26 @@ class Analyzer:
                         f"Merge source '{name}' lacks column '{cname}'")
                 fields.append(self.field(cname, sub.schema[cname], quals))
                 names.append(cname)
-            plans.append(L.ScanNode(src_db, name, fields, names,
-                                    engine=sub.engine,
-                                    order_by_cols=tuple(sub.order_by or ())))
+            scan = L.ScanNode(src_db, name, fields, names,
+                              engine=sub.engine,
+                              order_by_cols=tuple(sub.order_by or ()))
+            # `_table` virtual column: the source table's name per row
+            # (StorageMerge virtual, star-hidden like the reference)
+            tf = L.Field(self.fresh_id(), "_table", dt.String, quals,
+                         star_hidden=True)
+            proj = L.ProjectNode(
+                scan,
+                [BoundColumn(f.id, f.dtype) for f in fields]
+                + [BoundLiteral(name, dt.String)], fields + [tf])
+            plans.append(proj)
         out_fields = [self.field(cname, ctype, quals)
                       for cname, ctype in table.schema_items()]
-        node = L.UnionNode(plans, out_fields) if len(plans) > 1 else plans[0]
+        out_fields.append(dataclasses.replace(
+            self.field("_table", dt.String, quals), star_hidden=True))
         if len(plans) == 1:
             node = plans[0]
             return node, Scope(node.schema)
+        node = L.UnionNode(plans, out_fields)
         return node, Scope(out_fields)
 
     def analyze_union(self, u: ast.Union, ctes) -> L.PlanNode:
@@ -967,6 +978,18 @@ class Analyzer:
                 else:
                     extra.append(c)
             if not left_keys:
+                if join.kind == "inner":
+                    # no equi-keys (constant or inequality-only ON): run a
+                    # cross join filtered by the ON predicate (the
+                    # reference's grace-hash fallback for non-equi inner
+                    # joins, src/Planner/PlannerJoins.cpp)
+                    out_fields += list(right.schema)
+                    node = L.JoinNode(left, right, "cross", "all", [], [],
+                                      None, out_fields, join.is_global)
+                    pred = self.bind(join.on, Scope(out_fields),
+                                     allow_agg=False)
+                    node = L.FilterNode(node, pred, out_fields)
+                    return node, Scope(out_fields)
                 raise AnalysisError("JOIN ON requires at least one equality "
                                     "between left and right columns")
             if extra:
