@@ -368,6 +368,100 @@ def _evaluate_array_lambda(expr: "BoundArrayLambda",
         return finish(ColVal(expr.dtype,
                              jnp.where(has, idx, 0).astype(jnp.uint32),
                              None))
+    if op == "last_index":
+        rev = jnp.flip(pred, axis=-1)
+        idx = (L - jnp.argmax(rev, axis=-1)).astype(jnp.uint32)
+        has = jnp.any(pred, axis=-1)
+        return finish(ColVal(expr.dtype,
+                             jnp.where(has, idx, 0).astype(jnp.uint32),
+                             None))
+    if op in ("first", "first_or_null", "last", "last_or_null"):
+        p = pred if op.startswith("first") else jnp.flip(pred, axis=-1)
+        src = mats[0] if op.startswith("first") \
+            else jnp.flip(mats[0], axis=-1)
+        idx = jnp.argmax(p, axis=-1)
+        has = jnp.any(p, axis=-1)
+        val = jnp.take_along_axis(src, idx[:, None], axis=-1)[:, 0]
+        default = jnp.asarray(-1, val.dtype) if arrs[0].dictionary \
+            is not None else jnp.zeros((), val.dtype)
+        data = jnp.where(has, val, default)
+        validity = has.astype(jnp.uint8) if op.endswith("null") else None
+        return finish(ColVal(expr.dtype, data, validity,
+                             arrs[0].dictionary))
+    if op in ("min", "max", "avg"):
+        acc = odata.astype(jnp.float64) if op == "avg" \
+            else odata
+        if op == "min":
+            big = jnp.asarray(jnp.finfo(acc.dtype).max
+                              if jnp.issubdtype(acc.dtype, jnp.floating)
+                              else jnp.iinfo(acc.dtype).max, acc.dtype)
+            out_v = jnp.min(jnp.where(elem_ok, acc, big), axis=-1)
+            out_v = jnp.where(jnp.any(elem_ok, axis=-1), out_v,
+                              jnp.zeros((), acc.dtype))
+            return finish(ColVal(expr.dtype, out_v, None, out.dictionary))
+        if op == "max":
+            small = jnp.asarray(jnp.finfo(acc.dtype).min
+                                if jnp.issubdtype(acc.dtype, jnp.floating)
+                                else jnp.iinfo(acc.dtype).min, acc.dtype)
+            out_v = jnp.max(jnp.where(elem_ok, acc, small), axis=-1)
+            out_v = jnp.where(jnp.any(elem_ok, axis=-1), out_v,
+                              jnp.zeros((), acc.dtype))
+            return finish(ColVal(expr.dtype, out_v, None, out.dictionary))
+        s = jnp.sum(jnp.where(elem_ok, acc, 0.0), axis=-1)
+        n = jnp.maximum(jnp.sum(elem_ok, axis=-1), 1)
+        return finish(ColVal(expr.dtype, s / n, None))
+    if op in ("sort", "rsort"):
+        # sort row elements by the lambda key; invalid slots ride last
+        key = odata
+        enc = key.astype(jnp.float64)
+        if op == "rsort":
+            enc = -enc
+        big = jnp.asarray(jnp.finfo(jnp.float64).max)
+        enc = jnp.where(elem_ok, enc, big)
+        _, sorted_src = jax.lax.sort([enc, mats[0]], num_keys=1,
+                                     is_stable=True, dimension=-1)
+        zero = jnp.zeros((), sorted_src.dtype)
+        sorted_src = jnp.where(elem_ok, sorted_src, zero)
+        return finish(ColVal(expr.dtype, sorted_src, None,
+                             arrs[0].dictionary, lengths=lengths))
+    if op in ("fill", "rfill"):
+        # arrayFill: where the predicate is FALSE, carry the nearest
+        # preceding (following for reverse) element whose predicate holds
+        iota = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
+                                pred.shape)
+        if op == "fill":
+            marked = jnp.where(pred, iota, jnp.int32(-1))
+            src_idx = jax.lax.associative_scan(jnp.maximum, marked,
+                                               axis=-1)
+        else:
+            marked = jnp.where(pred, iota, jnp.int32(2**30))
+            src_idx = jnp.flip(jax.lax.associative_scan(
+                jnp.minimum, jnp.flip(marked, axis=-1), axis=-1), axis=-1)
+        ok_idx = (src_idx >= 0) & (src_idx < L)
+        gath = jnp.take_along_axis(
+            mats[0], jnp.clip(src_idx, 0, L - 1), axis=-1)
+        data = jnp.where(ok_idx, gath, mats[0])
+        zero = jnp.zeros((), data.dtype)
+        data = jnp.where(elem_ok, data, zero)
+        return finish(ColVal(expr.dtype, data, None, arrs[0].dictionary,
+                             lengths=lengths))
+    if op in ("cumsum", "cumsum_nonneg"):
+        inner = dt.array_inner(dt.remove_nullable(expr.dtype))
+        acc = odata.astype(inner.jnp_dtype)
+        acc = jnp.where(elem_ok, acc, jnp.zeros((), acc.dtype))
+        if op == "cumsum":
+            data = jnp.cumsum(acc, axis=-1, dtype=acc.dtype)
+        else:
+            def step(carry, x):
+                nxt = jnp.maximum(carry + x, jnp.zeros((), x.dtype))
+                return nxt, nxt
+            _, data = jax.lax.scan(step,
+                                   jnp.zeros(acc.shape[0], acc.dtype),
+                                   acc.T)
+            data = data.T
+        zero = jnp.zeros((), data.dtype)
+        data = jnp.where(elem_ok, data, zero)
+        return finish(ColVal(expr.dtype, data, None, lengths=lengths))
     raise TypeError_(f"Unknown array lambda op '{op}'")
 
 

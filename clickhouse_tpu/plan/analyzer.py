@@ -1574,6 +1574,17 @@ class Analyzer:
         "arraycount": ("count", None), "arraysum": ("sum", None),
         "arrayfirstindex": ("first_index", None),
         "arrayfold": ("fold", None),
+        "arrayfirst": ("first", None),
+        "arrayfirstornull": ("first_or_null", None),
+        "arraylast": ("last", None),
+        "arraylastornull": ("last_or_null", None),
+        "arraylastindex": ("last_index", None),
+        "arraymin": ("min", None), "arraymax": ("max", None),
+        "arrayavg": ("avg", None),
+        "arraysort": ("sort", None), "arrayreversesort": ("rsort", None),
+        "arrayfill": ("fill", None), "arrayreversefill": ("rfill", None),
+        "arraycumsum": ("cumsum", None),
+        "arraycumsumnonnegative": ("cumsum_nonneg", None),
     }
 
     def _bind_array_lambda(self, e: ast.FuncCall, scope: Scope) -> BoundExpr:
@@ -1632,7 +1643,7 @@ class Analyzer:
         body = self.bind(lam.body, inner_scope, allow_agg=False)
         if op == "map":
             out_t = dt.Array(dt.remove_nullable(body.dtype))
-        elif op == "filter":
+        elif op in ("filter", "sort", "rsort", "fill", "rfill"):
             out_t = arrays[0].dtype
         elif op == "sum":
             bt = dt.remove_nullable(body.dtype)
@@ -1640,8 +1651,21 @@ class Analyzer:
                 dt.UInt64 if bt.np_dtype.kind == "u" else dt.Int64)
         elif op == "count":
             out_t = dt.UInt64
-        elif op == "first_index":
+        elif op in ("first_index", "last_index"):
             out_t = dt.UInt32
+        elif op in ("first", "last"):
+            out_t = dt.array_inner(arrays[0].dtype)
+        elif op in ("first_or_null", "last_or_null"):
+            out_t = dt.make_nullable(dt.array_inner(arrays[0].dtype))
+        elif op in ("min", "max"):
+            out_t = dt.remove_nullable(body.dtype)
+        elif op == "avg":
+            out_t = dt.Float64
+        elif op in ("cumsum", "cumsum_nonneg"):
+            bt = dt.remove_nullable(body.dtype)
+            out_t = dt.Array(dt.Float64 if dt.is_float(bt) else (
+                dt.UInt64 if bt.np_dtype.kind == "u" and op == "cumsum"
+                else dt.Int64))
         else:
             out_t = dt.UInt8
         return BoundArrayLambda(op, [f.id for f in pfields], body, arrays,

@@ -73,3 +73,34 @@ class TestArrays:
         r = session.execute("SELECT tags FROM arr ORDER BY id")
         assert [row[0] for row in r.rows()] == [["a", "b"], ["b"], [],
                                                 ["c", "a", "b"]]
+
+
+class TestHigherOrderBatch2:
+    """Round-5 higher-order additions (ref: FunctionArrayMapped family —
+    arrayFirst/Last/Sort/Fill/CumSum with lambdas)."""
+
+    def test_first_last(self, session):
+        r = session.execute(
+            "SELECT arrayFirst(x -> x > 1, [1,2,3]),"
+            " arrayLast(x -> x < 3, [1,2,3]),"
+            " arrayFirst(x -> x > 9, [1,2,3]),"
+            " arrayFirstOrNull(x -> x > 9, [1,2,3]),"
+            " arrayLastIndex(x -> x < 3, [1,2,3])")
+        assert list(r.rows()) == [(2, 2, 0, None, 2)]
+
+    def test_sort_fill_cumsum(self, session):
+        r = session.execute(
+            "SELECT arraySort(x -> -x, [1,3,2]),"
+            " arrayFill(x -> x != 0, [1,0,0,5,0]),"
+            " arrayCumSumNonNegative(x -> x, [1,-5,3])")
+        assert list(r.rows()) == [([3, 2, 1], [1, 1, 1, 5, 5], [1, 0, 3])]
+
+    def test_min_max_avg_lambda(self, session):
+        r = session.execute(
+            "SELECT arrayMax(x -> x*2, [1,3,2]), arrayAvg(x -> x, [1,2,3])")
+        assert list(r.rows()) == [(6, 2.0)]
+
+    def test_string_first(self, session):
+        r = session.execute(
+            "SELECT arrayFirst(s -> s != '', ['', 'a', 'b'])")
+        assert list(r.rows()) == [("a",)]
