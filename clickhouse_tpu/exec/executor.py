@@ -1015,8 +1015,17 @@ def _exec_array_join(node: L.ArrayJoinNode, ctx: ExecContext) -> ExecBlock:
     cols = {fid: _gather_colval(cv, row, cap)
             for fid, cv in child.cols.items()}
     elem = jnp.take_along_axis(arr.data[row], k[:, None], axis=-1)[:, 0]
+    # literal/bounded source arrays: the element column inherits value
+    # bounds (lets range(k)/bit-width fast paths fire after arrayJoin)
+    ebounds = arr.bounds
+    if ebounds is None and not isinstance(arr.data, jax.core.Tracer) \
+            and arr.dictionary is None \
+            and arr.data.dtype.kind in ("i", "u") and arr.data.size:
+        import numpy as _np
+        host = _np.asarray(jax.device_get(arr.data))
+        ebounds = (int(host.min()), int(host.max()))
     cols[node.out_field.id] = ColVal(node.out_field.dtype, elem, None,
-                                     arr.dictionary)
+                                     arr.dictionary, bounds=ebounds)
     valid = j < total
     return ExecBlock(cols, valid, out_cap, sharded=child.sharded)
 
@@ -1805,15 +1814,26 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext,
             cv = b.cols[cf.id].broadcast(b.capacity)
             pieces.append(cv)
             dicts.append(cv.dictionary)
+        is_arr = dt.remove_nullable(f.dtype).is_array
+
+        def _pad_w(x, W):
+            if getattr(x, "ndim", 0) >= 2 and x.shape[-1] < W:
+                return jnp.pad(x, ((0, 0), (0, W - x.shape[-1])))
+            return x
+
+        W = max((cv.data.shape[-1] for cv in pieces
+                 if getattr(cv.data, "ndim", 0) >= 2), default=0) \
+            if is_arr else 0
         if f.dtype.is_dictionary:
             # unify all dictionaries (host, trace-time)
             merged = None
             recoded = []
             for cv in pieces:
                 d = cv.dictionary or Dictionary(np.asarray([], object))
+                x0 = _pad_w(cv.data, W) if is_arr else cv.data
                 if merged is None:
                     merged = d
-                    recoded.append(cv.data)
+                    recoded.append(x0)
                 else:
                     merged, ra, rb = Dictionary.unify(merged, d)
                     lut = jnp.asarray(rb)
@@ -1822,13 +1842,15 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext,
                     recoded = [(jnp.asarray(ra)[jnp.maximum(x, 0)]
                                 if len(ra) else jnp.zeros_like(x))
                                for x in recoded]
-                    recoded.append(lut[jnp.maximum(cv.data, 0)]
-                                   if len(rb) else cv.data)
+                    recoded.append(lut[jnp.maximum(x0, 0)]
+                                   if len(rb) else x0)
             data = jnp.concatenate(recoded)
             dict_ = merged
         else:
             st = dt.remove_nullable(f.dtype).jnp_dtype
-            data = jnp.concatenate([cv.data.astype(st) for cv in pieces])
+            data = jnp.concatenate([_pad_w(cv.data.astype(st), W)
+                                    if is_arr else cv.data.astype(st)
+                                    for cv in pieces])
             dict_ = None
         if any(cv.validity is not None for cv in pieces):
             validity = jnp.concatenate(
@@ -1837,7 +1859,20 @@ def _exec_union(node: L.UnionNode, ctx: ExecContext,
                  for cv in pieces])
         else:
             validity = None
-        cols[f.id] = ColVal(f.dtype, data, validity, dict_)
+        lengths = None
+        if is_arr:
+            lens_pieces = []
+            for cv in pieces:
+                lv = cv.lengths
+                if lv is None:         # full-width rows
+                    lv = jnp.full((cv.data.shape[0],),
+                                  cv.data.shape[-1], jnp.int32)
+                elif getattr(lv, "ndim", 0) == 0:
+                    lv = jnp.broadcast_to(lv, (cv.data.shape[0],))
+                lens_pieces.append(lv.astype(jnp.int32))
+            lengths = jnp.concatenate(lens_pieces)
+        cols[f.id] = ColVal(f.dtype, data, validity, dict_,
+                            lengths=lengths)
     valid = jnp.concatenate([b.valid for b in blocks])
     return ExecBlock(cols, valid, out_cap,
                      sharded=any(b.sharded for b in blocks))
@@ -1984,7 +2019,14 @@ def materialize(block: ExecBlock, schema: List[L.Field],
             out[name] = rows
             continue
         if cv.dtype.is_array:
-            lens = np.asarray(jax.device_get(cv.lengths))[valid_np]
+            if cv.lengths is None:     # full-width rows (no ragged mask)
+                _lv = np.full(valid_np.shape,
+                              int(np.asarray(cv.data).shape[-1]))
+            else:
+                _lv = np.asarray(jax.device_get(cv.lengths))
+                if _lv.ndim == 0:      # constant array: scalar length
+                    _lv = np.full(valid_np.shape, int(_lv))
+            lens = _lv[valid_np]
             d = cv.dictionary
             rows = np.empty(len(data), object)
             from ..core import typed

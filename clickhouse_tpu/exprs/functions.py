@@ -1569,8 +1569,11 @@ def _array_ctor_exec(args, out_dtype):
             ml = max(((k + 7) // 8) * 8, 8)
             data = np.zeros((ml,), inner.np_dtype)
             data[:k] = host
+            b = (int(host.min()), int(host.max())) \
+                if host.dtype.kind in "iu" and k else None
             return ColVal(out_dtype, jnp.asarray(data), _and_validity(args),
-                          None, lengths=jnp.asarray(k, jnp.int32),
+                          None, bounds=b,
+                          lengths=jnp.asarray(k, jnp.int32),
                           host=list(host))
     if inner.is_dictionary and all(a.is_const and a.dictionary is not None
                                    for a in args):

@@ -2003,9 +2003,11 @@ def _parse_structure(s: str) -> Optional[List[Tuple[str, dt.DType]]]:
     return out or None
 
 
-def _default_literal(t: dt.DType) -> BoundLiteral:
+def _default_literal(t: dt.DType):
     if t.nullable:
         return BoundLiteral(None, t)
+    if dt.remove_nullable(t).is_array:
+        return BoundCall("array", [], t)     # default: empty array
     if t.is_dictionary:
         return BoundLiteral("", t)
     return BoundLiteral(0, t)
