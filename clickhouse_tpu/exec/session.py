@@ -1848,6 +1848,46 @@ class Session:
                 tdb = tdb or self.catalog.current_database
                 stmt = dataclasses.replace(stmt, table_function=None)
                 stmt.database, stmt.table = tdb, ttbl
+            elif fn.name.lower() == "file":
+                # INSERT INTO FUNCTION file('p'[, fmt[, structure]]):
+                # evaluate the payload and write through the format layer
+                # (ref: src/TableFunctions/TableFunctionFile.cpp write path)
+                from ..storage import formats as _fmts
+                lits = [a.value for a in fn.args
+                        if isinstance(a, ast.Literal)]
+                if not lits:
+                    raise NotImplementedError_("file() needs a path")
+                path = _fmts.confine_path(
+                    str(lits[0]), qsettings.user_files_path)
+                fmt = str(lits[1]) if len(lits) > 1 else None
+                struct = str(lits[2]) if len(lits) > 2 else None
+                if stmt.select is not None:
+                    data = self._execute_to_pydict(
+                        self._plan(stmt.select, qsettings), qsettings)
+                elif stmt.values is not None:
+                    names = None
+                    if struct:
+                        names = [p.strip().split()[0]
+                                 for p in struct.split(",") if p.strip()]
+                    ncols = len(stmt.values[0]) if stmt.values else 0
+                    if names is None or len(names) != ncols:
+                        names = [f"c{i + 1}" for i in range(ncols)]
+                    cols = list(zip(*[[_literal_value(v) for v in row]
+                                      for row in stmt.values]))
+                    data = {nm: np.asarray(c)
+                            for nm, c in zip(names, cols)}
+                else:
+                    raise NotImplementedError_(
+                        "INSERT INTO FUNCTION file() needs VALUES or "
+                        "SELECT")
+                types = None
+                if struct:
+                    pairs = [p.strip().rsplit(None, 1)
+                             for p in struct.split(",") if p.strip()]
+                    if all(len(p) == 2 for p in pairs):
+                        types = [(p[0], p[1]) for p in pairs]
+                _fmts.write_file(path, data, types, fmt)
+                return Result({}, [])
             else:
                 raise NotImplementedError_(
                     f"INSERT INTO TABLE FUNCTION {fn.name} is not supported")

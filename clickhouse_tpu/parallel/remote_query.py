@@ -278,13 +278,9 @@ def _exec_remote(session, addr: str, sql_text: str, creds: List[str],
     return t
 
 
-def loopback_local_source(catalog, addr: str, target: str, alias=None):
-    """Local-source rewrite for loopback remote()/cluster() with no live
-    server: the reference's stateless tests run against one server where
-    127.0.0.{1,2} are both that server acting as N shards — so N shards
-    read the LOCAL table N times (rows concatenated).  Returns a
-    TableRef/SubqueryRef, or None when any shard is non-loopback or a
-    server answers on the port (real cross-process tests keep the wire)."""
+def loopback_shards(catalog, addr: str):
+    """-> shard count when EVERY shard of `addr` is a loopback address
+    with nothing listening on its port, else None."""
     import socket
     shards = catalog._expand_shards(addr)
     for sa in shards:
@@ -299,16 +295,29 @@ def loopback_local_source(catalog, addr: str, target: str, alias=None):
             return None            # something is listening: use the wire
         except (OSError, ValueError):
             pass
+    return len(shards)
+
+
+def loopback_local_source(catalog, addr: str, target: str, alias=None):
+    """Local-source rewrite for loopback remote()/cluster() with no live
+    server: the reference's stateless tests run against one server where
+    127.0.0.{1,2} are both that server acting as N shards — so N shards
+    read the LOCAL table N times (rows concatenated).  Returns a
+    TableRef/SubqueryRef, or None when any shard is non-loopback or a
+    server answers on the port (real cross-process tests keep the wire)."""
+    n = loopback_shards(catalog, addr)
+    if n is None:
+        return None
     if "." in target:
         db, _, nm = target.partition(".")
     else:
         db, nm = None, target
-    if len(shards) == 1:
+    if n == 1:
         return ast.TableRef(db, nm, alias=alias)
     return ast.SubqueryRef(ast.Union(
         [ast.Select(items=[ast.SelectItem(ast.Star())],
                     from_=ast.TableRef(db, nm))
-         for _ in shards], mode="all"), alias=alias)
+         for _ in range(n)], mode="all"), alias=alias)
 
 
 def try_remote_pushdown(session, stmt, settings):

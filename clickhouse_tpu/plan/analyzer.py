@@ -918,7 +918,24 @@ class Analyzer:
             # parallel/remote_query.py does not handle — joins, subqueries;
             # ref src/TableFunctions/TableFunctionRemote.cpp)
             from ..parallel.remote_query import (loopback_local_source,
+                                                 loopback_shards,
                                                  parse_remote_args)
+            if len(fc.args) >= 2 and isinstance(fc.args[0], ast.Literal) \
+                    and isinstance(fc.args[1], ast.FuncCall) \
+                    and fc.args[1].name.lower() not in (
+                        "dot", "currentdatabase", "concat", "tostring"):
+                # remote(addr, numbers(10)) — table-function target: on
+                # loopback shards analyze the inner function locally
+                nsh = loopback_shards(self.catalog, str(fc.args[0].value))
+                if nsh is not None:
+                    inner_ref = ast.TableFunctionRef(fc.args[1], ref.alias)
+                    if nsh == 1:
+                        return self.analyze_table_expr(inner_ref, {})
+                    sub = ast.SubqueryRef(ast.Union(
+                        [ast.Select(items=[ast.SelectItem(ast.Star())],
+                                    from_=ast.TableFunctionRef(fc.args[1]))
+                         for _ in range(nsh)], mode="all"), ref.alias)
+                    return self.analyze_table_expr(sub, {})
             addr, target, creds = parse_remote_args(
                 fc, self.catalog.current_database)
             src = loopback_local_source(self.catalog, addr, target,

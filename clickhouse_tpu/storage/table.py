@@ -1389,21 +1389,40 @@ class Catalog:
         (reference: parseRemoteDescription, src/Common/parseRemoteDescription
         .cpp) — each element of the comma list / range is a separate SHARD;
         '|' inside an element separates failover replicas."""
-        lo = addr.find("{")
-        hi = addr.find("}", lo + 1)
-        if lo < 0 or hi < 0:
-            return [addr]
-        head, body, tail = addr[:lo], addr[lo + 1:hi], addr[hi + 1:]
-        parts: List[str] = []
-        for piece in body.split(","):
-            if ".." in piece:
-                a, _, b = piece.partition("..")
-                width = len(a) if a.startswith("0") else 0
-                for i in range(int(a), int(b) + 1):
-                    parts.append(str(i).zfill(width))
+        # top-level commas (outside braces) separate shards too:
+        # '127.0.0.1,127.0.0.2' is two shards
+        tops, depth, cur = [], 0, []
+        for ch in addr:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                tops.append("".join(cur))
+                cur = []
             else:
-                parts.append(piece)
-        return [head + p + tail for p in parts]
+                cur.append(ch)
+        tops.append("".join(cur))
+        out: List[str] = []
+        for one in tops:
+            one = one.strip()
+            lo = one.find("{")
+            hi = one.find("}", lo + 1)
+            if lo < 0 or hi < 0:
+                out.append(one)
+                continue
+            head, body, tail = one[:lo], one[lo + 1:hi], one[hi + 1:]
+            parts: List[str] = []
+            for piece in body.split(","):
+                if ".." in piece:
+                    a, _, b = piece.partition("..")
+                    width = len(a) if a.startswith("0") else 0
+                    for i in range(int(a), int(b) + 1):
+                        parts.append(str(i).zfill(width))
+                else:
+                    parts.append(piece)
+            out.extend(head + p + tail for p in parts)
+        return out
 
     @staticmethod
     def _is_loopback(host: str) -> bool:
